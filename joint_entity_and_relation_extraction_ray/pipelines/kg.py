@@ -1,0 +1,110 @@
+"""Flagship KG-construction pipeline (SURVEY.md §3.2).
+
+T0 transcripts → A1 scorer (actor pool) → T1 mentions + T2 triples
+→ A2 linking → CC canonicalization → graph materialize (T5/T6).
+
+All functions build LAZY ``ray.data.Dataset`` pipelines; nothing here calls
+``ray.init()`` (driver/bench/tests own the session, SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pyarrow.parquet as pq
+import ray
+import ray.data
+
+from ..schema import MENTIONS, TRIPLES
+from ..sources.synth import corpus_for_sf_dir
+from ..sources.transcripts import read_transcripts
+from ..stages.scorer import (
+    COMBINED,
+    TripleScorer,
+    gazetteer_from_alias_table,
+)
+
+
+def default_scorer_concurrency() -> int:
+    """Actor-pool size: leave headroom for read/split/write stages so the
+    pool doesn't starve the rest of the pipeline (ray_guide: a pool that
+    reserves every CPU serializes the pipeline)."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        ncpu = 4
+    return max(2, ncpu - 2)
+
+
+def broadcast(obj):
+    """``ray.put`` once on the driver; actors ``ray.get`` in ``__init__``.
+    The broadcast pattern for small sides (SURVEY.md §2.2 J1/A2) — never
+    re-shipped per batch, never a shuffle join."""
+    return ray.put(obj) if ray.is_initialized() else obj
+
+
+def extract_combined(
+    transcripts: ray.data.Dataset,
+    aliases: pa.Table,
+    *,
+    concurrency: int | None = None,
+    batch_size: int = 512,
+    num_gpus: float = 0,
+) -> ray.data.Dataset:
+    """A1: scorer actor pool over T0 → combined mention|triple rows.
+
+    ``num_gpus`` is the config knob for real-model deployments
+    (BASELINE.json:6 "GPU actor pool holding warm model replicas"); the
+    surrogate runs on CPU.
+    """
+    gaz_ref = broadcast(gazetteer_from_alias_table(aliases))
+    kwargs = dict(
+        fn_constructor_kwargs={"gazetteer_ref": gaz_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency or default_scorer_concurrency(),
+    )
+    if num_gpus:
+        kwargs["num_gpus"] = num_gpus
+    return transcripts.map_batches(TripleScorer, **kwargs)
+
+
+def mentions_of(combined: ray.data.Dataset) -> ray.data.Dataset:
+    """T1: cheap filter+project of the combined scorer output."""
+    return combined.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "mention")).select(MENTIONS.names).cast(MENTIONS),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def triples_of(combined: ray.data.Dataset) -> ray.data.Dataset:
+    """T2: cheap filter+project of the combined scorer output."""
+    return combined.map_batches(
+        lambda t: t.filter(pc.equal(t["kind"], "triple")).select(TRIPLES.names).cast(TRIPLES),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def to_table(ds: ray.data.Dataset) -> pa.Table:
+    """Collect a SMALL dataset to one Arrow table (tests / small results
+    only — big data stays streamed, SURVEY.md 'streaming execution')."""
+    refs = ds.to_arrow_refs()
+    tables = [t for t in ray.get(refs) if t.num_rows]
+    if not tables:
+        return ds.schema().empty_table() if ds.schema() else pa.table({})
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def load_aliases(sf_dir: str) -> pa.Table:
+    return pq.read_table(corpus_for_sf_dir(sf_dir) / "aliases.parquet")
+
+
+def extract_for_sf_dir(sf_dir: str, **kw) -> ray.data.Dataset:
+    """Convenience: sf testdata dir → combined extraction Dataset over the
+    deterministic synthetic corpus paired with that scale factor."""
+    corpus = corpus_for_sf_dir(sf_dir)
+    ds = read_transcripts(str(corpus / "transcripts"))
+    return extract_combined(ds, load_aliases(sf_dir), **kw)

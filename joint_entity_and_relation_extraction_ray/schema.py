@@ -1,0 +1,173 @@
+"""Table schemas, label inventories and deterministic id minting.
+
+All stage boundaries are Parquet tables with these exact ``pyarrow.Schema``s
+(SURVEY.md §1.2). The input schema T0 is dictated by BASELINE.json:15
+(``input_hint``). Label inventories follow the CoNLL04 set used by the
+reference family (Bekoulis et al. 2018, ESWA — SURVEY.md §0.1 [MHS]; the
+reference checkout itself was empty, SURVEY.md §0).
+
+Ids are minted deterministically from stable string composition — never from
+Python's process-salted ``hash()`` — so two runs (or two nodes) mint
+identical ids (SURVEY.md §2.2 "Scalar functions").
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+
+# ---------------------------------------------------------------------------
+# Label inventories (reference family: CoNLL04 — SURVEY.md §1.1)
+# ---------------------------------------------------------------------------
+
+ENT_TYPES: tuple[str, ...] = ("Peop", "Org", "Loc", "Other")
+REL_TYPES: tuple[str, ...] = ("Work_For", "Kill", "OrgBased_In", "Live_In", "Located_In")
+
+# BIO tag scheme over ENT_TYPES; index 0 is the outside tag.
+BIO_TAGS: tuple[str, ...] = ("O",) + tuple(
+    f"{p}-{t}" for t in ENT_TYPES for p in ("B", "I")
+)
+TAG2IDX: dict[str, int] = {t: i for i, t in enumerate(BIO_TAGS)}
+REL2IDX: dict[str, int] = {r: i for i, r in enumerate(REL_TYPES)}
+
+# Multi-head relation decode threshold ([MHS] §3.2: sigmoid > 0.5).
+REL_THRESHOLD: float = 0.5
+
+# ---------------------------------------------------------------------------
+# Stage-boundary schemas (SURVEY.md §1.2, T0..T6 + METRICS)
+# ---------------------------------------------------------------------------
+
+# T0 — input transcripts, exactly the input_hint shape (BASELINE.json:15).
+TRANSCRIPTS = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("role", pa.string()),
+        ("text", pa.string()),
+        ("tool", pa.string()),  # nullable
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# T1 — one row per entity mention, flattened per turn.
+MENTIONS = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("mention_id", pa.string()),
+        ("start", pa.int32()),
+        ("end", pa.int32()),  # char offsets into `text`, [start, end)
+        ("surface", pa.string()),
+        ("ent_type", pa.string()),
+        ("score", pa.float32()),
+    ]
+)
+
+# T2 — one row per candidate triple, flattened per turn. Carries `ts`
+# forward from T0 so edge materialize (first_ts/last_ts) needs no join
+# back to the input (deviation from SURVEY §1.2 noted there in G1).
+TRIPLES = pa.schema(
+    [
+        ("conv_id", pa.string()),
+        ("turn_idx", pa.int32()),
+        ("subj_mention_id", pa.string()),
+        ("obj_mention_id", pa.string()),
+        ("subj_surface", pa.string()),
+        ("pred", pa.string()),
+        ("obj_surface", pa.string()),
+        ("score", pa.float32()),
+        ("ts", pa.timestamp("us")),
+    ]
+)
+
+# T3 — mentions after alias-dictionary entity linking.
+LINKED = MENTIONS.append(pa.field("cand_entity_id", pa.string())).append(
+    pa.field("link_score", pa.float32())
+)
+
+# T4 — canonicalization output: member -> canonical representative.
+CANON = pa.schema([("member_id", pa.string()), ("canonical_id", pa.string())])
+
+# T5/T6 — graph materialize output, partitioned by entity-id hash
+# (BASELINE.json:6 "node/edge Parquet tables partitioned by entity-id hash").
+NODES = pa.schema(
+    [
+        ("entity_id", pa.string()),
+        ("canonical_name", pa.string()),
+        ("ent_type", pa.string()),
+        ("mention_count", pa.int64()),
+        ("aliases", pa.list_(pa.string())),
+        ("part", pa.int32()),
+    ]
+)
+EDGES = pa.schema(
+    [
+        ("subj_id", pa.string()),
+        ("pred", pa.string()),
+        ("obj_id", pa.string()),
+        ("weight", pa.int64()),
+        ("first_ts", pa.timestamp("us")),
+        ("last_ts", pa.timestamp("us")),
+        ("part", pa.int32()),
+    ]
+)
+
+METRICS = pa.schema(
+    [
+        ("stage", pa.string()),
+        ("partition_id", pa.int32()),
+        ("rows_in", pa.int64()),
+        ("rows_out", pa.int64()),
+        ("wall_s", pa.float64()),
+        ("input_fingerprint", pa.string()),
+    ]
+)
+
+# Alias dictionary (broadcast fixture, FIXTURES.md F2).
+ALIASES = pa.schema(
+    [
+        ("alias", pa.string()),  # NFC, casefolded surface
+        ("entity_id", pa.string()),
+        ("ent_type", pa.string()),
+        ("prior", pa.float32()),  # disambiguation prior, deterministic
+    ]
+)
+
+
+# ---------------------------------------------------------------------------
+# Deterministic id minting
+# ---------------------------------------------------------------------------
+
+def mention_id(conv_id: str, turn_idx: int, start: int, end: int) -> str:
+    """Deterministic mention id: stable composition, no hashing needed.
+
+    Readable + collision-free by construction (offsets are unique within a
+    turn). Identical across runs, processes and nodes.
+    """
+    return f"{conv_id}:{turn_idx}:{start}:{end}"
+
+
+def stable_bucket(values, num_buckets: int):
+    """Vectorized stable hash-bucket of a string array → int32 in [0, P).
+
+    Uses ``pandas.util.hash_array`` (SipHash with pandas' fixed default key
+    "0123456789123456") — deterministic across processes/nodes, unlike
+    Python's per-process-salted ``hash()`` (SURVEY.md §2.2).
+    """
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(values, dtype=object)
+    h = pd.util.hash_array(arr, categorize=False)
+    return (h % np.uint64(num_buckets)).astype("int32")
+
+
+def validate_schema(table: pa.Table, expected: pa.Schema, stage: str) -> None:
+    """Assert a stage-boundary table matches its declared schema exactly
+    (names + types, order-sensitive). Schema equality is itself a test
+    (FIXTURES.md F4)."""
+    got = pa.schema([(f.name, f.type) for f in table.schema])
+    want = pa.schema([(f.name, f.type) for f in expected])
+    if got != want:
+        raise TypeError(
+            f"stage {stage!r}: schema mismatch\n  got:  {got}\n  want: {want}"
+        )
