@@ -108,3 +108,75 @@ def extract_for_sf_dir(sf_dir: str, **kw) -> ray.data.Dataset:
     corpus = corpus_for_sf_dir(sf_dir)
     ds = read_transcripts(str(corpus / "transcripts"))
     return extract_combined(ds, load_aliases(sf_dir), **kw)
+
+
+def load_entity_names(sf_dir: str) -> dict[str, str]:
+    ents = pq.read_table(corpus_for_sf_dir(sf_dir) / "entities.parquet")
+    return dict(
+        zip(ents["entity_id"].to_pylist(), ents["canonical_name"].to_pylist())
+    )
+
+
+# ---------------------------------------------------------------------------
+# Full pipeline with per-stage caching (one materialization per stage per
+# sf_dir per process — stage boundaries are parquet checkpoints in the
+# resumable variant, see state.checkpoint)
+# ---------------------------------------------------------------------------
+
+_STAGE_CACHE: dict[tuple[str, str], ray.data.Dataset] = {}
+
+
+def stage(sf_dir: str, name: str, **kw) -> ray.data.Dataset:
+    """Materialized stage output for `sf_dir`, computed once per process.
+
+    Stages: combined | mentions | triples | linked | canon | edges | nodes.
+    """
+    key = (sf_dir, name)
+    if key in _STAGE_CACHE:
+        return _STAGE_CACHE[key]
+
+    from ..stages.canonical import canonicalize
+    from ..stages.graph import build_edges, build_nodes, rewrite_triples
+    from ..stages.linker import link_mentions
+
+    if name == "combined":
+        ds = extract_for_sf_dir(sf_dir, **kw).materialize()
+    elif name == "mentions":
+        ds = mentions_of(stage(sf_dir, "combined")).materialize()
+    elif name == "triples":
+        ds = triples_of(stage(sf_dir, "combined")).materialize()
+    elif name == "linked":
+        ds = link_mentions(
+            stage(sf_dir, "mentions"), load_aliases(sf_dir), **kw
+        ).materialize()
+    elif name == "canon":
+        ds = canonicalize(stage(sf_dir, "linked"), **kw).materialize()
+    elif name == "edges":
+        rewritten = rewrite_triples(stage(sf_dir, "triples"), stage(sf_dir, "canon"))
+        ds = build_edges(rewritten, **kw).materialize()
+    elif name == "nodes":
+        ds = build_nodes(
+            stage(sf_dir, "linked"),
+            stage(sf_dir, "canon"),
+            load_entity_names(sf_dir),
+            **kw,
+        ).materialize()
+    else:
+        raise ValueError(f"unknown stage {name!r}")
+    _STAGE_CACHE[key] = ds
+    return ds
+
+
+def run_kg(sf_dir: str, out_dir: str | None = None) -> dict[str, ray.data.Dataset]:
+    """The flagship end-to-end pipeline (SURVEY.md §3.2): extraction →
+    linking → canonicalization → graph materialize; optionally writes
+    partitioned node/edge parquet."""
+    from ..stages.graph import write_graph
+
+    out = {
+        name: stage(sf_dir, name)
+        for name in ("mentions", "triples", "linked", "canon", "edges", "nodes")
+    }
+    if out_dir is not None:
+        write_graph(out["nodes"], out["edges"], out_dir)
+    return out

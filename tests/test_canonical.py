@@ -1,0 +1,91 @@
+"""Connected components vs a pure-python union-find oracle (FIXTURES.md F3)
++ canonicalization equivalence to the deterministic linker (SURVEY.md §5.2.4).
+"""
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.parquet as pq
+import pytest
+
+from joint_entity_and_relation_extraction_ray.functions.text import normalize_surface
+from joint_entity_and_relation_extraction_ray.pipelines import kg
+from joint_entity_and_relation_extraction_ray.stages.canonical import (
+    canonicalize,
+    connected_components,
+)
+from joint_entity_and_relation_extraction_ray.stages.linker import (
+    build_alias_index,
+    link_mentions,
+)
+
+
+def _union_find_labels(edges):
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    comp = {}
+    for x in list(parent):
+        comp.setdefault(find(x), []).append(x)
+    return {x: min(mem) for mem in comp.values() for x in mem}
+
+
+def test_cc_matches_union_find_oracle(ray_session):
+    """Random graph + giant hub (Zipf-skew stand-in) + a chain (stresses
+    iteration count via pointer jumping)."""
+    rng = np.random.default_rng(11)
+    n = 300
+    edges = [(f"n{i:04d}", f"n{i:04d}") for i in range(n)]
+    edges += [(f"n{a:04d}", f"n{b:04d}") for a, b in rng.integers(0, n, (120, 2))]
+    edges += [("n0000", f"n{x:04d}") for x in rng.integers(0, n, 80)]  # hub
+    edges += [(f"c{i:02d}", f"c{i+1:02d}") for i in range(12)]  # chain
+    edges += [(f"c{i:02d}", f"c{i:02d}") for i in range(13)]
+    want = _union_find_labels(edges)
+
+    ds = ray.data.from_arrow(
+        pa.table({"src": [a for a, _ in edges], "dst": [b for _, b in edges]})
+    )
+    got = dict(
+        zip(*(lambda d: (d["node"], d["label"]))(connected_components(ds).to_pandas()))
+    )
+    assert got == want
+
+
+import ray  # noqa: E402  (used in fixture-scoped test above)
+
+
+@pytest.fixture(scope="module")
+def canon_result(ray_session, sf0001_corpus):
+    aliases = pq.read_table(sf0001_corpus / "aliases.parquet")
+    mentions = ray.data.read_parquet(str(sf0001_corpus / "golden_mentions"))
+    linked = link_mentions(mentions, aliases, concurrency=2).materialize()
+    return canonicalize(linked).to_pandas(), aliases
+
+
+def test_canonicalize_every_mention_mapped(canon_result, sf0001_corpus):
+    canon, _ = canon_result
+    m = pq.read_table(sf0001_corpus / "golden_mentions")
+    assert len(canon) == m.num_rows
+    assert canon["member_id"].is_unique
+
+
+def test_canonicalize_matches_linker_fixpoint(canon_result, sf0001_corpus):
+    """Every surface is in the alias dict → each cluster holds exactly one
+    entity → canonical label == linked entity id."""
+    canon, aliases = canon_result
+    idx = build_alias_index(aliases)
+    m = pq.read_table(sf0001_corpus / "golden_mentions").to_pandas()
+    m["best"] = [
+        idx.get((normalize_surface(s), t), (None,))[0]
+        for s, t in zip(m["surface"], m["ent_type"])
+    ]
+    merged = m.merge(canon, left_on="mention_id", right_on="member_id")
+    assert (merged["best"] == merged["canonical_id"]).all()

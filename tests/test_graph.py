@@ -1,0 +1,55 @@
+"""Graph materialize: referential integrity + rollup invariants
+(FIXTURES.md F6) on the sf0.001 end-to-end run, and the partitioned write
+layout (SURVEY.md §2.2 S4)."""
+
+import pyarrow.parquet as pq
+import pytest
+
+from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def graph(ray_session):
+    return kg.run_kg(SF)
+
+
+def test_edges_reference_nodes(graph):
+    nodes = kg.to_table(graph["nodes"]).to_pandas()
+    edges = kg.to_table(graph["edges"]).to_pandas()
+    ids = set(nodes["entity_id"])
+    assert set(edges["subj_id"]) <= ids
+    assert set(edges["obj_id"]) <= ids
+    assert (edges["weight"] >= 1).all()
+    assert (edges["first_ts"] <= edges["last_ts"]).all()
+
+
+def test_edge_weights_sum_to_triples(graph):
+    triples = kg.to_table(graph["triples"])
+    edges = kg.to_table(graph["edges"]).to_pandas()
+    assert edges["weight"].sum() == triples.num_rows
+    # dedup: edge key is unique
+    assert not edges.duplicated(["subj_id", "pred", "obj_id"]).any()
+
+
+def test_node_rollup(graph):
+    nodes = kg.to_table(graph["nodes"]).to_pandas()
+    linked = kg.to_table(graph["linked"])
+    assert nodes["mention_count"].sum() == linked.num_rows
+    # aliases sorted + distinct, and contain the node's own surfaces
+    for al in nodes["aliases"].head(50):
+        al = list(al)
+        assert al == sorted(set(al))
+
+
+def test_partitioned_write_layout(graph, tmp_path):
+    from joint_entity_and_relation_extraction_ray.stages.graph import write_graph
+
+    write_graph(graph["nodes"], graph["edges"], str(tmp_path))
+    node_parts = sorted((tmp_path / "nodes").glob("part=*"))
+    edge_parts = sorted((tmp_path / "edges").glob("part=*"))
+    assert node_parts and edge_parts
+    back = pq.read_table(str(tmp_path / "edges"))
+    assert back.num_rows == kg.to_table(graph["edges"]).num_rows
