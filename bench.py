@@ -1,0 +1,156 @@
+"""Benchmark harness (driver contract + SURVEY.md §4.5 scaling evidence).
+
+Runs the headline KG pipeline (extract → link → canonicalize → graph) over
+the deterministic synthetic transcript corpus paired with ``$GRAFT_SF_DIR``
+(default /root/testdata/sf0.1) and prints ONE JSON line::
+
+    {"metric": "...", "value": <end-to-end sec>, "unit": "sec",
+     "queries": {...per-stage sec...}, "sf": ..., "num_cpus": N,
+     "turns": T, "turns_per_sec": R}
+
+``--scaling`` runs the identical job in two FRESH subprocesses
+(num_cpus=8 then num_cpus=32) on the same input and reports both
+throughputs plus scaling efficiency = (tps_32/tps_8)/4 — the sandbox
+substitute for the north rule's N vs 4N cluster sizes (no real cluster
+here; BASELINE.json north_rule).
+
+This script OWNS its Ray session (ray.init/shutdown); library code never
+does (SURVEY.md §3.3).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def _bench_once(sf_dir: str, num_cpus: int) -> dict:
+    import ray
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    # corpus generation is a fixture cost, not pipeline time — do it pre-init
+    corpus = corpus_for_sf_dir(sf_dir)
+
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+    )
+    try:
+        n_turns = read_transcripts(str(corpus / "transcripts")).count()
+
+        queries: dict[str, float] = {}
+        t_all0 = time.perf_counter()
+        # kg.stage caches upstream stages per process, so each timing below
+        # covers exactly one stage's compute (streamed, then materialized).
+        for name, label in (
+            ("combined", "extract"),
+            ("linked", "link"),
+            ("canon", "canonicalize"),
+            ("edges", "edges"),
+            ("nodes", "nodes"),
+        ):
+            t0 = time.perf_counter()
+            kg.stage(sf_dir, name)
+            queries[label] = round(time.perf_counter() - t0, 3)
+
+        # graph write (partitioned parquet sink) — S4
+        import tempfile
+
+        from joint_entity_and_relation_extraction_ray.stages.graph import (
+            write_graph,
+        )
+
+        with tempfile.TemporaryDirectory(prefix="kgray_bench_") as td:
+            t0 = time.perf_counter()
+            write_graph(kg.stage(sf_dir, "nodes"), kg.stage(sf_dir, "edges"), td)
+            queries["write_graph"] = round(time.perf_counter() - t0, 3)
+
+        total = round(time.perf_counter() - t_all0, 3)
+
+        # headline training-data ops over the driver tables (documents /
+        # embeddings), if present at this scale factor
+        try:
+            from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops
+
+            for qname, fn in corpus_ops.bench_ops().items():
+                t0 = time.perf_counter()
+                fn(sf_dir)
+                queries[qname] = round(time.perf_counter() - t0, 3)
+        except Exception as exc:  # ops module optional while under construction
+            queries["_corpus_ops_error"] = str(exc)[:200]  # type: ignore[assignment]
+
+        return {
+            "metric": "kg-pipeline end-to-end (extract+link+canon+graph) wall",
+            "value": total,
+            "unit": "sec",
+            "queries": queries,
+            "sf": os.path.basename(sf_dir.rstrip("/")),
+            "num_cpus": num_cpus,
+            "turns": n_turns,
+            "turns_per_sec": round(n_turns / total, 1) if total else None,
+        }
+    finally:
+        ray.shutdown()
+
+
+def _run_subprocess(sf_dir: str, num_cpus: int) -> dict:
+    env = dict(os.environ)
+    env["GRAFT_SF_DIR"] = sf_dir
+    env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    out = subprocess.run(
+        [sys.executable, os.path.abspath(__file__)],
+        capture_output=True,
+        text=True,
+        env=env,
+        check=True,
+    )
+    # last line of stdout is the JSON report
+    return json.loads(out.stdout.strip().splitlines()[-1])
+
+
+def main() -> None:
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = _run_subprocess(sf_dir, lo)
+        r_hi = _run_subprocess(sf_dir, hi)
+        tps_lo, tps_hi = r_lo["turns_per_sec"], r_hi["turns_per_sec"]
+        eff = round((tps_hi / tps_lo) / (hi / lo), 3)
+        print(
+            json.dumps(
+                {
+                    "metric": "scaling efficiency (num_cpus 8 -> 32, fresh processes)",
+                    "value": eff,
+                    "unit": "efficiency",
+                    "queries": {
+                        f"turns_per_sec@{lo}cpu": tps_lo,
+                        f"turns_per_sec@{hi}cpu": tps_hi,
+                        f"wall@{lo}cpu": r_lo["value"],
+                        f"wall@{hi}cpu": r_hi["value"],
+                    },
+                    "sf": r_hi["sf"],
+                    "num_cpus": hi,
+                }
+            )
+        )
+        return
+
+    print(json.dumps(_bench_once(sf_dir, num_cpus)))
+
+
+if __name__ == "__main__":
+    main()

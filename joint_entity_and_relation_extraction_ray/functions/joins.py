@@ -1,0 +1,108 @@
+"""Join strategies (SURVEY.md §2.2 J1–J4, §4.3 "wide shuffles").
+
+Two physical strategies behind one API:
+
+- **broadcast map-side join** — small side is ``ray.put`` into the object
+  store ONCE and every ``map_batches`` task runs a zero-copy Acero hash
+  join (``pa.Table.join``) of its batch against it. No shuffle, no
+  repartition of the big side; the small side is fetched from the local
+  plasma store per task (shared-memory read, not a re-ship per batch).
+- **shuffle hash join** — ``ray.data.Dataset.join`` (Ray 2.49 hash join)
+  with explicit ``num_partitions``; the scale path when both sides are
+  large.
+
+``join_auto`` picks broadcast when the small side's row count (cheap —
+metadata of a materialized dataset) is under ``broadcast_threshold``.
+This is the standard engine-side decision (cf. Spark's
+autoBroadcastJoinThreshold); at 10^12-turn scale the canon/label tables
+exceed the threshold and the same call sites degrade gracefully to the
+shuffle join.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+# ~2M short-string rows ≈ low hundreds of MB in plasma — safely broadcastable
+# on any reasonable worker; override per call for wider rows.
+BROADCAST_THRESHOLD_ROWS = 2_000_000
+
+
+def dataset_to_table(ds: ray.data.Dataset) -> pa.Table:
+    """Small materialized Dataset → one Arrow table (driver-side; only ever
+    used under the broadcast threshold)."""
+    tables = [t for t in ray.get(ds.to_arrow_refs()) if t.num_rows]
+    if not tables:
+        schema = ds.schema()
+        return (
+            pa.schema(
+                [pa.field(n, t) for n, t in zip(schema.names, schema.types)]
+            ).empty_table()
+            if schema
+            else pa.table({})
+        )
+    return pa.concat_tables(tables, promote_options="default")
+
+
+def broadcast_join(
+    big: ray.data.Dataset,
+    small: pa.Table,
+    *,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    join_type: str = "inner",
+) -> ray.data.Dataset:
+    """Map-side join of every batch of ``big`` against broadcast ``small``."""
+    right_on = right_on or on
+    if tuple(right_on) != tuple(on):
+        small = small.rename_columns(
+            [
+                dict(zip(right_on, on)).get(c, c)
+                for c in small.column_names
+            ]
+        )
+    small = small.combine_chunks()
+    ref = ray.put(small) if ray.is_initialized() else small
+    keys = list(on)
+    jt = {"inner": "inner", "left_outer": "left outer"}[join_type]
+
+    def _bj(batch: pa.Table) -> pa.Table:
+        side = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        return batch.join(side, keys=keys, join_type=jt)
+
+    return big.map_batches(_bj, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def join_auto(
+    big: ray.data.Dataset,
+    small: ray.data.Dataset,
+    *,
+    on: tuple[str, ...],
+    right_on: tuple[str, ...] | None = None,
+    join_type: str = "inner",
+    num_partitions: int = 16,
+    broadcast_threshold: int = BROADCAST_THRESHOLD_ROWS,
+) -> ray.data.Dataset:
+    """Broadcast the small side when it fits, else shuffle hash join.
+
+    ``small`` is materialized to decide (its count is then free metadata);
+    every call site here already materializes it for reuse anyway.
+    """
+    small = small.materialize()
+    if small.count() <= broadcast_threshold:
+        return broadcast_join(
+            big,
+            dataset_to_table(small),
+            on=on,
+            right_on=right_on,
+            join_type=join_type,
+        )
+    return big.join(
+        small,
+        join_type=join_type,
+        num_partitions=num_partitions,
+        on=on,
+        right_on=right_on,
+    )

@@ -36,6 +36,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Max, Min
 
+from ..functions.joins import join_auto
 from ..functions.text import normalize_surface
 from ..schema import CANON, stable_bucket
 
@@ -124,13 +125,14 @@ def connected_components(
     labels = _salted_min(first, "node", "label", num_salts=num_salts).materialize()
 
     for it in range(max_iters):
-        # candidates for v: labels of its neighbors (join on edge src)
-        prop = edges.join(
+        # candidates for v: labels of its neighbors (join on edge src);
+        # broadcast when the label table is small, shuffle join at scale
+        prop = join_auto(
+            edges,
             labels,
-            join_type="inner",
-            num_partitions=num_partitions,
             on=("src",),
             right_on=("node",),
+            num_partitions=num_partitions,
         ).map_batches(
             lambda t: pa.table(
                 {
@@ -196,7 +198,8 @@ def connected_components(
         # pointer jumping: label(v) ← label(label(v)). Halves label-tree
         # depth each round → O(log diameter) rounds overall instead of
         # O(diameter) (Kiveris et al. [CC] §3, pointer-doubling variant).
-        jump = labels.join(
+        jump = join_auto(
+            labels,
             labels.map_batches(
                 lambda t: t.rename_columns(["label", "label2"]),
                 batch_format="pyarrow",
@@ -255,11 +258,8 @@ def coref_edges(linked: ray.data.Dataset, *, num_salts: int = 16,
     rep = _salted_min(grp, "grp", "mention", num_salts=num_salts).map_batches(
         lambda t: t.rename_columns(["grp", "rep"]), batch_format="pyarrow"
     )
-    stitched = grp.join(
-        rep,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("grp",),
+    stitched = join_auto(
+        grp, rep, on=("grp",), num_partitions=num_partitions
     ).map_batches(
         lambda t: pa.table({"src": t["mention"], "dst": t["rep"]}),
         batch_format="pyarrow",
@@ -315,8 +315,8 @@ def canonicalize(
     rep = _salted_min(grp, "grp", "mention", num_salts=num_salts).map_batches(
         lambda t: t.rename_columns(["grp", "rep"]), batch_format="pyarrow"
     )
-    m2re = grp.join(
-        rep, join_type="inner", num_partitions=num_partitions, on=("grp",)
+    m2re = join_auto(
+        grp, rep, on=("grp",), num_partitions=num_partitions
     ).materialize()  # reused: contracted edge build + label join-back
 
     def _contract(t: pa.Table) -> pa.Table:
@@ -332,12 +332,12 @@ def canonicalize(
         contracted, num_salts=num_salts, num_partitions=num_partitions, **cc_kwargs
     )
 
-    out = m2re.join(
+    out = join_auto(
+        m2re,
         labels,
-        join_type="inner",
-        num_partitions=num_partitions,
         on=("rep",),
         right_on=("node",),
+        num_partitions=num_partitions,
     )
 
     def _emit(t: pa.Table) -> pa.Table:

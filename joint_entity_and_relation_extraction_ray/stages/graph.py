@@ -23,6 +23,7 @@ import ray
 import ray.data
 from ray.data.aggregate import Count, Max, Min, Sum, Unique
 
+from ..functions.joins import join_auto
 from ..schema import EDGES, NODES, stable_bucket
 from .canonical import default_partitions
 
@@ -47,19 +48,19 @@ def rewrite_triples(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    j1 = triples.join(
+    j1 = join_auto(
+        triples,
         canon_subj,
-        join_type="inner",
-        num_partitions=num_partitions,
         on=("subj_mention_id",),
         right_on=("member_id",),
-    )
-    j2 = j1.join(
-        canon_obj,
-        join_type="inner",
         num_partitions=num_partitions,
+    )
+    j2 = join_auto(
+        j1,
+        canon_obj,
         on=("obj_mention_id",),
         right_on=("member_id",),
+        num_partitions=num_partitions,
     )
     return j2.select_columns(["subj_id", "pred", "obj_id", "ts"])
 
@@ -123,12 +124,12 @@ def build_nodes(
     surfaces of the cluster's mentions.
     """
     num_partitions = num_partitions or default_partitions()
-    j = linked.join(
+    j = join_auto(
+        linked,
         canon,
-        join_type="inner",
-        num_partitions=num_partitions,
         on=("mention_id",),
         right_on=("member_id",),
+        num_partitions=num_partitions,
     ).select_columns(["canonical_id", "surface", "ent_type"])
 
     # partial combiner: distinct (canonical_id, surface, ent_type) + count
