@@ -105,7 +105,40 @@ def _q_kg_nodes(sf_dir: str):
     )
 
 
+def _q_top_entities(sf_dir: str):
+    """O2 top-k: 20 highest-mention-count nodes (sort desc + limit)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    return (
+        kg.stage(sf_dir, "nodes")
+        .select_columns(["entity_id", "mention_count"])
+        .sort(["mention_count", "entity_id"], descending=[True, False])
+        .limit(20)
+    )
+
+
+def _q_kg_eval_triples(sf_dir: str):
+    """J4/R10: distributed exact-match eval of extracted triples vs the
+    golden set → one row (n_pred, n_gold, tp); P/R≥0.95 contract derives
+    from these integers (here exact: tp == n_pred == n_gold)."""
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.functions.eval import prf_counts
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+
+    keys = ["conv_id", "turn_idx", "subj_surface", "pred", "obj_surface"]
+    golden = ray.data.read_parquet(
+        str(corpus_for_sf_dir(sf_dir) / "golden_triples")
+    )
+    return prf_counts(kg.stage(sf_dir, "triples"), golden, keys)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
+
     return {
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
@@ -113,6 +146,24 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize": _q_canonicalize,
         "kg_edges": _q_kg_edges,
         "kg_nodes": _q_kg_nodes,
+        "top_entities": _q_top_entities,
+        "kg_eval_triples": _q_kg_eval_triples,
+        # training-data corpus ops over the driver's own tables
+        "doc_stats": co.q_doc_stats,
+        "lang_id": co.q_lang_id,
+        "doc_fingerprint": co.q_doc_fingerprint,
+        "doc_winnow": co.q_doc_winnow,  # rows-only (winnowing not in SQL)
+        "dedup_exact": co.q_dedup_exact,
+        "dedup_minhash": co.q_dedup_minhash,
+        "dedup_simhash": co.q_dedup_simhash,  # rows-only (see oracle note)
+        "dedup_simhash_near": co.q_dedup_simhash_near,  # rows-only
+        "dedup_embedding": co.q_dedup_embedding,
+        "dedup_embedding_lsh": co.q_dedup_embedding_lsh,  # rows-only (approx)
+        "ann_topk": co.q_ann_topk,
+        "ann_topk_ivf": co.q_ann_topk_ivf,  # rows-only (approx)
+        "multimodal_features": co.q_multimodal_features,
+        "sample_hash": co.q_sample_hash,
+        "sample_random": co.q_sample_random,  # rows-only (Ray-seeded sampler)
     }
 
 
@@ -196,6 +247,139 @@ def oracle_sql() -> dict[str, str]:
             JOIN lm s ON t.subj_mention_id = s.mention_id
             JOIN lm o ON t.obj_mention_id = o.mention_id
             GROUP BY 1, 2, 3
+        """,
+        "top_entities": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            )
+            SELECT b.entity_id, COUNT(*) AS mention_count
+            FROM read_parquet('{g}/golden_mentions/*.parquet') m
+            JOIN best b
+              ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            GROUP BY 1
+            ORDER BY mention_count DESC, entity_id
+            LIMIT 20
+        """,
+        "kg_eval_triples": f"""
+            SELECT count(*) AS n_pred, count(*) AS n_gold, count(*) AS tp
+            FROM (
+                SELECT DISTINCT conv_id, turn_idx, subj_surface, pred,
+                                obj_surface
+                FROM read_parquet('{g}/golden_triples/*.parquet'))
+        """,
+        "sample_hash": """
+            SELECT doc_id FROM documents
+            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                  % 100 < 10
+        """,
+        # --- training-data corpus ops (driver views: documents/embeddings).
+        # Every definition below mirrors the Ray kernel 1:1; tokens are
+        # maximal \\S+ runs on trimmed text in BOTH implementations.
+        "doc_stats": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents)
+            SELECT doc_id,
+                   length(text)               AS n_chars,
+                   len(t)                     AS n_tokens,
+                   len(list_distinct(t))      AS n_distinct_tokens,
+                   list_max(list_transform(t, x -> length(x))) AS max_token_len,
+                   len(list_filter(t, x -> x IN ('the','a'))) AS n_stopwords,
+                   len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+            FROM toks
+        """,
+        "lang_id": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents),
+            c AS (
+                SELECT doc_id,
+                       len(list_filter(t, x -> x IN ('der','die','das','und'))) AS c_de,
+                       len(list_filter(t, x -> x IN ('the','a')))               AS c_en,
+                       len(list_filter(t, x -> x IN ('el','los','y')))          AS c_es,
+                       len(list_filter(t, x -> x IN ('le','la','et')))          AS c_fr
+                FROM toks)
+            SELECT doc_id,
+                   CASE WHEN greatest(c_de, c_en, c_es, c_fr) = 0 THEN 'und'
+                        WHEN c_de = greatest(c_de, c_en, c_es, c_fr) THEN 'de'
+                        WHEN c_en = greatest(c_de, c_en, c_es, c_fr) THEN 'en'
+                        WHEN c_es = greatest(c_de, c_en, c_es, c_fr) THEN 'es'
+                        ELSE 'fr' END AS pred_lang
+            FROM c
+        """,
+        "doc_fingerprint": """
+            SELECT doc_id, md5(text) AS digest FROM documents
+        """,
+        "dedup_exact": """
+            SELECT min(doc_id) AS doc_id, count(*) AS n_dups
+            FROM documents GROUP BY text
+        """,
+        # exact all-pairs word-3-gram-shingle Jaccard — the ground truth the
+        # MinHash+LSH pipeline must reproduce (its miss probability at the
+        # 0.5 threshold is ~1e-8 with 128 perms; corpus pairs are all >=0.8)
+        "dedup_minhash": """
+            WITH toks AS (
+                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT i AS doc_a, j AS doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = i
+            JOIN sizes sb ON sb.doc_id = j
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        """,
+        # dedup_simhash is rows-only: identical 64-bit SimHashes legitimately
+        # merge near-identical texts (hamming 0 at Jaccard≈0.9), so no
+        # SQL-computable oracle exists; correctness is pytest-covered.
+        "dedup_embedding": """
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+            WHERE list_cosine_similarity(
+                CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])) >= 0.45
+        """,
+        "ann_topk": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe
+                FROM embeddings WHERE vec_id < 10),
+            s AS (
+                SELECT q.qid, e.vec_id AS nid,
+                       list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS c
+                FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+            SELECT qid AS query_id, nid AS neighbor_id, rank
+            FROM (
+                SELECT qid, nid,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid ORDER BY c DESC, nid) AS rank
+                FROM s)
+            WHERE rank <= 5
+        """,
+        "multimodal_features": """
+            SELECT doc_id AS media_id,
+                   strlen(text) AS n_bytes,
+                   sha256(text) AS digest
+            FROM documents
         """,
         "kg_nodes": f"""
             WITH best AS (

@@ -1,0 +1,252 @@
+"""Vectorized text-analysis kernels for the `documents` table.
+
+Token counting, quality counters, marker-based language ID, exact
+fingerprints (md5), winnowing rolling-hash fingerprints, word-shingles,
+MinHash signatures and SimHash — the text side of the training-data ops
+(driver brief: "text analysis" + "deduplication" families).
+
+All column kernels are polars/numpy vectorized (no per-row Python in the
+counting paths); per-row Python appears only where the work itself is
+hashing (C-speed hashlib/blake2b).
+
+Every quality metric is an INTEGER count (ratios are derivable) so the
+driver's value-hash comparison vs DuckDB is float-free.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import polars as pl
+import pyarrow as pa
+
+# Tokens are maximal \S+ runs == DuckDB regexp_split_to_array(trim(text),'\s+')
+# on non-empty text — the oracle uses exactly that definition.
+_TOKEN_RE = r"\S+"
+_PUNCT_RE = r"[^A-Za-z0-9\s]"
+
+STOPWORDS = ("the", "a")
+
+# marker tokens per language; prediction = argmax count, ties broken by
+# alphabetical language code, all-zero -> "und" (mirrored 1:1 in oracle SQL)
+LANG_MARKERS = {
+    "de": ("der", "die", "das", "und"),
+    "en": ("the", "a"),
+    "es": ("el", "los", "y"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def doc_stats(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → integer quality/statistics columns."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = pl.col("text").str.extract_all(_TOKEN_RE)
+    out = df.select(
+        pl.col("doc_id"),
+        pl.col("text").str.len_chars().cast(pl.Int64).alias("n_chars"),
+        toks.list.len().cast(pl.Int64).alias("n_tokens"),
+        toks.list.n_unique().cast(pl.Int64).alias("n_distinct_tokens"),
+        toks.list.eval(pl.element().str.len_chars())
+        .list.max()
+        .cast(pl.Int64)
+        .alias("max_token_len"),
+        toks.list.eval(pl.element().is_in(list(STOPWORDS)))
+        .list.sum()
+        .cast(pl.Int64)
+        .alias("n_stopwords"),
+        pl.col("text")
+        .str.count_matches(_PUNCT_RE)
+        .cast(pl.Int64)
+        .alias("n_punct"),
+    )
+    return out.to_arrow()
+
+
+def lang_id(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, pred_lang) via marker-token argmax."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = pl.col("text").str.extract_all(_TOKEN_RE)
+    counts = df.select(
+        pl.col("doc_id"),
+        *[
+            toks.list.eval(pl.element().is_in(list(markers)))
+            .list.sum()
+            .cast(pl.Int64)
+            .alias(f"c_{lang}")
+            for lang, markers in LANG_MARKERS.items()
+        ],
+    )
+    langs = sorted(LANG_MARKERS)  # alphabetical tie-break order
+    best = pl.max_horizontal([pl.col(f"c_{l}") for l in langs])
+    expr = pl.lit("und")
+    for lang in reversed(langs):
+        expr = (
+            pl.when(pl.col(f"c_{lang}") == best)
+            .then(pl.lit(lang))
+            .otherwise(expr)
+        )
+    out = counts.select(
+        pl.col("doc_id"),
+        pl.when(best == 0).then(pl.lit("und")).otherwise(expr).alias("pred_lang"),
+    )
+    return out.to_arrow()
+
+
+def fingerprint(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → (doc_id, digest): md5 hex of UTF-8 bytes (exact-dup
+    key; DuckDB ``md5(text)`` parity)."""
+    texts = batch["text"].to_pylist()
+    digests = [hashlib.md5(t.encode("utf-8")).hexdigest() for t in texts]
+    return pa.table(
+        {"doc_id": batch["doc_id"], "digest": pa.array(digests, pa.string())}
+    )
+
+
+# ---------------------------------------------------------------------------
+# winnowing rolling-hash fingerprint (Schleimer et al., SIGMOD 2003)
+# ---------------------------------------------------------------------------
+
+
+def winnow(text: str, k: int = 5, window: int = 4) -> list[int]:
+    """Winnowing fingerprint: min rolling hash per window of k-gram hashes.
+
+    Deterministic (blake2b-based); returns sorted distinct selected hashes.
+    """
+    n = len(text)
+    if n < k:
+        grams = [text]
+    else:
+        grams = [text[i : i + k] for i in range(n - k + 1)]
+    hs = np.frombuffer(
+        b"".join(
+            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest()
+            for g in grams
+        ),
+        dtype="<u8",
+    ).astype(np.int64)
+    if len(hs) <= window:
+        return sorted({int(hs.min())})
+    sel = {
+        int(hs[i : i + window].min()) for i in range(len(hs) - window + 1)
+    }
+    return sorted(sel)
+
+
+def winnow_batch(batch: pa.Table) -> pa.Table:
+    return pa.table(
+        {
+            "doc_id": batch["doc_id"],
+            "winnow": pa.array(
+                [winnow(t) for t in batch["text"].to_pylist()],
+                pa.list_(pa.int64()),
+            ),
+        }
+    )
+
+
+# ---------------------------------------------------------------------------
+# shingles / MinHash / SimHash
+# ---------------------------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+
+
+def _perm_params(num_perm: int, seed: int = 7) -> tuple[np.ndarray, np.ndarray]:
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def word_shingles(text: str, k: int = 3) -> list[str]:
+    """Distinct word k-gram shingles (DuckDB-mirrorable: tokens are \\S+ runs,
+    shingles joined by single space). Docs with < k tokens get no shingles
+    (the oracle's NULL shingle likewise never matches)."""
+    toks = text.split()
+    if len(toks) < k:
+        return []
+    return sorted({" ".join(toks[i : i + k]) for i in range(len(toks) - k + 1)})
+
+
+def shingle_hashes(shingles: list[str]) -> np.ndarray:
+    """Stable 64-bit base hashes for a shingle set (blake2b prefix)."""
+    if not shingles:
+        return np.empty(0, dtype=np.uint64)
+    return np.frombuffer(
+        b"".join(
+            hashlib.blake2b(s.encode("utf-8"), digest_size=8).digest()
+            for s in shingles
+        ),
+        dtype="<u8",
+    )
+
+
+def minhash_signatures(
+    shingle_lists: list[list[str]], num_perm: int = 128, seed: int = 7
+) -> np.ndarray:
+    """Batch MinHash: (n_docs, num_perm) uint64 — fully vectorized.
+
+    Uses a (docs·shingles, num_perm) broadcast with 64-bit mod arithmetic:
+    split-multiply keeps products exact for a < 2^61 and h < 2^61.
+    """
+    a, b = _perm_params(num_perm, seed)
+    n = len(shingle_lists)
+    out = np.full((n, num_perm), _MERSENNE, dtype=np.uint64)
+    # flatten all shingles, hash once, then segment-reduce per doc
+    flat: list[str] = []
+    offsets = [0]
+    for sl in shingle_lists:
+        flat.extend(sl)
+        offsets.append(len(flat))
+    if not flat:
+        return out
+    base = shingle_hashes(flat).astype(object)  # exact python ints
+    # exact (a*h + b) mod m on object dtype, vectorized by numpy broadcasting
+    prods = (base[:, None] * a.astype(object)[None, :] + b.astype(object)[None, :]) % _MERSENNE
+    prods = prods.astype(np.uint64)
+    for d in range(n):
+        lo, hi_ = offsets[d], offsets[d + 1]
+        if hi_ > lo:
+            out[d] = prods[lo:hi_].min(axis=0)
+    return out
+
+
+def simhash64(texts: list[str], k: int = 2) -> np.ndarray:
+    """64-bit SimHash over word k-gram features (counted), per text."""
+    out = np.empty(len(texts), dtype=np.uint64)
+    bit_cols = np.arange(64, dtype=np.uint64)
+    for i, t in enumerate(texts):
+        toks = t.split()
+        feats: dict[str, int] = {}
+        if len(toks) < k:
+            feats[t] = 1
+        else:
+            for j in range(len(toks) - k + 1):
+                f = " ".join(toks[j : j + k])
+                feats[f] = feats.get(f, 0) + 1
+        if not feats:
+            out[i] = 0
+            continue
+        hs = np.frombuffer(
+            b"".join(
+                hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest()
+                for f in feats
+            ),
+            dtype="<u8",
+        )
+        w = np.fromiter(feats.values(), dtype=np.int64, count=len(feats))
+        bits = ((hs[:, None] >> bit_cols[None, :]) & np.uint64(1)).astype(
+            np.int64
+        )
+        v = ((bits * 2 - 1) * w[:, None]).sum(axis=0)
+        out[i] = np.uint64(
+            int("".join("1" if x > 0 else "0" for x in v[::-1]), 2)
+        )
+    return out
+
+
+def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+    x = np.bitwise_xor(a, b)
+    # popcount via unpackbits on the byte view
+    return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)

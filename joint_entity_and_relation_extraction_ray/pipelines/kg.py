@@ -18,22 +18,14 @@ import ray.data
 from ..schema import MENTIONS, TRIPLES
 from ..sources.synth import corpus_for_sf_dir
 from ..sources.transcripts import read_transcripts
+from ..stages.linker import (  # shared actor-pool sizing rule
+    default_pool_size as default_scorer_concurrency,  # noqa: F401
+)
 from ..stages.scorer import (
     COMBINED,
     TripleScorer,
     gazetteer_from_alias_table,
 )
-
-
-def default_scorer_concurrency() -> int:
-    """Actor-pool size: leave headroom for read/split/write stages so the
-    pool doesn't starve the rest of the pipeline (ray_guide: a pool that
-    reserves every CPU serializes the pipeline)."""
-    try:
-        ncpu = int(ray.cluster_resources().get("CPU", 4))
-    except Exception:
-        ncpu = 4
-    return max(2, ncpu - 2)
 
 
 def broadcast(obj):

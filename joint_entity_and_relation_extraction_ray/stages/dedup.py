@@ -1,0 +1,415 @@
+"""Deduplication operators over a (doc_id, text) / (vec_id, embedding)
+corpus — the training-data-pipeline family (driver brief): exact,
+MinHash+LSH, SimHash, n-gram Jaccard verification, embedding-cosine.
+
+Scale design notes (10^12-row framing):
+
+- exact dedup = hash fingerprint (map) + groupby(digest) min — one shuffle
+  whose payload is (digest, doc_id), never the text;
+- MinHash LSH = shingle→signature (map, vectorized) → flat-map to
+  (band_key, doc_id) → groupby(band_key) pair-gen (bands are the classic
+  shingle→minhash→band→bucket-groupby decomposition) → distinct pairs →
+  n-gram Jaccard verify via joins against the shingle table. Band buckets
+  are bounded: a pathological bucket is capped (MAX_BUCKET) and logged
+  rather than exploding quadratically;
+- SimHash = 64-bit fingerprint (map) + groupby(fingerprint); near-dup
+  variant blocks on 4×16-bit bands (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 band
+  equal) then verifies exact hamming distance;
+- embedding near-dup baseline = brute-force cosine against a broadcast
+  normalized matrix (exact; fine to ~1e6×D on a worker); the scale path
+  is random-hyperplane LSH bucketing + in-bucket verify (approximate,
+  rows-only oracle).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray
+import ray.data
+from ray.data.aggregate import Count, Min
+
+from ..functions import textstats
+from ..functions.joins import broadcast_join, dataset_to_table, join_auto
+
+MAX_BUCKET = 200  # pair-gen cap per LSH bucket (quadratic-blowup guard)
+
+
+# ---------------------------------------------------------------------------
+# exact dedup
+# ---------------------------------------------------------------------------
+
+
+def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep-first (min doc_id) per identical text → (doc_id, n_dups).
+
+    Shuffle key is the md5 digest — hash-partition + per-group first
+    (groupby min), text bytes never move.
+    """
+    fp = docs.map_batches(
+        textstats.fingerprint, batch_format="pyarrow", zero_copy_batch=True
+    )
+    agg = fp.groupby("digest").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "n_dups": pc.cast(t["n_dups"], pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH near-dup pairs, verified by true n-gram Jaccard
+# ---------------------------------------------------------------------------
+
+
+def shingle_docs(docs: ray.data.Dataset, *, k: int = 3) -> ray.data.Dataset:
+    """(doc_id, text) → (doc_id, shingles list<string>, n_shingles)."""
+
+    def _sh(t: pa.Table) -> pa.Table:
+        sh = [textstats.word_shingles(x, k) for x in t["text"].to_pylist()]
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "shingles": pa.array(sh, pa.list_(pa.string())),
+                "n_shingles": pa.array([len(s) for s in sh], pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def _band_keys(
+    sigs: np.ndarray, doc_ids: list[int], rows_per_band: int
+) -> pa.Table:
+    n_docs, num_perm = sigs.shape
+    n_bands = num_perm // rows_per_band
+    banded = sigs.reshape(n_docs, n_bands, rows_per_band)
+    keys, dids = [], []
+    for d in range(n_docs):
+        for b in range(n_bands):
+            keys.append(
+                f"{b}:" + "_".join(str(int(x)) for x in banded[d, b])
+            )
+            dids.append(doc_ids[d])
+    return pa.table(
+        {"band_key": pa.array(keys, pa.string()), "doc_id": pa.array(dids, pa.int64())}
+    )
+
+
+def minhash_candidate_pairs(
+    shingled: ray.data.Dataset,
+    *,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+    seed: int = 7,
+) -> ray.data.Dataset:
+    """LSH banding → distinct candidate (doc_a < doc_b) pairs."""
+
+    def _bands(t: pa.Table) -> pa.Table:
+        sh = t["shingles"].to_pylist()
+        sigs = textstats.minhash_signatures(sh, num_perm=num_perm, seed=seed)
+        return _band_keys(sigs, t["doc_id"].to_pylist(), rows_per_band)
+
+    bands = shingled.map_batches(
+        _bands, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        ids = sorted(set(group["doc_id"].to_pylist()))[:MAX_BUCKET]
+        a, b = [], []
+        for i in range(len(ids)):
+            for j in range(i + 1, len(ids)):
+                a.append(ids[i])
+                b.append(ids[j])
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    cand = bands.groupby("band_key").map_groups(
+        _pairs, batch_format="pyarrow"
+    )
+    # distinct pairs (a pair can collide in many bands)
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_c")).select_columns(
+        ["doc_a", "doc_b"]
+    )
+
+
+def verify_jaccard_pairs(
+    pairs: ray.data.Dataset,
+    shingled: ray.data.Dataset,
+    *,
+    threshold: float,
+) -> ray.data.Dataset:
+    """Exact set-Jaccard verification of candidate pairs (J = |∩|/|∪|).
+
+    Shingle sets travel through the joins as one ``\\x1f``-joined string
+    per doc (hash joins don't take list-typed payload columns); shingles
+    themselves never contain ``\\x1f`` (they're \\S+ tokens + spaces).
+    """
+
+    def _ser(t: pa.Table, side: str) -> pa.Table:
+        return pa.table(
+            {
+                f"doc_{side}": t["doc_id"],
+                f"sh_{side}": pc.binary_join(t["shingles"], "\x1f"),
+            }
+        )
+
+    sh_a = shingled.map_batches(
+        lambda t: _ser(t, "a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    sh_b = shingled.map_batches(
+        lambda t: _ser(t, "b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = join_auto(pairs, sh_a, on=("doc_a",))
+    j = join_auto(j, sh_b, on=("doc_b",))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        keep_a, keep_b = [], []
+        for da, db, sa, sb in zip(
+            t["doc_a"].to_pylist(),
+            t["doc_b"].to_pylist(),
+            t["sh_a"].to_pylist(),
+            t["sh_b"].to_pylist(),
+        ):
+            A = set(sa.split("\x1f")) if sa else set()
+            B = set(sb.split("\x1f")) if sb else set()
+            union = len(A | B)
+            if union and len(A & B) / union >= threshold:
+                keep_a.append(da)
+                keep_b.append(db)
+        return pa.table(
+            {
+                "doc_a": pa.array(keep_a, pa.int64()),
+                "doc_b": pa.array(keep_b, pa.int64()),
+            }
+        )
+
+    return j.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def minhash_dedup_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+) -> ray.data.Dataset:
+    """Full near-dup pipeline: shingle → MinHash → LSH bucket groupby →
+    exact n-gram-Jaccard verify → (doc_a, doc_b) pairs with J ≥ threshold.
+
+    At 128 perms / 2-row bands the probability of missing a pair AT the 0.5
+    threshold is (1 - 0.5²)^64 ≈ 1e-8, vanishing further above it — the
+    verified output equals the exact all-pairs answer for any corpus whose
+    near-dup pairs sit above the threshold (the driver corpus' pairs are
+    all ≥ 0.8).
+    """
+    shingled = shingle_docs(docs, k=k).materialize()
+    cand = minhash_candidate_pairs(
+        shingled, num_perm=num_perm, rows_per_band=rows_per_band
+    )
+    return verify_jaccard_pairs(cand, shingled, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+def simhash_fingerprints(docs: ray.data.Dataset) -> ray.data.Dataset:
+    def _sh(t: pa.Table) -> pa.Table:
+        sig = textstats.simhash64(t["text"].to_pylist())
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "simhash": pa.array(sig.astype(np.int64), pa.int64()),
+            }
+        )
+
+    return docs.map_batches(_sh, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def simhash_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Keep-first per identical 64-bit SimHash → (doc_id, n_dups)."""
+    fp = simhash_fingerprints(docs)
+    agg = fp.groupby("simhash").aggregate(
+        Min("doc_id", alias_name="doc_id"), Count(alias_name="n_dups")
+    )
+    return agg.map_batches(
+        lambda t: pa.table(
+            {"doc_id": t["doc_id"], "n_dups": pc.cast(t["n_dups"], pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def simhash_near_pairs(
+    docs: ray.data.Dataset, *, max_hamming: int = 3
+) -> ray.data.Dataset:
+    """Near-dup (doc_a, doc_b, hamming) pairs with hamming ≤ max_hamming.
+
+    Blocking: 4 × 16-bit bands — any pair within hamming ≤ 3 matches on at
+    least one band (pigeonhole), so candidate generation is exact; each
+    band-equal bucket is a groupby, pairs verified by true popcount.
+    """
+    fp = simhash_fingerprints(docs)
+
+    def _bands(t: pa.Table) -> pa.Table:
+        sim = np.array(t["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
+        ids = t["doc_id"].to_pylist()
+        keys, dids, sims = [], [], []
+        for b in range(4):
+            part = (sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)
+            for i, d in enumerate(ids):
+                keys.append(f"{b}:{int(part[i])}")
+                dids.append(d)
+                sims.append(int(sim[i]))
+        return pa.table(
+            {
+                "band_key": pa.array(keys, pa.string()),
+                "doc_id": pa.array(dids, pa.int64()),
+                "simhash": pa.array(
+                    np.array(sims, dtype=np.uint64).view(np.int64), pa.int64()
+                ),
+            }
+        )
+
+    bands = fp.map_batches(_bands, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _pairs(group: pa.Table) -> pa.Table:
+        rows = sorted(
+            set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist()))
+        )[:MAX_BUCKET]
+        a, b, hd = [], [], []
+        for i in range(len(rows)):
+            for j in range(i + 1, len(rows)):
+                h = int(
+                    textstats.hamming64(
+                        np.array([rows[i][1]], dtype=np.int64).view(np.uint64),
+                        np.array([rows[j][1]], dtype=np.int64).view(np.uint64),
+                    )[0]
+                )
+                if h <= max_hamming and rows[i][0] != rows[j][0]:
+                    a.append(rows[i][0])
+                    b.append(rows[j][0])
+                    hd.append(h)
+        return pa.table(
+            {
+                "doc_a": pa.array(a, pa.int64()),
+                "doc_b": pa.array(b, pa.int64()),
+                "hamming": pa.array(hd, pa.int64()),
+            }
+        )
+
+    cand = bands.groupby("band_key").map_groups(_pairs, batch_format="pyarrow")
+    return cand.groupby(["doc_a", "doc_b"]).aggregate(
+        Min("hamming", alias_name="hamming")
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding-cosine near-dup
+# ---------------------------------------------------------------------------
+
+
+def _normalized_matrix(emb: ray.data.Dataset) -> tuple[np.ndarray, np.ndarray]:
+    """Materialize (vec_ids, L2-normalized float64 matrix) — broadcast side."""
+    t = dataset_to_table(emb.select_columns(["vec_id", "embedding"]))
+    ids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    norms = np.linalg.norm(m, axis=1, keepdims=True)
+    norms[norms == 0] = 1.0
+    return ids, m / norms
+
+
+def embedding_dup_pairs(
+    emb: ray.data.Dataset, *, threshold: float = 0.8
+) -> ray.data.Dataset:
+    """Exact brute-force cosine near-dup: (vec_a < vec_b, cos ≥ threshold).
+
+    The right side is broadcast once (``ray.put``); each batch does one
+    float64 matmul against it — the documented exact baseline. For corpora
+    whose normalized matrix exceeds worker memory use
+    :func:`embedding_dup_pairs_lsh`.
+    """
+    emb = emb.materialize()
+    ids, mat = _normalized_matrix(emb)
+    ref = ray.put((ids, mat)) if ray.is_initialized() else (ids, mat)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        rids, rmat = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        qn = np.linalg.norm(q, axis=1, keepdims=True)
+        qn[qn == 0] = 1.0
+        q = q / qn
+        qids = np.asarray(t["vec_id"].to_pylist(), dtype=np.int64)
+        scores = q @ rmat.T  # (B, N)
+        bi, ni = np.nonzero(scores >= threshold)
+        a, b = qids[bi], rids[ni]
+        keep = a < b  # dedup + self-pair removal
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    return emb.map_batches(_scan, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def embedding_dup_pairs_lsh(
+    emb: ray.data.Dataset,
+    *,
+    threshold: float = 0.8,
+    n_planes: int = 12,
+    seed: int = 11,
+) -> ray.data.Dataset:
+    """Scale path: random-hyperplane LSH bucket groupby + in-bucket exact
+    cosine verify. Approximate (a cross-bucket pair can be missed) — hence
+    rows-only in the driver contract."""
+
+    def _sig(t: pa.Table) -> pa.Table:
+        q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        dim = q.shape[1] if q.size else 0
+        rng = np.random.default_rng(seed)
+        planes = rng.standard_normal((dim, n_planes))
+        bits = (q @ planes) > 0
+        key = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+        return pa.table(
+            {
+                "bucket": pa.array(key.astype(np.int64), pa.int64()),
+                "vec_id": t["vec_id"],
+                "embedding": t["embedding"],
+            }
+        )
+
+    bucketed = emb.map_batches(_sig, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _verify(group: pa.Table) -> pa.Table:
+        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
+        m = np.array(group["embedding"].to_pylist(), dtype=np.float64)
+        n = np.linalg.norm(m, axis=1, keepdims=True)
+        n[n == 0] = 1.0
+        m = m / n
+        s = m @ m.T
+        ai, bi = np.nonzero(s >= threshold)
+        a, b = ids[ai], ids[bi]
+        keep = a < b
+        return pa.table(
+            {
+                "vec_a": pa.array(a[keep], pa.int64()),
+                "vec_b": pa.array(b[keep], pa.int64()),
+            }
+        )
+
+    return bucketed.groupby("bucket").map_groups(_verify, batch_format="pyarrow")

@@ -22,6 +22,18 @@ from ..functions.text import normalize_surface
 from ..schema import LINKED
 
 
+def default_pool_size() -> int:
+    """Actor-pool size that leaves ≥2 CPUs of headroom for the read /
+    split / write tasks feeding and draining the pool — a pool that
+    reserves every CPU starves those tasks and stalls the pipeline
+    (observed as a deadlock in 4-CPU sessions)."""
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 4))
+    except Exception:
+        ncpu = 4
+    return max(2, ncpu - 2)
+
+
 def build_alias_index(
     aliases: pa.Table,
 ) -> dict[tuple[str, str], tuple[str, float]]:
@@ -100,5 +112,5 @@ def link_mentions(
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
-        concurrency=concurrency or 4,
+        concurrency=concurrency or default_pool_size(),
     )

@@ -1,0 +1,224 @@
+"""Tests for the training-data corpus ops: text analysis, dedup family,
+similarity search, multimodal plumbing (SURVEY.md §5.2 / driver brief)."""
+
+import numpy as np
+import pyarrow as pa
+import pytest
+import ray.data
+
+from joint_entity_and_relation_extraction_ray.functions import textstats
+from joint_entity_and_relation_extraction_ray.stages import (
+    dedup,
+    multimodal,
+    similarity,
+)
+
+
+def _docs(texts):
+    return ray.data.from_arrow(
+        pa.table(
+            {"doc_id": pa.array(range(len(texts)), pa.int64()), "text": texts}
+        )
+    )
+
+
+def _collect(ds):
+    return ds.to_pandas()
+
+
+# --- text analysis ---------------------------------------------------------
+
+
+def test_doc_stats_counts():
+    t = pa.table(
+        {"doc_id": pa.array([0], pa.int64()), "text": ["the cat, the hat!"]}
+    )
+    out = textstats.doc_stats(t).to_pylist()[0]
+    assert out["n_chars"] == 17
+    assert out["n_tokens"] == 4  # the | cat, | the | hat!
+    assert out["n_distinct_tokens"] == 3
+    assert out["n_stopwords"] == 2  # 'the' twice; 'cat,' != 'a'
+    assert out["n_punct"] == 2  # comma + bang
+    assert out["max_token_len"] == 4
+
+
+def test_lang_id_markers_and_tiebreak():
+    t = pa.table(
+        {
+            "doc_id": pa.array([0, 1, 2, 3], pa.int64()),
+            "text": [
+                "der hund und die katze",  # de
+                "the quick fox a lazy dog",  # en
+                "xyz qqq zzz",  # no markers -> und
+                "the der",  # tie de/en -> alphabetical 'de'
+            ],
+        }
+    )
+    out = textstats.lang_id(t).to_pylist()
+    assert [r["pred_lang"] for r in out] == ["de", "en", "und", "de"]
+
+
+def test_winnow_contains_subset_and_deterministic():
+    a = textstats.winnow("the quick brown fox jumps over the lazy dog")
+    b = textstats.winnow("the quick brown fox jumps over the lazy dog")
+    assert a == b and len(a) > 0
+    # near-identical text shares most fingerprints
+    c = textstats.winnow("the quick brown fox jumps over the lazy cat")
+    inter = len(set(a) & set(c))
+    assert inter / len(a) > 0.5
+
+
+# --- dedup -----------------------------------------------------------------
+
+BASE = (
+    "alpha beta gamma delta epsilon zeta eta theta iota kappa "
+    "lambda mu nu xi omicron pi rho sigma tau upsilon"
+)
+
+
+def test_exact_dedup_keep_first(ray_session):
+    ds = _docs([BASE, "unique text one", BASE, "unique text two", BASE])
+    out = _collect(dedup.exact_dedup(ds)).sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 1, 3]
+    assert out.set_index("doc_id")["n_dups"].to_dict() == {0: 3, 1: 1, 3: 1}
+
+
+def test_minhash_finds_planted_near_dups(ray_session):
+    near = BASE.replace("kappa", "KAPPA")  # one token of 20 changed
+    other = "completely different words entirely here nothing shared at all ok"
+    ds = _docs([BASE, near, other])
+    pairs = _collect(dedup.minhash_dedup_pairs(ds, threshold=0.5))
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    assert got == {(0, 1)}
+
+
+def test_minhash_matches_bruteforce_jaccard(ray_session):
+    rng = np.random.default_rng(3)
+    vocab = [f"w{i}" for i in range(30)]
+    texts = []
+    for i in range(30):
+        toks = list(rng.choice(vocab, size=25))
+        texts.append(" ".join(toks))
+    # plant near-dups
+    texts.append(texts[0].replace("w0", "w29"))
+    texts.append(texts[5])
+    ds = _docs(texts)
+    pairs = _collect(dedup.minhash_dedup_pairs(ds, threshold=0.5))
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    # brute force oracle
+    sh = [set(textstats.word_shingles(t)) for t in texts]
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            u = sh[i] | sh[j]
+            if u and len(sh[i] & sh[j]) / len(u) >= 0.5:
+                want.add((i, j))
+    assert got == want
+
+
+def test_simhash_dedup_and_near(ray_session):
+    near = BASE.replace("kappa", "kappax")
+    ds = _docs([BASE, BASE, near, "something else entirely different words"])
+    out = _collect(dedup.simhash_dedup(ds)).sort_values("doc_id")
+    assert list(out["doc_id"]) == [0, 2, 3]
+    near_pairs = _collect(dedup.simhash_near_pairs(ds, max_hamming=16))
+    got = set(zip(near_pairs["doc_a"], near_pairs["doc_b"]))
+    assert (0, 2) in got or (1, 2) in got  # near-dup found via banding
+    assert not any({a, b} == {0, 3} for a, b in got)
+
+
+def _emb_ds(mat):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "vec_id": pa.array(range(len(mat)), pa.int64()),
+                "embedding": pa.array(
+                    [list(map(float, r)) for r in mat], pa.list_(pa.float32())
+                ),
+            }
+        )
+    )
+
+
+def test_embedding_dup_brute_and_lsh(ray_session):
+    rng = np.random.default_rng(0)
+    base = rng.standard_normal((20, 16))
+    mat = np.vstack([base, base[3] + 0.01 * rng.standard_normal(16)])
+    ds = _emb_ds(mat)
+    brute = _collect(dedup.embedding_dup_pairs(ds, threshold=0.95))
+    got = set(zip(brute["vec_a"], brute["vec_b"]))
+    assert (3, 20) in got
+    lsh = _collect(dedup.embedding_dup_pairs_lsh(ds, threshold=0.95))
+    lsh_pairs = set(zip(lsh["vec_a"], lsh["vec_b"]))
+    assert lsh_pairs <= got  # LSH never invents pairs
+
+
+def test_ann_topk_matches_numpy(ray_session):
+    rng = np.random.default_rng(1)
+    mat = rng.standard_normal((50, 8))
+    ds = _emb_ds(mat)
+    q = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, mat[0])), list(map(float, mat[1]))],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = _collect(similarity.ann_topk(ds, q, k=3))
+    # float32 storage roundtrip, float64 math — mirror exactly
+    m32 = mat.astype(np.float32).astype(np.float64)
+    mn = m32 / np.linalg.norm(m32, axis=1, keepdims=True)
+    for qi in (0, 1):
+        scores = mn @ mn[qi]
+        order = [i for i in np.lexsort((np.arange(50), -scores)) if i != qi][:3]
+        got = out[out["query_id"] == qi].sort_values("rank")["neighbor_id"]
+        assert list(got) == order
+
+
+def test_ann_ivf_subset_quality(ray_session):
+    rng = np.random.default_rng(2)
+    mat = rng.standard_normal((120, 8))
+    ds = _emb_ds(mat)
+    q = pa.table(
+        {
+            "vec_id": pa.array([0], pa.int64()),
+            "embedding": pa.array([list(map(float, mat[0]))], pa.list_(pa.float32())),
+        }
+    )
+    out = _collect(similarity.ann_topk_ivf(ds, q, k=5, n_centroids=4, nprobe=4))
+    # nprobe == n_centroids -> exhaustive -> must equal exact top-k
+    exact = _collect(similarity.ann_topk(ds, q, k=5))
+    assert list(out.sort_values("rank")["neighbor_id"]) == list(
+        exact.sort_values("rank")["neighbor_id"]
+    )
+
+
+# --- multimodal ------------------------------------------------------------
+
+
+def test_multimodal_stub_raises_and_fake_is_deterministic():
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"abc")
+    f1 = multimodal.decode_image(b"abc", fake=True)
+    f2 = multimodal.decode_image(b"abc", fake=True)
+    assert np.allclose(f1, f2) and len(f1) == multimodal.FEATURE_DIM
+    assert abs(np.linalg.norm(f1) - 1.0) < 1e-9
+
+
+def test_multimodal_featurize_pipeline(ray_session):
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "media_type": ["image", "audio"],
+                "payload": pa.array([b"\x00\x01\x02", b"hello"], pa.binary()),
+            }
+        )
+    )
+    out = _collect(multimodal.featurize(media, concurrency=2, batch_size=1))
+    out = out.sort_values("media_id")
+    assert list(out["n_bytes"]) == [3, 5]
+    assert all(len(d) == 64 for d in out["digest"])
+    assert all(len(f) == multimodal.FEATURE_DIM for f in out["feature"])
