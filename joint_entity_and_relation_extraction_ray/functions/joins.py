@@ -46,6 +46,55 @@ def dataset_to_table(ds: ray.data.Dataset) -> pa.Table:
     return pa.concat_tables(tables, promote_options="default")
 
 
+class _IndexJoiner:
+    """Actor-pool broadcast joiner: the small side's hash index is built
+    ONCE per actor (``__init__``), batches join at C speed via
+    ``pd.Index.get_indexer`` — no per-batch hash-table rebuild (the naive
+    per-task ``pa.Table.join`` rebuilds the build side for every batch,
+    which dominated wall time at 10^6-row small sides). Requires a UNIQUE
+    single join key on the small side."""
+
+    def __init__(self, ref, key: str, join_type: str):
+        import pandas as pd
+
+        side: pa.Table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.key = key
+        self.join_type = join_type
+        self.index = pd.Index(side[key].to_numpy(zero_copy_only=False))
+        self.payload = side.drop_columns([key])
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        idx = self.index.get_indexer(
+            batch[self.key].to_numpy(zero_copy_only=False)
+        )
+        if self.join_type == "inner":
+            keep = idx >= 0
+            left = batch.filter(pa.array(keep))
+            right = self.payload.take(idx[keep])
+            arrays = left.columns + right.columns
+            names = left.column_names + right.column_names
+            return pa.Table.from_arrays(arrays, names=names)
+        # left outer: misses become nulls
+        miss = idx < 0
+        safe = idx.copy()
+        safe[miss] = 0
+        right = self.payload.take(safe)
+        if miss.any():
+            mask = pa.array(miss)
+            right = pa.Table.from_arrays(
+                [
+                    pa.compute.if_else(
+                        mask, pa.nulls(len(batch), col.type), col.combine_chunks()
+                    )
+                    for col in right.columns
+                ],
+                names=right.column_names,
+            )
+        arrays = batch.columns + right.columns
+        names = batch.column_names + right.column_names
+        return pa.Table.from_arrays(arrays, names=names)
+
+
 def broadcast_join(
     big: ray.data.Dataset,
     small: pa.Table,
@@ -53,8 +102,13 @@ def broadcast_join(
     on: tuple[str, ...],
     right_on: tuple[str, ...] | None = None,
     join_type: str = "inner",
+    concurrency: int | None = None,
 ) -> ray.data.Dataset:
-    """Map-side join of every batch of ``big`` against broadcast ``small``."""
+    """Map-side join of every batch of ``big`` against broadcast ``small``.
+
+    Single unique join key → actor-pool index joiner (build once per
+    actor). Multi-key or duplicate-key small sides → per-task zero-copy
+    Acero join (``pa.Table.join``)."""
     right_on = right_on or on
     if tuple(right_on) != tuple(on):
         small = small.rename_columns(
@@ -66,6 +120,27 @@ def broadcast_join(
     small = small.combine_chunks()
     ref = ray.put(small) if ray.is_initialized() else small
     keys = list(on)
+
+    unique_single = len(keys) == 1 and (
+        pa.compute.count_distinct(small[keys[0]]).as_py() == small.num_rows
+    )
+    if unique_single:
+        from ..stages.linker import default_pool_size
+
+        return big.map_batches(
+            _IndexJoiner,
+            fn_constructor_kwargs={
+                "ref": ref,
+                "key": keys[0],
+                "join_type": join_type,
+            },
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            # autoscaling pool: several join stages can coexist in one
+            # pipeline without pinning every CPU to idle fixed pools
+            concurrency=concurrency or (1, default_pool_size()),
+        )
+
     jt = {"inner": "inner", "left_outer": "left outer"}[join_type]
 
     def _bj(batch: pa.Table) -> pa.Table:
