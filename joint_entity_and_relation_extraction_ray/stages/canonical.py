@@ -273,9 +273,184 @@ def canonicalize(
     *,
     num_salts: int = 16,
     num_partitions: int | None = None,
+    num_buckets: int = 64,
+    method: str = "contracted",
     **cc_kwargs,
 ) -> ray.data.Dataset:
     """T3 LINKED → T4 CANON: mention_id → canonical_id.
+
+    ``method="contracted"`` (default): two-level contraction — mentions
+    collapse onto (conv_id, surface) group reps in ONE bucketed shuffle,
+    and the iterative salted CC runs on the ENTITY-MERGE graph only (the
+    rare groups whose mentions link ≥2 distinct catalog entities). Node
+    count of the iterative shuffle is O(entities in merge edges), not
+    O(mentions) — at 10^12 turns that is the difference between shuffling
+    ~10^12 rows per CC round and ~|catalog| once. Exactness argument in
+    :func:`_canonicalize_contracted`.
+
+    ``method="general"``: the full mention-graph CC (:func:`coref_edges` +
+    :func:`connected_components`) — no smallness assumption about which
+    nodes glue clusters; kept as the fallback for graphs with
+    mention↔mention edges beyond same-surface groups, and as the oracle
+    cross-check in tests.
+    """
+    if method == "contracted":
+        return _canonicalize_contracted(
+            linked,
+            num_salts=num_salts,
+            num_partitions=num_partitions,
+            num_buckets=num_buckets,
+            **cc_kwargs,
+        )
+    return _canonicalize_general(
+        linked,
+        num_salts=num_salts,
+        num_partitions=num_partitions,
+        **cc_kwargs,
+    )
+
+
+def _canonicalize_contracted(
+    linked: ray.data.Dataset,
+    *,
+    num_salts: int = 16,
+    num_partitions: int | None = None,
+    num_buckets: int = 64,
+    **cc_kwargs,
+) -> ray.data.Dataset:
+    """Contracted canonicalization (exact, two-level).
+
+    Pass 1 (one bucketed shuffle on the group key): for every
+    (conv_id, normalized surface) group compute rep = min(mention_id) and
+    min_ent = min(linked entity), and emit (min_ent, other_ent) MERGE
+    EDGES for the groups that link ≥ 2 distinct entities.
+
+    CC: the iterative salted hash-to-min loop (`connected_components`,
+    unchanged) over the merge-edge graph.
+
+    Pass 2: entity→canonical labels are broadcast; every mention maps to
+    ``labels.get(min_ent, min_ent)`` (or its rep when unlinked).
+
+    Exactness vs the mention-graph CC: within a component of the original
+    co-reference graph, every entity is reachable through shared groups,
+    so the merge edges connect exactly the entities of a component;
+    entity ids sort before mention ids in the original label order
+    ("e:" < "m:"), hence the component minimum is min-entity when any
+    entity exists (→ labels.get), else the minimum mention of the single
+    group (→ rep). Verified against `method="general"` and a pure-python
+    union-find oracle in tests/test_canonical.py.
+    """
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    def _grp_rows(t: pa.Table) -> pa.Table:
+        key = pa.array(
+            [
+                c + "\x00" + normalize_surface(s)
+                for c, s in zip(t["conv_id"].to_pylist(), t["surface"].to_pylist())
+            ],
+            pa.string(),
+        )
+        return pa.table(
+            {
+                "grp": key,
+                "mention_id": t["mention_id"],
+                "entity": t["cand_entity_id"],
+            }
+        )
+
+    rows = linked.map_batches(
+        _grp_rows, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _per_bucket(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        agg = df.group_by("grp").agg(
+            pl.col("mention_id").min().alias("rep"),
+            pl.col("entity").drop_nulls().min().alias("min_ent"),
+            pl.col("entity").drop_nulls().n_unique().alias("n_ent"),
+        )
+        out = df.join(agg, on="grp", how="left").select(
+            pl.lit("m").alias("kind"),
+            pl.col("mention_id").alias("a"),
+            pl.col("rep").alias("b"),
+            pl.col("min_ent").alias("c"),
+        )
+        multi = agg.filter(pl.col("n_ent") >= 2).select("grp", "min_ent")
+        if multi.height:
+            pairs = (
+                df.join(multi, on="grp", how="inner")
+                .filter(pl.col("entity").is_not_null())
+                .select("min_ent", "entity")
+                .unique()
+                .filter(pl.col("entity") != pl.col("min_ent"))
+                .select(
+                    pl.lit("p").alias("kind"),
+                    pl.col("min_ent").alias("a"),
+                    pl.col("entity").alias("b"),
+                    pl.lit(None, dtype=pl.String).alias("c"),
+                )
+            )
+            out = pl.concat([out, pairs])
+        return out.to_arrow().cast(
+            pa.schema(
+                [("kind", pa.string()), ("a", pa.string()),
+                 ("b", pa.string()), ("c", pa.string())]
+            )
+        )
+
+    tagged = bucket_group_apply(
+        rows, "grp", _per_bucket, num_buckets=num_buckets
+    ).materialize()
+
+    # CC over the (tiny) entity-merge graph with the salted iterative loop
+    merge_edges = tagged.map_batches(
+        lambda t: (
+            lambda f: pa.table({"src": f["a"], "dst": f["b"]})
+        )(t.filter(pc.equal(t["kind"], "p"))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    ent_labels: dict[str, str] = {}
+    if merge_edges.count() > 0:
+        labels = connected_components(
+            merge_edges, num_salts=num_salts,
+            num_partitions=num_partitions or default_partitions(), **cc_kwargs
+        )
+        lt = labels.take_all()  # O(entities in merge edges) — small by
+        # construction; at catalog scale keep as Dataset and broadcast-join
+        ent_labels = {r["node"]: r["label"] for r in lt}
+
+    ref = ray.put(ent_labels) if ray.is_initialized() else ent_labels
+
+    def _emit(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.equal(t["kind"], "m"))
+        lab = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        ments = f["a"].to_pylist()
+        reps = f["b"].to_pylist()
+        ents = f["c"].to_pylist()
+        canon = [
+            (lab.get(e, e) if e is not None else r)
+            for e, r in zip(ents, reps)
+        ]
+        return pa.table(
+            {"member_id": ments, "canonical_id": canon}
+        ).cast(CANON)
+
+    return tagged.map_batches(
+        _emit, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _canonicalize_general(
+    linked: ray.data.Dataset,
+    *,
+    num_salts: int = 16,
+    num_partitions: int | None = None,
+    **cc_kwargs,
+) -> ray.data.Dataset:
+    """Mention-graph CC canonicalization (the general path).
 
     Scale design: the mention-level co-reference graph is CONTRACTED before
     the iterative CC — mentions collapse onto their (conv_id, surface)

@@ -89,3 +89,63 @@ def test_canonicalize_matches_linker_fixpoint(canon_result, sf0001_corpus):
     ]
     merged = m.merge(canon, left_on="mention_id", right_on="member_id")
     assert (merged["best"] == merged["canonical_id"]).all()
+
+
+def _random_linked(rng, n_conv=40, n_ment=600):
+    """Synthetic LINKED rows with ambiguous surfaces: same surface linking
+    to different entities across ent_types (exercises multi-entity groups
+    and transitive entity merges)."""
+    convs = [f"cv{i:03d}" for i in range(n_conv)]
+    surfaces = [f"s{i:02d}" for i in range(25)]
+    rows = {"conv_id": [], "turn_idx": [], "mention_id": [], "start": [],
+            "end": [], "surface": [], "ent_type": [], "score": [],
+            "cand_entity_id": [], "link_score": []}
+    for i in range(n_ment):
+        c = convs[int(rng.integers(0, n_conv))]
+        s = surfaces[int(rng.integers(0, len(surfaces)))]
+        t = ["Peop", "Org", "Loc"][int(rng.integers(0, 3))]
+        # ~70% linked; entity determined by (surface, type) + noise bucket
+        if rng.random() < 0.7:
+            eid = f"E{(hash((s, t)) % 37):03d}"
+        else:
+            eid = None
+        rows["conv_id"].append(c)
+        rows["turn_idx"].append(i % 20)
+        rows["mention_id"].append(f"{c}:{i % 20}:{i}:{i + len(s)}")
+        rows["start"].append(i)
+        rows["end"].append(i + len(s))
+        rows["surface"].append(s)
+        rows["ent_type"].append(t)
+        rows["score"].append(0.9)
+        rows["cand_entity_id"].append(eid)
+        rows["link_score"].append(0.5 if eid else 0.0)
+    import pyarrow as pa
+    from joint_entity_and_relation_extraction_ray.schema import LINKED
+    return pa.table(
+        {
+            "conv_id": rows["conv_id"],
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "mention_id": rows["mention_id"],
+            "start": pa.array(rows["start"], pa.int32()),
+            "end": pa.array(rows["end"], pa.int32()),
+            "surface": rows["surface"],
+            "ent_type": rows["ent_type"],
+            "score": pa.array(rows["score"], pa.float32()),
+            "cand_entity_id": rows["cand_entity_id"],
+            "link_score": pa.array(rows["link_score"], pa.float32()),
+        },
+        schema=LINKED,
+    )
+
+
+def test_contracted_equals_general_on_ambiguous_graph(ray_session):
+    """The contracted fast path must equal the general mention-graph CC
+    exactly — including multi-entity groups that merge entities
+    transitively and unlinked singleton groups."""
+    rng = np.random.default_rng(7)
+    linked = ray.data.from_arrow(_random_linked(rng)).materialize()
+    fast = canonicalize(linked, method="contracted").to_pandas()
+    slow = canonicalize(linked, method="general").to_pandas()
+    f = dict(zip(fast["member_id"], fast["canonical_id"]))
+    s = dict(zip(slow["member_id"], slow["canonical_id"]))
+    assert f == s
