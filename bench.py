@@ -38,15 +38,15 @@ def _bench_once(sf_dir: str, num_cpus: int) -> dict:
         read_transcripts,
     )
 
-    # corpus generation is a fixture cost, not pipeline time — do it pre-init
-    corpus = corpus_for_sf_dir(sf_dir)
-
     ray.init(
         address="local",
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
     )
+    # corpus generation is a fixture cost, not pipeline time — done (and
+    # cached) before any timer starts; Ray-parallel for the big corpora
+    corpus = corpus_for_sf_dir(sf_dir)
     try:
         n_turns = read_transcripts(str(corpus / "transcripts")).count()
 
@@ -57,6 +57,7 @@ def _bench_once(sf_dir: str, num_cpus: int) -> dict:
         for name, label in (
             ("combined", "extract"),
             ("linked", "link"),
+            ("tagged", "canonicalize_shuffle"),
             ("canon", "canonicalize"),
             ("edges", "edges"),
             ("nodes", "nodes"),
@@ -80,16 +81,15 @@ def _bench_once(sf_dir: str, num_cpus: int) -> dict:
         total = round(time.perf_counter() - t_all0, 3)
 
         # headline training-data ops over the driver tables (documents /
-        # embeddings), if present at this scale factor
-        try:
+        # embeddings) — skipped for synthetic-only sfs (e.g. the sf1
+        # scaling corpus has no driver tables)
+        if os.path.exists(f"{sf_dir}/documents.parquet"):
             from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops
 
             for qname, fn in corpus_ops.bench_ops().items():
                 t0 = time.perf_counter()
                 fn(sf_dir)
                 queries[qname] = round(time.perf_counter() - t0, 3)
-        except Exception as exc:  # ops module optional while under construction
-            queries["_corpus_ops_error"] = str(exc)[:200]  # type: ignore[assignment]
 
         return {
             "metric": "kg-pipeline end-to-end (extract+link+canon+graph) wall",
@@ -125,6 +125,21 @@ def main() -> None:
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
 
     if "--scaling" in sys.argv:
+        # scaling evidence runs on the sf1 synthetic corpus (~6M turns):
+        # big enough that compute dominates the constant session/actor-pool
+        # overhead which otherwise caps measurable speedup at sandbox scale
+        sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf1")
+        import ray
+
+        from joint_entity_and_relation_extraction_ray.sources.synth import (
+            corpus_for_sf_dir,
+        )
+
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, ignore_reinit_error=True)
+        corpus_for_sf_dir(sf_dir)  # generate once (Ray-parallel), cached
+        ray.shutdown()
+
         lo, hi = 8, 32
         r_lo = _run_subprocess(sf_dir, lo)
         r_hi = _run_subprocess(sf_dir, hi)

@@ -118,17 +118,33 @@ def load_entity_names(sf_dir: str) -> dict[str, str]:
 _STAGE_CACHE: dict[tuple[str, str], ray.data.Dataset] = {}
 
 
+_LABELS_CACHE: dict[str, object] = {}
+
+
+def _labels(sf_dir: str):
+    from ..stages import fused
+
+    if sf_dir not in _LABELS_CACHE:
+        _LABELS_CACHE[sf_dir] = fused.entity_labels(stage(sf_dir, "tagged"))
+    return _LABELS_CACHE[sf_dir]
+
+
 def stage(sf_dir: str, name: str, **kw) -> ray.data.Dataset:
     """Materialized stage output for `sf_dir`, computed once per process.
 
-    Stages: combined | mentions | triples | linked | canon | edges | nodes.
+    Stages: combined | mentions | triples | linked | tagged | canon |
+    edges | nodes. The flagship flow is the FUSED dataflow
+    (stages/fused.py): `tagged` is the single conv-bucketed shuffle that
+    canon/edges/nodes all derive from; the modular join-based stages
+    (stages/graph.py rewrite_triples/build_nodes) remain for the
+    checkpointed runner and are equivalence-tested against this path.
     """
     key = (sf_dir, name)
     if key in _STAGE_CACHE:
         return _STAGE_CACHE[key]
 
-    from ..stages.canonical import canonicalize
-    from ..stages.graph import build_edges, build_nodes, rewrite_triples
+    from ..stages import fused
+    from ..stages.graph import build_edges, node_rollup
     from ..stages.linker import link_mentions
 
     if name == "combined":
@@ -141,15 +157,22 @@ def stage(sf_dir: str, name: str, **kw) -> ray.data.Dataset:
         ds = link_mentions(
             stage(sf_dir, "mentions"), load_aliases(sf_dir), **kw
         ).materialize()
+    elif name == "tagged":
+        ds = fused.build_tagged(
+            stage(sf_dir, "linked"), stage(sf_dir, "triples"), **kw
+        ).materialize()
     elif name == "canon":
-        ds = canonicalize(stage(sf_dir, "linked"), **kw).materialize()
+        ds = fused.canon_from_tagged(
+            stage(sf_dir, "tagged"), _labels(sf_dir)
+        ).materialize()
     elif name == "edges":
-        rewritten = rewrite_triples(stage(sf_dir, "triples"), stage(sf_dir, "canon"))
+        rewritten = fused.rewritten_from_tagged(
+            stage(sf_dir, "tagged"), _labels(sf_dir)
+        )
         ds = build_edges(rewritten, **kw).materialize()
     elif name == "nodes":
-        ds = build_nodes(
-            stage(sf_dir, "linked"),
-            stage(sf_dir, "canon"),
+        ds = node_rollup(
+            fused.node_rows_from_tagged(stage(sf_dir, "tagged"), _labels(sf_dir)),
             load_entity_names(sf_dir),
             **kw,
         ).materialize()

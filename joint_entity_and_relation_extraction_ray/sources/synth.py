@@ -302,8 +302,11 @@ def generate_shard(
 
 FIXTURE_ROOT = Path(os.environ.get("KGRAY_FIXTURE_ROOT", "/tmp/kgray_fixtures"))
 
-# conversations per scale factor (mean ~11 turns/conv → FIXTURES.md sizes)
-SF_CONVS = {"sf0.001": 100, "sf0.01": 1000, "sf0.1": 55000}
+# conversations per scale factor (mean ~11 turns/conv → FIXTURES.md sizes).
+# sf1 (~6M turns) exists for the scaling-efficiency evidence: big enough
+# that compute dominates fixed session/pool overheads at 32 CPUs.
+SF_CONVS = {"sf0.001": 100, "sf0.01": 1000, "sf0.1": 55000, "sf1": 550000}
+_PARALLEL_GEN_MIN_CONVS = 100_000  # above this, shard-generate via Ray tasks
 _GEN_VERSION = 3  # bump to invalidate cached fixtures
 
 
@@ -311,7 +314,9 @@ def corpus_dir(sf_name: str, seed: int = SEED) -> Path:
     return FIXTURE_ROOT / f"{sf_name}-seed{seed}-v{_GEN_VERSION}"
 
 
-def ensure_corpus(sf_name: str, seed: int = SEED, num_shards: int = 16) -> Path:
+def ensure_corpus(
+    sf_name: str, seed: int = SEED, num_shards: int | None = None
+) -> Path:
     """Generate (once, atomically) the corpus for a scale factor.
 
     Layout: ``<dir>/transcripts/part-SS.parquet`` (+ golden_mentions/,
@@ -322,6 +327,8 @@ def ensure_corpus(sf_name: str, seed: int = SEED, num_shards: int = 16) -> Path:
     n_convs = SF_CONVS.get(sf_name)
     if n_convs is None:
         raise ValueError(f"unknown scale factor {sf_name!r}; known: {list(SF_CONVS)}")
+    if num_shards is None:
+        num_shards = 128 if n_convs >= _PARALLEL_GEN_MIN_CONVS else 16
     final = corpus_dir(sf_name, seed)
     if (final / "_manifest.json").exists():
         return final
@@ -334,12 +341,35 @@ def ensure_corpus(sf_name: str, seed: int = SEED, num_shards: int = 16) -> Path:
     for sub in ("transcripts", "golden_mentions", "golden_triples"):
         (tmp / sub).mkdir(parents=True)
     n_rows = {"transcripts": 0, "golden_mentions": 0, "golden_triples": 0}
-    for shard in range(num_shards):
+
+    def _write_shard(shard: int) -> dict[str, int]:
         tables = generate_shard(n_convs, shard, num_shards, seed)
+        counts = {}
         for name in ("transcripts", "golden_mentions", "golden_triples"):
             tbl = tables[name]
             pq.write_table(tbl, tmp / name / f"part-{shard:02d}.parquet")
-            n_rows[name] += tbl.num_rows
+            counts[name] = tbl.num_rows
+        return counts
+
+    use_ray = False
+    if n_convs >= _PARALLEL_GEN_MIN_CONVS:
+        try:  # parallel shard generation — only when the CALLER owns a
+            # Ray session (library code never ray.init()s, SURVEY.md §3.3)
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            use_ray = False
+    if use_ray:
+        import ray
+
+        task = ray.remote(_write_shard)
+        shard_counts = ray.get([task.remote(s) for s in range(num_shards)])
+    else:
+        shard_counts = [_write_shard(s) for s in range(num_shards)]
+    for counts in shard_counts:
+        for name, n in counts.items():
+            n_rows[name] += n
     gaz = build_gazetteer(seed)
     pq.write_table(alias_table(gaz), tmp / "aliases.parquet")
     pq.write_table(

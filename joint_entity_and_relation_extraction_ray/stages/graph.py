@@ -30,39 +30,104 @@ from .canonical import default_partitions
 DEFAULT_WRITE_PARTS = 64
 
 
+class _CanonRewriter:
+    """Actor: the mention→canonical index is built ONCE per actor; each
+    batch rewrites BOTH endpoints with two C-speed lookups — one stage
+    and one index build instead of two chained joins."""
+
+    def __init__(self, ref):
+        import pandas as pd
+
+        t: pa.Table = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        self.index = pd.Index(t["member_id"].to_numpy(zero_copy_only=False))
+        self.labels = t["canonical_id"].combine_chunks()
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        si = self.index.get_indexer(
+            batch["subj_mention_id"].to_numpy(zero_copy_only=False)
+        )
+        oi = self.index.get_indexer(
+            batch["obj_mention_id"].to_numpy(zero_copy_only=False)
+        )
+        keep = (si >= 0) & (oi >= 0)  # inner-join semantics
+        sel = batch.filter(pa.array(keep))
+        return pa.table(
+            {
+                "subj_id": self.labels.take(si[keep]),
+                "pred": sel["pred"],
+                "obj_id": self.labels.take(oi[keep]),
+                "ts": sel["ts"],
+            }
+        )
+
+
 def rewrite_triples(
     triples: ray.data.Dataset,
     canon: ray.data.Dataset,
     *,
     num_partitions: int | None = None,
 ) -> ray.data.Dataset:
-    """J2: triple endpoints → canonical ids via two mention-keyed joins."""
+    """J2: triple endpoints → canonical ids, keyed on mention_id.
+
+    Broadcastable canon (≤ threshold) → single dual-lookup actor stage;
+    larger → two shuffle hash joins (the at-scale path).
+    """
+    from ..functions.joins import BROADCAST_THRESHOLD_ROWS, dataset_to_table
+    from ..stages.linker import default_pool_size
+
     num_partitions = num_partitions or default_partitions()
-    canon_subj = canon.map_batches(
-        lambda t: t.rename_columns(["member_id", "subj_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    canon_obj = canon.map_batches(
-        lambda t: t.rename_columns(["member_id", "obj_id"]),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-    )
-    j1 = join_auto(
-        triples,
-        canon_subj,
-        on=("subj_mention_id",),
-        right_on=("member_id",),
-        num_partitions=num_partitions,
-    )
-    j2 = join_auto(
-        j1,
-        canon_obj,
-        on=("obj_mention_id",),
-        right_on=("member_id",),
-        num_partitions=num_partitions,
-    )
-    return j2.select_columns(["subj_id", "pred", "obj_id", "ts"])
+    canon = canon.materialize()
+    if canon.count() <= BROADCAST_THRESHOLD_ROWS:
+        ref = (
+            ray.put(dataset_to_table(canon))
+            if ray.is_initialized()
+            else dataset_to_table(canon)
+        )
+        return triples.map_batches(
+            _CanonRewriter,
+            fn_constructor_kwargs={"ref": ref},
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+            concurrency=(1, default_pool_size()),
+        )
+    # At-scale path: mention_id is conv-prefixed ("conv:turn:start:end"),
+    # so triples and canon CO-PARTITION on the conversation — ONE bucketed
+    # shuffle joins BOTH endpoints (the planner's all-to-all JoinOperator
+    # stalled at ~10^7-row inputs; conv-bucketing also bounds per-reducer
+    # state to a bucket's conversations).
+    from ..functions.shuffle import cobucket_apply
+
+    def _conv_of_member(t: pa.Table) -> pa.Array:
+        return pc.list_element(pc.split_pattern(t["member_id"], ":"), 0)
+
+    def _join_bucket(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        import pandas as pd
+
+        idx = pd.Index(rt["member_id"].to_numpy(zero_copy_only=False))
+        labels = rt["canonical_id"].combine_chunks()
+        si = idx.get_indexer(lt["subj_mention_id"].to_numpy(zero_copy_only=False))
+        oi = idx.get_indexer(lt["obj_mention_id"].to_numpy(zero_copy_only=False))
+        keep = (si >= 0) & (oi >= 0)
+        sel = lt.filter(pa.array(keep))
+        return pa.table(
+            {
+                "subj_id": labels.take(si[keep]),
+                "pred": sel["pred"],
+                "obj_id": labels.take(oi[keep]),
+                "ts": sel["ts"],
+            }
+        )
+
+    return cobucket_apply(
+        triples.select_columns(
+            ["conv_id", "subj_mention_id", "obj_mention_id", "pred", "ts"]
+        ),
+        canon,
+        lambda t: t["conv_id"].combine_chunks(),
+        _conv_of_member,
+        _join_bucket,
+        num_buckets=num_partitions * 4,
+    ).select_columns(["subj_id", "pred", "obj_id", "ts"])
 
 
 def _edge_combiner(batch: pa.Table) -> pa.Table:
@@ -124,13 +189,65 @@ def build_nodes(
     surfaces of the cluster's mentions.
     """
     num_partitions = num_partitions or default_partitions()
-    j = join_auto(
-        linked,
-        canon,
-        on=("mention_id",),
-        right_on=("member_id",),
-        num_partitions=num_partitions,
-    ).select_columns(["canonical_id", "surface", "ent_type"])
+    from ..functions.joins import BROADCAST_THRESHOLD_ROWS
+
+    canon = canon.materialize()
+    if canon.count() <= BROADCAST_THRESHOLD_ROWS:
+        j = join_auto(
+            linked,
+            canon,
+            on=("mention_id",),
+            right_on=("member_id",),
+            num_partitions=num_partitions,
+        ).select_columns(["canonical_id", "surface", "ent_type"])
+    else:
+        # big–big: conv-co-bucketed join (see rewrite_triples)
+        from ..functions.shuffle import cobucket_apply
+
+        def _conv_of_member(t: pa.Table) -> pa.Array:
+            return pc.list_element(pc.split_pattern(t["member_id"], ":"), 0)
+
+        def _join_bucket(lt: pa.Table, rt: pa.Table) -> pa.Table:
+            import pandas as pd
+
+            idx = pd.Index(rt["member_id"].to_numpy(zero_copy_only=False))
+            labels = rt["canonical_id"].combine_chunks()
+            mi = idx.get_indexer(
+                lt["mention_id"].to_numpy(zero_copy_only=False)
+            )
+            keep = mi >= 0
+            sel = lt.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "canonical_id": labels.take(mi[keep]),
+                    "surface": sel["surface"],
+                    "ent_type": sel["ent_type"],
+                }
+            )
+
+        j = cobucket_apply(
+            linked.select_columns(
+                ["conv_id", "mention_id", "surface", "ent_type"]
+            ),
+            canon,
+            lambda t: t["conv_id"].combine_chunks(),
+            _conv_of_member,
+            _join_bucket,
+            num_buckets=num_partitions * 4,
+        )
+
+    return node_rollup(
+        j, entity_names, num_buckets=num_buckets
+    )
+
+
+def node_rollup(
+    rows: ray.data.Dataset,
+    entity_names: dict[str, str] | "ray.ObjectRef",
+    *,
+    num_buckets: int = DEFAULT_WRITE_PARTS,
+) -> ray.data.Dataset:
+    """G2 rollup over (canonical_id, surface, ent_type) rows → T5 NODES."""
 
     # partial combiner: distinct (canonical_id, surface, ent_type) + count
     def _partial(t: pa.Table) -> pa.Table:
@@ -141,7 +258,7 @@ def build_nodes(
             ["canonical_id", "surface", "ent_type", "surface_count"]
         ).rename_columns(["canonical_id", "surface", "ent_type", "cnt"])
 
-    partial = j.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    partial = rows.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
     agg = partial.groupby("canonical_id").aggregate(
         Sum("cnt", alias_name="mention_count"),
         Unique("surface", alias_name="aliases"),
