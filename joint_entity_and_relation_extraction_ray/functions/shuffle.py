@@ -1,24 +1,43 @@
-"""Bucketed one-shuffle group application.
+"""Bucketed shuffle primitives.
 
-``bucket_group_apply`` hash-buckets rows by a key column and runs ONE Ray
-shuffle (``groupby(bucket).map_groups``); the callback sees each bucket as
-a single Arrow table and does vectorized per-key work locally. Compared to
-a per-key ``groupby`` this moves the same rows but pays one shuffle round
-instead of two (partial + final), and the callback can emit several
-logical outputs in one pass (tagged rows).
+``bucket_group_apply`` / ``cobucket_apply`` hash-bucket rows by a key and
+run a vectorized callback per bucket with all co-keyed rows local — the
+engine's grouped-apply and big–big-join primitives.
 
-Hot-key note: a combiner applied in ``map_batches`` BEFORE calling this
-(reduce per key per block) caps any key's shuffle fan-in at the block
-count, which keeps buckets bounded even under Zipfian keys — the
-complementary mechanism to the explicit (key, salt) two-phase aggregation
-in stages/canonical.py.
+Physical implementation: a two-stage SPLIT → REDUCE shuffle on raw Ray
+tasks over the dataset's Arrow block refs (zero-copy out of the object
+store). Each split task sorts its block by bucket id and returns one
+slice per bucket (``num_returns=B``); each reduce task concatenates its
+bucket's slices and applies the callback; the result is re-wrapped as a
+``ray.data.Dataset`` via ``from_arrow_refs``. Measured on 16M rows × 7
+string cols (single node, 32 CPUs): 6 s, vs 23 s for ``Dataset.sort`` and
+102 s for ``groupby().map_groups`` with an identity UDF — the Dataset
+API expresses this but its sort-based all-to-all dominated pipeline wall
+time, which is the "raw Ray tasks as a last resort, document the
+partitioning assumption" case (driver brief).
+
+Partitioning assumptions (documented per the brief):
+- one bucket's rows fit in a reduce worker's heap (callers bound bucket
+  content: conv-keyed data is bounded per conv; aggregations pre-combine
+  per block so hot keys arrive ≤ once per block);
+- the driver holds O(blocks × buckets) object refs — bound block count
+  upstream (``override_num_blocks``) on huge inputs; a multi-node
+  deployment would swap in Ray Data's push-based shuffle behind the same
+  function signatures.
+
+Hot-key note: a combiner applied in ``map_batches`` BEFORE the shuffle
+(reduce per key per block) caps any key's fan-in at the block count —
+complementary to the explicit (key, salt) two-phase aggregation in
+stages/canonical.py.
 """
 
 from __future__ import annotations
 
 from typing import Callable
 
+import numpy as np
 import pyarrow as pa
+import ray
 import ray.data
 
 from ..schema import stable_bucket
@@ -26,14 +45,69 @@ from ..schema import stable_bucket
 BUCKET_COL = "_bucket"
 
 
-def with_bucket(
-    ds: ray.data.Dataset, key: str, num_buckets: int
-) -> ray.data.Dataset:
-    def _add(t: pa.Table) -> pa.Table:
-        b = stable_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)
-        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+def _keys_to_numpy(keys) -> np.ndarray:
+    if hasattr(keys, "to_numpy"):
+        return keys.to_numpy(zero_copy_only=False)
+    return np.asarray(keys, dtype=object)
 
-    return ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)
+
+def _split_block(tbl: pa.Table, bucket_ids: np.ndarray, num_buckets: int):
+    order = np.argsort(bucket_ids, kind="stable")
+    st = tbl.take(order)
+    bs = bucket_ids[order]
+    bounds = np.searchsorted(bs, np.arange(num_buckets + 1))
+    return tuple(
+        st.slice(int(bounds[i]), int(bounds[i + 1] - bounds[i]))
+        for i in range(num_buckets)
+    )
+
+
+def _split_refs(
+    ds: ray.data.Dataset,
+    key_fn: Callable[[pa.Table], "pa.Array"],
+    num_buckets: int,
+) -> tuple[list, pa.Schema]:
+    """One split task per materialized Arrow block → (per-block tuples of
+    bucket slices, schema). Zero-copy reads from plasma. Ray represents
+    0-row blocks as 0-COLUMN tables; reducers use the returned schema to
+    rebuild typed empties."""
+
+    @ray.remote(num_returns=num_buckets)
+    def _split(*tbls: pa.Table):
+        tt = [t for t in tbls if t.num_rows]
+        if not tt:
+            empty = tbls[0]
+            return tuple(empty for _ in range(num_buckets))
+        tbl = tt[0] if len(tt) == 1 else pa.concat_tables(
+            tt, promote_options="default"
+        )
+        b = stable_bucket(_keys_to_numpy(key_fn(tbl)), num_buckets)
+        return _split_block(tbl, b, num_buckets)
+
+    mat = ds.materialize()
+    s = mat.schema()
+    schema = pa.schema(list(zip(s.names, s.types)))
+    blocks = mat.to_arrow_refs()
+    # chunk blocks into ~2×CPU split tasks: the driver otherwise holds
+    # O(blocks × buckets) refs, and >10^5 tiny objects made the 6 s shuffle
+    # a 90 s one (measured)
+    try:
+        ncpu = int(ray.cluster_resources().get("CPU", 8))
+    except Exception:
+        ncpu = 8
+    n_chunks = max(1, min(len(blocks), 2 * ncpu))
+    chunk_size = (len(blocks) + n_chunks - 1) // n_chunks
+    chunks = [
+        blocks[i : i + chunk_size] for i in range(0, len(blocks), chunk_size)
+    ]
+    out = [_split.remote(*ch) for ch in chunks]
+    if num_buckets == 1:  # num_returns=1 yields a bare ref
+        return [[r] for r in out], schema
+    return [list(r) for r in out], schema
+
+
+def _empty_like(schema: pa.Schema) -> pa.Table:
+    return schema.empty_table()
 
 
 def bucket_group_apply(
@@ -44,17 +118,23 @@ def bucket_group_apply(
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """One-shuffle grouped apply: all rows of a key land in one bucket;
-    ``fn(bucket_table)`` runs vectorized per bucket (key col included,
-    bucket col dropped before the callback)."""
-
-    def _apply(group: pa.Table) -> pa.Table:
-        return fn(group.drop_columns([BUCKET_COL]))
-
-    return (
-        with_bucket(ds, key, num_buckets)
-        .groupby(BUCKET_COL)
-        .map_groups(_apply, batch_format="pyarrow")
+    ``fn(bucket_table)`` runs vectorized per bucket."""
+    per_block, schema = _split_refs(
+        ds, lambda t: t[key].combine_chunks(), num_buckets
     )
+
+    @ray.remote
+    def _reduce(*tables):
+        tt = [t for t in tables if t.num_rows]
+        if not tt:
+            return fn(schema.empty_table())
+        return fn(pa.concat_tables(tt, promote_options="default"))
+
+    outs = [
+        _reduce.remote(*[pb[p] for pb in per_block])
+        for p in range(num_buckets)
+    ]
+    return ray.data.from_arrow_refs(outs)
 
 
 SIDE_COL = "_side"
@@ -70,71 +150,47 @@ def cobucket_apply(
     num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """Co-partitioned two-sided apply in ONE shuffle (the big–big join
-    primitive): both datasets are tagged and hash-bucketed on their join
-    key, unioned, and ``fn(left_rows, right_rows)`` runs per bucket with
-    all co-keyed rows local — a bucketed shuffle hash join without the
-    planner's all-to-all JoinOperator (which stalled at 10^7-row inputs
-    in this environment).
+    primitive): both datasets are bucketed on their join key with the same
+    stable hash, and ``fn(left_rows, right_rows)`` runs per bucket with
+    all co-keyed rows local."""
+    l_blocks, l_schema = _split_refs(left, left_bucket, num_buckets)
+    r_blocks, r_schema = _split_refs(right, right_bucket, num_buckets)
+    nl = len(l_blocks)
 
-    ``left_bucket`` / ``right_bucket`` map a batch to its bucket-key
-    string array (hashed via the same stable hash on both sides, so equal
-    keys always co-locate). Schemas are aligned by null-filling the other
-    side's columns.
-    """
-    l_schema = left.schema()
-    r_schema = right.schema()
-    l_fields = list(zip(l_schema.names, l_schema.types))
-    r_fields = [
-        (n, t) for n, t in zip(r_schema.names, r_schema.types)
-        if n not in l_schema.names
+    @ray.remote
+    def _reduce(nl: int, *tables):
+        lt = [t for t in tables[:nl] if t.num_rows]
+        rt = [t for t in tables[nl:] if t.num_rows]
+        ltbl = (
+            pa.concat_tables(lt, promote_options="default")
+            if lt
+            else l_schema.empty_table()
+        )
+        rtbl = (
+            pa.concat_tables(rt, promote_options="default")
+            if rt
+            else r_schema.empty_table()
+        )
+        return fn(ltbl, rtbl)
+
+    outs = [
+        _reduce.remote(
+            nl,
+            *[pb[p] for pb in l_blocks],
+            *[pb[p] for pb in r_blocks],
+        )
+        for p in range(num_buckets)
     ]
-    all_fields = l_fields + r_fields
-    l_names = set(l_schema.names)
-    r_names = set(r_schema.names)
+    return ray.data.from_arrow_refs(outs)
 
-    def _tag(side: str, bucket_fn):
-        def _fn(t: pa.Table) -> pa.Table:
-            keys = bucket_fn(t)
-            b = stable_bucket(
-                keys.to_numpy(zero_copy_only=False)
-                if hasattr(keys, "to_numpy")
-                else keys,
-                num_buckets,
-            )
-            cols = {
-                BUCKET_COL: pa.array(b, pa.int32()),
-                SIDE_COL: pa.array([side] * len(t), pa.string()),
-            }
-            have = l_names if side == "l" else r_names
-            for name, typ in all_fields:
-                cols[name] = (
-                    t[name].combine_chunks()
-                    if name in have
-                    else pa.nulls(len(t), typ)
-                )
-            return pa.table(cols)
 
-        return _fn
+def with_bucket(
+    ds: ray.data.Dataset, key: str, num_buckets: int
+) -> ray.data.Dataset:
+    """Append a stable hash-bucket column (used by partitioned writes)."""
 
-    tagged = left.map_batches(
-        _tag("l", left_bucket), batch_format="pyarrow", zero_copy_batch=True
-    ).union(
-        right.map_batches(
-            _tag("r", right_bucket), batch_format="pyarrow", zero_copy_batch=True
-        )
-    )
+    def _add(t: pa.Table) -> pa.Table:
+        b = stable_bucket(t[key].to_numpy(zero_copy_only=False), num_buckets)
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
 
-    import pyarrow.compute as pc
-
-    def _apply(group: pa.Table) -> pa.Table:
-        body = group.drop_columns([BUCKET_COL])
-        lmask = pc.equal(body[SIDE_COL], "l")
-        lt = body.filter(lmask).select([n for n, _ in l_fields])
-        rt = body.filter(pc.invert(lmask)).select(
-            [n for n, _ in zip(r_schema.names, r_schema.types)]
-        )
-        return fn(lt, rt)
-
-    return (
-        tagged.groupby(BUCKET_COL).map_groups(_apply, batch_format="pyarrow")
-    )
+    return ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)

@@ -37,7 +37,7 @@ import ray.data
 from ray.data.aggregate import Max, Min
 
 from ..functions.joins import join_auto
-from ..functions.text import normalize_surface
+from ..functions.text import normalize_surface_array
 from ..schema import CANON, stable_bucket
 
 # Node-id namespace prefixes: entity nodes sort before mention nodes, so a
@@ -242,12 +242,10 @@ def coref_edges(linked: ray.data.Dataset, *, num_salts: int = 16,
     )
 
     def _grp(t: pa.Table) -> pa.Table:
-        key = pa.array(
-            [
-                c + "\x00" + normalize_surface(s)
-                for c, s in zip(t["conv_id"].to_pylist(), t["surface"].to_pylist())
-            ],
-            pa.string(),
+        key = pc.binary_join_element_wise(
+            t["conv_id"].combine_chunks(),
+            normalize_surface_array(t["surface"].combine_chunks()),
+            "\x00",
         )
         men = pc.binary_join_element_wise(MEN_PREFIX, t["mention_id"], "")
         return pa.table({"grp": key, "mention": men})
@@ -345,12 +343,10 @@ def _canonicalize_contracted(
     from ..functions.shuffle import bucket_group_apply
 
     def _grp_rows(t: pa.Table) -> pa.Table:
-        key = pa.array(
-            [
-                c + "\x00" + normalize_surface(s)
-                for c, s in zip(t["conv_id"].to_pylist(), t["surface"].to_pylist())
-            ],
-            pa.string(),
+        key = pc.binary_join_element_wise(
+            t["conv_id"].combine_chunks(),
+            normalize_surface_array(t["surface"].combine_chunks()),
+            "\x00",
         )
         return pa.table(
             {
@@ -469,12 +465,10 @@ def _canonicalize_general(
     num_partitions = num_partitions or default_partitions()
 
     def _grp(t: pa.Table) -> pa.Table:
-        key = pa.array(
-            [
-                c + "\x00" + normalize_surface(s)
-                for c, s in zip(t["conv_id"].to_pylist(), t["surface"].to_pylist())
-            ],
-            pa.string(),
+        key = pc.binary_join_element_wise(
+            t["conv_id"].combine_chunks(),
+            normalize_surface_array(t["surface"].combine_chunks()),
+            "\x00",
         )
         men = pc.binary_join_element_wise(MEN_PREFIX, t["mention_id"], "")
         ent = pc.binary_join_element_wise(ENT_PREFIX, t["cand_entity_id"], "")

@@ -33,7 +33,7 @@ import ray
 import ray.data
 
 from ..functions.shuffle import cobucket_apply
-from ..functions.text import normalize_surface
+from ..functions.text import normalize_surface_array
 from ..schema import CANON
 from .canonical import connected_components, default_partitions
 
@@ -54,12 +54,18 @@ TAGGED = pa.schema(
 
 
 def _grp_keys(conv_col, surface_col) -> pa.Array:
-    return pa.array(
-        [
-            c + "\x00" + normalize_surface(s)
-            for c, s in zip(conv_col.to_pylist(), surface_col.to_pylist())
-        ],
-        pa.string(),
+    # fully vectorized: NFC+lower + binary join (Python-per-row normalize
+    # over 10^7 rows was a top pipeline cost)
+    return pc.binary_join_element_wise(
+        conv_col.combine_chunks()
+        if hasattr(conv_col, "combine_chunks")
+        else conv_col,
+        normalize_surface_array(
+            surface_col.combine_chunks()
+            if hasattr(surface_col, "combine_chunks")
+            else surface_col
+        ),
+        "\x00",
     )
 
 
@@ -67,7 +73,7 @@ def build_tagged(
     linked: ray.data.Dataset,
     triples: ray.data.Dataset,
     *,
-    num_buckets: int = 256,
+    num_buckets: int = 64,
 ) -> ray.data.Dataset:
     """ONE conv-bucketed shuffle → TAGGED (m/t/p rows). Callers materialize."""
 

@@ -21,7 +21,7 @@ import pyarrow as pa
 import pyarrow.compute as pc
 import ray
 import ray.data
-from ray.data.aggregate import Count, Max, Min, Sum, Unique
+
 
 from ..functions.joins import join_auto
 from ..schema import EDGES, NODES, stable_bucket
@@ -126,7 +126,7 @@ def rewrite_triples(
         lambda t: t["conv_id"].combine_chunks(),
         _conv_of_member,
         _join_bucket,
-        num_buckets=num_partitions * 4,
+        num_buckets=num_partitions,
     ).select_columns(["subj_id", "pred", "obj_id", "ts"])
 
 
@@ -145,32 +145,49 @@ def build_edges(
     *,
     num_buckets: int = DEFAULT_WRITE_PARTS,
 ) -> ray.data.Dataset:
-    """G1: dedup identical triples → weighted edges with ts range (T6)."""
+    """G1: dedup identical triples → weighted edges with ts range (T6).
+
+    Per-block combiner (≤ one row per distinct edge per block) then a
+    single subj_id-bucketed shuffle with a vectorized polars reduction —
+    the combiner caps a hot predicate's fan-in at the block count."""
+    from ..functions.shuffle import bucket_group_apply
+
     partial = rewritten.map_batches(
         _edge_combiner, batch_format="pyarrow", zero_copy_batch=True
     )
-    agg = partial.groupby(["subj_id", "pred", "obj_id"]).aggregate(
-        Sum("cnt", alias_name="weight"),
-        Min("first_ts", alias_name="first_ts"),
-        Max("last_ts", alias_name="last_ts"),
-    )
 
-    def _finish(t: pa.Table) -> pa.Table:
-        part = pa.array(stable_bucket(t["subj_id"].to_pylist(), num_buckets), pa.int32())
-        out = pa.table(
+    def _reduce(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        agg = (
+            pl.from_arrow(t)
+            .group_by(["subj_id", "pred", "obj_id"])
+            .agg(
+                pl.col("cnt").sum().alias("weight"),
+                pl.col("first_ts").min(),
+                pl.col("last_ts").max(),
+            )
+        )
+        out = agg.to_arrow()
+        part = pa.array(
+            stable_bucket(
+                out["subj_id"].to_numpy(zero_copy_only=False), num_buckets
+            ),
+            pa.int32(),
+        )
+        return pa.table(
             {
-                "subj_id": t["subj_id"],
-                "pred": t["pred"],
-                "obj_id": t["obj_id"],
-                "weight": pc.cast(t["weight"], pa.int64()),
-                "first_ts": t["first_ts"],
-                "last_ts": t["last_ts"],
+                "subj_id": out["subj_id"],
+                "pred": out["pred"],
+                "obj_id": out["obj_id"],
+                "weight": pc.cast(out["weight"], pa.int64()),
+                "first_ts": out["first_ts"],
+                "last_ts": out["last_ts"],
                 "part": part,
             }
-        )
-        return out.cast(EDGES)
+        ).cast(EDGES)
 
-    return agg.map_batches(_finish, batch_format="pyarrow", zero_copy_batch=True)
+    return bucket_group_apply(partial, "subj_id", _reduce, num_buckets=num_buckets)
 
 
 def build_nodes(
@@ -233,7 +250,7 @@ def build_nodes(
             lambda t: t["conv_id"].combine_chunks(),
             _conv_of_member,
             _join_bucket,
-            num_buckets=num_partitions * 4,
+            num_buckets=num_partitions,
         )
 
     return node_rollup(
@@ -258,47 +275,47 @@ def node_rollup(
             ["canonical_id", "surface", "ent_type", "surface_count"]
         ).rename_columns(["canonical_id", "surface", "ent_type", "cnt"])
 
+    from ..functions.shuffle import bucket_group_apply
+
     partial = rows.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
-    agg = partial.groupby("canonical_id").aggregate(
-        Sum("cnt", alias_name="mention_count"),
-        Unique("surface", alias_name="aliases"),
-        Min("ent_type", alias_name="ent_type"),
-    )
-
-    class _Finish:
-        def __init__(self, names_ref):
-            if isinstance(names_ref, ray.ObjectRef):
-                names_ref = ray.get(names_ref)
-            self.names = names_ref
-
-        def __call__(self, t: pa.Table) -> pa.Table:
-            eids = t["canonical_id"].to_pylist()
-            aliases = [sorted(a) for a in t["aliases"].to_pylist()]
-            names = [
-                self.names.get(e) or (al[0] if al else e)
-                for e, al in zip(eids, aliases)
-            ]
-            part = pa.array(stable_bucket(eids, num_buckets), pa.int32())
-            return pa.table(
-                {
-                    "entity_id": pa.array(eids, pa.string()),
-                    "canonical_name": pa.array(names, pa.string()),
-                    "ent_type": t["ent_type"],
-                    "mention_count": pc.cast(t["mention_count"], pa.int64()),
-                    "aliases": pa.array(aliases, pa.list_(pa.string())),
-                    "part": part,
-                }
-            ).cast(NODES)
-
     ref = ray.put(entity_names) if (
         ray.is_initialized() and not isinstance(entity_names, ray.ObjectRef)
     ) else entity_names
-    return agg.map_batches(
-        _Finish,
-        fn_constructor_kwargs={"names_ref": ref},
-        batch_format="pyarrow",
-        zero_copy_batch=True,
-        concurrency=2,
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        names = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        agg = (
+            pl.from_arrow(t)
+            .group_by("canonical_id")
+            .agg(
+                pl.col("cnt").sum().alias("mention_count"),
+                pl.col("surface").unique().sort().alias("aliases"),
+                pl.col("ent_type").min(),
+            )
+        )
+        out = agg.to_arrow()
+        eids = out["canonical_id"].to_pylist()
+        aliases = out["aliases"].to_pylist()
+        disp = [
+            names.get(e) or (al[0] if al else e)
+            for e, al in zip(eids, aliases)
+        ]
+        part = pa.array(stable_bucket(eids, num_buckets), pa.int32())
+        return pa.table(
+            {
+                "entity_id": pa.array(eids, pa.string()),
+                "canonical_name": pa.array(disp, pa.string()),
+                "ent_type": out["ent_type"],
+                "mention_count": pc.cast(out["mention_count"], pa.int64()),
+                "aliases": pa.array(aliases, pa.list_(pa.string())),
+                "part": part,
+            }
+        ).cast(NODES)
+
+    return bucket_group_apply(
+        partial, "canonical_id", _reduce, num_buckets=num_buckets
     )
 
 
