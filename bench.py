@@ -43,6 +43,14 @@ def _bench_once(sf_dir: str, num_cpus: int) -> dict:
         num_cpus=num_cpus,
         include_dashboard=False,
         ignore_reinit_error=True,
+        # polars sizes its pool to ALL cores per worker process (Ray caps
+        # OMP/arrow but not polars): 32 concurrent 1-CPU tasks x 32
+        # threads drove load avg >100 and made shuffles superlinear
+        runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1"}},
+        # dedicated data node: default 30%-of-RAM plasma was the ceiling at
+        # >10^7 turns (evict/spill churn mid-shuffle); identical at both
+        # scaling CPU counts so the comparison stays fair
+        object_store_memory=60_000_000_000,
     )
     # corpus generation is a fixture cost, not pipeline time — done (and
     # cached) before any timer starts; Ray-parallel for the big corpora
@@ -57,6 +65,7 @@ def _bench_once(sf_dir: str, num_cpus: int) -> dict:
         for name, label in (
             ("combined", "extract"),
             ("linked", "link"),
+            ("triples", "split_triples"),
             ("tagged", "canonicalize_shuffle"),
             ("canon", "canonicalize"),
             ("edges", "edges"),
@@ -65,6 +74,15 @@ def _bench_once(sf_dir: str, num_cpus: int) -> dict:
             t0 = time.perf_counter()
             kg.stage(sf_dir, name)
             queries[label] = round(time.perf_counter() - t0, 3)
+            # streaming discipline: release materialized stages as soon as
+            # nothing downstream needs them (holding every intermediate
+            # made the shuffle object-store-bound at >10^7 turns)
+            if name == "linked":
+                kg.evict(sf_dir, "mentions")
+            elif name == "triples":
+                kg.evict(sf_dir, "combined")
+            elif name == "tagged":
+                kg.evict(sf_dir, "triples", "linked")
 
         # graph write (partitioned parquet sink) — S4
         import tempfile
@@ -128,7 +146,7 @@ def main() -> None:
         # scaling evidence runs on the sf1 synthetic corpus (~6M turns):
         # big enough that compute dominates the constant session/actor-pool
         # overhead which otherwise caps measurable speedup at sandbox scale
-        sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf1")
+        sf_dir = os.environ.get("GRAFT_SCALING_SF_DIR", "/root/testdata/sf3")
         import ray
 
         from joint_entity_and_relation_extraction_ray.sources.synth import (

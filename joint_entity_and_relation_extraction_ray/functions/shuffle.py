@@ -72,6 +72,11 @@ def _split_refs(
     0-row blocks as 0-COLUMN tables; reducers use the returned schema to
     rebuild typed empties."""
 
+    # key_fn may be a column NAME of a precomputed int bucket column in
+    # [0, num_buckets) — cheaper than hashing inside the split task and
+    # avoids shipping the raw key strings through the shuffle at all
+    bucket_col = key_fn if isinstance(key_fn, str) else None
+
     @ray.remote(num_returns=num_buckets)
     def _split(*tbls: pa.Table):
         tt = [t for t in tbls if t.num_rows]
@@ -81,7 +86,10 @@ def _split_refs(
         tbl = tt[0] if len(tt) == 1 else pa.concat_tables(
             tt, promote_options="default"
         )
-        b = stable_bucket(_keys_to_numpy(key_fn(tbl)), num_buckets)
+        if bucket_col is not None:
+            b = tbl[bucket_col].to_numpy(zero_copy_only=False)
+        else:
+            b = stable_bucket(_keys_to_numpy(key_fn(tbl)), num_buckets)
         return _split_block(tbl, b, num_buckets)
 
     mat = ds.materialize()

@@ -187,12 +187,14 @@ def minhash_signatures(
 ) -> np.ndarray:
     """Batch MinHash: (n_docs, num_perm) uint64 — fully vectorized.
 
-    Uses a (docs·shingles, num_perm) broadcast with 64-bit mod arithmetic:
-    split-multiply keeps products exact for a < 2^61 and h < 2^61.
+    Permutation family: multiply-add in native uint64 (wraparound = mod
+    2^64) over blake2b base hashes — a standard minwise family; pure
+    uint64 numpy (the exact mod-p variant needed object-dtype bigints and
+    was ~100× slower).
     """
     a, b = _perm_params(num_perm, seed)
     n = len(shingle_lists)
-    out = np.full((n, num_perm), _MERSENNE, dtype=np.uint64)
+    out = np.full((n, num_perm), np.iinfo(np.uint64).max, dtype=np.uint64)
     # flatten all shingles, hash once, then segment-reduce per doc
     flat: list[str] = []
     offsets = [0]
@@ -201,10 +203,9 @@ def minhash_signatures(
         offsets.append(len(flat))
     if not flat:
         return out
-    base = shingle_hashes(flat).astype(object)  # exact python ints
-    # exact (a*h + b) mod m on object dtype, vectorized by numpy broadcasting
-    prods = (base[:, None] * a.astype(object)[None, :] + b.astype(object)[None, :]) % _MERSENNE
-    prods = prods.astype(np.uint64)
+    base = shingle_hashes(flat)
+    with np.errstate(over="ignore"):
+        prods = base[:, None] * a[None, :] + b[None, :]  # uint64 wraparound
     for d in range(n):
         lo, hi_ = offsets[d], offsets[d + 1]
         if hi_ > lo:

@@ -121,6 +121,14 @@ _STAGE_CACHE: dict[tuple[str, str], ray.data.Dataset] = {}
 _LABELS_CACHE: dict[str, object] = {}
 
 
+def evict(sf_dir: str, *names: str) -> None:
+    """Release cached materialized stages (frees their object-store
+    blocks). The streaming design never needs every intermediate alive at
+    once — holding them all caused object-store pressure at ≥10^7 turns."""
+    for n in names:
+        _STAGE_CACHE.pop((sf_dir, n), None)
+
+
 def _labels(sf_dir: str):
     from ..stages import fused
 

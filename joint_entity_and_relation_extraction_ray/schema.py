@@ -161,6 +161,21 @@ def stable_bucket(values, num_buckets: int):
     return (h % np.uint64(num_buckets)).astype("int32")
 
 
+def stable_hash64(values):
+    """Vectorized stable 64-bit hash of a string array → int64 numpy.
+
+    Used to replace long string grouping keys with 8-byte keys before a
+    shuffle (bytes moved and sort/join cost both drop). Collision odds are
+    n²/2⁶⁵ (≈4e-6 at 10⁷ distinct keys); a 10¹²-key deployment would
+    widen to 128 bits (two independent hashes) behind the same helper.
+    """
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(values, dtype=object)
+    return pd.util.hash_array(arr, categorize=False).view(np.int64)
+
+
 def validate_schema(table: pa.Table, expected: pa.Schema, stage: str) -> None:
     """Assert a stage-boundary table matches its declared schema exactly
     (names + types, order-sensitive). Schema equality is itself a test

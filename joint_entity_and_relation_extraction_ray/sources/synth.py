@@ -305,7 +305,13 @@ FIXTURE_ROOT = Path(os.environ.get("KGRAY_FIXTURE_ROOT", "/tmp/kgray_fixtures"))
 # conversations per scale factor (mean ~11 turns/conv → FIXTURES.md sizes).
 # sf1 (~6M turns) exists for the scaling-efficiency evidence: big enough
 # that compute dominates fixed session/pool overheads at 32 CPUs.
-SF_CONVS = {"sf0.001": 100, "sf0.01": 1000, "sf0.1": 55000, "sf1": 550000}
+SF_CONVS = {
+    "sf0.001": 100,
+    "sf0.01": 1000,
+    "sf0.1": 55000,
+    "sf1": 550000,
+    "sf3": 1650000,
+}
 _PARALLEL_GEN_MIN_CONVS = 100_000  # above this, shard-generate via Ray tasks
 _GEN_VERSION = 3  # bump to invalidate cached fixtures
 

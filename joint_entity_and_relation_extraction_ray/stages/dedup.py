@@ -32,6 +32,7 @@ from ray.data.aggregate import Count, Min
 
 from ..functions import textstats
 from ..functions.joins import broadcast_join, dataset_to_table, join_auto
+from ..functions.shuffle import bucket_group_apply
 
 MAX_BUCKET = 200  # pair-gen cap per LSH bucket (quadratic-blowup guard)
 
@@ -122,24 +123,39 @@ def minhash_candidate_pairs(
         _bands, batch_format="pyarrow", zero_copy_batch=True
     )
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        ids = sorted(set(group["doc_id"].to_pylist()))[:MAX_BUCKET]
+    def _pairs_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        grp = (
+            pl.from_arrow(t)
+            .unique()
+            .group_by("band_key")
+            .agg(pl.col("doc_id").sort().alias("ids"), pl.len().alias("n"))
+            .filter(pl.col("n") >= 2)
+        )
         a, b = [], []
-        for i in range(len(ids)):
-            for j in range(i + 1, len(ids)):
-                a.append(ids[i])
-                b.append(ids[j])
+        for ids in grp["ids"].to_list():
+            ids = ids[:MAX_BUCKET]
+            for i in range(len(ids)):
+                for j in range(i + 1, len(ids)):
+                    a.append(ids[i])
+                    b.append(ids[j])
         return pa.table(
             {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
         )
 
-    cand = bands.groupby("band_key").map_groups(
-        _pairs, batch_format="pyarrow"
-    )
-    # distinct pairs (a pair can collide in many bands)
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(Count(alias_name="_c")).select_columns(
-        ["doc_a", "doc_b"]
-    )
+    cand = bucket_group_apply(bands, "band_key", _pairs_bucket)
+
+    # distinct pairs (a pair can collide in many bands); doc_a-bucketed so
+    # a given pair always dedups inside one bucket
+    def _distinct(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(t).unique().to_arrow().cast(
+            pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+        )
+
+    return bucket_group_apply(cand, "doc_a", _distinct)
 
 
 def verify_jaccard_pairs(
@@ -286,23 +302,34 @@ def simhash_near_pairs(
 
     bands = fp.map_batches(_bands, batch_format="pyarrow", zero_copy_batch=True)
 
-    def _pairs(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            set(zip(group["doc_id"].to_pylist(), group["simhash"].to_pylist()))
-        )[:MAX_BUCKET]
+    def _pairs_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        grp = (
+            pl.from_arrow(t)
+            .unique()
+            .group_by("band_key")
+            .agg(
+                pl.struct(["doc_id", "simhash"]).sort().alias("rows"),
+                pl.len().alias("n"),
+            )
+            .filter(pl.col("n") >= 2)
+        )
         a, b, hd = [], [], []
-        for i in range(len(rows)):
-            for j in range(i + 1, len(rows)):
-                h = int(
-                    textstats.hamming64(
-                        np.array([rows[i][1]], dtype=np.int64).view(np.uint64),
-                        np.array([rows[j][1]], dtype=np.int64).view(np.uint64),
-                    )[0]
-                )
-                if h <= max_hamming and rows[i][0] != rows[j][0]:
-                    a.append(rows[i][0])
-                    b.append(rows[j][0])
-                    hd.append(h)
+        for rows in grp["rows"].to_list():
+            rows = [(r["doc_id"], r["simhash"]) for r in rows][:MAX_BUCKET]
+            for i in range(len(rows)):
+                for j in range(i + 1, len(rows)):
+                    h = int(
+                        textstats.hamming64(
+                            np.array([rows[i][1]], dtype=np.int64).view(np.uint64),
+                            np.array([rows[j][1]], dtype=np.int64).view(np.uint64),
+                        )[0]
+                    )
+                    if h <= max_hamming and rows[i][0] != rows[j][0]:
+                        a.append(rows[i][0])
+                        b.append(rows[j][0])
+                        hd.append(h)
         return pa.table(
             {
                 "doc_a": pa.array(a, pa.int64()),
@@ -311,10 +338,25 @@ def simhash_near_pairs(
             }
         )
 
-    cand = bands.groupby("band_key").map_groups(_pairs, batch_format="pyarrow")
-    return cand.groupby(["doc_a", "doc_b"]).aggregate(
-        Min("hamming", alias_name="hamming")
-    )
+    cand = bucket_group_apply(bands, "band_key", _pairs_bucket)
+
+    def _min_h(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by(["doc_a", "doc_b"])
+            .agg(pl.col("hamming").min())
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [("doc_a", pa.int64()), ("doc_b", pa.int64()),
+                     ("hamming", pa.int64())]
+                )
+            )
+        )
+
+    return bucket_group_apply(cand, "doc_a", _min_h)
 
 
 # ---------------------------------------------------------------------------

@@ -34,7 +34,7 @@ import ray.data
 
 from ..functions.shuffle import cobucket_apply
 from ..functions.text import normalize_surface_array
-from ..schema import CANON
+from ..schema import CANON, stable_bucket, stable_hash64
 from .canonical import connected_components, default_partitions
 
 TAGGED = pa.schema(
@@ -69,6 +69,15 @@ def _grp_keys(conv_col, surface_col) -> pa.Array:
     )
 
 
+def _grp_hash(conv_col, surface_col) -> pa.Array:
+    """int64 group key (see schema.stable_hash64) — 8 bytes through the
+    shuffle instead of a ~25-byte string, and int joins in the reducers."""
+    keys = _grp_keys(conv_col, surface_col)
+    return pa.array(
+        stable_hash64(keys.to_numpy(zero_copy_only=False)), pa.int64()
+    )
+
+
 def build_tagged(
     linked: ray.data.Dataset,
     triples: ray.data.Dataset,
@@ -77,11 +86,19 @@ def build_tagged(
 ) -> ray.data.Dataset:
     """ONE conv-bucketed shuffle → TAGGED (m/t/p rows). Callers materialize."""
 
+    def _bucket_of(t: pa.Table) -> pa.Array:
+        return pa.array(
+            stable_bucket(
+                t["conv_id"].to_numpy(zero_copy_only=False), num_buckets
+            ),
+            pa.int32(),
+        )
+
     def _m_proj(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "conv_id": t["conv_id"],
-                "grp": _grp_keys(t["conv_id"], t["surface"]),
+                "_bucket": _bucket_of(t),
+                "grp": _grp_hash(t["conv_id"], t["surface"]),
                 "mention_id": t["mention_id"],
                 "entity": t["cand_entity_id"],
                 "surface": t["surface"],
@@ -92,9 +109,9 @@ def build_tagged(
     def _t_proj(t: pa.Table) -> pa.Table:
         return pa.table(
             {
-                "tconv": t["conv_id"],
-                "sgrp": _grp_keys(t["conv_id"], t["subj_surface"]),
-                "ogrp": _grp_keys(t["conv_id"], t["obj_surface"]),
+                "_bucket": _bucket_of(t),
+                "sgrp": _grp_hash(t["conv_id"], t["subj_surface"]),
+                "ogrp": _grp_hash(t["conv_id"], t["obj_surface"]),
                 "pred": t["pred"],
                 "ts": t["ts"],
             }
@@ -106,7 +123,8 @@ def build_tagged(
     def _bucket_fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
         import polars as pl
 
-        l = pl.from_arrow(lt)
+        l = pl.from_arrow(lt.drop_columns(["_bucket"]))
+        rt = rt.drop_columns(["_bucket"])
         groups = l.group_by("grp").agg(
             pl.col("mention_id").min().alias("rep"),
             pl.col("entity").drop_nulls().min().alias("min_ent"),
@@ -175,8 +193,8 @@ def build_tagged(
     return cobucket_apply(
         m_in,
         t_in,
-        lambda t: t["conv_id"].combine_chunks(),
-        lambda t: t["tconv"].combine_chunks(),
+        "_bucket",
+        "_bucket",
         _bucket_fn,
         num_buckets=num_buckets,
     )

@@ -14,6 +14,8 @@ def ray_session():
         include_dashboard=False,
         ignore_reinit_error=True,
         logging_level="ERROR",
+        # polars would size its pool to all cores in every worker
+        runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1"}},
     )
     ctx = ray.data.DataContext.get_current()
     ctx.enable_progress_bars = False
