@@ -99,11 +99,16 @@ def _split_refs(
     # chunk blocks into ~2×CPU split tasks: the driver otherwise holds
     # O(blocks × buckets) refs, and >10^5 tiny objects made the 6 s shuffle
     # a 90 s one (measured)
+    import os
+
     try:
         ncpu = int(ray.cluster_resources().get("CPU", 8))
     except Exception:
         ncpu = 8
-    n_chunks = max(1, min(len(blocks), 2 * ncpu))
+    n_chunks = int(
+        os.environ.get("KGRAY_SPLIT_CHUNKS", 0)
+    ) or max(1, min(len(blocks), 2 * ncpu))
+    n_chunks = min(n_chunks, max(1, len(blocks)))
     chunk_size = (len(blocks) + n_chunks - 1) // n_chunks
     chunks = [
         blocks[i : i + chunk_size] for i in range(0, len(blocks), chunk_size)
