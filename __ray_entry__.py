@@ -162,6 +162,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": co.q_ann_topk,
         "ann_topk_ivf": co.q_ann_topk_ivf,  # rows-only (approx)
         "multimodal_features": co.q_multimodal_features,
+        "sessionize": co.q_sessionize,
+        "events_daily": co.q_events_daily,
         "sample_hash": co.q_sample_hash,
         "sample_random": co.q_sample_random,  # rows-only (Ray-seeded sampler)
     }
@@ -274,6 +276,31 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT conv_id, turn_idx, subj_surface, pred,
                                 obj_surface
                 FROM read_parquet('{g}/golden_triples/*.parquet'))
+        """,
+        "sessionize": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS new_sess
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_idx
+                FROM e)
+            SELECT user_id, CAST(sess_idx AS BIGINT) AS session_idx,
+                   count(*) AS n_events,
+                   min(ts) AS session_start, max(ts) AS session_end
+            FROM s GROUP BY 1, 2
+        """,
+        "events_daily": """
+            SELECT event_type, CAST(ts AS DATE) AS day,
+                   count(*) AS n_events,
+                   count(DISTINCT user_id) AS n_users,
+                   min(value) AS min_value, max(value) AS max_value
+            FROM events GROUP BY 1, 2
         """,
         "sample_hash": """
             SELECT doc_id FROM documents

@@ -155,6 +155,23 @@ def q_multimodal_features(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# --- event-stream ops (windowed / sessionized aggregates) ------------------
+
+
+def q_sessionize(sf_dir: str) -> ray.data.Dataset:
+    from ..stages import events
+
+    return events.sessionize(events.read_events(sf_dir, ["user_id", "ts"]))
+
+
+def q_events_daily(sf_dir: str) -> ray.data.Dataset:
+    from ..stages import events
+
+    return events.daily_rollup(
+        events.read_events(sf_dir, ["event_type", "ts", "user_id", "value"])
+    )
+
+
 # --- sampling (O3) ---------------------------------------------------------
 
 

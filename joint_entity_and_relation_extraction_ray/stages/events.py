@@ -1,0 +1,121 @@
+"""Event-stream operators over the driver's `events` table — the
+windowed / sessionized-aggregate family (SURVEY.md §2.2 "streaming
+semantics"; batch-with-streaming-execution, no watermarks needed).
+
+Both operators are single-shuffle: events co-locate by key via the
+split→reduce bucket shuffle and the window logic runs vectorized
+(polars) inside each bucket. Gap-based sessionization is the canonical
+op Ray Data has no primitive for — the documented partitioning
+assumption is "one user's events fit in a reducer", the same assumption
+every sessionizer makes.
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray.data
+
+from ..functions.shuffle import bucket_group_apply
+
+
+def read_events(sf_dir: str, columns: list[str] | None = None) -> ray.data.Dataset:
+    return ray.data.read_parquet(f"{sf_dir}/events.parquet", columns=columns)
+
+
+def sessionize(
+    events: ray.data.Dataset,
+    *,
+    gap_minutes: int = 30,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Gap-based sessionization: a new session starts when a user's
+    inter-event gap exceeds `gap_minutes` → one row per (user_id,
+    session_idx) with event count and start/end timestamps."""
+
+    def _sess(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort(["user_id", "ts"])
+        gap = pl.duration(minutes=gap_minutes)
+        df = df.with_columns(
+            (
+                (pl.col("ts") - pl.col("ts").shift(1).over("user_id")) > gap
+            )
+            .fill_null(False)
+            .cast(pl.Int64)
+            .cum_sum()
+            .over("user_id")
+            .alias("session_idx")
+        )
+        out = (
+            df.group_by(["user_id", "session_idx"])
+            .agg(
+                pl.len().alias("n_events"),
+                pl.col("ts").min().alias("session_start"),
+                pl.col("ts").max().alias("session_end"),
+            )
+            .sort(["user_id", "session_idx"])
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("session_idx", pa.int64()),
+                    ("n_events", pa.int64()),
+                    ("session_start", pa.timestamp("us")),
+                    ("session_end", pa.timestamp("us")),
+                ]
+            )
+        )
+
+    return bucket_group_apply(
+        events.select_columns(["user_id", "ts"]),
+        "user_id",
+        _sess,
+        num_buckets=num_buckets,
+    )
+
+
+def daily_rollup(
+    events: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per (event_type, day): event count, distinct users, value min/max.
+
+    min/max are selections (bit-exact, oracle-safe) — a sum would be
+    float-order-dependent across block layouts."""
+
+    def _roll(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        out = (
+            df.with_columns(pl.col("ts").dt.date().alias("day"))
+            .group_by(["event_type", "day"])
+            .agg(
+                pl.len().alias("n_events"),
+                pl.col("user_id").n_unique().alias("n_users"),
+                pl.col("value").min().alias("min_value"),
+                pl.col("value").max().alias("max_value"),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("day", pa.date32()),
+                    ("n_events", pa.int64()),
+                    ("n_users", pa.int64()),
+                    ("min_value", pa.float64()),
+                    ("max_value", pa.float64()),
+                ]
+            )
+        )
+
+    # partial per-block combine would miscount n_users (distinct is not
+    # decomposable without sketches) — shuffle raw (event_type-bucketed)
+    return bucket_group_apply(
+        events.select_columns(["event_type", "ts", "user_id", "value"]),
+        "event_type",
+        _roll,
+        num_buckets=num_buckets,
+    )

@@ -1,0 +1,68 @@
+"""Event-stream ops: gap sessionization + daily rollup (windowed family)."""
+
+import datetime as dt
+
+import pyarrow as pa
+import ray.data
+
+from joint_entity_and_relation_extraction_ray.stages import events
+
+
+def _ev(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array(
+                    [int(r[1] * 1_000_000) for r in rows], pa.timestamp("us")
+                ),
+                "event_type": [r[2] for r in rows],
+                "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            }
+        )
+    )
+
+
+def test_sessionize_gap_rule(ray_session):
+    m = 60  # one minute in seconds
+    rows = [
+        (1, 0 * m, "a", 1.0),
+        (1, 10 * m, "a", 1.0),   # same session (gap 10m)
+        (1, 50 * m, "a", 1.0),   # new session (gap 40m > 30m)
+        (1, 75 * m, "a", 1.0),   # same session (25m)
+        (2, 0 * m, "b", 1.0),    # separate user
+    ]
+    out = (
+        events.sessionize(_ev(rows), gap_minutes=30)
+        .to_pandas()
+        .sort_values(["user_id", "session_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out["user_id"]) == [1, 1, 2]
+    assert list(out["session_idx"]) == [0, 1, 0]
+    assert list(out["n_events"]) == [2, 2, 1]
+    assert out.loc[1, "session_start"] == dt.datetime(1970, 1, 1, 0, 50)
+    assert out.loc[1, "session_end"] == dt.datetime(1970, 1, 1, 1, 15)
+
+
+def test_daily_rollup(ray_session):
+    day = 86_400
+    rows = [
+        (1, 0, "a", 5.0),
+        (2, 100, "a", 7.5),
+        (1, day + 5, "a", -1.0),
+        (1, 50, "b", 2.0),
+        (1, 60, "b", 3.0),
+    ]
+    out = (
+        events.daily_rollup(_ev(rows))
+        .to_pandas()
+        .sort_values(["event_type", "day"])
+        .reset_index(drop=True)
+    )
+    assert len(out) == 3
+    a0 = out[(out["event_type"] == "a") & (out["day"] == dt.date(1970, 1, 1))].iloc[0]
+    assert a0["n_events"] == 2 and a0["n_users"] == 2
+    assert a0["min_value"] == 5.0 and a0["max_value"] == 7.5
+    b0 = out[out["event_type"] == "b"].iloc[0]
+    assert b0["n_events"] == 2 and b0["n_users"] == 1
