@@ -304,8 +304,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "sample_hash": """
             SELECT doc_id FROM documents
-            WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
-                  % 100 < 10
+            WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         """,
         # --- training-data corpus ops (driver views: documents/embeddings).
         # Every definition below mirrors the Ray kernel 1:1; tokens are
@@ -313,7 +312,9 @@ def oracle_sql() -> dict[str, str]:
         "doc_stats": """
             WITH toks AS (
                 SELECT doc_id, text,
-                       regexp_split_to_array(trim(text), '\\s+') AS t
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
                 FROM documents)
             SELECT doc_id,
                    length(text)               AS n_chars,
@@ -326,7 +327,10 @@ def oracle_sql() -> dict[str, str]:
         """,
         "lang_id": """
             WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
                 FROM documents),
             c AS (
                 SELECT doc_id,
@@ -355,7 +359,10 @@ def oracle_sql() -> dict[str, str]:
         # 0.5 threshold is ~1e-8 with 128 perms; corpus pairs are all >=0.8)
         "dedup_minhash": """
             WITH toks AS (
-                SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
                 FROM documents),
             sh AS (
                 SELECT doc_id,

@@ -27,6 +27,22 @@ import sys
 import time
 
 
+def _object_store_bytes() -> int:
+    """min(KGRAY_OBJECT_STORE or 60 GB, 80% of /dev/shm, 50% of RAM)."""
+    want = int(os.environ.get("KGRAY_OBJECT_STORE_BYTES", 60_000_000_000))
+    try:
+        shm = os.statvfs("/dev/shm")
+        want = min(want, int(shm.f_bavail * shm.f_frsize * 0.8))
+    except OSError:
+        pass
+    try:
+        pages = os.sysconf("SC_PHYS_PAGES") * os.sysconf("SC_PAGE_SIZE")
+        want = min(want, int(pages * 0.5))
+    except (ValueError, OSError):
+        pass
+    return max(want, 1_000_000_000)
+
+
 def _bench_once(sf_dir: str, num_cpus: int) -> dict:
     import ray
 
@@ -49,8 +65,9 @@ def _bench_once(sf_dir: str, num_cpus: int) -> dict:
         runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1"}},
         # dedicated data node: default 30%-of-RAM plasma was the ceiling at
         # >10^7 turns (evict/spill churn mid-shuffle); identical at both
-        # scaling CPU counts so the comparison stays fair
-        object_store_memory=60_000_000_000,
+        # scaling CPU counts so the comparison stays fair. Clamped to the
+        # host's actual shared memory so Ray can start on smaller machines.
+        object_store_memory=_object_store_bytes(),
     )
     # corpus generation is a fixture cost, not pipeline time — done (and
     # cached) before any timer starts; Ray-parallel for the big corpora

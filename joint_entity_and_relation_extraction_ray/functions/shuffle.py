@@ -79,13 +79,19 @@ def _split_refs(
 
     @ray.remote(num_returns=num_buckets)
     def _split(*tbls: pa.Table):
+        # with num_returns=1 Ray does NOT unpack a returned 1-tuple — the
+        # single object must be the bare table, not (table,)
         tt = [t for t in tbls if t.num_rows]
         if not tt:
             empty = tbls[0]
+            if num_buckets == 1:
+                return empty
             return tuple(empty for _ in range(num_buckets))
         tbl = tt[0] if len(tt) == 1 else pa.concat_tables(
             tt, promote_options="default"
         )
+        if num_buckets == 1:
+            return tbl
         if bucket_col is not None:
             b = tbl[bucket_col].to_numpy(zero_copy_only=False)
         else:

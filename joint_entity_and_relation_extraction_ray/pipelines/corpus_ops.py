@@ -176,10 +176,14 @@ def q_events_daily(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_sample_hash(sf_dir: str) -> ray.data.Dataset:
-    """Deterministic 10% hash sample: md5(doc_id) bucket < 10 of 100.
+    """Deterministic ~10% hash sample: md5(doc_id) hex prefix < '1a'
+    (26/256 ≈ 10.2%).
 
     Hash-based (not systematic) so the sample is unbiased w.r.t. id order,
-    yet reproducible across runs/engines — mirrored exactly in SQL.
+    yet reproducible across runs/engines — mirrored exactly in SQL. The
+    comparison is pure VARCHAR ordering on the lowercase hex digest (no
+    hex→int cast on either side), so neither engine's evaluation can throw
+    mid-comparison.
     """
     import hashlib
 
@@ -188,7 +192,7 @@ def q_sample_hash(sf_dir: str) -> ray.data.Dataset:
         keep = [
             i
             for i, d in enumerate(ids)
-            if int(hashlib.md5(str(d).encode()).hexdigest()[:8], 16) % 100 < 10
+            if hashlib.md5(str(d).encode()).hexdigest()[:2] < "1a"
         ]
         return t.select(["doc_id"]).take(keep)
 

@@ -1,0 +1,79 @@
+"""Bucketed split→reduce shuffle primitives — edge cases.
+
+The shuffle is exercised end-to-end by the canonicalization / graph /
+dedup tests; this file pins its boundary behaviors: num_buckets=1 (Ray
+does not unpack a 1-tuple under num_returns=1), empty inputs, and
+key-locality (all rows of one key land in exactly one reduce call).
+"""
+
+import pyarrow as pa
+import ray.data
+
+from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+    bucket_group_apply,
+    cobucket_apply,
+)
+
+
+def _docs(n=10):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array([f"k{i % 3}" for i in range(n)], pa.string()),
+                "v": pa.array(list(range(n)), pa.int64()),
+            }
+        )
+    )
+
+
+def test_bucket_group_apply_single_bucket(ray_session):
+    out = bucket_group_apply(_docs(), "k", lambda t: t, num_buckets=1)
+    df = out.to_pandas().sort_values("v").reset_index(drop=True)
+    assert list(df["v"]) == list(range(10))
+
+
+def test_cobucket_apply_single_bucket(ray_session):
+    def _join(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        return lt.join(rt, keys=["k"], join_type="inner")
+
+    right = _docs(3).map_batches(
+        lambda t: t.rename_columns(["k", "w"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    out = cobucket_apply(
+        _docs(6),
+        right,
+        lambda t: t["k"].combine_chunks(),
+        lambda t: t["k"].combine_chunks(),
+        _join,
+        num_buckets=1,
+    )
+    assert out.count() == 6  # 6 left rows × exactly-one right row per key
+
+
+def test_bucket_group_apply_key_locality(ray_session):
+    # every key's rows must arrive in ONE reduce call: a per-call count per
+    # key must equal that key's total count
+    def _count(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by("k")
+            .agg(pl.len().alias("n"))
+            .to_arrow()
+            .cast(pa.schema([("k", pa.string()), ("n", pa.int64())]))
+        )
+
+    out = bucket_group_apply(_docs(30), "k", _count, num_buckets=8)
+    df = out.to_pandas()
+    assert len(df) == 3 and set(df["n"]) == {10}
+
+
+def test_bucket_group_apply_empty_input(ray_session):
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+    out = bucket_group_apply(empty, "k", lambda t: t, num_buckets=4)
+    assert out.count() == 0
