@@ -7,21 +7,25 @@ Scale design notes (10^12-row framing):
 - exact dedup = hash fingerprint (map) + groupby(digest) min — one shuffle
   whose payload is (digest, doc_id), never the text;
 - MinHash LSH = shingle→signature (map, vectorized) → flat-map to
-  (band_key, doc_id) → groupby(band_key) pair-gen (bands are the classic
+  (band_key, doc_id) → bucket-shuffle pair-gen (bands are the classic
   shingle→minhash→band→bucket-groupby decomposition) → distinct pairs →
-  n-gram Jaccard verify via joins against the shingle table. Band buckets
-  are bounded: a pathological bucket is capped (MAX_BUCKET) and logged
-  rather than exploding quadratically;
+  n-gram Jaccard verify via joins against the shingle table. Pair-gen is
+  EXACT by default (no silent truncation); oversized buckets are logged,
+  and shingle-less docs are skipped at banding so they never collide on a
+  sentinel signature. Callers at scale bound the quadratic explicitly via
+  ``max_bucket`` (logged truncation);
 - SimHash = 64-bit fingerprint (map) + groupby(fingerprint); near-dup
   variant blocks on 4×16-bit bands (pigeonhole: hamming ≤ 3 ⇒ ≥ 1 band
-  equal) then verifies exact hamming distance;
+  equal) then verifies exact hamming distance (vectorized popcount);
 - embedding near-dup baseline = brute-force cosine against a broadcast
   normalized matrix (exact; fine to ~1e6×D on a worker); the scale path
-  is random-hyperplane LSH bucketing + in-bucket verify (approximate,
-  rows-only oracle).
+  is multi-table random-hyperplane LSH over INT (bucket, vec_id) rows +
+  join-side exact-cosine verify (approximate, rows-only oracle).
 """
 
 from __future__ import annotations
+
+import logging
 
 import numpy as np
 import pyarrow as pa
@@ -34,7 +38,52 @@ from ..functions import textstats
 from ..functions.joins import broadcast_join, dataset_to_table, join_auto
 from ..functions.shuffle import bucket_group_apply
 
-MAX_BUCKET = 200  # pair-gen cap per LSH bucket (quadratic-blowup guard)
+log = logging.getLogger(__name__)
+
+# Pair generation per LSH bucket is exact by default (no silent truncation
+# — a dropped pair would diverge from the all-pairs oracle). Buckets above
+# BUCKET_WARN are logged; callers at scale can pass max_bucket to bound the
+# quadratic explicitly (truncation is then logged too).
+BUCKET_WARN = 200
+
+
+def _upper_pairs(
+    ids: np.ndarray, *, max_bucket: int | None, label: str
+) -> tuple[np.ndarray, np.ndarray]:
+    """All index pairs (i < j) over ``ids`` — vectorized, memory-chunked.
+
+    Returns parallel (a_idx, b_idx) POSITION arrays into ``ids``. Oversized
+    buckets are logged; with ``max_bucket`` set the bucket is truncated
+    (logged, never silent)."""
+    n = len(ids)
+    if n > BUCKET_WARN:
+        log.warning("%s: LSH bucket of %d ids (quadratic pair-gen)", label, n)
+    if max_bucket is not None and n > max_bucket:
+        log.warning(
+            "%s: truncating bucket %d -> %d ids (max_bucket)", label, n, max_bucket
+        )
+        n = max_bucket
+    if n < 2:
+        z = np.empty(0, dtype=np.int64)
+        return z, z
+    if n <= 4096:  # triu direct: <= 8.4M pairs
+        a, b = np.triu_indices(n, k=1)
+        return a.astype(np.int64), b.astype(np.int64)
+    outs_a, outs_b = [], []
+    for i0 in range(0, n - 1, 2048):
+        rows = np.arange(i0, min(i0 + 2048, n - 1), dtype=np.int64)
+        counts = n - rows - 1
+        total = int(counts.sum())
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        j = (
+            np.arange(total, dtype=np.int64)
+            - np.repeat(starts, counts)
+            + np.repeat(rows + 1, counts)
+        )
+        outs_a.append(np.repeat(rows, counts))
+        outs_b.append(j)
+    return np.concatenate(outs_a), np.concatenate(outs_b)
 
 
 # ---------------------------------------------------------------------------
@@ -111,13 +160,23 @@ def minhash_candidate_pairs(
     num_perm: int = 128,
     rows_per_band: int = 2,
     seed: int = 7,
+    max_bucket: int | None = None,
 ) -> ray.data.Dataset:
-    """LSH banding → distinct candidate (doc_a < doc_b) pairs."""
+    """LSH banding → distinct candidate (doc_a < doc_b) pairs.
+
+    Docs with ZERO shingles are skipped at banding: they cannot reach any
+    positive Jaccard (the SQL oracle's NULL shingles likewise never match),
+    and without the skip they would all share the identical sentinel
+    signature and pile into one quadratic bucket."""
 
     def _bands(t: pa.Table) -> pa.Table:
         sh = t["shingles"].to_pylist()
+        ids = t["doc_id"].to_pylist()
+        keep = [i for i, s in enumerate(sh) if s]
+        sh = [sh[i] for i in keep]
+        ids = [ids[i] for i in keep]
         sigs = textstats.minhash_signatures(sh, num_perm=num_perm, seed=seed)
-        return _band_keys(sigs, t["doc_id"].to_pylist(), rows_per_band)
+        return _band_keys(sigs, ids, rows_per_band)
 
     bands = shingled.map_batches(
         _bands, batch_format="pyarrow", zero_copy_batch=True
@@ -135,11 +194,12 @@ def minhash_candidate_pairs(
         )
         a, b = [], []
         for ids in grp["ids"].to_list():
-            ids = ids[:MAX_BUCKET]
-            for i in range(len(ids)):
-                for j in range(i + 1, len(ids)):
-                    a.append(ids[i])
-                    b.append(ids[j])
+            arr = np.asarray(ids, dtype=np.int64)
+            ai, bi = _upper_pairs(arr, max_bucket=max_bucket, label="minhash")
+            a.append(arr[ai])
+            b.append(arr[bi])
+        a = np.concatenate(a) if a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b) if b else np.empty(0, dtype=np.int64)
         return pa.table(
             {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
         )
@@ -219,6 +279,7 @@ def minhash_dedup_pairs(
     k: int = 3,
     num_perm: int = 128,
     rows_per_band: int = 2,
+    max_bucket: int | None = None,
 ) -> ray.data.Dataset:
     """Full near-dup pipeline: shingle → MinHash → LSH bucket groupby →
     exact n-gram-Jaccard verify → (doc_a, doc_b) pairs with J ≥ threshold.
@@ -231,7 +292,10 @@ def minhash_dedup_pairs(
     """
     shingled = shingle_docs(docs, k=k).materialize()
     cand = minhash_candidate_pairs(
-        shingled, num_perm=num_perm, rows_per_band=rows_per_band
+        shingled,
+        num_perm=num_perm,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
     )
     return verify_jaccard_pairs(cand, shingled, threshold=threshold)
 
@@ -270,7 +334,7 @@ def simhash_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
 
 
 def simhash_near_pairs(
-    docs: ray.data.Dataset, *, max_hamming: int = 3
+    docs: ray.data.Dataset, *, max_hamming: int = 3, max_bucket: int | None = None
 ) -> ray.data.Dataset:
     """Near-dup (doc_a, doc_b, hamming) pairs with hamming ≤ max_hamming.
 
@@ -317,19 +381,21 @@ def simhash_near_pairs(
         )
         a, b, hd = [], [], []
         for rows in grp["rows"].to_list():
-            rows = [(r["doc_id"], r["simhash"]) for r in rows][:MAX_BUCKET]
-            for i in range(len(rows)):
-                for j in range(i + 1, len(rows)):
-                    h = int(
-                        textstats.hamming64(
-                            np.array([rows[i][1]], dtype=np.int64).view(np.uint64),
-                            np.array([rows[j][1]], dtype=np.int64).view(np.uint64),
-                        )[0]
-                    )
-                    if h <= max_hamming and rows[i][0] != rows[j][0]:
-                        a.append(rows[i][0])
-                        b.append(rows[j][0])
-                        hd.append(h)
+            ids = np.array([r["doc_id"] for r in rows], dtype=np.int64)
+            sims = np.array([r["simhash"] for r in rows], dtype=np.int64).view(
+                np.uint64
+            )
+            ai, bi = _upper_pairs(ids, max_bucket=max_bucket, label="simhash")
+            if not len(ai):
+                continue
+            h = textstats.hamming64(sims[ai], sims[bi])
+            keep = (h <= max_hamming) & (ids[ai] != ids[bi])
+            a.append(ids[ai][keep])
+            b.append(ids[bi][keep])
+            hd.append(h[keep].astype(np.int64))
+        a = np.concatenate(a) if a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b) if b else np.empty(0, dtype=np.int64)
+        hd = np.concatenate(hd) if hd else np.empty(0, dtype=np.int64)
         return pa.table(
             {
                 "doc_a": pa.array(a, pa.int64()),
@@ -413,45 +479,128 @@ def embedding_dup_pairs_lsh(
     emb: ray.data.Dataset,
     *,
     threshold: float = 0.8,
-    n_planes: int = 12,
+    n_planes: int = 6,
+    n_tables: int = 32,
     seed: int = 11,
+    num_buckets: int = 64,
+    max_bucket: int | None = None,
 ) -> ray.data.Dataset:
-    """Scale path: random-hyperplane LSH bucket groupby + in-bucket exact
-    cosine verify. Approximate (a cross-bucket pair can be missed) — hence
-    rows-only in the driver contract."""
+    """Scale path: multi-table random-hyperplane LSH candidate generation +
+    exact-cosine verification via joins. Approximate (a pair missed by all
+    ``n_tables`` tables is lost) — hence rows-only in the driver contract.
+
+    Dataflow (never ships the embedding matrix through the LSH shuffle):
+
+    1. map: per table ``l``, bucket key = ``l·2^b + bits`` from that
+       table's ``b = n_planes`` hyperplanes → (bucket, vec_id) INT rows;
+    2. ``bucket_group_apply(bucket)`` → candidate pairs, exact pair-gen
+       with logged/capped oversized buckets (:func:`_upper_pairs`);
+    3. distinct pairs (a pair can collide in many tables);
+    4. verify: join each side's embedding (serialized float64 bytes — hash
+       joins don't take list columns) and keep exact cosine ≥ threshold.
+
+    Recall = 1 − (1 − p^b)^L with p = 1 − θ/π: defaults (b=6, L=32) give
+    ≈0.92 at cos 0.45 and ≈0.999 at cos 0.8; raise ``n_planes`` at high
+    thresholds to prune harder.
+    """
 
     def _sig(t: pa.Table) -> pa.Table:
         q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        dim = q.shape[1] if q.size else 0
+        nrows = len(t)
+        if not nrows:
+            return pa.table(
+                {
+                    "bucket": pa.array([], pa.int64()),
+                    "vec_id": pa.array([], pa.int64()),
+                }
+            )
+        dim = q.shape[1]
         rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes))
-        bits = (q @ planes) > 0
-        key = (bits * (1 << np.arange(n_planes))).sum(axis=1)
+        planes = rng.standard_normal((dim, n_planes * n_tables))
+        bits = (q @ planes) > 0  # (n, b*L)
+        bits = bits.reshape(nrows, n_tables, n_planes)
+        keys = (bits * (1 << np.arange(n_planes))).sum(axis=2)  # (n, L)
+        keys = keys + (np.arange(n_tables) << n_planes)[None, :]
+        ids = np.repeat(
+            np.asarray(t["vec_id"].to_pylist(), dtype=np.int64), n_tables
+        )
         return pa.table(
             {
-                "bucket": pa.array(key.astype(np.int64), pa.int64()),
-                "vec_id": t["vec_id"],
-                "embedding": t["embedding"],
+                "bucket": pa.array(keys.reshape(-1), pa.int64()),
+                "vec_id": pa.array(ids, pa.int64()),
             }
         )
 
     bucketed = emb.map_batches(_sig, batch_format="pyarrow", zero_copy_batch=True)
 
-    def _verify(group: pa.Table) -> pa.Table:
-        ids = np.asarray(group["vec_id"].to_pylist(), dtype=np.int64)
-        m = np.array(group["embedding"].to_pylist(), dtype=np.float64)
-        n = np.linalg.norm(m, axis=1, keepdims=True)
-        n[n == 0] = 1.0
-        m = m / n
-        s = m @ m.T
-        ai, bi = np.nonzero(s >= threshold)
-        a, b = ids[ai], ids[bi]
-        keep = a < b
+    def _pairs_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        grp = (
+            pl.from_arrow(t)
+            .unique()
+            .group_by("bucket")
+            .agg(pl.col("vec_id").sort().alias("ids"), pl.len().alias("n"))
+            .filter(pl.col("n") >= 2)
+        )
+        a, b = [], []
+        for ids in grp["ids"].to_list():
+            arr = np.asarray(ids, dtype=np.int64)
+            ai, bi = _upper_pairs(arr, max_bucket=max_bucket, label="emb-lsh")
+            a.append(arr[ai])
+            b.append(arr[bi])
+        a = np.concatenate(a) if a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b) if b else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"vec_a": pa.array(a, pa.int64()), "vec_b": pa.array(b, pa.int64())}
+        )
+
+    cand = bucket_group_apply(
+        bucketed, "bucket", _pairs_bucket, num_buckets=num_buckets
+    )
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return pl.from_arrow(t).unique().to_arrow().cast(
+            pa.schema([("vec_a", pa.int64()), ("vec_b", pa.int64())])
+        )
+
+    cand = bucket_group_apply(cand, "vec_a", _distinct, num_buckets=num_buckets)
+
+    def _ser(t: pa.Table, side: str) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        nr = np.linalg.norm(m, axis=1, keepdims=True)
+        nr[nr == 0] = 1.0
+        m = m / nr
         return pa.table(
             {
-                "vec_a": pa.array(a[keep], pa.int64()),
-                "vec_b": pa.array(b[keep], pa.int64()),
+                f"vec_{side}": t["vec_id"],
+                f"e_{side}": pa.array([row.tobytes() for row in m], pa.binary()),
             }
         )
 
-    return bucketed.groupby("bucket").map_groups(_verify, batch_format="pyarrow")
+    e_a = emb.map_batches(
+        lambda t: _ser(t, "a"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    e_b = emb.map_batches(
+        lambda t: _ser(t, "b"), batch_format="pyarrow", zero_copy_batch=True
+    )
+    j = join_auto(cand, e_a, on=("vec_a",))
+    j = join_auto(j, e_b, on=("vec_b",))
+
+    def _verify(t: pa.Table) -> pa.Table:
+        if not len(t):
+            return pa.table(
+                {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
+            )
+        ea = np.frombuffer(b"".join(t["e_a"].to_pylist()), dtype=np.float64)
+        eb = np.frombuffer(b"".join(t["e_b"].to_pylist()), dtype=np.float64)
+        ea = ea.reshape(len(t), -1)
+        eb = eb.reshape(len(t), -1)
+        cos = np.einsum("ij,ij->i", ea, eb)
+        keep = pa.array(cos >= threshold)
+        out = t.filter(keep)
+        return pa.table({"vec_a": out["vec_a"], "vec_b": out["vec_b"]})
+
+    return j.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)

@@ -13,6 +13,7 @@ every sessionizer makes.
 from __future__ import annotations
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions.shuffle import bucket_group_apply
@@ -87,7 +88,7 @@ def daily_rollup(
     def _roll(t: pa.Table) -> pa.Table:
         import polars as pl
 
-        df = pl.from_arrow(t)
+        df = pl.from_arrow(t.drop_columns(["_gkey"]))
         out = (
             df.with_columns(pl.col("ts").dt.date().alias("day"))
             .group_by(["event_type", "day"])
@@ -112,10 +113,25 @@ def daily_rollup(
         )
 
     # partial per-block combine would miscount n_users (distinct is not
-    # decomposable without sketches) — shuffle raw (event_type-bucketed)
-    return bucket_group_apply(
-        events.select_columns(["event_type", "ts", "user_id", "value"]),
-        "event_type",
-        _roll,
-        num_buckets=num_buckets,
-    )
+    # decomposable without sketches) so raw rows must shuffle — but the
+    # bucket key is the COMPOSITE (event_type, day): event_type alone is
+    # low-cardinality and one hot type would pin an entire type's raw rows
+    # on a single reducer at scale. The epoch-day floor matches
+    # ``dt.date()`` for any sign, so a (type, date) group never splits
+    # across buckets.
+    def _with_gkey(t: pa.Table) -> pa.Table:
+        days = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        gkey = pc.binary_join_element_wise(
+            t["event_type"].cast(pa.string()),
+            pa.array(days.astype("U"), pa.string()),
+            ":",
+        )
+        return t.append_column("_gkey", gkey)
+
+    keyed = events.select_columns(
+        ["event_type", "ts", "user_id", "value"]
+    ).map_batches(_with_gkey, batch_format="pyarrow", zero_copy_batch=True)
+    return bucket_group_apply(keyed, "_gkey", _roll, num_buckets=num_buckets)

@@ -18,6 +18,37 @@ import pyarrow as pa
 import ray
 import ray.data
 
+from ..functions.shuffle import bucket_group_apply
+from ..schema import stable_bucket
+
+_TOPK_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("neighbor_id", pa.int64()),
+        ("rank", pa.int64()),
+    ]
+)
+
+
+def _merge_topk(t: pa.Table, k: int) -> pa.Table:
+    """Per-query top-k merge of partial (query_id, neighbor_id, score) rows
+    — vectorized (handles MANY queries per call; ties break on neighbor_id
+    ascending, deterministic)."""
+    import polars as pl
+
+    if not len(t):
+        return _TOPK_SCHEMA.empty_table()
+    out = (
+        pl.from_arrow(t)
+        .sort(["query_id", "score", "neighbor_id"], descending=[False, True, False])
+        .with_columns(
+            (pl.int_range(pl.len()).over("query_id") + 1).alias("rank")
+        )
+        .filter(pl.col("rank") <= k)
+        .select(["query_id", "neighbor_id", "rank"])
+    )
+    return out.to_arrow().cast(_TOPK_SCHEMA)
+
 
 def _norm_rows(m: np.ndarray) -> np.ndarray:
     n = np.linalg.norm(m, axis=1, keepdims=True)
@@ -72,24 +103,10 @@ def ann_topk(
 
     partial = emb.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
 
-    def _merge(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(
-                group["score"].to_pylist(),
-                group["neighbor_id"].to_pylist(),
-                group["query_id"].to_pylist(),
-            ),
-            key=lambda r: (-r[0], r[1]),
-        )[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([r[2] for r in rows], pa.int64()),
-                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
-                "rank": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
-            }
-        )
-
-    return partial.groupby("query_id").map_groups(_merge, batch_format="pyarrow")
+    # merge input is O(n_queries × k × blocks) — tiny; one bucket shuffle
+    return bucket_group_apply(
+        partial, "query_id", lambda t: _merge_topk(t, k), num_buckets=8
+    )
 
 
 def ann_topk_ivf(
@@ -104,15 +121,29 @@ def ann_topk_ivf(
     """IVF-style ANN: bucket corpus by nearest of `n_centroids` seeded
     centroids; each query scans only its `nprobe` closest buckets.
 
-    Centroids are a deterministic sample of the corpus (hash-ordered first
-    `n_centroids` vectors) — a kmeans refinement drops in without changing
-    the dataflow.
+    Centroids come from a HASH-STRATIFIED corpus sample — every block
+    contributes rows whose ``stable_bucket(vec_id, M) == 0`` (M sized so
+    the sample ≈ 8×n_centroids rows corpus-wide), so the seed set is
+    unbiased w.r.t. block order (a ``limit(n)`` head would be first-blocks
+    biased). A kmeans refinement drops in without changing the dataflow.
     """
     emb = emb.materialize()
-    head = emb.limit(n_centroids * 8).take_all()
+    n_total = emb.count()
+    target = n_centroids * 8
+    mod = max(1, n_total // max(1, target))
+
+    def _strat(t: pa.Table) -> pa.Table:
+        b = stable_bucket(t["vec_id"].to_numpy(zero_copy_only=False), mod)
+        return t.filter(pa.array(b == 0))
+
+    sample = emb.map_batches(
+        _strat, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    if not sample:  # degenerate tiny corpus: fall back to the head
+        sample = emb.limit(target).take_all()
     rng = np.random.default_rng(seed)
-    cand = np.array([r["embedding"] for r in head], dtype=np.float64)
-    sel = rng.permutation(len(cand))[:n_centroids]
+    cand = np.array([r["embedding"] for r in sample], dtype=np.float64)
+    sel = rng.permutation(len(cand))[: min(n_centroids, len(cand))]
     centroids = _norm_rows(cand[sel])
     cref = ray.put(centroids) if ray.is_initialized() else centroids
 
@@ -133,33 +164,42 @@ def ann_topk_ivf(
 
     qids, qmat = _emb_matrix(queries)
     qn = _norm_rows(qmat)
+    nprobe = min(nprobe, len(centroids))
     probe = np.argsort(-(qn @ centroids.T), axis=1)[:, :nprobe]
     qref = ray.put((qids, qn, probe)) if ray.is_initialized() else (qids, qn, probe)
 
-    def _scan(group: pa.Table) -> pa.Table:
+    _PARTIAL = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("score", pa.float64()),
+        ]
+    )
+
+    def _scan(tbl: pa.Table) -> pa.Table:
+        # one reduce call may hold SEVERAL IVF buckets (hash-bucketed
+        # shuffle); scan each distinct bucket against the queries probing it
         q_ids, q, pr = ray.get(qref) if isinstance(qref, ray.ObjectRef) else qref
-        bucket = group["bucket"][0].as_py()
-        sel_q = [i for i in range(len(q_ids)) if bucket in pr[i]]
-        if not sel_q:
-            return pa.table(
-                {
-                    "query_id": pa.array([], pa.int64()),
-                    "neighbor_id": pa.array([], pa.int64()),
-                    "score": pa.array([], pa.float64()),
-                }
-            )
-        ids, m = _emb_matrix(group)
-        s = q[sel_q] @ _norm_rows(m).T
+        if not len(tbl):
+            return _PARTIAL.empty_table()
+        buckets = tbl["bucket"].to_numpy(zero_copy_only=False)
         out_q, out_n, out_s = [], [], []
-        for row_i, qi in enumerate(sel_q):
-            row = s[row_i]
-            order = np.lexsort((ids, -row))[: k + 1]
-            for ni in order:
-                if ids[ni] == q_ids[qi]:
-                    continue
-                out_q.append(q_ids[qi])
-                out_n.append(ids[ni])
-                out_s.append(row[ni])
+        for bucket in np.unique(buckets):
+            group = tbl.filter(pa.array(buckets == bucket))
+            sel_q = [i for i in range(len(q_ids)) if bucket in pr[i]]
+            if not sel_q:
+                continue
+            ids, m = _emb_matrix(group)
+            s = q[sel_q] @ _norm_rows(m).T
+            for row_i, qi in enumerate(sel_q):
+                row = s[row_i]
+                order = np.lexsort((ids, -row))[: k + 1]
+                for ni in order:
+                    if ids[ni] == q_ids[qi]:
+                        continue
+                    out_q.append(q_ids[qi])
+                    out_n.append(ids[ni])
+                    out_s.append(row[ni])
         return pa.table(
             {
                 "query_id": pa.array(out_q, pa.int64()),
@@ -168,23 +208,9 @@ def ann_topk_ivf(
             }
         )
 
-    partial = bucketed.groupby("bucket").map_groups(_scan, batch_format="pyarrow")
-
-    def _merge(group: pa.Table) -> pa.Table:
-        rows = sorted(
-            zip(
-                group["score"].to_pylist(),
-                group["neighbor_id"].to_pylist(),
-                group["query_id"].to_pylist(),
-            ),
-            key=lambda r: (-r[0], r[1]),
-        )[:k]
-        return pa.table(
-            {
-                "query_id": pa.array([r[2] for r in rows], pa.int64()),
-                "neighbor_id": pa.array([r[1] for r in rows], pa.int64()),
-                "rank": pa.array(list(range(1, len(rows) + 1)), pa.int64()),
-            }
-        )
-
-    return partial.groupby("query_id").map_groups(_merge, batch_format="pyarrow")
+    partial = bucket_group_apply(
+        bucketed, "bucket", _scan, num_buckets=min(n_centroids, 32)
+    )
+    return bucket_group_apply(
+        partial, "query_id", lambda t: _merge_topk(t, k), num_buckets=8
+    )
