@@ -22,7 +22,7 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..sources.transcripts import read_transcripts
-from ..state.checkpoint import Checkpointer
+from ..state.checkpoint import Checkpointer, parquet_sig
 from . import kg
 
 
@@ -47,22 +47,35 @@ def run_checkpointed(
     entity_names = dict(
         zip(ents["entity_id"].to_pylist(), ents["canonical_name"].to_pylist())
     )
-    # input lineage: fingerprint the source file listing + row counts
+    # input lineage: CONTENT digests (parquet footer metadata), not just a
+    # file listing + row counts — an in-place edit that keeps counts
+    # constant must still invalidate downstream checkpoints
     src_files = sorted(str(p) for p in Path(transcripts_dir).glob("*.parquet"))
-    input_sig = {
-        "files": src_files,
-        "rows": [pq.ParquetFile(f).metadata.num_rows for f in src_files],
-    }
+    src_sigs = {f: parquet_sig(f) for f in src_files}
+    alias_sig = parquet_sig(aliases_path)
+    entities_sig = parquet_sig(entities_path)
 
-    combined = ck.run(
+    # the model stage runs at PARTITION granularity: shard = input-file
+    # group; a mid-stage kill (or one changed input shard) redoes only the
+    # affected partitions (SURVEY §4.4)
+    num_parts = max(1, min(len(src_files), 16))
+
+    def _shard_files(k: int) -> list[str]:
+        return [f for i, f in enumerate(src_files) if i % num_parts == k]
+
+    combined = ck.run_partitioned(
         "combined",
-        lambda: kg.extract_combined(
-            read_transcripts(transcripts_dir),
+        lambda k: kg.extract_combined(
+            read_transcripts(_shard_files(k)),
             aliases,
             batch_size=batch_size,
             concurrency=concurrency,
         ),
-        params={"input": input_sig, "batch_size": batch_size},
+        num_parts=num_parts,
+        params={"batch_size": batch_size, "aliases": alias_sig},
+        part_params=lambda k: {
+            "files": {f: src_sigs[f] for f in _shard_files(k)}
+        },
     )
     mentions = ck.run(
         "mentions", lambda: kg.mentions_of(combined), deps=["combined"]
@@ -73,6 +86,7 @@ def run_checkpointed(
     linked = ck.run(
         "linked",
         lambda: link_mentions(mentions, aliases),
+        params={"aliases": alias_sig},
         deps=["mentions"],
     )
     canon = ck.run(
@@ -89,6 +103,7 @@ def run_checkpointed(
     ck.run(
         "nodes",
         lambda: build_nodes(linked, canon, entity_names),
+        params={"entities": entities_sig},
         deps=["linked", "canon"],
     )
     del edges

@@ -30,9 +30,12 @@ def _validate_batch(batch: pa.Table) -> pa.Table:
 
 
 def read_transcripts(
-    path: str, *, override_num_blocks: int | None = None
+    path: str | list[str], *, override_num_blocks: int | None = None
 ) -> ray.data.Dataset:
-    """T0 source: pruned parquet read + validate/coerce/filter stage."""
+    """T0 source: pruned parquet read + validate/coerce/filter stage.
+
+    ``path`` may be a directory or an explicit file list (the
+    partition-level resume path feeds one file shard at a time)."""
     ds = ray.data.read_parquet(
         path,
         columns=list(TRANSCRIPTS.names),

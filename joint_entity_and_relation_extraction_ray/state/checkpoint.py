@@ -4,27 +4,34 @@ per-partition lineage + metrics").
 
 Layout under ``out_root``::
 
-    <stage>/part=<k>/*.parquet     # partitioned write (when schema has `part`)
+    <stage>/part=<k>/*.parquet     # partitioned write (run_partitioned, or
+                                   # run() when the schema has `part`)
     <stage>/*.parquet              # plain write otherwise
     <stage>.manifest.json          # {fingerprint, rows, files: {path: rows},
                                    #  wall_s, schema, params}
-    metrics.jsonl                  # append-only per-stage metrics rollup
+    <stage>.manifests/<k>.json     # per-PARTITION manifest (run_partitioned):
+                                   # {fingerprint, rows, files, wall_s, schema}
+    metrics.jsonl                  # append-only per-stage(+partition) metrics
 
 Lineage = the fingerprint chain: a stage's fingerprint hashes its params +
-code version + every upstream fingerprint. A stage is *done* iff its
-manifest exists AND its fingerprint matches the recomputed expectation —
-so editing an upstream stage (or its params) transitively invalidates
-downstream checkpoints, while a rerun over unchanged inputs reads parquet
-instead of recomputing (tested in tests/test_checkpoint.py).
+input CONTENT digests (:func:`parquet_sig`) + code version + every
+upstream fingerprint. A stage is *done* iff its manifest exists AND its
+fingerprint matches the recomputed expectation — so editing an upstream
+stage (or its params, or any input file's content) transitively
+invalidates downstream checkpoints, while a rerun over unchanged inputs
+reads parquet instead of recomputing (tested in tests/test_checkpoint.py).
 
-Writes are atomic: data lands in ``<stage>.tmp-<pid>/`` and is renamed
-into place before the manifest is written; a killed job can never leave a
-half-written stage that looks done (the manifest is written last).
+``run_partitioned`` refines this to PARTITION granularity: shard k gets
+its own fingerprint (its input shard's digests chain in) and its own
+atomically-written ``part=<k>`` directory + manifest, so a mid-stage kill
+or a single changed input shard redoes only the affected partitions — at
+10^12-turn scale a stage is hours and stage-granularity resume would lose
+all of it.
 
-Per-partition detail: the manifest records per-file row counts, and
-partitioned stages (schema carries ``part``) write one directory per
-bucket — a downstream consumer or selective backfill can prune/redo
-single ``part=<k>`` directories and the manifest tells it what each held.
+Writes are atomic: data lands in ``<stage>.tmp-*/`` and is renamed into
+place before the manifest is written; a killed job can never leave a
+half-written stage or partition that looks done (the manifest is written
+last).
 """
 
 from __future__ import annotations
@@ -50,6 +57,35 @@ def fingerprint(stage: str, params: dict, deps: list[str]) -> str:
         sort_keys=True,
     )
     return hashlib.sha256(payload.encode()).hexdigest()[:16]
+
+
+def parquet_sig(path: str | Path) -> str:
+    """CONTENT digest of a parquet file from its footer metadata — row
+    counts, schema, per-column chunk sizes and min/max statistics. An edit
+    that keeps row counts constant still changes column statistics /
+    compressed sizes, so it invalidates lineage (a file-listing+row-count
+    signature alone would miss it). O(footer) — never reads data pages.
+    """
+    md = pq.ParquetFile(path).metadata
+    h = hashlib.sha256()
+    h.update(f"{md.num_rows}:{md.num_row_groups}".encode())
+    # str(schema) leads with the object repr (memory address) — skip it
+    h.update("\n".join(str(md.schema).splitlines()[1:]).encode())
+    for i in range(md.num_row_groups):
+        rg = md.row_group(i)
+        for j in range(rg.num_columns):
+            col = rg.column(j)
+            h.update(
+                f"{col.total_compressed_size}:{col.total_uncompressed_size}".encode()
+            )
+            st = col.statistics
+            if st is not None:
+                h.update(
+                    f"{st.null_count}:{st.min!r}:{st.max!r}".encode(
+                        "utf-8", "backslashreplace"
+                    )
+                )
+    return h.hexdigest()[:16]
 
 
 class Checkpointer:
@@ -141,3 +177,142 @@ class Checkpointer:
                 + "\n"
             )
         return ray.data.read_parquet(str(out_dir))
+
+    # -- partition-level resume (SURVEY.md §4.4) ----------------------------
+
+    def _part_manifest_dir(self, stage: str) -> Path:
+        return self.root / f"{stage}.manifests"
+
+    def part_is_done(self, stage: str, k: int, fp: str) -> bool:
+        mp = self._part_manifest_dir(stage) / f"{k}.json"
+        if not mp.exists():
+            return False
+        try:
+            m = json.loads(mp.read_text())
+        except (OSError, json.JSONDecodeError):
+            return False
+        return (
+            m.get("fingerprint") == fp
+            and (self.root / stage / f"part={k}").exists()
+        )
+
+    def run_partitioned(
+        self,
+        stage: str,
+        build_part: Callable[[int], ray.data.Dataset],
+        *,
+        num_parts: int,
+        params: dict | None = None,
+        part_params: Callable[[int], dict] | None = None,
+        deps: list[str] | None = None,
+    ) -> ray.data.Dataset:
+        """Partition-level skip-if-done: ``build_part(k)`` computes shard k
+        of the stage; each shard writes atomically to ``part=<k>/`` with
+        its own manifest, so a killed job redoes ONLY partitions whose
+        manifest is missing or stale — not the whole stage (SURVEY §4.4).
+
+        Each partition fingerprints ``params`` + its OWN
+        ``part_params(k)`` (run.py passes that shard's input-file content
+        digests) + upstream fingerprints — so an incremental rerun after
+        one input shard changed recomputes exactly that partition, while
+        the stage-level fingerprint (hash of all partition fingerprints)
+        still invalidates downstream stages. Re-sharding or upstream edits
+        change every partition fingerprint at once."""
+        params = params or {}
+        dep_fps = [self.fingerprints[d] for d in (deps or [])]
+        base = {**params, "num_parts": num_parts}
+        part_fps = [
+            fingerprint(
+                f"{stage}[{k}]",
+                {**base, **(part_params(k) if part_params else {})},
+                dep_fps,
+            )
+            for k in range(num_parts)
+        ]
+        fp = fingerprint(stage, {"parts": part_fps}, [])
+        self.fingerprints[stage] = fp
+        out_dir = self.root / stage
+        mdir = self._part_manifest_dir(stage)
+        mdir.mkdir(parents=True, exist_ok=True)
+
+        todo = [
+            k
+            for k in range(num_parts)
+            if not self.part_is_done(stage, k, part_fps[k])
+        ]
+        schema = None
+        for k in todo:
+            ds = build_part(k)
+            t0 = time.perf_counter()
+            tmp = self.root / f"{stage}.tmp-part{k}-{os.getpid()}"
+            if tmp.exists():
+                shutil.rmtree(tmp)
+            schema = ds.schema()
+            ds.write_parquet(str(tmp))
+            wall = time.perf_counter() - t0
+            files = {
+                str(f.relative_to(tmp)): pq.ParquetFile(f).metadata.num_rows
+                for f in sorted(tmp.rglob("*.parquet"))
+            }
+            dest = out_dir / f"part={k}"
+            if dest.exists():
+                shutil.rmtree(dest)
+            out_dir.mkdir(parents=True, exist_ok=True)
+            tmp.rename(dest)
+            (mdir / f"{k}.json").write_text(
+                json.dumps(
+                    {
+                        "fingerprint": part_fps[k],
+                        "partition": k,
+                        "rows": sum(files.values()),
+                        "files": files,
+                        "wall_s": round(wall, 3),
+                        "schema": dict(
+                            zip(schema.names, map(str, schema.types))
+                        ),
+                    },
+                    indent=1,
+                )
+            )
+            with open(self.root / "metrics.jsonl", "a") as fh:
+                fh.write(
+                    json.dumps(
+                        {
+                            "stage": stage,
+                            "partition": k,
+                            "rows_out": sum(files.values()),
+                            "wall_s": round(wall, 3),
+                            "fingerprint": part_fps[k],
+                        }
+                    )
+                    + "\n"
+                )
+
+        # roll partition manifests up into the stage-level manifest
+        part_manifests = [
+            json.loads((mdir / f"{k}.json").read_text())
+            for k in range(num_parts)
+        ]
+        rows = sum(m["rows"] for m in part_manifests)
+        stage_schema = part_manifests[0]["schema"] if part_manifests else {}
+        self._manifest_path(stage).write_text(
+            json.dumps(
+                {
+                    "fingerprint": fp,
+                    "rows": rows,
+                    "num_parts": num_parts,
+                    "wall_s": round(
+                        sum(m["wall_s"] for m in part_manifests), 3
+                    ),
+                    "schema": stage_schema,
+                    "params": params,
+                    "deps": {d: self.fingerprints[d] for d in (deps or [])},
+                },
+                indent=1,
+            )
+        )
+        ds = ray.data.read_parquet(str(out_dir))
+        if "part" not in stage_schema:
+            # drop the hive-partition column the shard layout added
+            ds = ds.drop_columns(["part"])
+        return ds

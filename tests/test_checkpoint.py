@@ -98,6 +98,90 @@ def test_partitioned_write_and_manifest(tmp_path, ray_session):
     assert (tmp_path / "metrics.jsonl").exists()
 
 
+def test_partition_level_resume(tmp_path, ray_session):
+    """Kill-after-subset semantics: only missing/stale partitions rebuild,
+    and the reassembled stage is byte-identical (SURVEY §4.4)."""
+    calls = []
+
+    def build_part(k):
+        calls.append(k)
+        return ray.data.from_arrow(
+            pa.table({"x": pa.array(range(k * 10, k * 10 + 10), pa.int64())})
+        )
+
+    ck = Checkpointer(tmp_path)
+    ds1 = ck.run_partitioned("sharded", build_part, num_parts=4)
+    assert sorted(calls) == [0, 1, 2, 3]
+    df1 = ds1.to_pandas().sort_values("x").reset_index(drop=True)
+    assert list(df1["x"]) == list(range(40))
+    assert "part" not in df1.columns  # hive shard col dropped on read-back
+
+    # rerun unchanged: zero partition rebuilds
+    calls.clear()
+    ds2 = Checkpointer(tmp_path).run_partitioned(
+        "sharded", build_part, num_parts=4
+    )
+    assert calls == [] and ds2.count() == 40
+
+    # simulate a kill that lost partition 2: only partition 2 rebuilds
+    import shutil
+
+    (tmp_path / "sharded.manifests" / "2.json").unlink()
+    shutil.rmtree(tmp_path / "sharded" / "part=2")
+    calls.clear()
+    ds3 = Checkpointer(tmp_path).run_partitioned(
+        "sharded", build_part, num_parts=4
+    )
+    assert calls == [2]
+    df3 = ds3.to_pandas().sort_values("x").reset_index(drop=True)
+    assert df3.equals(df1)
+
+
+def test_partition_incremental_input_change(tmp_path, ray_session):
+    """A changed input shard (per-partition params) recomputes exactly its
+    partition; the stage fingerprint still changes for downstream."""
+    versions = {0: 1, 1: 1, 2: 1}
+    calls = []
+
+    def build_part(k):
+        calls.append(k)
+        return ray.data.from_arrow(pa.table({"x": pa.array([k], pa.int64())}))
+
+    def pp(k):
+        return {"shard_sig": versions[k]}
+
+    ck = Checkpointer(tmp_path)
+    ck.run_partitioned("s", build_part, num_parts=3, part_params=pp)
+    fp1 = ck.fingerprints["s"]
+    assert sorted(calls) == [0, 1, 2]
+
+    versions[1] = 2  # one input shard changed
+    calls.clear()
+    ck2 = Checkpointer(tmp_path)
+    ck2.run_partitioned("s", build_part, num_parts=3, part_params=pp)
+    assert calls == [1]  # only the changed shard recomputed
+    assert ck2.fingerprints["s"] != fp1  # downstream sees the change
+
+
+def test_parquet_sig_detects_content_change(tmp_path, ray_session):
+    """Same row count, different values -> different content digest."""
+    import pyarrow.parquet as pqt
+
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        parquet_sig,
+    )
+
+    p1 = tmp_path / "a.parquet"
+    p2 = tmp_path / "b.parquet"
+    pqt.write_table(pa.table({"v": ["x", "y"]}), p1)
+    pqt.write_table(pa.table({"v": ["x", "z"]}), p2)
+    s1, s2 = parquet_sig(p1), parquet_sig(p2)
+    assert s1 != s2
+    # and stable: re-writing identical content gives the same digest
+    pqt.write_table(pa.table({"v": ["x", "y"]}), p2)
+    assert parquet_sig(p2) == s1
+
+
 def test_checkpointed_pipeline_resume(tmp_path, ray_session):
     """Full pipeline twice over the same out_root: second run must reuse
     every checkpoint and produce identical edges."""
