@@ -19,6 +19,48 @@ def tokenize_with_offsets(text: str) -> list[tuple[str, int, int]]:
     return [(m.group(0), m.start(), m.end()) for m in _TOKEN_RE.finditer(text)]
 
 
+def split_units(text: str, max_chars: int) -> list[tuple[int, str]]:
+    """M4 turn splitter: cap the model-unit length (SURVEY.md §2.2 M4,
+    §4.3 "giant conversations") → [(base_offset, sub_text)].
+
+    Cut preference inside each window: last SENTENCE boundary
+    (punctuation + whitespace), else last whitespace, else a hard cut (one
+    giant token). Cuts at whitespace never split a token, so for any unit
+    the tokenizer's offsets + ``base_offset`` are exact offsets into the
+    ORIGINAL ``text`` — the per-turn text-equality invariant holds
+    unchanged; cuts at sentence boundaries also never split an
+    intra-sentence entity/relation. Only a relation whose subject/object
+    straddle a non-sentence cut is lost — the standard bounded-unit
+    tradeoff; ``max_chars`` defaults far above normal turn lengths so only
+    pathological mega-turns split at all.
+    """
+    n = len(text)
+    if n <= max_chars:
+        return [(0, text)]
+    units: list[tuple[int, str]] = []
+    start = 0
+    while start < n:
+        if n - start <= max_chars:
+            units.append((start, text[start:]))
+            break
+        window_end = start + max_chars
+        cut = -1
+        for m in _SENT_RE.finditer(text, start + 1, window_end):
+            cut = m.end()  # the whitespace after sentence punctuation
+        if cut <= start:
+            for m in _WS_RE.finditer(text, start + 1, window_end + 1):
+                cut = m.start()
+        if cut <= start:
+            cut = window_end  # one giant token: hard cut, keep progress
+        units.append((start, text[start:cut]))
+        start = cut
+    return units
+
+
+_WS_RE = re.compile(r"\s")
+_SENT_RE = re.compile(r"[.!?](?=\s)")
+
+
 def normalize_surface(s: str) -> str:
     """NFC + casefold — the alias-dictionary key normalization
     (FIXTURES.md F2). Never applied to the `text` column itself."""

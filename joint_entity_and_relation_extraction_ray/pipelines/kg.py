@@ -42,16 +42,23 @@ def extract_combined(
     concurrency: int | None = None,
     batch_size: int = 512,
     num_gpus: float = 0,
+    max_unit_chars: int | None = None,
 ) -> ray.data.Dataset:
     """A1: scorer actor pool over T0 → combined mention|triple rows.
 
     ``num_gpus`` is the config knob for real-model deployments
     (BASELINE.json:6 "GPU actor pool holding warm model replicas"); the
-    surrogate runs on CPU.
+    surrogate runs on CPU. ``max_unit_chars`` caps the model unit (M4) so
+    one mega-turn cannot blow up a batch.
     """
+    from ..stages.scorer import MAX_UNIT_CHARS
+
     gaz_ref = broadcast(gazetteer_from_alias_table(aliases))
     kwargs = dict(
-        fn_constructor_kwargs={"gazetteer_ref": gaz_ref},
+        fn_constructor_kwargs={
+            "gazetteer_ref": gaz_ref,
+            "max_unit_chars": max_unit_chars or MAX_UNIT_CHARS,
+        },
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,

@@ -44,3 +44,62 @@ def read_transcripts(
     return ds.map_batches(
         _validate_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def clean_turns(
+    ds: ray.data.Dataset,
+    *,
+    num_buckets: int = 64,
+    assert_dense: bool = False,
+) -> ray.data.Dataset:
+    """Dirty-input repair (SURVEY.md §2.2 "streaming semantics"): exactly
+    one row per ``(conv_id, turn_idx)``.
+
+    Late/duplicate turns keep-first with a DETERMINISTIC tiebreak — rows
+    sort by (turn_idx, text, role, tool) inside each conversation, so the
+    survivor does not depend on Ray's block arrival order and a rerun over
+    the same dirty shard is byte-identical. One conv-bucketed shuffle;
+    clean input passes through unchanged (same rows, deterministic
+    content). With ``assert_dense`` the op raises on gaps in ``turn_idx``
+    (M1's dense-index assumption) instead of silently accepting them.
+    """
+    from ..functions.shuffle import bucket_group_apply
+
+    def _clean(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return t
+        df = (
+            pl.from_arrow(t)
+            .sort(["conv_id", "turn_idx", "text", "role", "tool"])
+            .unique(
+                subset=["conv_id", "turn_idx"],
+                keep="first",
+                maintain_order=True,
+            )
+        )
+        if assert_dense:
+            bad = (
+                df.group_by("conv_id")
+                .agg(
+                    (
+                        pl.col("turn_idx").sort().cast(pl.Int64)
+                        != pl.int_range(pl.len())
+                    )
+                    .any()
+                    .alias("gap")
+                )
+                .filter(pl.col("gap"))
+            )
+            if bad.height:
+                raise ValueError(
+                    "non-dense turn_idx in conv_ids "
+                    f"{bad['conv_id'].to_list()[:5]}"
+                )
+        out = df.to_arrow()
+        return pa.Table.from_arrays(
+            [out[f.name].cast(f.type) for f in TRANSCRIPTS], schema=TRANSCRIPTS
+        )
+
+    return bucket_group_apply(ds, "conv_id", _clean, num_buckets=num_buckets)

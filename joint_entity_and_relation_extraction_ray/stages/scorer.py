@@ -30,8 +30,12 @@ import pyarrow as pa
 import pyarrow.compute as pc
 
 from ..functions.decode import assemble_triples, bio_decode, threshold_heads
-from ..functions.text import normalize_surface, tokenize_with_offsets
+from ..functions.text import normalize_surface, split_units, tokenize_with_offsets
 from ..schema import MENTIONS, TRIPLES, mention_id
+
+# M4 length cap: one mega-turn must not blow up a whole scorer batch
+# (SURVEY §4.3); far above normal turn lengths so clean corpora never split
+MAX_UNIT_CHARS = 8192
 
 # Combined scorer output (split into T1 MENTIONS / T2 TRIPLES by `kind`).
 COMBINED = pa.schema(
@@ -134,7 +138,7 @@ class TripleScorer:
     driver) or as a plain list (tests without Ray).
     """
 
-    def __init__(self, gazetteer_ref):
+    def __init__(self, gazetteer_ref, max_unit_chars: int = MAX_UNIT_CHARS):
         try:
             import ray
 
@@ -143,6 +147,7 @@ class TripleScorer:
         except ImportError:  # pure unit tests
             pass
         self.encoder = SurrogateEncoder(gazetteer_ref)
+        self.max_unit_chars = max_unit_chars
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         conv_ids = batch["conv_id"].to_pylist()
@@ -165,32 +170,38 @@ class TripleScorer:
                 cols[name].append(kw.get(name))
 
         for conv, turn, text, t_us in zip(conv_ids, turn_idxs, texts, ts):
-            toks, tags, pair_scores = self.encoder.forward(text)
-            spans = bio_decode(tags)
-            heads = threshold_heads(pair_scores)
-            triples = assemble_triples(spans, heads)
+            # M4: bounded model units; offsets stay relative to the
+            # ORIGINAL text via the unit's base offset (split_units splits
+            # only at whitespace, so token offsets shift exactly)
+            for base, sub in split_units(text, self.max_unit_chars):
+                toks, tags, pair_scores = self.encoder.forward(sub)
+                spans = bio_decode(tags)
+                heads = threshold_heads(pair_scores)
+                triples = assemble_triples(spans, heads)
 
-            span_char = {}
-            for (s, e, etype) in spans:
-                c0, c1 = toks[s][1], toks[e - 1][2]
-                span_char[(s, e)] = (c0, c1)
-                emit(
-                    "mention", conv, turn, t_us,
-                    mention_id=mention_id(conv, turn, c0, c1),
-                    start=c0, end=c1, surface=text[c0:c1], ent_type=etype,
-                    score=_POS_SCORE,
-                )
-            for (subj, rel, obj) in triples:
-                sc = span_char[(subj[0], subj[1])]
-                oc = span_char[(obj[0], obj[1])]
-                emit(
-                    "triple", conv, turn, t_us,
-                    subj_mention_id=mention_id(conv, turn, *sc),
-                    obj_mention_id=mention_id(conv, turn, *oc),
-                    subj_surface=text[sc[0]:sc[1]], pred=rel,
-                    obj_surface=text[oc[0]:oc[1]],
-                    score=np.float32(pair_scores[(subj[1] - 1, obj[1] - 1, rel)]),
-                )
+                span_char = {}
+                for (s, e, etype) in spans:
+                    c0, c1 = toks[s][1] + base, toks[e - 1][2] + base
+                    span_char[(s, e)] = (c0, c1)
+                    emit(
+                        "mention", conv, turn, t_us,
+                        mention_id=mention_id(conv, turn, c0, c1),
+                        start=c0, end=c1, surface=text[c0:c1], ent_type=etype,
+                        score=_POS_SCORE,
+                    )
+                for (subj, rel, obj) in triples:
+                    sc = span_char[(subj[0], subj[1])]
+                    oc = span_char[(obj[0], obj[1])]
+                    emit(
+                        "triple", conv, turn, t_us,
+                        subj_mention_id=mention_id(conv, turn, *sc),
+                        obj_mention_id=mention_id(conv, turn, *oc),
+                        subj_surface=text[sc[0]:sc[1]], pred=rel,
+                        obj_surface=text[oc[0]:oc[1]],
+                        score=np.float32(
+                            pair_scores[(subj[1] - 1, obj[1] - 1, rel)]
+                        ),
+                    )
 
         arrays = []
         for field in COMBINED:

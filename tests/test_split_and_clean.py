@@ -1,0 +1,158 @@
+"""M4 turn splitting (length-capped model units, offset math) and
+dirty-input repair (keep-first duplicate turns, dense-index assertion) —
+SURVEY.md §2.2 M4 + "streaming semantics"."""
+
+import datetime as dt
+
+import pyarrow as pa
+import pytest
+import ray.data
+
+from joint_entity_and_relation_extraction_ray.functions.text import split_units
+from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+    clean_turns,
+)
+from joint_entity_and_relation_extraction_ray.stages.scorer import TripleScorer
+
+GAZ = [("alice", "Peop"), ("acme corp", "Org"), ("berlin", "Loc")]
+
+
+# --- split_units offset math (pure, no Ray) --------------------------------
+
+
+def test_split_units_identity_when_short():
+    assert split_units("hello world", 100) == [(0, "hello world")]
+
+
+def test_split_units_reassembles_exactly():
+    text = " ".join(f"tok{i}" for i in range(500))
+    units = split_units(text, 64)
+    assert len(units) > 1
+    # offsets are exact slices of the original text
+    for base, sub in units:
+        assert text[base : base + len(sub)] == sub
+    assert "".join(sub for _, sub in units) == text
+    # every unit obeys the cap
+    assert all(len(sub) <= 64 for _, sub in units)
+
+
+def test_split_units_never_cuts_tokens():
+    text = " ".join(f"tok{i}" for i in range(200))
+    for _, sub in split_units(text, 50):
+        # boundaries are whitespace: no token fragments at unit edges
+        assert not sub.startswith("ok") and not sub.endswith("to")
+
+
+def test_split_units_giant_token_hard_cut():
+    text = "x" * 1000  # one giant token: progress requires a hard cut
+    units = split_units(text, 128)
+    assert "".join(sub for _, sub in units) == text
+    assert all(len(sub) <= 128 for _, sub in units)
+
+
+# --- scorer under splitting ------------------------------------------------
+
+
+def _batch(texts):
+    n = len(texts)
+    return pa.table(
+        {
+            "conv_id": pa.array([f"c{i}" for i in range(n)], pa.string()),
+            "turn_idx": pa.array([0] * n, pa.int32()),
+            "role": pa.array(["user"] * n, pa.string()),
+            "text": pa.array(texts, pa.string()),
+            "tool": pa.array([None] * n, pa.string()),
+            "ts": pa.array([0] * n, pa.timestamp("us")),
+        }
+    )
+
+
+def test_scorer_split_equals_unsplit_at_sentence_boundaries():
+    """When cuts fall between sentences, split output == unsplit output
+    (absolute offsets, same mention ids)."""
+    text = "Alice works for Acme Corp . " * 30  # ~840 chars
+    unsplit = TripleScorer(GAZ, max_unit_chars=10_000)(_batch([text]))
+    split = TripleScorer(GAZ, max_unit_chars=100)(_batch([text]))
+    assert unsplit.num_rows > 0
+    us = unsplit.to_pandas().sort_values(["kind", "start", "mention_id"],
+                                         na_position="first")
+    sp = split.to_pandas().sort_values(["kind", "start", "mention_id"],
+                                       na_position="first")
+    assert us.reset_index(drop=True).equals(sp.reset_index(drop=True))
+
+
+def test_scorer_mega_turn_offsets_are_absolute():
+    filler = "pad " * 60  # pushes the entity past the first unit
+    text = filler + "Alice lives in Berlin ."
+    out = TripleScorer(GAZ, max_unit_chars=80)(_batch([text]))
+    df = out.to_pandas()
+    mentions = df[df["kind"] == "mention"]
+    assert len(mentions) == 2
+    for _, m in mentions.iterrows():
+        assert text[int(m["start"]) : int(m["end"])] == m["surface"]
+    triples = df[df["kind"] == "triple"]
+    assert list(triples["pred"]) == ["Live_In"]
+
+
+# --- dirty-input repair ----------------------------------------------------
+
+
+def _ts(sec):
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=sec)
+
+
+def _dirty(rows):
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["user"] * len(rows), pa.string()),
+                "text": pa.array([r[2] for r in rows], pa.string()),
+                "tool": pa.array([None] * len(rows), pa.string()),
+                # content-derived ts (not row order) so determinism checks
+                # compare like-for-like under shuffled input
+                "ts": pa.array([_ts(r[1]) for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+
+
+def test_clean_turns_keep_first_deterministic(ray_session):
+    rows = [
+        ("c1", 0, "hello"),
+        ("c1", 1, "zzz duplicate B"),
+        ("c1", 1, "aaa duplicate A"),  # duplicate turn: keep min-sorted text
+        ("c1", 2, "bye"),
+        ("c2", 0, "solo"),
+    ]
+    out = (
+        clean_turns(_dirty(rows), num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(out["turn_idx"]) == [0, 1, 2, 0]
+    assert out.loc[1, "text"] == "aaa duplicate A"  # deterministic survivor
+    # rerun: identical (determinism does not depend on block order)
+    out2 = (
+        clean_turns(_dirty(rows[::-1]), num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_id", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert out.equals(out2)
+
+
+def test_clean_turns_assert_dense_raises(ray_session):
+    rows = [("c1", 0, "a"), ("c1", 2, "gap!")]
+    with pytest.raises(Exception, match="non-dense"):
+        clean_turns(_dirty(rows), num_buckets=2, assert_dense=True).count()
+
+
+def test_clean_turns_dense_input_passes(ray_session):
+    rows = [("c1", 0, "a"), ("c1", 1, "b"), ("c2", 0, "c")]
+    assert (
+        clean_turns(_dirty(rows), num_buckets=2, assert_dense=True).count()
+        == 3
+    )
