@@ -22,26 +22,93 @@ import pyarrow.parquet as pq
 import ray.data
 
 from ..sources.transcripts import read_transcripts
+from ..stages.scorer import COMBINED
 from ..state.checkpoint import Checkpointer, parquet_sig
 from . import kg
+from .stage import Stage, run_pipeline
 
 
-def run_checkpointed(
+class CombinedStage(Stage):
+    """A1 scorer over the transcript shards — partition-level resume: one
+    shard per input-file group, each fingerprinting its own files' content
+    digests."""
+
+    name = "combined"
+    output_schema = COMBINED
+
+    def __init__(self, src_files, src_sigs, aliases, alias_sig,
+                 batch_size, concurrency):
+        self.src_files = src_files
+        self.src_sigs = src_sigs
+        self.aliases = aliases
+        self.alias_sig = alias_sig
+        self.batch_size = batch_size
+        self.concurrency = concurrency
+        self.num_shards = max(1, min(len(src_files), 16))
+
+    def _shard_files(self, k: int) -> list[str]:
+        return [
+            f for i, f in enumerate(self.src_files) if i % self.num_shards == k
+        ]
+
+    def params(self, ctx):
+        return {"batch_size": self.batch_size, "aliases": self.alias_sig}
+
+    def shard_params(self, k, ctx):
+        return {"files": {f: self.src_sigs[f] for f in self._shard_files(k)}}
+
+    def apply(self, upstream, ctx):
+        return kg.extract_combined(
+            read_transcripts(self.src_files),
+            self.aliases,
+            batch_size=self.batch_size,
+            concurrency=self.concurrency,
+        )
+
+    def apply_shard(self, k, upstream, ctx):
+        return kg.extract_combined(
+            read_transcripts(self._shard_files(k)),
+            self.aliases,
+            batch_size=self.batch_size,
+            concurrency=self.concurrency,
+        )
+
+
+class _FnStage(Stage):
+    """Adapter: a named function of upstream datasets as a Stage — the
+    compact way run.py declares its map/join/aggregate stages as data."""
+
+    def __init__(self, name, deps, fn, *, params=None, output_schema=None):
+        self.name = name
+        self.deps = tuple(deps)
+        self._fn = fn
+        self._params = params or {}
+        self.output_schema = output_schema
+
+    def params(self, ctx):
+        return dict(self._params)
+
+    def apply(self, upstream, ctx):
+        return self._fn(upstream)
+
+
+def kg_stages(
     transcripts_dir: str,
     aliases_path: str,
     entities_path: str,
-    out_root: str,
     *,
     batch_size: int = 512,
     concurrency: int | None = None,
     num_salts: int = 16,
-) -> dict:
-    """Full pipeline with per-stage checkpoints; returns the run manifest."""
+) -> list[Stage]:
+    """The default checkpointed KG pipeline AS DATA — a list of Stages.
+    Swap any entry (e.g. a custom scorer subclassing CombinedStage) and
+    feed the list to :func:`run_pipeline`."""
+    from ..schema import CANON, LINKED, MENTIONS, TRIPLES
     from ..stages.canonical import canonicalize
     from ..stages.graph import build_edges, build_nodes, rewrite_triples
     from ..stages.linker import link_mentions
 
-    ck = Checkpointer(out_root)
     aliases = pq.read_table(aliases_path)
     ents = pq.read_table(entities_path)
     entity_names = dict(
@@ -55,58 +122,69 @@ def run_checkpointed(
     alias_sig = parquet_sig(aliases_path)
     entities_sig = parquet_sig(entities_path)
 
-    # the model stage runs at PARTITION granularity: shard = input-file
-    # group; a mid-stage kill (or one changed input shard) redoes only the
-    # affected partitions (SURVEY §4.4)
-    num_parts = max(1, min(len(src_files), 16))
-
-    def _shard_files(k: int) -> list[str]:
-        return [f for i, f in enumerate(src_files) if i % num_parts == k]
-
-    combined = ck.run_partitioned(
-        "combined",
-        lambda k: kg.extract_combined(
-            read_transcripts(_shard_files(k)),
-            aliases,
-            batch_size=batch_size,
-            concurrency=concurrency,
+    return [
+        CombinedStage(
+            src_files, src_sigs, aliases, alias_sig, batch_size, concurrency
         ),
-        num_parts=num_parts,
-        params={"batch_size": batch_size, "aliases": alias_sig},
-        part_params=lambda k: {
-            "files": {f: src_sigs[f] for f in _shard_files(k)}
-        },
+        _FnStage(
+            "mentions", ["combined"],
+            lambda u: kg.mentions_of(u["combined"]),
+            output_schema=MENTIONS,
+        ),
+        _FnStage(
+            "triples", ["combined"],
+            lambda u: kg.triples_of(u["combined"]),
+            output_schema=TRIPLES,
+        ),
+        _FnStage(
+            "linked", ["mentions"],
+            lambda u: link_mentions(u["mentions"], aliases),
+            params={"aliases": alias_sig},
+            output_schema=LINKED,
+        ),
+        _FnStage(
+            "canon", ["linked"],
+            lambda u: canonicalize(u["linked"], num_salts=num_salts),
+            params={"num_salts": num_salts},
+            output_schema=CANON,
+        ),
+        _FnStage(
+            "edges", ["triples", "canon"],
+            lambda u: build_edges(rewrite_triples(u["triples"], u["canon"])),
+        ),
+        _FnStage(
+            "nodes", ["linked", "canon"],
+            lambda u: build_nodes(u["linked"], u["canon"], entity_names),
+            params={"entities": entities_sig},
+        ),
+    ]
+
+
+def run_checkpointed(
+    transcripts_dir: str,
+    aliases_path: str,
+    entities_path: str,
+    out_root: str,
+    *,
+    batch_size: int = 512,
+    concurrency: int | None = None,
+    num_salts: int = 16,
+    stages: list[Stage] | None = None,
+) -> dict:
+    """Full pipeline with per-stage checkpoints; returns the run manifest.
+
+    ``stages`` overrides the default :func:`kg_stages` list — the
+    drop-in-operator extension point."""
+    ck = Checkpointer(out_root)
+    stages = stages or kg_stages(
+        transcripts_dir,
+        aliases_path,
+        entities_path,
+        batch_size=batch_size,
+        concurrency=concurrency,
+        num_salts=num_salts,
     )
-    mentions = ck.run(
-        "mentions", lambda: kg.mentions_of(combined), deps=["combined"]
-    )
-    triples = ck.run(
-        "triples", lambda: kg.triples_of(combined), deps=["combined"]
-    )
-    linked = ck.run(
-        "linked",
-        lambda: link_mentions(mentions, aliases),
-        params={"aliases": alias_sig},
-        deps=["mentions"],
-    )
-    canon = ck.run(
-        "canon",
-        lambda: canonicalize(linked, num_salts=num_salts),
-        params={"num_salts": num_salts},
-        deps=["linked"],
-    )
-    edges = ck.run(
-        "edges",
-        lambda: build_edges(rewrite_triples(triples, canon)),
-        deps=["triples", "canon"],
-    )
-    ck.run(
-        "nodes",
-        lambda: build_nodes(linked, canon, entity_names),
-        params={"entities": entities_sig},
-        deps=["linked", "canon"],
-    )
-    del edges
+    run_pipeline(stages, checkpointer=ck)
     return {
         "out_root": str(out_root),
         "fingerprints": dict(ck.fingerprints),

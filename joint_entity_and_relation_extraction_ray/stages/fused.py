@@ -201,9 +201,26 @@ def build_tagged(
 
 
 def entity_labels(
-    tagged: ray.data.Dataset, *, num_salts: int = 16, **cc_kwargs
+    tagged: ray.data.Dataset,
+    *,
+    num_salts: int = 16,
+    broadcast_threshold: int | None = None,
+    **cc_kwargs,
 ):
-    """Salted iterative CC over the p-edges → broadcast {entity: label}."""
+    """Salted iterative CC over the p-edges → entity→label mapping.
+
+    Size-guarded physical choice: below ``broadcast_threshold`` rows the
+    mapping collects to a broadcast dict (one ``ray.put``, O(1) lookups in
+    every consumer map task); above it the mapping STAYS a Dataset and
+    consumers resolve labels through a co-bucketed shuffle join
+    (:func:`_label_join`) — at catalog scale (10^8 entities) a driver-side
+    dict would OOM the driver. The label set is bounded by entities that
+    appear in merge edges, so the broadcast path is the common case.
+    """
+    from ..functions.joins import BROADCAST_THRESHOLD_ROWS
+
+    if broadcast_threshold is None:
+        broadcast_threshold = BROADCAST_THRESHOLD_ROWS
     merge_edges = tagged.map_batches(
         lambda t: (
             lambda f: pa.table({"src": f["min_ent"], "dst": f["obj_ent"]})
@@ -211,16 +228,19 @@ def entity_labels(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
-    lab: dict[str, str] = {}
-    if merge_edges.count() > 0:
-        labels = connected_components(
-            merge_edges,
-            num_salts=num_salts,
-            num_partitions=cc_kwargs.pop("num_partitions", None)
-            or default_partitions(),
-            **cc_kwargs,
-        )
-        lab = {r["node"]: r["label"] for r in labels.take_all()}
+    if merge_edges.count() == 0:
+        lab: dict[str, str] = {}
+        return ray.put(lab) if ray.is_initialized() else lab
+    labels = connected_components(
+        merge_edges,
+        num_salts=num_salts,
+        num_partitions=cc_kwargs.pop("num_partitions", None)
+        or default_partitions(),
+        **cc_kwargs,
+    ).materialize()
+    if labels.count() > broadcast_threshold:
+        return labels  # Dataset path: consumers co-bucket-join
+    lab = {r["node"]: r["label"] for r in labels.take_all()}
     return ray.put(lab) if ray.is_initialized() else lab
 
 
@@ -228,7 +248,76 @@ def _get(ref):
     return ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
 
 
+def _label_join(
+    rows: ray.data.Dataset,
+    labels: ray.data.Dataset,
+    resolve: list[tuple[str, str, str]],
+    passthrough: list[str],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Big–big label resolution: for each ``(ent_col, rep_col, out_col)``
+    in ``resolve``, compute ``out_col = label(ent) if ent has a CC label
+    else ent if ent non-null else rep`` via ONE co-bucketed shuffle per
+    entity column (the scale fallback when the label table exceeds the
+    broadcast threshold)."""
+    from ..functions.shuffle import cobucket_apply
+
+    out = rows
+    for ent_col, rep_col, out_col in resolve:
+
+        def _lbucket(t: pa.Table, ent_col=ent_col) -> pa.Array:
+            return pc.coalesce(t[ent_col].combine_chunks(), "")
+
+        def _fn(lt: pa.Table, rt: pa.Table, ent_col=ent_col,
+                rep_col=rep_col, out_col=out_col) -> pa.Table:
+            import polars as pl
+
+            l = pl.from_arrow(lt)
+            r = pl.from_arrow(rt).rename({"node": ent_col, "label": "_lab"})
+            j = l.join(r, on=ent_col, how="left")
+            j = j.with_columns(
+                pl.coalesce([pl.col("_lab"), pl.col(ent_col), pl.col(rep_col)])
+                .alias(out_col)
+            ).drop("_lab")
+            return j.to_arrow()
+
+        out = cobucket_apply(
+            out,
+            labels,
+            _lbucket,
+            lambda t: t["node"].combine_chunks(),
+            _fn,
+            num_buckets=num_buckets,
+        )
+    keep = passthrough + [o for _, _, o in resolve]
+    return out.map_batches(
+        lambda t: t.select(keep), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def canon_from_tagged(tagged: ray.data.Dataset, lab_ref) -> ray.data.Dataset:
+    if isinstance(lab_ref, ray.data.Dataset):  # big-label co-bucket path
+        m = tagged.map_batches(
+            lambda t: (
+                lambda f: f.select(["mention_id", "min_ent", "rep"])
+            )(t.filter(pc.equal(t["kind"], "m"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = _label_join(
+            m, lab_ref,
+            [("min_ent", "rep", "canonical_id")],
+            ["mention_id"],
+        )
+        return joined.map_batches(
+            lambda t: pa.table(
+                {"member_id": t["mention_id"], "canonical_id": t["canonical_id"]}
+            ).cast(CANON),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
     def _emit(t: pa.Table) -> pa.Table:
         f = t.filter(pc.equal(t["kind"], "m"))
         lab = _get(lab_ref)
@@ -245,6 +334,26 @@ def canon_from_tagged(tagged: ray.data.Dataset, lab_ref) -> ray.data.Dataset:
 
 def rewritten_from_tagged(tagged: ray.data.Dataset, lab_ref) -> ray.data.Dataset:
     """t-rows → (subj_id, pred, obj_id, ts): input of edge dedup (G1)."""
+    if isinstance(lab_ref, ray.data.Dataset):  # big-label co-bucket path
+        t_rows = tagged.map_batches(
+            lambda t: (
+                lambda f: f.select(
+                    ["rep", "min_ent", "obj_rep", "obj_ent", "pred", "ts"]
+                )
+            )(t.filter(pc.equal(t["kind"], "t"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = _label_join(
+            t_rows, lab_ref,
+            [("min_ent", "rep", "subj_id"), ("obj_ent", "obj_rep", "obj_id")],
+            ["pred", "ts"],
+        )
+        return joined.map_batches(
+            lambda t: t.select(["subj_id", "pred", "obj_id", "ts"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     def _emit(t: pa.Table) -> pa.Table:
         f = t.filter(pc.equal(t["kind"], "t"))
@@ -273,6 +382,24 @@ def rewritten_from_tagged(tagged: ray.data.Dataset, lab_ref) -> ray.data.Dataset
 
 def node_rows_from_tagged(tagged: ray.data.Dataset, lab_ref) -> ray.data.Dataset:
     """m-rows → (canonical_id, surface, ent_type): input of node rollup (G2)."""
+    if isinstance(lab_ref, ray.data.Dataset):  # big-label co-bucket path
+        m = tagged.map_batches(
+            lambda t: (
+                lambda f: f.select(["min_ent", "rep", "surface", "ent_type"])
+            )(t.filter(pc.equal(t["kind"], "m"))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        joined = _label_join(
+            m, lab_ref,
+            [("min_ent", "rep", "canonical_id")],
+            ["surface", "ent_type"],
+        )
+        return joined.map_batches(
+            lambda t: t.select(["canonical_id", "surface", "ent_type"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     def _emit(t: pa.Table) -> pa.Table:
         f = t.filter(pc.equal(t["kind"], "m"))

@@ -34,28 +34,78 @@ def default_pool_size() -> int:
     return max(2, ncpu - 2)
 
 
+def resolve_aliases(aliases: pa.Table) -> pa.Table:
+    """Vectorized ambiguity resolution: per (alias, ent_type) keep the
+    max-prior candidate (tie-break: smallest entity_id) with its
+    total-normalized score → (alias, ent_type, entity_id, score)."""
+    import polars as pl
+
+    df = pl.from_arrow(
+        aliases.select(["alias", "ent_type", "entity_id", "prior"])
+    )
+    totals = df.group_by(["alias", "ent_type"]).agg(
+        pl.col("prior").sum().alias("_total")
+    )
+    best = (
+        df.sort(
+            ["alias", "ent_type", "prior", "entity_id"],
+            descending=[False, False, True, False],
+        )
+        .unique(subset=["alias", "ent_type"], keep="first", maintain_order=True)
+        .join(totals, on=["alias", "ent_type"])
+        .select(
+            pl.col("alias"),
+            pl.col("ent_type"),
+            pl.col("entity_id"),
+            pl.when(pl.col("_total") > 0)
+            .then(pl.col("prior") / pl.col("_total"))
+            .otherwise(0.0)
+            .alias("score"),
+        )
+    )
+    return best.to_arrow().cast(
+        pa.schema(
+            [
+                ("alias", pa.string()),
+                ("ent_type", pa.string()),
+                ("entity_id", pa.string()),
+                ("score", pa.float64()),
+            ]
+        )
+    )
+
+
+def resolve_aliases_distributed(
+    aliases: "ray.data.Dataset", *, num_buckets: int = 64
+) -> "ray.data.Dataset":
+    """Catalog-scale resolve: the same reduction via one alias-bucketed
+    shuffle (all candidates of an alias land together) — the driver never
+    holds the raw candidate table, only the resolved one row per alias."""
+    from ..functions.shuffle import bucket_group_apply
+
+    return bucket_group_apply(
+        aliases, "alias", resolve_aliases, num_buckets=num_buckets
+    )
+
+
 def build_alias_index(
     aliases: pa.Table,
 ) -> dict[tuple[str, str], tuple[str, float]]:
     """(casefolded alias, ent_type) → (best entity_id, normalized score).
 
-    Ambiguity is resolved at index-build time (once), not per batch.
-    """
-    groups: dict[tuple[str, str], list[tuple[float, str]]] = {}
-    for alias, etype, eid, prior in zip(
-        aliases["alias"].to_pylist(),
-        aliases["ent_type"].to_pylist(),
-        aliases["entity_id"].to_pylist(),
-        aliases["prior"].to_pylist(),
-    ):
-        groups.setdefault((alias, etype), []).append((float(prior), eid))
-    index: dict[tuple[str, str], tuple[str, float]] = {}
-    for key, cands in groups.items():
-        total = sum(p for p, _ in cands)
-        # max prior wins; ties broken by smallest entity_id (deterministic)
-        best_p, best_id = sorted(cands, key=lambda c: (-c[0], c[1]))[0]
-        index[key] = (best_id, best_p / total if total > 0 else 0.0)
-    return index
+    Ambiguity is resolved at index-build time (once, vectorized), not per
+    batch; only the one-row-per-alias RESOLVED table is walked to build
+    the broadcast dict."""
+    best = resolve_aliases(aliases)
+    return {
+        (a, t): (e, s)
+        for a, t, e, s in zip(
+            best["alias"].to_pylist(),
+            best["ent_type"].to_pylist(),
+            best["entity_id"].to_pylist(),
+            best["score"].to_pylist(),
+        )
+    }
 
 
 class EntityLinker:
@@ -98,13 +148,35 @@ class EntityLinker:
 
 def link_mentions(
     mentions: ray.data.Dataset,
-    aliases: pa.Table,
+    aliases: "pa.Table | ray.data.Dataset",
     *,
     concurrency: int | None = None,
     batch_size: int = 4096,
 ) -> ray.data.Dataset:
-    """T1 → T3 via the broadcast alias index."""
-    index = build_alias_index(aliases)
+    """T1 → T3 via the broadcast alias index.
+
+    A Dataset alias side is resolved DISTRIBUTED first (one bucketed
+    shuffle reduces 10^8 raw candidate rows to one row per alias) before
+    the resolved table is collected for broadcast — the driver never walks
+    the raw candidate list."""
+    import ray.data as rd
+
+    if isinstance(aliases, rd.Dataset):
+        resolved = resolve_aliases_distributed(aliases)
+        from ..functions.joins import dataset_to_table
+
+        best = dataset_to_table(resolved.materialize())
+        index = {
+            (a, t): (e, s)
+            for a, t, e, s in zip(
+                best["alias"].to_pylist(),
+                best["ent_type"].to_pylist(),
+                best["entity_id"].to_pylist(),
+                best["score"].to_pylist(),
+            )
+        }
+    else:
+        index = build_alias_index(aliases)
     ref = ray.put(index) if ray.is_initialized() else index
     return mentions.map_batches(
         EntityLinker,

@@ -149,3 +149,107 @@ def test_contracted_equals_general_on_ambiguous_graph(ray_session):
     f = dict(zip(fast["member_id"], fast["canonical_id"]))
     s = dict(zip(slow["member_id"], slow["canonical_id"]))
     assert f == s
+
+
+def _triples_from_linked(linked_tbl):
+    """Synthetic T2: pair consecutive mentions within each conversation."""
+    import collections
+    import datetime as dt
+
+    from joint_entity_and_relation_extraction_ray.schema import TRIPLES
+
+    by_conv = collections.defaultdict(list)
+    for i in range(linked_tbl.num_rows):
+        by_conv[linked_tbl["conv_id"][i].as_py()].append(i)
+    rows = collections.defaultdict(list)
+    for conv, idxs in by_conv.items():
+        for a, b in zip(idxs, idxs[1:]):
+            rows["conv_id"].append(conv)
+            rows["turn_idx"].append(linked_tbl["turn_idx"][a].as_py())
+            rows["subj_mention_id"].append(linked_tbl["mention_id"][a].as_py())
+            rows["obj_mention_id"].append(linked_tbl["mention_id"][b].as_py())
+            rows["subj_surface"].append(linked_tbl["surface"][a].as_py())
+            rows["pred"].append("Rel")
+            rows["obj_surface"].append(linked_tbl["surface"][b].as_py())
+            rows["score"].append(0.9)
+            rows["ts"].append(dt.datetime(2024, 1, 1))
+    return pa.table(
+        {
+            "conv_id": rows["conv_id"],
+            "turn_idx": pa.array(rows["turn_idx"], pa.int32()),
+            "subj_mention_id": rows["subj_mention_id"],
+            "obj_mention_id": rows["obj_mention_id"],
+            "subj_surface": rows["subj_surface"],
+            "pred": rows["pred"],
+            "obj_surface": rows["obj_surface"],
+            "score": pa.array(rows["score"], pa.float32()),
+            "ts": pa.array(rows["ts"], pa.timestamp("us")),
+        },
+        schema=TRIPLES,
+    )
+
+
+def test_label_dataset_path_matches_broadcast(ray_session):
+    """Forcing the big-label Dataset path (broadcast_threshold=0) must give
+    byte-identical canon/edges/nodes inputs vs the broadcast-dict path —
+    the catalog-scale fallback is code, not a comment."""
+    from joint_entity_and_relation_extraction_ray.stages import fused
+
+    rng = np.random.default_rng(23)
+    linked_tbl = _random_linked(rng)
+    linked = ray.data.from_arrow(linked_tbl).materialize()
+    triples = ray.data.from_arrow(_triples_from_linked(linked_tbl)).materialize()
+    tagged = fused.build_tagged(linked, triples, num_buckets=8).materialize()
+
+    lab_small = fused.entity_labels(tagged)  # broadcast dict path
+    lab_big = fused.entity_labels(tagged, broadcast_threshold=0)
+    assert isinstance(lab_big, ray.data.Dataset)  # forced Dataset path
+
+    canon_a = fused.canon_from_tagged(tagged, lab_small).to_pandas()
+    canon_b = fused.canon_from_tagged(tagged, lab_big).to_pandas()
+    key = ["member_id"]
+    assert (
+        canon_a.sort_values(key).reset_index(drop=True)
+        .equals(canon_b.sort_values(key).reset_index(drop=True))
+    )
+
+    rw_a = fused.rewritten_from_tagged(tagged, lab_small).to_pandas()
+    rw_b = fused.rewritten_from_tagged(tagged, lab_big).to_pandas()
+    k2 = ["subj_id", "pred", "obj_id", "ts"]
+    assert (
+        rw_a.sort_values(k2).reset_index(drop=True)[k2]
+        .equals(rw_b.sort_values(k2).reset_index(drop=True)[k2])
+    )
+
+    nr_a = fused.node_rows_from_tagged(tagged, lab_small).to_pandas()
+    nr_b = fused.node_rows_from_tagged(tagged, lab_big).to_pandas()
+    k3 = ["canonical_id", "surface", "ent_type"]
+    assert (
+        nr_a.sort_values(k3).reset_index(drop=True)[k3]
+        .equals(nr_b.sort_values(k3).reset_index(drop=True)[k3])
+    )
+
+
+def test_resolve_aliases_distributed_matches_local(ray_session, sf0001_corpus):
+    """Catalog-scale alias resolution (bucketed shuffle) must equal the
+    local vectorized resolve exactly."""
+    from joint_entity_and_relation_extraction_ray.stages.linker import (
+        resolve_aliases,
+        resolve_aliases_distributed,
+    )
+
+    aliases = pq.read_table(sf0001_corpus / "aliases.parquet")
+    local = resolve_aliases(aliases).to_pandas()
+    dist = (
+        resolve_aliases_distributed(
+            ray.data.from_arrow(aliases), num_buckets=8
+        )
+        .to_pandas()
+    )
+    key = ["alias", "ent_type"]
+    local = local.sort_values(key).reset_index(drop=True)
+    dist = dist.sort_values(key).reset_index(drop=True)
+    assert local[["alias", "ent_type", "entity_id"]].equals(
+        dist[["alias", "ent_type", "entity_id"]]
+    )
+    assert (local["score"] - dist["score"]).abs().max() < 1e-12

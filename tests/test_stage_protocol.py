@@ -1,0 +1,115 @@
+"""Stage protocol: pipelines as data, schema contracts, drop-in operators
+(SURVEY.md §2.2 "user-extension surface")."""
+
+import pyarrow as pa
+import pyarrow.compute as pc
+import pytest
+import ray.data
+
+from joint_entity_and_relation_extraction_ray.pipelines.run import (
+    CombinedStage,
+    _FnStage,
+    kg_stages,
+    run_checkpointed,
+)
+from joint_entity_and_relation_extraction_ray.pipelines.stage import (
+    run_pipeline,
+)
+
+
+def _src_stage(name="src", n=10):
+    return _FnStage(
+        name,
+        [],
+        lambda u: ray.data.from_arrow(
+            pa.table({"x": pa.array(range(n), pa.int64())})
+        ),
+        output_schema=pa.schema([("x", pa.int64())]),
+    )
+
+
+def test_run_pipeline_basic(ray_session):
+    doubled = _FnStage(
+        "doubled",
+        ["src"],
+        lambda u: u["src"].map_batches(
+            lambda t: pa.table({"x": pc.multiply(t["x"], 2)}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+    )
+    out = run_pipeline([_src_stage(), doubled])
+    assert sorted(out["doubled"].to_pandas()["x"]) == [i * 2 for i in range(10)]
+
+
+def test_run_pipeline_rejects_unordered_deps(ray_session):
+    dangling = _FnStage("b", ["a"], lambda u: u["a"])
+    with pytest.raises(ValueError, match="topologically"):
+        run_pipeline([dangling])
+
+
+def test_output_schema_contract_enforced(ray_session):
+    lying = _FnStage(
+        "bad",
+        [],
+        lambda u: ray.data.from_arrow(pa.table({"y": ["oops"]})),
+        output_schema=pa.schema([("x", pa.int64())]),
+    )
+    with pytest.raises(ValueError, match="missing declared column"):
+        run_pipeline([lying])
+
+
+def test_custom_scorer_injection(ray_session, sf0001_corpus, tmp_path):
+    """Drop-in operator: replace the scorer stage with a subclass and run
+    the FULL checkpointed pipeline — downstream stages consume the custom
+    output untouched."""
+
+    class CustomScorer(CombinedStage):
+        def apply_shard(self, k, upstream, ctx):
+            ds = super().apply_shard(k, upstream, ctx)
+
+            def _rebrand(t: pa.Table) -> pa.Table:
+                pred = pc.binary_join_element_wise(
+                    pa.array(["custom"] * len(t), pa.string()),
+                    pc.coalesce(t["pred"], ""),
+                    "_",
+                )
+                pred = pc.if_else(pc.is_valid(t["pred"]), pred, t["pred"])
+                return t.set_column(
+                    t.schema.get_field_index("pred"), "pred", pred
+                )
+
+            return ds.map_batches(
+                _rebrand, batch_format="pyarrow", zero_copy_batch=True
+            )
+
+    stages = kg_stages(
+        str(sf0001_corpus / "transcripts"),
+        str(sf0001_corpus / "aliases.parquet"),
+        str(sf0001_corpus / "entities.parquet"),
+    )
+    default = stages[0]
+    assert isinstance(default, CombinedStage)
+    custom = CustomScorer(
+        default.src_files,
+        default.src_sigs,
+        default.aliases,
+        default.alias_sig,
+        default.batch_size,
+        default.concurrency,
+    )
+    m = run_checkpointed(
+        str(sf0001_corpus / "transcripts"),
+        str(sf0001_corpus / "aliases.parquet"),
+        str(sf0001_corpus / "entities.parquet"),
+        str(tmp_path / "out"),
+        stages=[custom] + stages[1:],
+    )
+    assert m["stages"]["triples"] > 0
+    triples = ray.data.read_parquet(str(tmp_path / "out" / "triples"))
+    preds = set(triples.to_pandas()["pred"])
+    assert preds and all(p.startswith("custom_") for p in preds)
+    edges = ray.data.read_parquet(str(tmp_path / "out" / "edges"))
+    assert all(
+        p.startswith("custom_") for p in set(edges.to_pandas()["pred"])
+    )
