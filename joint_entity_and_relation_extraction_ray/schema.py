@@ -33,7 +33,8 @@ REL2IDX: dict[str, int] = {r: i for i, r in enumerate(REL_TYPES)}
 REL_THRESHOLD: float = 0.5
 
 # ---------------------------------------------------------------------------
-# Stage-boundary schemas (SURVEY.md §1.2, T0..T6 + METRICS)
+# Stage-boundary schemas (SURVEY.md §1.2, T0..T6; per-stage metrics
+# live in the checkpointer's metrics.jsonl, state/checkpoint.py)
 # ---------------------------------------------------------------------------
 
 # T0 — input transcripts, exactly the input_hint shape (BASELINE.json:15).
@@ -108,17 +109,6 @@ EDGES = pa.schema(
         ("first_ts", pa.timestamp("us")),
         ("last_ts", pa.timestamp("us")),
         ("part", pa.int32()),
-    ]
-)
-
-METRICS = pa.schema(
-    [
-        ("stage", pa.string()),
-        ("partition_id", pa.int32()),
-        ("rows_in", pa.int64()),
-        ("rows_out", pa.int64()),
-        ("wall_s", pa.float64()),
-        ("input_fingerprint", pa.string()),
     ]
 )
 

@@ -139,18 +139,32 @@ def shingle_docs(docs: ray.data.Dataset, *, k: int = 3) -> ray.data.Dataset:
 def _band_keys(
     sigs: np.ndarray, doc_ids: list[int], rows_per_band: int
 ) -> pa.Table:
+    """Band signatures → int64 band keys, fully vectorized.
+
+    The key is a splitmix-style MIX of the band's signature values + the
+    band index — 8 bytes through the shuffle instead of a ~45-byte string,
+    no per-row Python. Equal band signatures always produce equal keys
+    (recall is exact); a rare mix collision only MERGES two buckets, which
+    adds candidate pairs that the exact-Jaccard verify removes."""
     n_docs, num_perm = sigs.shape
     n_bands = num_perm // rows_per_band
     banded = sigs.reshape(n_docs, n_bands, rows_per_band)
-    keys, dids = [], []
-    for d in range(n_docs):
-        for b in range(n_bands):
-            keys.append(
-                f"{b}:" + "_".join(str(int(x)) for x in banded[d, b])
-            )
-            dids.append(doc_ids[d])
+    with np.errstate(over="ignore"):
+        h = np.full((n_docs, n_bands), 0x243F6A8885A308D3, dtype=np.uint64)
+        for r in range(rows_per_band):
+            h ^= banded[:, :, r]
+            h *= np.uint64(0x9E3779B97F4A7C15)
+            h ^= h >> np.uint64(29)
+        h ^= np.arange(n_bands, dtype=np.uint64)[None, :] * np.uint64(
+            0xBF58476D1CE4E5B9
+        )
+    keys = h.reshape(-1).view(np.int64)
+    dids = np.repeat(np.asarray(doc_ids, dtype=np.int64), n_bands)
     return pa.table(
-        {"band_key": pa.array(keys, pa.string()), "doc_id": pa.array(dids, pa.int64())}
+        {
+            "band_key": pa.array(keys, pa.int64()),
+            "doc_id": pa.array(dids, pa.int64()),
+        }
     )
 
 
@@ -229,7 +243,14 @@ def verify_jaccard_pairs(
     Shingle sets travel through the joins as one ``\\x1f``-joined string
     per doc (hash joins don't take list-typed payload columns); shingles
     themselves never contain ``\\x1f`` (they're \\S+ tokens + spaces).
+
+    The candidate pair set is normally ≪ the corpus, so the shingle side
+    is SEMI-JOIN-reduced first: the candidate doc-id set is broadcast and
+    each corpus batch filters to ids that appear in some pair before
+    serialization — the joins then touch only candidate docs, not the
+    whole corpus.
     """
+    pairs = pairs.materialize()
 
     def _ser(t: pa.Table, side: str) -> pa.Table:
         return pa.table(
@@ -239,6 +260,85 @@ def verify_jaccard_pairs(
             }
         )
 
+    if pairs.count() <= 1_000_000:
+        # FAST PATH: candidate ids fit on the driver → broadcast-filter
+        # the corpus to candidate docs, broadcast their serialized shingle
+        # sets once, and verify every pair in a single stateless map —
+        # zero joins, zero actor pools.
+        ptbl = dataset_to_table(pairs)
+        ids = np.unique(
+            np.concatenate(
+                [
+                    ptbl["doc_a"].to_numpy(zero_copy_only=False),
+                    ptbl["doc_b"].to_numpy(zero_copy_only=False),
+                ]
+            )
+            if ptbl.num_rows
+            else np.empty(0, dtype=np.int64)
+        )
+        id_ref = ray.put(ids) if ray.is_initialized() else ids
+
+        def _reduce_side(t: pa.Table) -> pa.Table:
+            want = (
+                ray.get(id_ref) if isinstance(id_ref, ray.ObjectRef) else id_ref
+            )
+            keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), want)
+            f = t.filter(pa.array(keep))
+            return pa.table(
+                {
+                    "doc_id": f["doc_id"],
+                    "sh": pc.binary_join(f["shingles"], "\x1f"),
+                }
+            )
+
+        red = dataset_to_table(
+            shingled.map_batches(
+                _reduce_side, batch_format="pyarrow", zero_copy_batch=True
+            ).materialize()
+        )
+        lut_ids = red["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(lut_ids)
+        lut = (
+            lut_ids[order],
+            np.asarray(red["sh"].to_pylist(), dtype=object)[order],
+        )
+        lut_ref = ray.put(lut) if ray.is_initialized() else lut
+
+        def _verify_direct(t: pa.Table) -> pa.Table:
+            sids, sh = (
+                ray.get(lut_ref)
+                if isinstance(lut_ref, ray.ObjectRef)
+                else lut_ref
+            )
+            a = t["doc_a"].to_numpy(zero_copy_only=False)
+            b = t["doc_b"].to_numpy(zero_copy_only=False)
+            ia = np.clip(np.searchsorted(sids, a), 0, max(len(sids) - 1, 0))
+            ib = np.clip(np.searchsorted(sids, b), 0, max(len(sids) - 1, 0))
+            if len(sids):
+                ok = (sids[ia] == a) & (sids[ib] == b)  # ids not in the LUT
+                a, b, ia, ib = a[ok], b[ok], ia[ok], ib[ok]
+            keep_a, keep_b = [], []
+            for da, db, x, y in zip(a, b, ia, ib):
+                A = set(sh[x].split("\x1f")) if sh[x] else set()
+                B = set(sh[y].split("\x1f")) if sh[y] else set()
+                union = len(A | B)
+                if union and len(A & B) / union >= threshold:
+                    keep_a.append(da)
+                    keep_b.append(db)
+            return pa.table(
+                {
+                    "doc_a": pa.array(keep_a, pa.int64()),
+                    "doc_b": pa.array(keep_b, pa.int64()),
+                }
+            )
+
+        return pairs.map_batches(
+            _verify_direct, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # SCALE PATH: pair set too big for a driver-side id set — hash joins
+    # of the serialized shingle table against the pairs (auto broadcast /
+    # shuffle per side size)
     sh_a = shingled.map_batches(
         lambda t: _ser(t, "a"), batch_format="pyarrow", zero_copy_batch=True
     )
@@ -345,21 +445,26 @@ def simhash_near_pairs(
     fp = simhash_fingerprints(docs)
 
     def _bands(t: pa.Table) -> pa.Table:
+        # int64 band keys (band_idx << 16 | 16-bit slice), fully vectorized
         sim = np.array(t["simhash"].to_pylist(), dtype=np.int64).view(np.uint64)
-        ids = t["doc_id"].to_pylist()
-        keys, dids, sims = [], [], []
-        for b in range(4):
-            part = (sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)
-            for i, d in enumerate(ids):
-                keys.append(f"{b}:{int(part[i])}")
-                dids.append(d)
-                sims.append(int(sim[i]))
+        ids = np.asarray(t["doc_id"].to_pylist(), dtype=np.int64)
+        keys = np.concatenate(
+            [
+                (
+                    ((sim >> np.uint64(16 * b)) & np.uint64(0xFFFF)).astype(
+                        np.int64
+                    )
+                    | (b << 16)
+                )
+                for b in range(4)
+            ]
+        )
         return pa.table(
             {
-                "band_key": pa.array(keys, pa.string()),
-                "doc_id": pa.array(dids, pa.int64()),
+                "band_key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(np.tile(ids, 4), pa.int64()),
                 "simhash": pa.array(
-                    np.array(sims, dtype=np.uint64).view(np.int64), pa.int64()
+                    np.tile(sim, 4).view(np.int64), pa.int64()
                 ),
             }
         )
