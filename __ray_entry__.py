@@ -150,6 +150,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_eval_triples": _q_kg_eval_triples,
         # training-data corpus ops over the driver's own tables
         "doc_stats": co.q_doc_stats,
+        "token_counts": co.q_token_counts,
+        "quality_filter": co.q_quality_filter,
         "lang_id": co.q_lang_id,
         "doc_fingerprint": co.q_doc_fingerprint,
         "doc_winnow": co.q_doc_winnow,  # rows-only (winnowing not in SQL)
@@ -164,6 +166,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multimodal_features": co.q_multimodal_features,
         "sessionize": co.q_sessionize,
         "events_daily": co.q_events_daily,
+        "events_daily_approx": co.q_events_daily_approx,  # rows-only (HLL)
         "sample_hash": co.q_sample_hash,
         "sample_random": co.q_sample_random,  # rows-only (Ray-seeded sampler)
     }
@@ -324,6 +327,41 @@ def oracle_sql() -> dict[str, str]:
                    len(list_filter(t, x -> x IN ('the','a'))) AS n_stopwords,
                    len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
             FROM toks
+        """,
+        "token_counts": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            flat AS (SELECT doc_id, unnest(t) AS token FROM toks)
+            SELECT token,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM flat
+            GROUP BY 1
+            ORDER BY n_occurrences DESC, token
+            LIMIT 100
+        """,
+        "quality_filter": """
+            WITH toks AS (
+                SELECT doc_id, text,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            s AS (
+                SELECT doc_id,
+                       length(text) AS n_chars,
+                       len(t) AS n_tokens,
+                       list_max(list_transform(t, x -> length(x))) AS max_token_len,
+                       len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS n_punct
+                FROM toks)
+            SELECT doc_id, n_tokens
+            FROM s
+            WHERE n_tokens >= 5 AND max_token_len <= 40
+              AND n_punct * 10 <= n_chars
         """,
         "lang_id": """
             WITH toks AS (

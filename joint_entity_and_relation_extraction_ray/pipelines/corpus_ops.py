@@ -66,6 +66,89 @@ def q_doc_winnow(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_token_counts(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Corpus token frequencies, top-k (vocabulary building): per-block
+    partial counts (combiner) → one token-bucketed merge shuffle → global
+    top-k by (count desc, token asc). The shuffle moves one row per
+    (block, distinct token), never the corpus."""
+    from ..functions.shuffle import bucket_group_apply
+
+    _SCHEMA = pa.schema(
+        [
+            ("token", pa.string()),
+            ("n_occurrences", pa.int64()),
+            ("n_docs", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        ex = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("token"),
+            )
+            .explode("token")
+            .drop_nulls("token")
+        )
+        # n_docs sums exactly across blocks: a doc is one row, so all its
+        # tokens land in one block's partial
+        per = ex.group_by("token").agg(
+            pl.len().alias("n_occurrences"),
+            pl.col("doc_id").n_unique().alias("n_docs"),
+        )
+        return per.to_arrow().cast(_SCHEMA)
+
+    partials = read_documents(sf_dir).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by("token")
+            .agg(
+                pl.col("n_occurrences").sum(),
+                pl.col("n_docs").sum(),
+            )
+            .to_arrow()
+            .cast(_SCHEMA)
+        )
+
+    agg = bucket_group_apply(partials, "token", _merge, num_buckets=32)
+    return agg.sort(
+        ["n_occurrences", "token"], descending=[True, False]
+    ).limit(k)
+
+
+def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
+    """Quality gate over integer doc statistics: keep docs with ≥5 tokens,
+    max token length ≤40 and punctuation ≤10% of chars — the standard
+    pretraining-corpus heuristic filter, integer-only so the oracle
+    compare is float-free."""
+
+    def _f(t: pa.Table) -> pa.Table:
+        s = textstats.doc_stats(t)
+        keep = pa.compute.and_(
+            pa.compute.and_(
+                pa.compute.greater_equal(s["n_tokens"], 5),
+                pa.compute.less_equal(s["max_token_len"], 40),
+            ),
+            pa.compute.less_equal(
+                pa.compute.multiply(s["n_punct"], 10), s["n_chars"]
+            ),
+        )
+        return s.filter(keep).select(["doc_id", "n_tokens"])
+
+    return read_documents(sf_dir).map_batches(
+        _f, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --- dedup -----------------------------------------------------------------
 
 
@@ -168,6 +251,16 @@ def q_events_daily(sf_dir: str) -> ray.data.Dataset:
     from ..stages import events
 
     return events.daily_rollup(
+        events.read_events(sf_dir, ["event_type", "ts", "user_id", "value"])
+    )
+
+
+def q_events_daily_approx(sf_dir: str) -> ray.data.Dataset:
+    """HLL-sketched daily rollup (rows-only: n_users is a ±1.6% estimate;
+    accuracy bounds are pytest-asserted vs the exact rollup)."""
+    from ..stages import events
+
+    return events.daily_rollup_approx(
         events.read_events(sf_dir, ["event_type", "ts", "user_id", "value"])
     )
 

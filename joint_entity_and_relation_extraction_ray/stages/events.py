@@ -12,6 +12,7 @@ every sessionizer makes.
 
 from __future__ import annotations
 
+import numpy as np
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
@@ -135,3 +136,130 @@ def daily_rollup(
         ["event_type", "ts", "user_id", "value"]
     ).map_batches(_with_gkey, batch_format="pyarrow", zero_copy_batch=True)
     return bucket_group_apply(keyed, "_gkey", _roll, num_buckets=num_buckets)
+
+
+def daily_rollup_approx(
+    events: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Sketch-based daily rollup: identical shape to :func:`daily_rollup`
+    but ``n_users`` is an HLL estimate (±~1.6%), which makes the whole
+    aggregate DECOMPOSABLE — each block pre-aggregates to one partial row
+    per (event_type, day) holding counts, min/max and a 4 KB register
+    array, and the shuffle moves partials instead of raw rows. At 100 TB
+    this is the difference between shipping every user id and shipping
+    blocks × groups × 4 KB (driver brief: per-block combiner before the
+    groupby; exact distinct is not decomposable without a sketch).
+    """
+    from ..functions.sketch import (
+        hll_add,
+        hll_count,
+        hll_deserialize,
+        hll_empty,
+        hll_serialize,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.int64()),
+                    "n_events": pa.array([], pa.int64()),
+                    "min_value": pa.array([], pa.float64()),
+                    "max_value": pa.array([], pa.float64()),
+                    "hll": pa.array([], pa.binary()),
+                }
+            )
+        days = (
+            t["ts"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+            // 86_400_000_000
+        )
+        df = pl.from_arrow(
+            pa.table(
+                {
+                    "event_type": t["event_type"],
+                    "day": pa.array(days, pa.int64()),
+                    "user_id": t["user_id"],
+                    "value": t["value"],
+                }
+            )
+        )
+        grp = df.group_by(["event_type", "day"]).agg(
+            pl.len().alias("n_events"),
+            pl.col("value").min().alias("min_value"),
+            pl.col("value").max().alias("max_value"),
+            pl.col("user_id").alias("users"),
+        )
+        sketches = [
+            hll_serialize(hll_add(hll_empty(), np.asarray(u)))
+            for u in grp["users"].to_list()
+        ]
+        out = grp.drop("users").to_arrow()
+        return out.append_column("hll", pa.array(sketches, pa.binary()))
+
+    partials = events.select_columns(
+        ["event_type", "ts", "user_id", "value"]
+    ).map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _with_gkey(t: pa.Table) -> pa.Table:
+        gkey = pc.binary_join_element_wise(
+            t["event_type"].cast(pa.string()),
+            pc.cast(t["day"], pa.string()),
+            ":",
+        )
+        return t.append_column("_gkey", gkey)
+
+    keyed = partials.map_batches(
+        _with_gkey, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "event_type": pa.array([], pa.string()),
+                    "day": pa.array([], pa.date32()),
+                    "n_events": pa.array([], pa.int64()),
+                    "n_users_approx": pa.array([], pa.int64()),
+                    "min_value": pa.array([], pa.float64()),
+                    "max_value": pa.array([], pa.float64()),
+                }
+            )
+        df = pl.from_arrow(t.drop_columns(["_gkey"]))
+        grp = df.group_by(["event_type", "day"]).agg(
+            pl.col("n_events").sum().alias("n_events"),
+            pl.col("min_value").min().alias("min_value"),
+            pl.col("max_value").max().alias("max_value"),
+            pl.col("hll").alias("sketches"),
+        )
+        n_users = [
+            hll_count(
+                np.maximum.reduce([hll_deserialize(s) for s in sketches])
+            )
+            for sketches in grp["sketches"].to_list()
+        ]
+        out = grp.drop("sketches").with_columns(
+            pl.Series("n_users_approx", n_users, dtype=pl.Int64),
+            pl.from_epoch(pl.col("day"), time_unit="d").cast(pl.Date),
+        )
+        return out.select(
+            ["event_type", "day", "n_events", "n_users_approx",
+             "min_value", "max_value"]
+        ).to_arrow().cast(
+            pa.schema(
+                [
+                    ("event_type", pa.string()),
+                    ("day", pa.date32()),
+                    ("n_events", pa.int64()),
+                    ("n_users_approx", pa.int64()),
+                    ("min_value", pa.float64()),
+                    ("max_value", pa.float64()),
+                ]
+            )
+        )
+
+    return bucket_group_apply(keyed, "_gkey", _merge, num_buckets=num_buckets)
