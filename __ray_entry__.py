@@ -164,6 +164,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "ann_topk": co.q_ann_topk,
         "ann_topk_ivf": co.q_ann_topk_ivf,  # rows-only (approx)
         "multimodal_features": co.q_multimodal_features,
+        "multimodal_resize": co.q_multimodal_resize,
+        "multimodal_frames": co.q_multimodal_frames,
         "sessionize": co.q_sessionize,
         "events_daily": co.q_events_daily,
         "events_daily_approx": co.q_events_daily_approx,  # rows-only (HLL)
@@ -452,6 +454,35 @@ def oracle_sql() -> dict[str, str]:
                    strlen(text) AS n_bytes,
                    sha256(text) AS digest
             FROM documents
+        """,
+        "multimodal_resize": """
+            WITH d AS (
+                SELECT doc_id AS media_id,
+                       64 + strlen(text) % 512 AS width,
+                       64 + (strlen(text) // 7) % 512 AS height
+                FROM documents)
+            SELECT media_id, width, height,
+                   CASE WHEN greatest(width, height) > 256
+                        THEN width * 256 // greatest(width, height)
+                        ELSE width END AS out_width,
+                   CASE WHEN greatest(width, height) > 256
+                        THEN height * 256 // greatest(width, height)
+                        ELSE height END AS out_height
+            FROM d
+        """,
+        "multimodal_frames": """
+            WITH f AS (
+                SELECT doc_id AS media_id,
+                       1 + strlen(text) % 60 AS n_frames
+                FROM documents),
+            s AS (
+                SELECT media_id, n_frames,
+                       greatest(1, n_frames // 8) AS stride
+                FROM f)
+            SELECT media_id,
+                   unnest(range(0, n_frames, stride)) AS frame_idx,
+                   n_frames
+            FROM s
         """,
         "kg_nodes": f"""
             WITH best AS (

@@ -213,10 +213,8 @@ def q_ann_topk_ivf(sf_dir: str) -> ray.data.Dataset:
 # --- multimodal (stubbed decode, real plumbing) ----------------------------
 
 
-def q_multimodal_features(sf_dir: str) -> ray.data.Dataset:
-    """documents.text encoded as an opaque binary payload → actor-pool
-    featurizer. Query output is the SQL-checkable part (n_bytes, sha256);
-    the fake feature vector is exercised in pytest."""
+def _media_of(sf_dir: str) -> ray.data.Dataset:
+    """documents.text encoded as an opaque binary payload (MEDIA_SCHEMA)."""
 
     def _to_media(t: pa.Table) -> pa.Table:
         texts = t["text"].to_pylist()
@@ -230,11 +228,33 @@ def q_multimodal_features(sf_dir: str) -> ray.data.Dataset:
             }
         )
 
-    media = read_documents(sf_dir).map_batches(
+    return read_documents(sf_dir).map_batches(
         _to_media, batch_format="pyarrow", zero_copy_batch=True
     )
-    return multimodal.featurize(media).select_columns(
+
+
+def q_multimodal_features(sf_dir: str) -> ray.data.Dataset:
+    """Binary payload → actor-pool featurizer. Query output is the
+    SQL-checkable part (n_bytes, sha256); the fake feature vector is
+    exercised in pytest."""
+    return multimodal.featurize(_media_of(sf_dir)).select_columns(
         ["media_id", "n_bytes", "digest"]
+    )
+
+
+def q_multimodal_resize(sf_dir: str) -> ray.data.Dataset:
+    """Actor-pool resize stage; the aspect-preserving integer geometry is
+    oracle-checked (the pixel decode itself is the stubbed codec seam)."""
+    return multimodal.resize(_media_of(sf_dir)).select_columns(
+        ["media_id", "width", "height", "out_width", "out_height"]
+    )
+
+
+def q_multimodal_frames(sf_dir: str) -> ray.data.Dataset:
+    """Actor-pool frame sampler (flat-map: one video row → K frame rows);
+    uniform-stride sampling math is oracle-checked."""
+    return multimodal.sample_frames(_media_of(sf_dir)).select_columns(
+        ["media_id", "frame_idx", "n_frames"]
     )
 
 

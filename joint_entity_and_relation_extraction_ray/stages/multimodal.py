@@ -109,3 +109,130 @@ def featurize(
         batch_size=batch_size,
         concurrency=concurrency,
     )
+
+
+class ImageResizer:
+    """Actor-pool resize stage: payload in → bounded-dimension payload out.
+
+    The codec seam is stubbed (no image libs here): the surrogate derives
+    source dimensions DETERMINISTICALLY from the payload byte length
+    (w₀ = 64 + n%512, h₀ = 64 + (n//7)%512 — chosen to be SQL-mirrorable
+    so the geometry is oracle-checked), and "resizes" with the real
+    aspect-preserving integer math a production resizer uses:
+    out = dim × max_dim // max(w₀, h₀) when the max exceeds ``max_dim``.
+    The output payload stays a real binary column (marker + digest) so
+    downstream plumbing handles bytes, not placeholders.
+    """
+
+    def __init__(self, max_dim: int = 256, use_fake_decoder: bool = True):
+        if not use_fake_decoder:
+            raise NotImplementedError(
+                "no image codec in this environment; use the deterministic "
+                "surrogate (use_fake_decoder=True)"
+            )
+        self.max_dim = max_dim
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        n = np.array([len(p) for p in payloads], dtype=np.int64)
+        w0 = 64 + n % 512
+        h0 = 64 + (n // 7) % 512
+        m = np.maximum(w0, h0)
+        scale = m > self.max_dim
+        out_w = np.where(scale, w0 * self.max_dim // m, w0)
+        out_h = np.where(scale, h0 * self.max_dim // m, h0)
+        out_payload = [
+            b"RSZ0" + hashlib.sha256(p).digest()[:16] for p in payloads
+        ]
+        return pa.table(
+            {
+                "media_id": batch["media_id"],
+                "width": pa.array(w0, pa.int64()),
+                "height": pa.array(h0, pa.int64()),
+                "out_width": pa.array(out_w, pa.int64()),
+                "out_height": pa.array(out_h, pa.int64()),
+                "payload": pa.array(out_payload, pa.binary()),
+            }
+        )
+
+
+def resize(
+    media: ray.data.Dataset,
+    *,
+    max_dim: int = 256,
+    concurrency: int = 4,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    return media.map_batches(
+        ImageResizer,
+        fn_constructor_kwargs={"max_dim": max_dim},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
+class FrameSampler:
+    """Actor-pool frame-sampling stage (video → frame rows, flat-map
+    semantics: one input row becomes ``ceil(n_frames/stride)`` rows).
+
+    Codec seam stubbed: the surrogate derives the frame count from the
+    payload length (n_frames = 1 + n%60, SQL-mirrorable) and samples
+    every ``stride = max(1, n_frames // target_frames)``-th frame — the
+    real uniform-sampling math. Frame payloads are real binary rows
+    (marker + digest + frame index)."""
+
+    def __init__(self, target_frames: int = 8, use_fake_decoder: bool = True):
+        if not use_fake_decoder:
+            raise NotImplementedError(
+                "no video codec in this environment; use the deterministic "
+                "surrogate (use_fake_decoder=True)"
+            )
+        self.target_frames = target_frames
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        payloads = batch["payload"].to_pylist()
+        ids = batch["media_id"].to_numpy(zero_copy_only=False)
+        n = np.array([len(p) for p in payloads], dtype=np.int64)
+        n_frames = 1 + n % 60
+        stride = np.maximum(1, n_frames // self.target_frames)
+        counts = (n_frames + stride - 1) // stride  # ceil division
+        out_ids = np.repeat(ids, counts)
+        out_nf = np.repeat(n_frames, counts)
+        # frame_idx = 0, stride, 2*stride, ... per row — vectorized ranges
+        total = int(counts.sum())
+        ends = np.cumsum(counts)
+        starts = ends - counts
+        within = np.arange(total, dtype=np.int64) - np.repeat(starts, counts)
+        out_idx = within * np.repeat(stride, counts)
+        digests = [hashlib.sha256(p).digest()[:16] for p in payloads]
+        frame_payloads = [
+            b"FRM0" + digests[row] + int(fi).to_bytes(4, "little")
+            for row, fi in zip(np.repeat(np.arange(len(n)), counts), out_idx)
+        ]
+        return pa.table(
+            {
+                "media_id": pa.array(out_ids, pa.int64()),
+                "frame_idx": pa.array(out_idx, pa.int64()),
+                "n_frames": pa.array(out_nf, pa.int64()),
+                "payload": pa.array(frame_payloads, pa.binary()),
+            }
+        )
+
+
+def sample_frames(
+    media: ray.data.Dataset,
+    *,
+    target_frames: int = 8,
+    concurrency: int = 4,
+    batch_size: int = 64,
+) -> ray.data.Dataset:
+    return media.map_batches(
+        FrameSampler,
+        fn_constructor_kwargs={"target_frames": target_frames},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        batch_size=batch_size,
+        concurrency=concurrency,
+    )

@@ -222,3 +222,47 @@ def test_multimodal_featurize_pipeline(ray_session):
     assert list(out["n_bytes"]) == [3, 5]
     assert all(len(d) == 64 for d in out["digest"])
     assert all(len(f) == multimodal.FEATURE_DIM for f in out["feature"])
+
+
+def test_multimodal_resize_geometry(ray_session):
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([1, 2], pa.int64()),
+                "media_type": ["image", "image"],
+                # len 700 -> w0=64+188=252, h0=64+100=164 (no scale);
+                # len 448 -> w0=64+448=512, h0=64+64=128 (scale to 256)
+                "payload": pa.array([b"x" * 700, b"y" * 448], pa.binary()),
+            }
+        )
+    )
+    out = _collect(multimodal.resize(media, concurrency=2, batch_size=1))
+    out = out.sort_values("media_id").reset_index(drop=True)
+    assert list(out["width"]) == [252, 512]
+    assert list(out["out_width"]) == [252, 256]
+    assert list(out["out_height"]) == [164, 128 * 256 // 512]
+    assert all(isinstance(p, bytes) and p.startswith(b"RSZ0")
+               for p in out["payload"])
+    with pytest.raises(NotImplementedError):
+        multimodal.ImageResizer(use_fake_decoder=False)
+
+
+def test_multimodal_frame_sampling_flatmap(ray_session):
+    media = ray.data.from_arrow(
+        pa.table(
+            {
+                "media_id": pa.array([7], pa.int64()),
+                "media_type": ["video"],
+                # len 130 -> n_frames = 1 + 130%60 = 11, stride = 1 -> 11 rows
+                "payload": pa.array([b"v" * 130], pa.binary()),
+            }
+        )
+    )
+    out = _collect(multimodal.sample_frames(media))
+    assert list(out["frame_idx"]) == list(range(11))
+    assert set(out["n_frames"]) == {11}
+    assert all(p.startswith(b"FRM0") for p in out["payload"])
+    # distinct frame payloads per frame_idx (real binary rows)
+    assert out["payload"].nunique() == 11
+    with pytest.raises(NotImplementedError):
+        multimodal.FrameSampler(use_fake_decoder=False)
