@@ -46,6 +46,19 @@ def read_transcripts(
     )
 
 
+def ordered_turns(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """O1 stable turn order: globally sorted ``(conv_id, turn_idx)`` view.
+
+    Ray Data executes unordered by default; pipelines that only need the
+    per-turn text-equality INVARIANT join on the key instead (free). This
+    explicit sort is for outputs a consumer will READ in order (exports,
+    sequence-model training shards). A sort is the Ray-idiomatic choice
+    over ``preserve_order=True``, which serializes the whole streaming
+    executor to preserve an input order nobody defined for parquet shards.
+    """
+    return ds.sort(["conv_id", "turn_idx"])
+
+
 def clean_turns(
     ds: ray.data.Dataset,
     *,

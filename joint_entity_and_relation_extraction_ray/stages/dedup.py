@@ -115,6 +115,39 @@ def exact_dedup(docs: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def dedup_rows(
+    ds: ray.data.Dataset,
+    key: str,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Generic keep-one-per-key distinct (D2): one bucketed shuffle; the
+    survivor is deterministic — rows sort by ALL columns inside each
+    bucket before keep-first, so the result is independent of block
+    arrival order. For scalar-column schemas (sorting list columns is not
+    supported); duplicate mention rows from overlapping decode or dirty
+    reruns are the canonical use (``dedup_rows(mentions, "mention_id")``).
+    """
+
+    def _d(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return t
+        df = pl.from_arrow(t)
+        out = (
+            df.sort(df.columns)
+            .unique(subset=[key], keep="first", maintain_order=True)
+            .to_arrow()
+        )
+        return pa.Table.from_arrays(
+            [out[n].cast(t.schema.field(n).type) for n in t.schema.names],
+            schema=t.schema,
+        )
+
+    return bucket_group_apply(ds, key, _d, num_buckets=num_buckets)
+
+
 # ---------------------------------------------------------------------------
 # MinHash + LSH near-dup pairs, verified by true n-gram Jaccard
 # ---------------------------------------------------------------------------

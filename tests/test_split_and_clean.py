@@ -156,3 +156,45 @@ def test_clean_turns_dense_input_passes(ray_session):
         clean_turns(_dirty(rows), num_buckets=2, assert_dense=True).count()
         == 3
     )
+
+
+def test_ordered_turns_global_order(ray_session):
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        ordered_turns,
+    )
+
+    rows = [("c2", 1, "d"), ("c1", 1, "b"), ("c2", 0, "c"), ("c1", 0, "a")]
+    out = ordered_turns(_dirty(rows)).to_pandas()
+    assert list(zip(out["conv_id"], out["turn_idx"])) == [
+        ("c1", 0), ("c1", 1), ("c2", 0), ("c2", 1)
+    ]
+
+
+def test_dedup_rows_keep_first_deterministic(ray_session):
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.stages.dedup import dedup_rows
+
+    def _ds(order):
+        rows = [("m1", "x"), ("m1", "a"), ("m2", "z")]
+        rows = [rows[i] for i in order]
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "mention_id": [r[0] for r in rows],
+                    "payload": [r[1] for r in rows],
+                }
+            )
+        )
+
+    a = (
+        dedup_rows(_ds([0, 1, 2]), "mention_id", num_buckets=4)
+        .to_pandas().sort_values("mention_id").reset_index(drop=True)
+    )
+    b = (
+        dedup_rows(_ds([2, 1, 0]), "mention_id", num_buckets=4)
+        .to_pandas().sort_values("mention_id").reset_index(drop=True)
+    )
+    assert a.equals(b)
+    assert list(a["mention_id"]) == ["m1", "m2"]
+    assert list(a["payload"]) == ["a", "z"]  # deterministic survivor
