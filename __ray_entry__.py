@@ -136,6 +136,25 @@ def _q_kg_eval_triples(sf_dir: str):
     return prf_counts(kg.stage(sf_dir, "triples"), golden, keys)
 
 
+def _q_kg_eval_mentions(sf_dir: str):
+    """R9: distributed exact-match eval of extracted mention SPANS vs the
+    golden set → one row (n_pred, n_gold, tp); the NER-side P/R contract
+    (here exact: tp == n_pred == n_gold)."""
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.functions.eval import prf_counts
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+
+    keys = ["conv_id", "turn_idx", "start", "end", "ent_type"]
+    golden = ray.data.read_parquet(
+        str(corpus_for_sf_dir(sf_dir) / "golden_mentions")
+    )
+    return prf_counts(kg.stage(sf_dir, "mentions"), golden, keys)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
@@ -148,6 +167,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
+        "kg_eval_mentions": _q_kg_eval_mentions,
         # training-data corpus ops over the driver's own tables
         "doc_stats": co.q_doc_stats,
         "token_counts": co.q_token_counts,
@@ -281,6 +301,12 @@ def oracle_sql() -> dict[str, str]:
                 SELECT DISTINCT conv_id, turn_idx, subj_surface, pred,
                                 obj_surface
                 FROM read_parquet('{g}/golden_triples/*.parquet'))
+        """,
+        "kg_eval_mentions": f"""
+            SELECT count(*) AS n_pred, count(*) AS n_gold, count(*) AS tp
+            FROM (
+                SELECT DISTINCT conv_id, turn_idx, "start", "end", ent_type
+                FROM read_parquet('{g}/golden_mentions/*.parquet'))
         """,
         "sessionize": """
             WITH e AS (

@@ -180,6 +180,9 @@ def _run_subprocess(sf_dir: str, num_cpus: int) -> dict:
     env = dict(os.environ)
     env["GRAFT_SF_DIR"] = sf_dir
     env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    # --scaling already takes best-of-2 at the SUBPROCESS level; a second
+    # best-of-2 inside each subprocess would double wall time for nothing
+    env["KGRAY_BENCH_RUNS"] = "1"
     out = subprocess.run(
         [sys.executable, os.path.abspath(__file__)],
         capture_output=True,

@@ -413,10 +413,40 @@ def _canonicalize_contracted(
         labels = connected_components(
             merge_edges, num_salts=num_salts,
             num_partitions=num_partitions or default_partitions(), **cc_kwargs
-        )
-        lt = labels.take_all()  # O(entities in merge edges) — small by
-        # construction; at catalog scale keep as Dataset and broadcast-join
-        ent_labels = {r["node"]: r["label"] for r in lt}
+        ).materialize()
+        from ..functions.joins import BROADCAST_THRESHOLD_ROWS
+
+        if labels.count() > BROADCAST_THRESHOLD_ROWS:
+            # catalog-scale label set: never collect to the driver — resolve
+            # through the co-bucketed label join (same fallback as
+            # fused.entity_labels; import at call time, fused imports us)
+            from .fused import _label_join
+
+            m_rows = tagged.map_batches(
+                lambda t: (
+                    lambda f: pa.table(
+                        {
+                            "member_id": f["a"],
+                            "rep": f["b"],
+                            "min_ent": f["c"],
+                        }
+                    )
+                )(t.filter(pc.equal(t["kind"], "m"))),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            joined = _label_join(
+                m_rows, labels,
+                [("min_ent", "rep", "canonical_id")],
+                ["member_id"],
+            )
+            return joined.map_batches(
+                lambda t: t.select(["member_id", "canonical_id"]).cast(CANON),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        # small label set: broadcast dict (the common case)
+        ent_labels = {r["node"]: r["label"] for r in labels.take_all()}
 
     ref = ray.put(ent_labels) if ray.is_initialized() else ent_labels
 

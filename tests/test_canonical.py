@@ -253,3 +253,18 @@ def test_resolve_aliases_distributed_matches_local(ray_session, sf0001_corpus):
         dist[["alias", "ent_type", "entity_id"]]
     )
     assert (local["score"] - dist["score"]).abs().max() < 1e-12
+
+
+def test_contracted_big_label_path_matches_dict(ray_session, monkeypatch):
+    """Forcing the catalog-scale label join inside contracted canonicalize
+    (threshold=0) must reproduce the broadcast-dict result exactly."""
+    from joint_entity_and_relation_extraction_ray.functions import joins
+
+    rng = np.random.default_rng(31)
+    linked = ray.data.from_arrow(_random_linked(rng)).materialize()
+    base = canonicalize(linked, method="contracted").to_pandas()
+    monkeypatch.setattr(joins, "BROADCAST_THRESHOLD_ROWS", 0)
+    big = canonicalize(linked, method="contracted").to_pandas()
+    b = dict(zip(base["member_id"], base["canonical_id"]))
+    g = dict(zip(big["member_id"], big["canonical_id"]))
+    assert b == g
