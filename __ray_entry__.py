@@ -177,6 +177,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": co.q_doc_winnow,  # rows-only (winnowing not in SQL)
         "dedup_exact": co.q_dedup_exact,
         "dedup_minhash": co.q_dedup_minhash,
+        "dedup_ngram_jaccard": co.q_dedup_ngram_jaccard,
         "dedup_simhash": co.q_dedup_simhash,  # rows-only (see oracle note)
         "dedup_simhash_near": co.q_dedup_simhash_near,  # rows-only
         "dedup_embedding": co.q_dedup_embedding,
@@ -192,6 +193,32 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sample_hash": co.q_sample_hash,
         "sample_random": co.q_sample_random,  # rows-only (Ray-seeded sampler)
     }
+
+
+_JACCARD_ORACLE_SQL = """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT i AS doc_a, j AS doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = i
+            JOIN sizes sb ON sb.doc_id = j
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        """
 
 
 def oracle_sql() -> dict[str, str]:
@@ -423,30 +450,11 @@ def oracle_sql() -> dict[str, str]:
         # exact all-pairs word-3-gram-shingle Jaccard — the ground truth the
         # MinHash+LSH pipeline must reproduce (its miss probability at the
         # 0.5 threshold is ~1e-8 with 128 perms; corpus pairs are all >=0.8)
-        "dedup_minhash": """
-            WITH toks AS (
-                SELECT doc_id,
-                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
-                            ELSE regexp_split_to_array(trim(text), '\\s+')
-                       END AS t
-                FROM documents),
-            sh AS (
-                SELECT doc_id,
-                       unnest(list_distinct(list_transform(
-                           range(1, greatest(len(t) - 1, 2)),
-                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
-                FROM toks),
-            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-            inter AS (
-                SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
-                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-                GROUP BY 1, 2)
-            SELECT i AS doc_a, j AS doc_b
-            FROM inter
-            JOIN sizes sa ON sa.doc_id = i
-            JOIN sizes sb ON sb.doc_id = j
-            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
-        """,
+        # dedup_ngram_jaccard is the EXACT inverted-index similarity
+        # join; dedup_minhash is the LSH pipeline whose verify step makes it
+        # agree with the same exact-Jaccard answer — both share one oracle.
+        "dedup_ngram_jaccard": _JACCARD_ORACLE_SQL,
+        "dedup_minhash": _JACCARD_ORACLE_SQL,
         # dedup_simhash is rows-only: identical 64-bit SimHashes legitimately
         # merge near-identical texts (hamming 0 at Jaccard≈0.9), so no
         # SQL-computable oracle exists; correctness is pytest-covered.

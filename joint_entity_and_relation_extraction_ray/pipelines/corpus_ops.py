@@ -162,6 +162,14 @@ def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
+    """EXACT n-gram Jaccard similarity join (inverted-index decomposition,
+    no MinHash approximation anywhere in the recall path)."""
+    return dedup.ngram_jaccard_pairs(
+        read_documents(sf_dir), threshold=JACCARD_THRESHOLD
+    )
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     return dedup.simhash_dedup(read_documents(sf_dir))
 

@@ -35,7 +35,12 @@ import ray.data
 from ray.data.aggregate import Count, Min
 
 from ..functions import textstats
-from ..functions.joins import broadcast_join, dataset_to_table, join_auto
+from ..functions.joins import (
+    BROADCAST_THRESHOLD_ROWS,
+    broadcast_join,
+    dataset_to_table,
+    join_auto,
+)
 from ..functions.shuffle import bucket_group_apply
 
 log = logging.getLogger(__name__)
@@ -430,6 +435,172 @@ def minhash_dedup_pairs(
         rows_per_band=rows_per_band,
         max_bucket=max_bucket,
     )
+    return verify_jaccard_pairs(cand, shingled, threshold=threshold)
+
+
+# ---------------------------------------------------------------------------
+# exact n-gram Jaccard similarity join (inverted-index decomposition)
+# ---------------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_posting: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram Jaccard join → (doc_a, doc_b) with J ≥ t.
+
+    Unlike :func:`minhash_dedup_pairs` (probabilistic recall), this is the
+    exact similarity join via the classic inverted-index decomposition —
+    never all-pairs over the corpus:
+
+    1. shingle each doc (word k-grams, distinct);
+    2. explode to (shingle_hash:int64, doc_id) postings — 16 bytes/row
+       through the shuffle, never the shingle strings;
+    3. bucket-shuffle by shingle hash; per posting list emit co-occurring
+       (doc_a < doc_b) pairs (J > 0 ⇔ the docs share ≥ 1 shingle, so
+       recall is exact);
+    4. second bucket-shuffle by doc_a sums per-pair counts = |A ∩ B|
+       (estimated via 64-bit hashes);
+    5. J = c / (n_a + n_b − c) with TRUE per-doc shingle counts joined in;
+    6. survivors re-verified against the exact string shingle sets
+       (:func:`verify_jaccard_pairs`), so a 2⁻⁶⁴ hash collision can only
+       cost a spurious candidate (removed), never a wrong survivor.
+
+    Skew: a stop-shingle shared by millions of docs makes one posting list
+    quadratic — ``max_posting`` bounds it with LOGGED truncation (an
+    ultra-frequent shingle carries almost no similarity signal); default
+    is exact, oversized lists are warned via BUCKET_WARN.
+    """
+    shingled = shingle_docs(docs, k=k).materialize()
+
+    def _postings(t: pa.Table) -> pa.Table:
+        sh = t["shingles"].to_pylist()
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        hs = [textstats.shingle_hashes(s) for s in sh]
+        keys = (
+            np.concatenate(hs) if hs else np.empty(0, dtype=np.uint64)
+        ).view(np.int64)
+        dids = np.repeat(ids, [len(h) for h in hs])
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(dids, pa.int64()),
+            }
+        )
+
+    postings = shingled.map_batches(
+        _postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _pairs_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        grp = (
+            pl.from_arrow(t)
+            .group_by("key")
+            .agg(pl.col("doc_id").sort().alias("ids"), pl.len().alias("n"))
+            .filter(pl.col("n") >= 2)
+        )
+        a, b = [], []
+        for ids in grp["ids"].to_list():
+            arr = np.asarray(ids, dtype=np.int64)
+            ai, bi = _upper_pairs(arr, max_bucket=max_posting, label="jaccard")
+            a.append(arr[ai])
+            b.append(arr[bi])
+        a = np.concatenate(a) if a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b) if b else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    co = bucket_group_apply(postings, "key", _pairs_bucket)
+
+    def _count_pairs(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by(["doc_a", "doc_b"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        ("doc_a", pa.int64()),
+                        ("doc_b", pa.int64()),
+                        ("c", pa.int64()),
+                    ]
+                )
+            )
+        )
+
+    counts = bucket_group_apply(co, "doc_a", _count_pairs)
+
+    # per-doc TRUE shingle-set sizes. Broadcast (doc_id, n) when it fits;
+    # at catalog scale fall back to hash joins — never a driver collect.
+    sz = shingled.select_columns(["doc_id", "n_shingles"])
+    if sz.count() <= BROADCAST_THRESHOLD_ROWS:
+        sizes_tbl = dataset_to_table(sz)
+        s_ids = sizes_tbl["doc_id"].to_numpy(zero_copy_only=False)
+        order = np.argsort(s_ids)
+        sizes = (
+            s_ids[order],
+            sizes_tbl["n_shingles"].to_numpy(zero_copy_only=False)[order],
+        )
+        sz_ref = ray.put(sizes) if ray.is_initialized() else sizes
+
+        def _jfilter(t: pa.Table) -> pa.Table:
+            ids, ns = (
+                ray.get(sz_ref) if isinstance(sz_ref, ray.ObjectRef) else sz_ref
+            )
+            a = t["doc_a"].to_numpy(zero_copy_only=False)
+            b = t["doc_b"].to_numpy(zero_copy_only=False)
+            c = t["c"].to_numpy(zero_copy_only=False)
+            na = ns[np.searchsorted(ids, a)]
+            nb = ns[np.searchsorted(ids, b)]
+            union = na + nb - c
+            keep = (union > 0) & (c >= threshold * union)
+            return pa.table(
+                {
+                    "doc_a": pa.array(a[keep], pa.int64()),
+                    "doc_b": pa.array(b[keep], pa.int64()),
+                }
+            )
+
+        cand = counts.map_batches(
+            _jfilter, batch_format="pyarrow", zero_copy_batch=True
+        )
+    else:
+        sz_a = sz.map_batches(
+            lambda t: pa.table({"doc_a": t["doc_id"], "n_a": t["n_shingles"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        sz_b = sz.map_batches(
+            lambda t: pa.table({"doc_b": t["doc_id"], "n_b": t["n_shingles"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        j = join_auto(counts, sz_a, on=("doc_a",))
+        j = join_auto(j, sz_b, on=("doc_b",))
+
+        def _jfilter_joined(t: pa.Table) -> pa.Table:
+            c = t["c"].to_numpy(zero_copy_only=False)
+            union = (
+                t["n_a"].to_numpy(zero_copy_only=False)
+                + t["n_b"].to_numpy(zero_copy_only=False)
+                - c
+            )
+            keep = (union > 0) & (c >= threshold * union)
+            f = t.filter(pa.array(keep))
+            return f.select(["doc_a", "doc_b"])
+
+        cand = j.map_batches(
+            _jfilter_joined, batch_format="pyarrow", zero_copy_batch=True
+        )
     return verify_jaccard_pairs(cand, shingled, threshold=threshold)
 
 

@@ -116,6 +116,37 @@ def test_minhash_matches_bruteforce_jaccard(ray_session):
     assert got == want
 
 
+def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
+    rng = np.random.default_rng(7)
+    vocab = [f"w{i}" for i in range(25)]
+    texts = [" ".join(rng.choice(vocab, size=22)) for _ in range(25)]
+    texts.append(texts[3].replace("w1", "w24"))  # near-dup
+    texts.append(texts[8])  # exact dup
+    texts.append("")  # empty doc: no shingles, must not pair
+    texts.append("one two")  # < k tokens: no shingles
+    ds = _docs(texts)
+    pairs = _collect(dedup.ngram_jaccard_pairs(ds, threshold=0.5))
+    got = set(zip(pairs["doc_a"], pairs["doc_b"]))
+    sh = [set(textstats.word_shingles(t)) for t in texts]
+    want = set()
+    for i in range(len(texts)):
+        for j in range(i + 1, len(texts)):
+            u = sh[i] | sh[j]
+            if u and len(sh[i] & sh[j]) / len(u) >= 0.5:
+                want.add((i, j))
+    assert got == want
+    assert want  # planted dups actually exercised the join
+
+
+def test_ngram_jaccard_large_side_join_path(ray_session, monkeypatch):
+    from joint_entity_and_relation_extraction_ray.stages import dedup as dd
+
+    monkeypatch.setattr(dd, "BROADCAST_THRESHOLD_ROWS", 0)
+    ds = _docs([BASE, BASE.replace("kappa", "KAPPA"), "totally different stuff here now ok yes"])
+    pairs = _collect(dd.ngram_jaccard_pairs(ds, threshold=0.5))
+    assert set(zip(pairs["doc_a"], pairs["doc_b"])) == {(0, 1)}
+
+
 def test_simhash_dedup_and_near(ray_session):
     near = BASE.replace("kappa", "kappax")
     ds = _docs([BASE, BASE, near, "something else entirely different words"])
