@@ -136,6 +136,27 @@ def _q_kg_eval_triples(sf_dir: str):
     return prf_counts(kg.stage(sf_dir, "triples"), golden, keys)
 
 
+def _q_kg_eval_by_pred(sf_dir: str):
+    """R10 per-predicate breakdown: distributed per-group exact-match eval
+    → (pred, n_pred, n_gold, tp) rows; the P/R contract holds per predicate
+    (here exact: tp == n_pred == n_gold for every predicate)."""
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.functions.eval import (
+        prf_counts_by,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+
+    keys = ["conv_id", "turn_idx", "subj_surface", "pred", "obj_surface"]
+    golden = ray.data.read_parquet(
+        str(corpus_for_sf_dir(sf_dir) / "golden_triples")
+    )
+    return prf_counts_by(kg.stage(sf_dir, "triples"), golden, keys, by="pred")
+
+
 def _q_kg_eval_mentions(sf_dir: str):
     """R9: distributed exact-match eval of extracted mention SPANS vs the
     golden set → one row (n_pred, n_gold, tp); the NER-side P/R contract
@@ -168,6 +189,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
         "kg_eval_mentions": _q_kg_eval_mentions,
+        "kg_eval_by_pred": _q_kg_eval_by_pred,
         # training-data corpus ops over the driver's own tables
         "doc_stats": co.q_doc_stats,
         "token_counts": co.q_token_counts,
@@ -334,6 +356,15 @@ def oracle_sql() -> dict[str, str]:
             FROM (
                 SELECT DISTINCT conv_id, turn_idx, "start", "end", ent_type
                 FROM read_parquet('{g}/golden_mentions/*.parquet'))
+        """,
+        "kg_eval_by_pred": f"""
+            SELECT pred, count(*) AS n_pred, count(*) AS n_gold,
+                   count(*) AS tp
+            FROM (
+                SELECT DISTINCT conv_id, turn_idx, subj_surface, pred,
+                                obj_surface
+                FROM read_parquet('{g}/golden_triples/*.parquet'))
+            GROUP BY pred
         """,
         "sessionize": """
             WITH e AS (
