@@ -217,6 +217,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": co.q_asof_join,
         "group_topk": co.q_group_topk,
         "value_quantiles": co.q_value_quantiles,
+        "range_join": co.q_range_join,
+        "rolling_window": co.q_rolling_window,
     }
 
 
@@ -418,6 +420,21 @@ def oracle_sql() -> dict[str, str]:
                            ORDER BY o_totalprice DESC, o_orderkey) AS rank
                 FROM orders) t
             WHERE rank <= 3
+        """,
+        "range_join": """
+            SELECT l.event_id AS l_event_id, r.event_id AS r_event_id
+            FROM (SELECT * FROM events WHERE event_type = 'click') l
+            JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+              ON l.user_id = r.user_id
+             AND r.ts BETWEEN l.ts - INTERVAL 1 HOUR AND l.ts
+        """,
+        "rolling_window": """
+            SELECT event_id, user_id, ts,
+                   count(*) OVER w AS n_1h,
+                   max(value) OVER w AS max_1h
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """,
         "value_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "

@@ -404,6 +404,48 @@ def q_group_topk(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_range_join(sf_dir: str) -> ray.data.Dataset:
+    """Interval join: every ('click', 'purchase') event pair by the same
+    user with the purchase in the hour before (inclusive) the click —
+    the canonical band join, one co-bucketed shuffle + per-bucket sorted
+    sweep."""
+    from ..stages.events import read_events
+    from ..stages.relational import range_join
+
+    ev = read_events(sf_dir, ["event_id", "user_id", "event_type", "ts"])
+    hour = 3_600_000_000  # µs
+    return range_join(
+        ev.filter(expr="event_type == 'click'"),
+        ev.filter(expr="event_type == 'purchase'"),
+        by="user_id",
+        left_on="ts",
+        right_on="ts",
+        lower_offset=-hour,
+        upper_offset=0,
+        left_cols=["event_id"],
+        right_cols=["event_id"],
+        num_buckets=16,
+    )
+
+
+def q_rolling_window(sf_dir: str) -> ray.data.Dataset:
+    """Per-event trailing-hour window per user (count + max value) —
+    SQL RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW."""
+    from ..stages.events import read_events
+    from ..stages.relational import rolling_window
+
+    ev = read_events(sf_dir, ["event_id", "user_id", "ts", "value"])
+    return rolling_window(
+        ev,
+        by="user_id",
+        on="ts",
+        aggs={"n_1h": ("value", "count"), "max_1h": ("value", "max")},
+        period_us=3_600_000_000,
+        carry_cols=["event_id"],
+        num_buckets=16,
+    ).select_columns(["event_id", "user_id", "ts", "n_1h", "max_1h"])
+
+
 def q_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact discrete quantiles of lineitem quantity via the
     decomposable (value, count) histogram — raw rows never shuffle."""

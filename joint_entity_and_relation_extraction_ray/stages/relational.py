@@ -35,7 +35,13 @@ import ray.data
 
 from ..functions.shuffle import bucket_group_apply, cobucket_apply
 
-__all__ = ["asof_join", "group_topk", "value_quantiles"]
+__all__ = [
+    "asof_join",
+    "group_topk",
+    "range_join",
+    "rolling_window",
+    "value_quantiles",
+]
 
 
 def asof_join(
@@ -151,6 +157,199 @@ def group_topk(
         _local_topk, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(pre, by, _final, num_buckets=num_buckets)
+
+
+def range_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    left_on: str,
+    right_on: str,
+    lower_offset: int,
+    upper_offset: int,
+    left_cols: list[str],
+    right_cols: list[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Interval/band INNER join: emit (left, right) pairs with the same
+    ``by`` key where ``l[left_on] + lower_offset <= r[right_on] <=
+    l[left_on] + upper_offset`` (offsets in the column's physical units —
+    microseconds for timestamp[us]).
+
+    One co-bucketed shuffle on ``by``; each bucket runs a sorted sweep:
+    both sides map (by, on) to a single int64 composite key (dense-ranked
+    ``by`` x shifted ``on``), the right side sorts once, and every left
+    row finds its matching right range with two vectorized searchsorteds
+    — O(n log n + output), never a nested-loop cross product. Falls back
+    to polars ``join_where`` in the (unreachable for sane inputs) case
+    the composite key would overflow int64.
+    """
+    import polars as pl
+
+    if lower_offset > upper_offset:
+        raise ValueError("lower_offset must be <= upper_offset")
+
+    def _bucket(col: str):
+        def f(t: pa.Table) -> pa.Array:
+            return t[col].combine_chunks()
+
+        return f
+
+    out_fields = [("l_" + c) for c in left_cols] + [
+        ("r_" + c) for c in right_cols
+    ]
+
+    def _as_i64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        t = a.type
+        if pa.types.is_timestamp(t) or pa.types.is_date64(t):
+            a = a.cast(pa.int64())
+        elif not pa.types.is_integer(t):
+            raise TypeError(f"range_join `on` must be integer-like, got {t}")
+        return a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def _sweep(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        def _empty() -> pa.Table:
+            cols = {}
+            for c in left_cols:
+                cols["l_" + c] = pa.array([], lt.schema.field(c).type)
+            for c in right_cols:
+                cols["r_" + c] = pa.array([], rt.schema.field(c).type)
+            return pa.table(cols)
+
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return _empty()
+        l_by = lt[by].combine_chunks()
+        r_by = rt[by].combine_chunks()
+        l_on = _as_i64(lt[left_on])
+        r_on = _as_i64(rt[right_on])
+
+        # dense-rank `by` over the union of both sides
+        uni = pc.unique(pa.chunked_array([l_by, r_by]).combine_chunks())
+        l_rank = pc.index_in(l_by, uni).to_numpy(zero_copy_only=False)
+        r_rank = pc.index_in(r_by, uni).to_numpy(zero_copy_only=False)
+
+        tmin = int(min(l_on.min() + lower_offset, r_on.min()))
+        tmax = int(max(l_on.max() + upper_offset, r_on.max()))
+        span = tmax - tmin + 2  # +1 so hi-of-key < next rank's lo
+        if (len(uni) + 1) * span >= 2**63:
+            # composite key would overflow — tiny-probability fallback
+            ldf = pl.from_arrow(lt.select(list({by, left_on, *left_cols})))
+            rdf = pl.from_arrow(
+                rt.select(list({by, right_on, *right_cols}))
+            ).rename({c: "__r_" + c for c in rt.column_names})
+            j = ldf.join_where(
+                rdf,
+                pl.col(by) == pl.col("__r_" + by),
+                pl.col("__r_" + right_on)
+                >= pl.col(left_on) + lower_offset,
+                pl.col("__r_" + right_on)
+                <= pl.col(left_on) + upper_offset,
+            )
+            j = j.select(
+                [pl.col(c).alias("l_" + c) for c in left_cols]
+                + [pl.col("__r_" + c).alias("r_" + c) for c in right_cols]
+            )
+            return j.to_arrow()
+
+        r_key = r_rank.astype(np.int64) * span + (r_on - tmin)
+        order = np.argsort(r_key, kind="stable")
+        r_key = r_key[order]
+        l_base = l_rank.astype(np.int64) * span + (l_on - tmin)
+        lo = np.searchsorted(r_key, l_base + lower_offset, side="left")
+        hi = np.searchsorted(r_key, l_base + upper_offset, side="right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return _empty()
+        l_idx = np.repeat(np.arange(len(l_base)), counts)
+        starts = np.repeat(lo, counts)
+        run = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        r_idx = order[starts + run]
+
+        cols = {}
+        li = pa.array(l_idx, pa.int64())
+        ri = pa.array(r_idx, pa.int64())
+        for c in left_cols:
+            cols["l_" + c] = lt[c].combine_chunks().take(li)
+        for c in right_cols:
+            cols["r_" + c] = rt[c].combine_chunks().take(ri)
+        return pa.table(cols)
+
+    return cobucket_apply(
+        left,
+        right,
+        _bucket(by),
+        _bucket(by),
+        _sweep,
+        num_buckets=num_buckets,
+    )
+
+
+def rolling_window(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    on: str,
+    aggs: dict[str, tuple[str, str]],
+    period_us: int,
+    carry_cols: list[str] | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-row rolling time-window aggregate — SQL ``agg(x) OVER
+    (PARTITION BY by ORDER BY on RANGE BETWEEN period PRECEDING AND
+    CURRENT ROW)``. ``aggs`` maps output name → (source col, one of
+    "count" | "min" | "max" | "sum"). The window is CLOSED on both ends
+    ([t - period, t]) and includes all equal-``on`` peers, matching the
+    SQL RANGE frame exactly.
+
+    One bucket shuffle on ``by``; each bucket sorts by (by, on,
+    carry_cols) and runs polars' rolling context — vectorized, one
+    output row per input row.
+    """
+    import polars as pl
+
+    carry = carry_cols or []
+
+    agg_exprs = []
+    for out_name, (src, kind) in aggs.items():
+        if kind == "count":
+            agg_exprs.append(pl.len().cast(pl.Int64).alias(out_name))
+        elif kind in ("min", "max", "sum"):
+            agg_exprs.append(
+                getattr(pl.col(src), kind)().alias(out_name)
+            )
+        else:
+            raise ValueError(f"unsupported rolling agg {kind!r}")
+
+    def _roll(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort([by, on] + carry)
+        if df.height == 0:
+            win = df.select([by, on]).with_columns(
+                [
+                    pl.lit(None).alias(n)
+                    for n in aggs
+                ]
+            )
+            out = df.select([by, on] + carry)
+        else:
+            win = df.rolling(
+                index_column=on,
+                period=f"{period_us}us",
+                group_by=by,
+                closed="both",
+            ).agg(agg_exprs)
+            # rolling emits one row per input row in (by, on) order —
+            # positional alignment with the sorted frame is exact, and
+            # equal-`on` peers share identical window aggregates anyway
+            out = df.select([by, on] + carry)
+        out = out.hstack(win.drop([by, on]))
+        return out.to_arrow()
+
+    return bucket_group_apply(ds, by, _roll, num_buckets=num_buckets)
 
 
 def value_quantiles(

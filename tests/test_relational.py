@@ -14,6 +14,8 @@ import ray.data
 from joint_entity_and_relation_extraction_ray.stages.relational import (
     asof_join,
     group_topk,
+    range_join,
+    rolling_window,
     value_quantiles,
 )
 
@@ -101,6 +103,107 @@ def test_group_topk_combiner_matches_global(ray_session):
     a = out[["g", "id", "rank"]].sort_values(["g", "rank"]).reset_index(drop=True)
     b = expect.sort_values(["g", "rank"]).reset_index(drop=True)
     assert a.astype(int).equals(b.astype(int))
+
+
+def test_range_join_inclusive_bounds(ray_session):
+    left = _ds({"k": [1, 1, 2], "ts": [100, 50, 100], "lid": [0, 1, 2]})
+    right = _ds({"k": [1, 1, 1, 2], "ts": [90, 100, 89, 101], "rid": [5, 6, 7, 8]})
+    out = range_join(
+        left,
+        right,
+        by="k",
+        left_on="ts",
+        right_on="ts",
+        lower_offset=-10,
+        upper_offset=0,
+        left_cols=["lid"],
+        right_cols=["rid"],
+        num_buckets=4,
+    ).take_all()
+    pairs = sorted((r["l_lid"], r["r_rid"]) for r in out)
+    # lid=0 (k=1, ts=100) matches rts in [90, 100] → rid 5, 6 (89 is out)
+    # lid=1 (ts=50) matches nothing; lid=2 (k=2) — rts 101 is future
+    assert pairs == [(0, 5), (0, 6)]
+
+
+def test_range_join_random_vs_duckdb(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    n = 3000
+    t = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 50, n), pa.int64()),
+            "ts": pa.array(rng.integers(0, 5000, n), pa.int64()),
+            "id": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = range_join(
+        ds,
+        ds,
+        by="u",
+        left_on="ts",
+        right_on="ts",
+        lower_offset=-100,
+        upper_offset=50,
+        left_cols=["id"],
+        right_cols=["id"],
+        num_buckets=8,
+    ).to_pandas()
+    want = duckdb.sql(
+        """
+        SELECT l.id AS l_id, r.id AS r_id FROM t l JOIN t r
+        ON l.u = r.u AND r.ts BETWEEN l.ts - 100 AND l.ts + 50
+        """
+    ).fetchdf()
+    a = out.sort_values(["l_id", "r_id"]).reset_index(drop=True)
+    b = want.sort_values(["l_id", "r_id"]).reset_index(drop=True)
+    assert a.equals(b)
+
+
+def test_rolling_window_matches_sql_range_frame(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    n = 4000
+    # deliberately includes duplicate (u, ts) peers
+    t = pa.table(
+        {
+            "u": pa.array(rng.integers(0, 40, n), pa.int64()),
+            "ts": pa.array(
+                rng.integers(0, 800, n) * 1_000_000, pa.timestamp("us")
+            ),
+            "id": pa.array(np.arange(n), pa.int64()),
+            "v": pa.array(rng.random(n), pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(9)
+    out = rolling_window(
+        ds,
+        by="u",
+        on="ts",
+        aggs={"n_w": ("v", "count"), "max_w": ("v", "max"), "min_w": ("v", "min")},
+        period_us=60_000_000,
+        carry_cols=["id", "v"],
+        num_buckets=8,
+    ).to_pandas()
+    want = duckdb.sql(
+        """
+        SELECT id, count(*) OVER w AS n_w, max(v) OVER w AS max_w,
+               min(v) OVER w AS min_w
+        FROM t WINDOW w AS (PARTITION BY u ORDER BY ts
+            RANGE BETWEEN INTERVAL 1 MINUTE PRECEDING AND CURRENT ROW)
+        """
+    ).fetchdf()
+    a = (
+        out[["id", "n_w", "max_w", "min_w"]]
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    b = want.sort_values("id").reset_index(drop=True)
+    b["n_w"] = b["n_w"].astype("int64")
+    assert a.equals(b)
 
 
 def test_value_quantiles_matches_duckdb_disc(ray_session):
