@@ -475,4 +475,5 @@ def bench_ops():
         "dedup_exact": _consume(q_dedup_exact),
         "dedup_minhash": _consume(q_dedup_minhash),
         "ann_topk": _consume(q_ann_topk),
+        "rolling_window": _consume(q_rolling_window),
     }
