@@ -176,6 +176,18 @@ def _q_kg_eval_mentions(sf_dir: str):
     return prf_counts(kg.stage(sf_dir, "mentions"), golden, keys)
 
 
+def _q_kg_two_hop(sf_dir: str):
+    """Graph path query: 2-hop path counts per predicate pair over the
+    materialized edges (co-bucketed self-join on the hop vertex; only
+    |preds|^2-sized partials ever leave a bucket)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        two_hop_pred_counts,
+    )
+
+    return two_hop_pred_counts(kg.stage(sf_dir, "edges"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
@@ -185,6 +197,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "link_mentions": _q_link_mentions,
         "canonicalize": _q_canonicalize,
         "kg_edges": _q_kg_edges,
+        "kg_two_hop": _q_kg_two_hop,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -330,6 +343,36 @@ def oracle_sql() -> dict[str, str]:
             JOIN lm s ON t.subj_mention_id = s.mention_id
             JOIN lm o ON t.obj_mention_id = o.mention_id
             GROUP BY 1, 2, 3
+        """,
+        "kg_two_hop": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS (
+                SELECT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            )
+            SELECT e1.pred AS pred1, e2.pred AS pred2,
+                   count(*) AS n_paths
+            FROM edges e1 JOIN edges e2 ON e1.obj_id = e2.subj_id
+            GROUP BY 1, 2
         """,
         "top_entities": f"""
             WITH best AS (

@@ -329,3 +329,70 @@ def write_graph(
     range (SURVEY.md §4.4 'resumable output')."""
     nodes.write_parquet(f"{out_dir}/nodes", partition_cols=["part"])
     edges.write_parquet(f"{out_dir}/edges", partition_cols=["part"])
+
+
+TWO_HOP = pa.schema(
+    [
+        ("pred1", pa.string()),
+        ("pred2", pa.string()),
+        ("n_paths", pa.int64()),
+    ]
+)
+
+
+def two_hop_pred_counts(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Graph path query over the materialized KG: count the 2-hop edge
+    pairs ``a -pred1-> b -pred2-> c`` per (pred1, pred2).
+
+    One co-bucketed shuffle joins the edge table to ITSELF on the hop
+    vertex (left bucketed by ``obj_id``, right by ``subj_id`` — same
+    stable hash, so every hop vertex's in/out edges co-locate), each
+    bucket aggregates to at most |preds|² partial rows, and a tiny
+    second shuffle sums the partials — the path set itself is never
+    materialized anywhere.
+    """
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply, cobucket_apply
+
+    left = edges.select_columns(["pred", "obj_id"])
+    right = edges.select_columns(["subj_id", "pred"])
+
+    def _join(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        ldf = pl.from_arrow(lt).rename({"pred": "pred1"})
+        rdf = pl.from_arrow(rt).rename({"pred": "pred2"})
+        out = (
+            ldf.join(rdf, left_on="obj_id", right_on="subj_id")
+            .group_by(["pred1", "pred2"])
+            .agg(pl.len().cast(pl.Int64).alias("n_paths"))
+        )
+        return out.select(["pred1", "pred2", "n_paths"]).to_arrow().cast(TWO_HOP)
+
+    partials = cobucket_apply(
+        left,
+        right,
+        lambda t: t["obj_id"].combine_chunks(),
+        lambda t: t["subj_id"].combine_chunks(),
+        _join,
+        num_buckets=num_buckets,
+    )
+
+    def _with_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_gkey",
+            pc.binary_join_element_wise(t["pred1"], t["pred2"], "\x00"),
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_gkey"]))
+        out = df.group_by(["pred1", "pred2"]).agg(
+            pl.col("n_paths").sum().alias("n_paths")
+        )
+        return out.to_arrow().cast(TWO_HOP)
+
+    keyed = partials.map_batches(
+        _with_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(keyed, "_gkey", _merge, num_buckets=4)

@@ -94,3 +94,31 @@ def test_bigbig_cobucket_join_paths_match_small(ray_session, sf0001_corpus, monk
     cols = ["entity_id", "canonical_name", "ent_type", "mention_count", "part"]
     assert small_n[cols].equals(big_n[cols])
     assert (small_n["aliases"].apply(list) == big_n["aliases"].apply(list)).all()
+
+
+def test_two_hop_pred_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        two_hop_pred_counts,
+    )
+
+    # a -p-> b -q-> c, a -p-> b -q-> d, x -q-> a -p-> b, b -q-> c (dup pred
+    # pair via distinct vertices)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": ["a", "b", "b", "x", "c"],
+                "pred": ["p", "q", "q", "q", "r"],
+                "obj_id": ["b", "c", "d", "a", "a"],
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["pred1"], r["pred2"]): r["n_paths"]
+        for r in two_hop_pred_counts(edges, num_buckets=4).take_all()
+    }
+    # pairs: (p,q) via a->b->{c,d}; (q,p) via x->a->b; (r,p) via c->a->b;
+    # (q,r) via b->c->a
+    assert got == {("p", "q"): 2, ("q", "p"): 1, ("r", "p"): 1, ("q", "r"): 1}
