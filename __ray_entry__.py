@@ -212,6 +212,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_winnow": co.q_doc_winnow,  # rows-only (winnowing not in SQL)
         "dedup_exact": co.q_dedup_exact,
         "dedup_minhash": co.q_dedup_minhash,
+        "dedup_minhash_apply": co.q_dedup_minhash_apply,
         "dedup_ngram_jaccard": co.q_dedup_ngram_jaccard,
         "dedup_simhash": co.q_dedup_simhash,  # rows-only (see oracle note)
         "dedup_simhash_near": co.q_dedup_simhash_near,  # rows-only
@@ -575,6 +576,42 @@ def oracle_sql() -> dict[str, str]:
         # agree with the same exact-Jaccard answer — both share one oracle.
         "dedup_ngram_jaccard": _JACCARD_ORACLE_SQL,
         "dedup_minhash": _JACCARD_ORACLE_SQL,
+        # survivors after transitive closure over the same pair set:
+        # recursive min-label propagation = the union-find the Ray side
+        # runs distributed (stages/dedup.py dedup_apply)
+        "dedup_minhash_apply": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT i AS a, j AS b FROM inter
+                JOIN sizes sa ON sa.doc_id = i
+                JOIN sizes sb ON sb.doc_id = j
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+            sym AS (SELECT a, b FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+            reach(v, r) AS (
+                SELECT a AS v, a AS r FROM sym
+                UNION
+                SELECT reach.v, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+            lbl AS (SELECT v, min(r) AS l FROM reach GROUP BY v)
+            SELECT doc_id FROM documents
+            WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
+        """,
         # dedup_simhash is rows-only: identical 64-bit SimHashes legitimately
         # merge near-identical texts (hamming 0 at Jaccard≈0.9), so no
         # SQL-computable oracle exists; correctness is pytest-covered.

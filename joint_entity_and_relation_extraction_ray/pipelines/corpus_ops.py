@@ -162,6 +162,14 @@ def q_dedup_minhash(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dedup_minhash_apply(sf_dir: str) -> ray.data.Dataset:
+    """The deduplicated corpus itself: MinHash near-dup pairs → connected
+    components (transitive closure) → keep the min doc_id per cluster."""
+    docs = read_documents(sf_dir)
+    pairs = dedup.minhash_dedup_pairs(docs, threshold=JACCARD_THRESHOLD)
+    return dedup.dedup_apply(docs.select_columns(["doc_id"]), pairs)
+
+
 def q_dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     """EXACT n-gram Jaccard similarity join (inverted-index decomposition,
     no MinHash approximation anywhere in the recall path)."""

@@ -138,7 +138,9 @@ def connected_components(
                 {
                     "node": t["dst"],
                     "label": t["label"],
-                    "old": pa.nulls(len(t), pa.string()),
+                    # typed to the label column so CC works for any
+                    # orderable node id type (string surfaces, int64 docs)
+                    "old": pa.nulls(len(t), t.schema.field("label").type),
                 }
             ),
             batch_format="pyarrow",

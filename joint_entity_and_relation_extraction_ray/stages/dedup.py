@@ -913,3 +913,73 @@ def embedding_dup_pairs_lsh(
         return pa.table({"vec_a": out["vec_a"], "vec_b": out["vec_b"]})
 
     return j.map_batches(_verify, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def dedup_apply(
+    docs: ray.data.Dataset,
+    pairs: ray.data.Dataset,
+    *,
+    id_col: str = "doc_id",
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    num_buckets: int = 32,
+    broadcast_threshold: int = BROADCAST_THRESHOLD_ROWS,
+) -> ray.data.Dataset:
+    """Materialize the DEDUPLICATED corpus from a near-dup pair set — the
+    step a training-data pipeline actually consumes: connected components
+    over the pair graph (transitive closure: a~b, b~c ⇒ one cluster),
+    survivor = min id per component, everything else dropped.
+
+    Scale shape: CC runs only on the pair graph (nodes = docs that appear
+    in ANY pair — a small fraction of the corpus); the drop set is
+    ``members - survivors``, broadcast to a stateless filter when small
+    (the common case), else removed with a co-bucketed hash anti-join —
+    the corpus itself never shuffles in either path.
+    """
+    a, b = pair_cols
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t[a], "dst": t[b]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from .canonical import connected_components
+
+    labels = connected_components(edges)
+    dropped = labels.filter(expr="node != label").select_columns(["node"])
+
+    if dropped.count() <= broadcast_threshold:
+        drop_ref = ray.put(
+            pa.concat_tables(
+                [ray.get(r) for r in dropped.to_arrow_refs()],
+                promote_options="default",
+            )["node"].combine_chunks()
+        )
+
+        def _filter(t: pa.Table, ref=drop_ref) -> pa.Table:
+            drop = ray.get(ref)
+            return t.filter(
+                pc.invert(pc.is_in(t[id_col].combine_chunks(), value_set=drop))
+            )
+
+        return docs.map_batches(
+            _filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    # catalog-scale drop set: co-bucketed anti-join, corpus never sorted
+    import polars as pl
+
+    from ..functions.shuffle import cobucket_apply
+
+    def _anti(dt: pa.Table, rt: pa.Table) -> pa.Table:
+        ddf = pl.from_arrow(dt)
+        rdf = pl.from_arrow(rt).rename({"node": id_col})
+        return ddf.join(rdf, on=id_col, how="anti").to_arrow().cast(dt.schema)
+
+    return cobucket_apply(
+        docs,
+        dropped,
+        lambda t: t[id_col].combine_chunks(),
+        lambda t: t["node"].combine_chunks(),
+        _anti,
+        num_buckets=num_buckets,
+    )

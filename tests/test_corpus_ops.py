@@ -297,3 +297,29 @@ def test_multimodal_frame_sampling_flatmap(ray_session):
     assert out["payload"].nunique() == 11
     with pytest.raises(NotImplementedError):
         multimodal.FrameSampler(use_fake_decoder=False)
+
+
+def test_dedup_apply_transitive_clusters(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.dedup import dedup_apply
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(list(range(10)), pa.int64())})
+    ).repartition(3)
+    # chain 3~5~9 (one cluster, survivor 3); pair (2, 7) survivor 2;
+    # numeric-min check: ids 9 vs 10 would differ lexicographically
+    pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([3, 5, 2], pa.int64()),
+                "doc_b": pa.array([5, 9, 7], pa.int64()),
+            }
+        )
+    )
+    for kw in ({}, {"broadcast_threshold": 0}):  # both removal paths
+        got = sorted(
+            r["doc_id"] for r in dedup_apply(docs, pairs, **kw).take_all()
+        )
+        assert got == [0, 1, 2, 3, 4, 6, 8]
