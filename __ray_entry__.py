@@ -188,6 +188,16 @@ def _q_kg_two_hop(sf_dir: str):
     return two_hop_pred_counts(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_pagerank(sf_dir: str):
+    """Iterative PageRank over the materialized edges (rows-only: float
+    ranks are sum-order-dependent, no SQL oracle; exactness vs a dense
+    numpy oracle is pinned in tests/test_graph.py)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
+
+    return pagerank(kg.stage(sf_dir, "edges"), iters=10)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
@@ -198,6 +208,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize": _q_canonicalize,
         "kg_edges": _q_kg_edges,
         "kg_two_hop": _q_kg_two_hop,
+        "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,

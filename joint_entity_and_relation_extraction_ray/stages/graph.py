@@ -396,3 +396,171 @@ def two_hop_pred_counts(
         _with_key, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(keyed, "_gkey", _merge, num_buckets=4)
+
+
+def pagerank(
+    edges: ray.data.Dataset,
+    *,
+    damping: float = 0.85,
+    iters: int = 10,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """PageRank over the materialized KG edge table → (node, rank).
+
+    Iterative distributed dataflow mirroring the CC loop's shape: the
+    edge list (with per-source out-degree attached) is materialized ONCE;
+    each iteration is one join (ranks onto edge sources — broadcast while
+    ranks are small, shuffle join at scale via ``join_auto``) plus one
+    bucket-shuffle sum over destinations. Dangling-node mass is
+    redistributed uniformly each round (the standard correction), so
+    total rank stays 1. Ranks are float64 — deterministic up to
+    float-sum ordering, verified against a dense numpy oracle in tests.
+    """
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+
+    ends = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t["subj_id"].combine_chunks(),
+                        t["obj_id"].combine_chunks(),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nodes = bucket_group_apply(
+        ends,
+        "node",
+        lambda t: pa.table(
+            {"node": pc.unique(t["node"].combine_chunks())}
+        ),
+        num_buckets=num_buckets,
+    ).materialize()
+    n = nodes.count()
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "rank": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    deg = bucket_group_apply(
+        edges.select_columns(["subj_id"]),
+        "subj_id",
+        lambda t: pl.from_arrow(t)
+        .group_by("subj_id")
+        .agg(pl.len().cast(pl.Float64).alias("out_deg"))
+        .to_arrow(),
+        num_buckets=num_buckets,
+    )
+    # (src, dst, out_deg) materialized once, reused every iteration
+    e = (
+        join_auto(
+            edges.select_columns(["subj_id", "obj_id"]),
+            deg,
+            on=("subj_id",),
+        )
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["subj_id"],
+                    "dst": t["obj_id"],
+                    "out_deg": t["out_deg"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .materialize()
+    )
+    # dangling nodes: in `nodes` but not a source of any edge
+    src_nodes = deg.select_columns(["subj_id"])
+    dangling = join_auto(
+        nodes,
+        src_nodes.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["subj_id"],
+                    "_m": pa.array([1] * len(t), pa.int8()),
+                }
+            ),
+            batch_format="pyarrow",
+        ),
+        join_type="left_outer",
+        on=("node",),
+    ).map_batches(
+        lambda t: t.filter(pc.is_null(t["_m"].combine_chunks())).select(
+            ["node"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    ranks = nodes.map_batches(
+        lambda t: t.append_column(
+            "rank", pa.array([1.0 / n] * len(t), pa.float64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for _ in range(iters):
+        d_mass = (
+            join_auto(dangling, ranks, on=("node",)).sum("rank")
+            if dangling.count()
+            else 0.0
+        ) or 0.0
+        contrib = join_auto(e, ranks, on=("src",), right_on=("node",)).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    "c": pc.divide(t["rank"], t["out_deg"]),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        base = (1.0 - damping) / n + damping * d_mass / n
+
+        def _sum(t: pa.Table, base=base) -> pa.Table:
+            df = pl.from_arrow(t)
+            out = df.group_by("node").agg(
+                (pl.col("c").sum() * damping + base).alias("rank")
+            )
+            return out.to_arrow()
+
+        summed = bucket_group_apply(
+            contrib, "node", _sum, num_buckets=num_buckets
+        )
+        # nodes with no in-edges get the base rank
+        ranks = (
+            join_auto(
+                nodes,
+                summed,
+                join_type="left_outer",
+                on=("node",),
+            )
+            .map_batches(
+                lambda t, base=base: pa.table(
+                    {
+                        "node": t["node"],
+                        "rank": pc.coalesce(
+                            t["rank"], pa.scalar(base, pa.float64())
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+    return ranks

@@ -122,3 +122,52 @@ def test_two_hop_pred_counts(ray_session):
     # pairs: (p,q) via a->b->{c,d}; (q,p) via x->a->b; (r,p) via c->a->b;
     # (q,r) via b->c->a
     assert got == {("p", "q"): 2, ("q", "p"): 1, ("r", "p"): 1, ("q", "r"): 1}
+
+
+def test_pagerank_matches_dense_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(5)
+    n_nodes, n_edges = 40, 160
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    # ensure at least one dangling node (no out-edges) and one source-only
+    subj = np.where(subj == 7, 8, subj)  # node 7 never a source → dangling
+    names = np.array([f"n{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+            }
+        )
+    ).repartition(5)
+
+    d, iters = 0.85, 12
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, damping=d, iters=iters, num_buckets=8).take_all()
+    }
+
+    # dense numpy oracle over the same (deduplicated-node) graph
+    present = sorted(set(names[subj]) | set(names[obj]))
+    idx = {v: i for i, v in enumerate(present)}
+    N = len(present)
+    A = np.zeros((N, N))
+    for s, o in zip(names[subj], names[obj]):
+        A[idx[o], idx[s]] += 1.0
+    out_deg = A.sum(axis=0)
+    r = np.full(N, 1.0 / N)
+    for _ in range(iters):
+        dangling = r[out_deg == 0].sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = A @ np.where(out_deg > 0, r / out_deg, 0.0)
+        r = (1 - d) / N + d * (contrib + dangling / N)
+    assert set(got) == set(present)
+    for v in present:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
