@@ -237,6 +237,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "sessionize": co.q_sessionize,
         "events_daily": co.q_events_daily,
         "events_daily_approx": co.q_events_daily_approx,  # rows-only (HLL)
+        "events_json": co.q_events_json,
         "sample_hash": co.q_sample_hash,
         "sample_random": co.q_sample_random,  # rows-only (Ray-seeded sampler)
         "asof_join": co.q_asof_join,
@@ -452,6 +453,14 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT user_id) AS n_users,
                    min(value) AS min_value, max(value) AS max_value
             FROM events GROUP BY 1, 2
+        """,
+        "events_json": """
+            SELECT event_type, count(*) AS n_events,
+                   min(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS min_k,
+                   max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k,
+                   CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+                        AS BIGINT) AS sum_k
+            FROM events GROUP BY event_type
         """,
         "sample_hash": """
             SELECT doc_id FROM documents

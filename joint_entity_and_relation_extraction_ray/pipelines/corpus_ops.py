@@ -412,6 +412,15 @@ def q_group_topk(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_events_json(sf_dir: str) -> ray.data.Dataset:
+    """JSON scalar extraction + decomposable rollup over events.props."""
+    from ..stages.events import json_props_rollup, read_events
+
+    return json_props_rollup(
+        read_events(sf_dir, ["event_type", "props"])
+    )
+
+
 def q_range_join(sf_dir: str) -> ray.data.Dataset:
     """Interval join: every ('click', 'purchase') event pair by the same
     user with the purchase in the hour before (inclusive) the click —

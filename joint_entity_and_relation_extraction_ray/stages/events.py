@@ -263,3 +263,60 @@ def daily_rollup_approx(
         )
 
     return bucket_group_apply(keyed, "_gkey", _merge, num_buckets=num_buckets)
+
+
+def json_props_rollup(
+    events: ray.data.Dataset, *, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """Per event_type over the JSON ``props`` payload: count + min/max/sum
+    of the integer ``$.k`` field (SURVEY.md §2.2 scalar functions — JSON
+    extraction; integer aggregates so the DuckDB oracle compare is exact).
+
+    Fully decomposable: each block parses JSON vectorized (polars
+    json_path_match, no per-row Python) and collapses to one partial row
+    per event_type; only partials shuffle.
+    """
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out_schema = pa.schema(
+            [
+                ("event_type", pa.string()),
+                ("n_events", pa.int64()),
+                ("min_k", pa.int64()),
+                ("max_k", pa.int64()),
+                ("sum_k", pa.int64()),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t).with_columns(
+            pl.col("props").str.json_path_match("$.k").cast(pl.Int64).alias("k")
+        )
+        out = df.group_by("event_type").agg(
+            pl.len().cast(pl.Int64).alias("n_events"),
+            pl.col("k").min().alias("min_k"),
+            pl.col("k").max().alias("max_k"),
+            pl.col("k").sum().alias("sum_k"),
+        )
+        return out.to_arrow().cast(out_schema)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        out = df.group_by("event_type").agg(
+            pl.col("n_events").sum().alias("n_events"),
+            pl.col("min_k").min().alias("min_k"),
+            pl.col("max_k").max().alias("max_k"),
+            pl.col("sum_k").sum().alias("sum_k"),
+        )
+        return out.to_arrow().cast(t.schema)
+
+    partials = events.select_columns(["event_type", "props"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partials, "event_type", _merge, num_buckets=num_buckets
+    )

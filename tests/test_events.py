@@ -66,3 +66,19 @@ def test_daily_rollup(ray_session):
     assert a0["min_value"] == 5.0 and a0["max_value"] == 7.5
     b0 = out[out["event_type"] == "b"].iloc[0]
     assert b0["n_events"] == 2 and b0["n_users"] == 1
+
+
+def test_json_props_rollup(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_type": ["a", "a", "b", "a"],
+                "props": ['{"k": 3}', '{"k": 10}', '{"k": 7}', '{"k": 1}'],
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["event_type"]: (r["n_events"], r["min_k"], r["max_k"], r["sum_k"])
+        for r in events.json_props_rollup(ds, num_buckets=2).take_all()
+    }
+    assert got == {"a": (3, 1, 10, 14), "b": (1, 7, 7, 7)}
