@@ -231,6 +231,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding_lsh": co.q_dedup_embedding_lsh,  # rows-only (approx)
         "ann_topk": co.q_ann_topk,
         "ann_topk_ivf": co.q_ann_topk_ivf,  # rows-only (approx)
+        "knn_label": co.q_knn_label,
         "multimodal_features": co.q_multimodal_features,
         "multimodal_resize": co.q_multimodal_resize,
         "multimodal_frames": co.q_multimodal_frames,
@@ -659,6 +660,33 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY qid ORDER BY c DESC, nid) AS rank
                 FROM s)
             WHERE rank <= 5
+        """,
+        "knn_label": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe
+                FROM embeddings WHERE vec_id < 10),
+            s AS (
+                SELECT q.qid, e.vec_id AS nid, e.label,
+                       list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS c
+                FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+            topk AS (
+                SELECT qid, label FROM (
+                    SELECT qid, label,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY qid ORDER BY c DESC, nid) AS rank
+                    FROM s)
+                WHERE rank <= 5),
+            votes AS (
+                SELECT qid, label, count(*) AS cnt
+                FROM topk GROUP BY 1, 2)
+            SELECT qid AS query_id, label AS knn_label FROM (
+                SELECT qid, label,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid ORDER BY cnt DESC, label) AS rn
+                FROM votes)
+            WHERE rn = 1
         """,
         "multimodal_features": """
             SELECT doc_id AS media_id,

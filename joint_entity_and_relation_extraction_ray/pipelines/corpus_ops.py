@@ -38,6 +38,13 @@ def read_embeddings(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def read_embeddings_labeled(sf_dir: str) -> ray.data.Dataset:
+    return ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding", "label"],
+    )
+
+
 # --- text analysis ---------------------------------------------------------
 
 
@@ -216,6 +223,14 @@ def _query_vectors(sf_dir: str) -> pa.Table:
 def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
     return similarity.ann_topk(
         read_embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K
+    )
+
+
+def q_knn_label(sf_dir: str) -> ray.data.Dataset:
+    """kNN classification: majority label among each query's exact top-5
+    cosine neighbors (max count, min label tiebreak)."""
+    return similarity.knn_label(
+        read_embeddings_labeled(sf_dir), _query_vectors(sf_dir), k=ANN_K
     )
 
 

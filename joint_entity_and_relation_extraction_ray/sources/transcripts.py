@@ -116,3 +116,33 @@ def clean_turns(
         )
 
     return bucket_group_apply(ds, "conv_id", _clean, num_buckets=num_buckets)
+
+
+def read_transcripts_jsonl(
+    path: str | list[str], *, override_num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """T0 source from JSON-lines shards (the other common transcript
+    interchange format) — same validate/coerce/filter stage as the
+    parquet reader, so downstream stages see one schema regardless of
+    wire format. ``ts`` accepts epoch-microsecond ints or ISO-8601
+    strings; missing ``tool`` coerces to null."""
+    ds = ray.data.read_json(path, override_num_blocks=override_num_blocks)
+
+    def _coerce(batch: pa.Table) -> pa.Table:
+        cols = {}
+        n = batch.num_rows
+        for f in TRANSCRIPTS:
+            if f.name in batch.column_names:
+                c = batch[f.name].combine_chunks()
+                if f.name == "ts" and pa.types.is_string(c.type):
+                    c = pc.strptime(c, format="%Y-%m-%dT%H:%M:%S", unit="us")
+                cols[f.name] = c.cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.Table.from_arrays(
+            [cols[f.name] for f in TRANSCRIPTS], schema=TRANSCRIPTS
+        )
+
+    return ds.map_batches(
+        _coerce, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_validate_batch, batch_format="pyarrow", zero_copy_batch=True)

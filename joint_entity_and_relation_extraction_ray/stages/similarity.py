@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray
 import ray.data
 
@@ -214,3 +215,68 @@ def ann_topk_ivf(
     return bucket_group_apply(
         partial, "query_id", lambda t: _merge_topk(t, k), num_buckets=8
     )
+
+
+def knn_label(
+    emb: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """kNN classification over the embedding corpus: majority label of
+    each query's exact cosine top-k neighbors (ties → smaller count
+    label wins nothing: max count, then min label — deterministic).
+
+    Composition: the distributed exact top-k scan (corpus never
+    shuffles), then labels for ONLY the Q×k neighbor ids are fetched with
+    a broadcast id-filter over the corpus (no join shuffle), and the
+    vote runs on the Q×k-sized result.
+    """
+    import polars as pl
+
+    topk = ann_topk(
+        emb.select_columns(["vec_id", "embedding"]), queries, k=k
+    ).materialize()  # Q×k rows — small
+    nid = pc.unique(
+        pa.concat_tables(
+            [ray.get(r) for r in topk.to_arrow_refs()],
+            promote_options="default",
+        )["neighbor_id"]
+    )
+    ref = ray.put(nid) if ray.is_initialized() else nid
+
+    def _labels(t: pa.Table) -> pa.Table:
+        ids = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        keep = pc.is_in(t["vec_id"].combine_chunks(), value_set=ids)
+        out = t.filter(keep)
+        return out.select(["vec_id", label_col])
+
+    lab = emb.select_columns(["vec_id", label_col]).map_batches(
+        _labels, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    from ..functions.joins import join_auto
+
+    joined = join_auto(topk, lab, on=("neighbor_id",), right_on=("vec_id",))
+
+    def _vote(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = (
+            df.group_by(["query_id", label_col])
+            .agg(pl.len().alias("cnt"))
+            .sort(["cnt", label_col], descending=[True, False])
+            .group_by("query_id", maintain_order=True)
+            .head(1)
+        )
+        return (
+            out.select(
+                pl.col("query_id"),
+                pl.col(label_col).alias("knn_label"),
+            )
+            .to_arrow()
+        )
+
+    from ..functions.shuffle import bucket_group_apply
+
+    return bucket_group_apply(joined, "query_id", _vote, num_buckets=4)

@@ -323,3 +323,34 @@ def test_dedup_apply_transitive_clusters(ray_session):
             r["doc_id"] for r in dedup_apply(docs, pairs, **kw).take_all()
         )
         assert got == [0, 1, 2, 3, 4, 6, 8]
+
+
+def test_knn_label_majority_and_ties(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.similarity import (
+        knn_label,
+    )
+
+    # 2-D unit vectors at known angles; query q=0 sits nearest to
+    # neighbors 1..5 in angle order
+    def vec(deg):
+        r = np.deg2rad(deg)
+        return [float(np.cos(r)), float(np.sin(r))]
+
+    rows = {
+        "vec_id": pa.array([0, 1, 2, 3, 4, 5, 6], pa.int64()),
+        "embedding": [vec(0), vec(5), vec(10), vec(15), vec(20), vec(25), vec(170)],
+        # top-5 of query 0 = ids 1..5 with labels [2, 7, 2, 7, 9]:
+        # counts {2:2, 7:2, 9:1} → tie 2 vs 7 → min label 2 wins
+        "label": pa.array([0, 2, 7, 2, 7, 9, 1], pa.int32()),
+    }
+    emb = ray.data.from_arrow(pa.table(rows)).repartition(3)
+    queries = pa.table(
+        {"vec_id": pa.array([0], pa.int64()), "embedding": [vec(0)]}
+    )
+    out = knn_label(emb, queries, k=5).take_all()
+    assert len(out) == 1
+    assert out[0]["query_id"] == 0 and out[0]["knn_label"] == 2

@@ -198,3 +198,31 @@ def test_dedup_rows_keep_first_deterministic(ray_session):
     assert a.equals(b)
     assert list(a["mention_id"]) == ["m1", "m2"]
     assert list(a["payload"]) == ["a", "z"]  # deterministic survivor
+
+
+def test_read_transcripts_jsonl(ray_session, tmp_path):
+    import json
+
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts_jsonl,
+    )
+
+    p = tmp_path / "shard.jsonl"
+    rows = [
+        {"conv_id": "c1", "turn_idx": 0, "role": "user",
+         "text": "hello", "tool": None, "ts": "2024-01-02T03:04:05"},
+        {"conv_id": "c1", "turn_idx": 1, "role": "assistant",
+         "text": "  ", "tool": None, "ts": "2024-01-02T03:04:06"},  # dropped
+        {"conv_id": "c2", "turn_idx": 0, "role": "tool",
+         "text": "ok", "tool": "search", "ts": "2024-01-02T03:04:07"},
+    ]
+    p.write_text("\n".join(json.dumps(r) for r in rows))
+    ds = read_transcripts_jsonl(str(p))
+    out = sorted(ds.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert [r["conv_id"] for r in out] == ["c1", "c2"]  # blank text dropped
+    assert out[0]["ts"].year == 2024 and out[1]["tool"] == "search"
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.schema import TRANSCRIPTS
+
+    assert ds.schema().names == list(TRANSCRIPTS.names)
