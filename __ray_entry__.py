@@ -244,6 +244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "asof_join": co.q_asof_join,
         "group_topk": co.q_group_topk,
         "value_quantiles": co.q_value_quantiles,
+        "group_quantiles": co.q_group_quantiles,
         "range_join": co.q_range_join,
         "rolling_window": co.q_rolling_window,
     }
@@ -501,6 +502,12 @@ def oracle_sql() -> dict[str, str]:
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
         """,
+        "group_quantiles": " UNION ALL ".join(
+            f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(l_quantity, {q}) AS value "
+            f"FROM lineitem GROUP BY l_returnflag"
+            for q in co.QUANTILE_QS
+        ),
         "value_quantiles": " UNION ALL ".join(
             f"SELECT CAST({q} AS DOUBLE) AS q, "
             f"quantile_disc(l_quantity, {q}) AS value FROM lineitem"

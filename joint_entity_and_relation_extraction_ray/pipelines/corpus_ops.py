@@ -489,6 +489,19 @@ def q_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     return value_quantiles(li, "l_quantity", QUANTILE_QS, num_buckets=8)
 
 
+def q_group_quantiles(sf_dir: str) -> ray.data.Dataset:
+    """Exact per-group quantiles (quantile_disc semantics) of lineitem
+    quantity per return flag — per-group (value, count) histograms."""
+    from ..stages.relational import group_quantiles
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return group_quantiles(
+        li, by="l_returnflag", col="l_quantity", qs=QUANTILE_QS, num_buckets=8
+    )
+
+
 # --- bench subset ----------------------------------------------------------
 
 

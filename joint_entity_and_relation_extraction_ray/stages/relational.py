@@ -419,3 +419,71 @@ def value_quantiles(
             }
         )
     )
+
+
+def group_quantiles(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    col: str,
+    qs: list[float],
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Exact discrete quantiles of ``col`` PER GROUP → rows
+    (by, q:double, value) — SQL ``quantile_disc(col, q) GROUP BY by``.
+
+    Same decomposition as :func:`value_quantiles`, applied per group:
+    each block collapses to (by, value, n) partials, one bucket shuffle
+    on ``by`` co-locates a group's histogram, and the per-group walk
+    runs on distinct-value counts — raw rows never shuffle, and skew is
+    bounded by a group's DISTINCT-value count, not its row count.
+    """
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by([by, col])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({col: "value"})
+            .to_arrow()
+        )
+
+    def _walk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        if df.height == 0:
+            return pa.table(
+                {
+                    by: pa.array([], t.schema.field(by).type),
+                    "q": pa.array([], pa.float64()),
+                    "value": pa.array([], t.schema.field("value").type),
+                }
+            )
+        hist = (
+            df.group_by([by, "value"])
+            .agg(pl.col("n").sum())
+            .sort([by, "value"])
+        )
+        out_b, out_q, out_v = [], [], []
+        for (bval,), grp in hist.group_by([by], maintain_order=True):
+            vals = grp["value"].to_list()
+            cum = np.cumsum(grp["n"].to_list())
+            n = int(cum[-1])
+            for q in qs:
+                idx = max(0, math.ceil(q * n) - 1)
+                pos = int(np.searchsorted(cum, idx + 1))
+                out_b.append(bval)
+                out_q.append(q)
+                out_v.append(vals[pos])
+        return pa.table(
+            {
+                by: pa.array(out_b, t.schema.field(by).type),
+                "q": pa.array(out_q, pa.float64()),
+                "value": pa.array(out_v, t.schema.field("value").type),
+            }
+        )
+
+    partials = ds.select_columns([by, col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, by, _walk, num_buckets=num_buckets)

@@ -223,3 +223,33 @@ def test_value_quantiles_matches_duckdb_disc(ray_session):
     srt = sorted(vals)
     for q in qs:
         assert out[q] == srt[max(0, math.ceil(q * len(vals)) - 1)]
+
+
+def test_group_quantiles_matches_duckdb_disc(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_quantiles,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 2000
+    t = pa.table(
+        {
+            "g": pa.array(rng.choice(["x", "y", "z"], n)),
+            "v": pa.array(rng.integers(0, 40, n), pa.int64()),
+        }
+    )
+    qs = [0.1, 0.5, 0.9]
+    ds = ray.data.from_arrow(t).repartition(7)
+    out = group_quantiles(ds, by="g", col="v", qs=qs, num_buckets=4).to_pandas()
+    want = duckdb.sql(
+        " UNION ALL ".join(
+            f"SELECT g, CAST({q} AS DOUBLE) AS q, "
+            f"quantile_disc(v, {q}) AS value FROM t GROUP BY g"
+            for q in qs
+        )
+    ).fetchdf()
+    a = out.sort_values(["g", "q"]).reset_index(drop=True)
+    b = want.sort_values(["g", "q"]).reset_index(drop=True)[a.columns]
+    assert a.astype(str).equals(b.astype(str))
