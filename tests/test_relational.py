@@ -253,3 +253,59 @@ def test_group_quantiles_matches_duckdb_disc(ray_session):
     a = out.sort_values(["g", "q"]).reset_index(drop=True)
     b = want.sort_values(["g", "q"]).reset_index(drop=True)[a.columns]
     assert a.astype(str).equals(b.astype(str))
+
+
+def test_asof_random_vs_duckdb(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    nl, nr = 2000, 1500
+    lt = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, nl), pa.int64()),
+            "ts": pa.array(rng.integers(0, 3000, nl), pa.int64()),
+            "lid": pa.array(np.arange(nl), pa.int64()),
+        }
+    )
+    # unique (k, ts) on the right so tie resolution can't differ between
+    # engines (the driver query pre-reduces the same way)
+    rt_raw = pa.table(
+        {
+            "k": pa.array(rng.integers(0, 40, nr), pa.int64()),
+            "ts": pa.array(rng.integers(0, 3000, nr), pa.int64()),
+            "val": pa.array(rng.random(nr), pa.float64()),
+        }
+    )
+    rt = (
+        duckdb.sql(
+            "SELECT k, ts, ts AS r_ts, max(val) AS val FROM rt_raw GROUP BY k, ts"
+        )
+        .arrow()
+        .cast(
+            pa.schema(
+                [
+                    ("k", pa.int64()),
+                    ("ts", pa.int64()),
+                    ("r_ts", pa.int64()),
+                    ("val", pa.float64()),
+                ]
+            )
+        )
+    )
+    out = asof_join(
+        ray.data.from_arrow(lt).repartition(5),
+        ray.data.from_arrow(rt).repartition(3),
+        by="k",
+        on="ts",
+        right_cols=["r_ts", "val"],
+        num_buckets=8,
+    ).to_pandas()
+    want = duckdb.sql(
+        """
+        SELECT l.lid, r.r_ts, r.val FROM lt l
+        ASOF LEFT JOIN rt r ON l.k = r.k AND l.ts >= r.ts
+        """
+    ).fetchdf()
+    a = out[["lid", "r_ts", "val"]].sort_values("lid").reset_index(drop=True)
+    b = want.sort_values("lid").reset_index(drop=True)
+    assert a.astype(str).equals(b.astype(str))
