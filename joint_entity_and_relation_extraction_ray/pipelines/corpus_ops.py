@@ -361,12 +361,12 @@ QUANTILE_QS = [0.01, 0.1, 0.25, 0.5, 0.75, 0.9, 0.99]
 
 def q_asof_join(sf_dir: str) -> ray.data.Dataset:
     """Backward as-of join: each 'click' event picks the latest prior
-    'purchase' by the same user (by=user_id, on=ts). The right side is
-    pre-reduced to one row per (user_id, ts) — max(value) — so tie
-    resolution is engine-independent and the DuckDB ASOF JOIN oracle is
-    deterministic."""
-    import pyarrow.compute as pc
-
+    'purchase' by the same user (by=user_id, on=ts). No pre-reduction
+    shuffle: asof_join's tie rule (the LAST right row in ascending
+    (on, right_cols) sort order wins) picks the max r_value among
+    equal-ts purchases — exactly the DuckDB oracle's
+    max(value)-per-(user_id, ts) pre-reduction, in the same single
+    co-bucketed shuffle."""
     from ..stages.events import read_events
     from ..stages.relational import asof_join
 
@@ -375,27 +375,19 @@ def q_asof_join(sf_dir: str) -> ray.data.Dataset:
         ["event_id", "user_id", "ts"]
     )
 
-    def _dedup_right(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        out = (
-            pl.from_arrow(t)
-            .group_by(["user_id", "ts"])
-            .agg(pl.col("value").max().alias("r_value"))
-            .with_columns(pl.col("ts").alias("r_ts"))
+    def _with_r_cols(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "ts": t["ts"],
+                "r_ts": t["ts"],
+                "r_value": t["value"],
+            }
         )
-        return out.select(["user_id", "ts", "r_ts", "r_value"]).to_arrow()
 
-    from ..functions.shuffle import bucket_group_apply
-
-    right = bucket_group_apply(
-        ev.filter(expr="event_type == 'purchase'").select_columns(
-            ["user_id", "ts", "value"]
-        ),
-        "user_id",
-        _dedup_right,
-        num_buckets=16,
-    )
+    right = ev.filter(expr="event_type == 'purchase'").select_columns(
+        ["user_id", "ts", "value"]
+    ).map_batches(_with_r_cols, batch_format="pyarrow", zero_copy_batch=True)
     return asof_join(
         left,
         right,

@@ -125,27 +125,29 @@ def parse_conll(name: str, content: str):
     """
     turns, mentions, triples = [], [], []
     doc_id: str | None = None
-    sent_idx = 0
+    # per-conv sentence counters: a #doc id that reappears later in the
+    # file CONTINUES its numbering, so (conv_id, turn_idx) stays unique
+    sent_of: dict[str | None, int] = {}
     cur: list[list[str]] = []
 
     def _flush():
-        nonlocal cur, sent_idx
+        nonlocal cur
         if cur:
             conv = name if doc_id is None else f"{name}:{doc_id}"
+            sent_idx = sent_of.get(doc_id, 0)
             t, m, r = _sentence_rows(conv, sent_idx, cur)
             turns.append(t)
             mentions.extend(m)
             triples.extend(r)
-            sent_idx += 1
+            sent_of[doc_id] = sent_idx + 1
             cur = []
 
     for raw in content.splitlines():
         line = raw.rstrip()
         if line.startswith("#doc"):
             _flush()
-            new_doc = line.split(None, 1)[1].strip() if " " in line else line
-            if new_doc != doc_id:
-                doc_id, sent_idx = new_doc, 0
+            parts = line.split(None, 1)  # any whitespace: '#doc 5', '#doc\t5'
+            doc_id = parts[1].strip() if len(parts) > 1 else line
             continue
         if not line.strip():
             _flush()

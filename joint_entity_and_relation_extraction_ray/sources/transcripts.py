@@ -134,8 +134,9 @@ def read_transcripts_jsonl(
         for f in TRANSCRIPTS:
             if f.name in batch.column_names:
                 c = batch[f.name].combine_chunks()
-                if f.name == "ts" and pa.types.is_string(c.type):
-                    c = pc.strptime(c, format="%Y-%m-%dT%H:%M:%S", unit="us")
+                # string ts casts through Arrow's ISO-8601 parser, which
+                # accepts fractional seconds (strptime's fixed format
+                # would reject '...T03:04:05.123456')
                 cols[f.name] = c.cast(f.type)
             else:
                 cols[f.name] = pa.nulls(n, f.type)

@@ -937,6 +937,11 @@ def dedup_apply(
     """
     a, b = pair_cols
 
+    if pairs.count() == 0:
+        # clean corpus: nothing to merge, nothing to drop — and an empty
+        # edge Dataset would materialize as 0-column blocks downstream
+        return docs
+
     edges = pairs.map_batches(
         lambda t: pa.table({"src": t[a], "dst": t[b]}),
         batch_format="pyarrow",

@@ -136,11 +136,13 @@ def group_topk(
     def _local_topk(t: pa.Table) -> pa.Table:
         if t.num_rows == 0:
             return t
-        df = pl.from_arrow(t).sort(sort_cols, descending=desc)
+        # nulls_last matches SQL ORDER BY ... DESC (NULLS LAST in DuckDB);
+        # polars would otherwise rank a null sort value first
+        df = pl.from_arrow(t).sort(sort_cols, descending=desc, nulls_last=True)
         return df.group_by(by, maintain_order=True).head(k).to_arrow()
 
     def _final(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t).sort(sort_cols, descending=desc)
+        df = pl.from_arrow(t).sort(sort_cols, descending=desc, nulls_last=True)
         out = (
             df.group_by(by, maintain_order=True)
             .head(k)
@@ -234,18 +236,25 @@ def range_join(
         tmax = int(max(l_on.max() + upper_offset, r_on.max()))
         span = tmax - tmin + 2  # +1 so hi-of-key < next rank's lo
         if (len(uni) + 1) * span >= 2**63:
-            # composite key would overflow — tiny-probability fallback
-            ldf = pl.from_arrow(lt.select(list({by, left_on, *left_cols})))
-            rdf = pl.from_arrow(
-                rt.select(list({by, right_on, *right_cols}))
-            ).rename({c: "__r_" + c for c in rt.column_names})
+            # composite key would overflow — tiny-probability fallback.
+            # Comparisons run on the int64-cast `on` (`__l_on`/`__r_on`)
+            # so timestamp columns never meet a raw-int arithmetic op,
+            # and only the selected columns are renamed.
+            l_keep = list(dict.fromkeys([by, left_on, *left_cols]))
+            r_keep = list(dict.fromkeys([by, right_on, *right_cols]))
+            ldf = pl.from_arrow(lt.select(l_keep)).with_columns(
+                pl.Series("__l_on", l_on)
+            )
+            rdf = (
+                pl.from_arrow(rt.select(r_keep))
+                .with_columns(pl.Series("__r_on", r_on))
+                .rename({c: "__r_" + c for c in r_keep})
+            )
             j = ldf.join_where(
                 rdf,
                 pl.col(by) == pl.col("__r_" + by),
-                pl.col("__r_" + right_on)
-                >= pl.col(left_on) + lower_offset,
-                pl.col("__r_" + right_on)
-                <= pl.col(left_on) + upper_offset,
+                pl.col("__r_on") >= pl.col("__l_on") + lower_offset,
+                pl.col("__r_on") <= pl.col("__l_on") + upper_offset,
             )
             j = j.select(
                 [pl.col(c).alias("l_" + c) for c in left_cols]
@@ -308,7 +317,9 @@ def rolling_window(
 
     One bucket shuffle on ``by``; each bucket sorts by (by, on,
     carry_cols) and runs polars' rolling context — vectorized, one
-    output row per input row.
+    output row per input row. ``on`` may be temporal (``period_us`` in
+    microseconds) or a plain integer column (``period_us`` in the
+    column's own units).
     """
     import polars as pl
 
@@ -328,17 +339,35 @@ def rolling_window(
     def _roll(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t).sort([by, on] + carry)
         if df.height == 0:
+            # typed empty aggregates so every bucket emits one schema
+            # (count → Int64, min/max/sum → the source column's dtype)
             win = df.select([by, on]).with_columns(
                 [
-                    pl.lit(None).alias(n)
-                    for n in aggs
+                    pl.lit(None)
+                    .cast(
+                        pl.Int64
+                        if kind == "count"
+                        or (
+                            kind == "sum"
+                            and df.schema[src].is_integer()
+                        )
+                        else df.schema[src]
+                    )
+                    .alias(n)
+                    for n, (src, kind) in aggs.items()
                 ]
             )
             out = df.select([by, on] + carry)
         else:
+            # temporal index: duration syntax; integer index: "<n>i"
+            period = (
+                f"{period_us}us"
+                if df.schema[on].is_temporal()
+                else f"{period_us}i"
+            )
             win = df.rolling(
                 index_column=on,
-                period=f"{period_us}us",
+                period=period,
                 group_by=by,
                 closed="both",
             ).agg(agg_exprs)
@@ -370,7 +399,8 @@ def value_quantiles(
     bounded (integer metrics)."""
 
     def _partial(t: pa.Table) -> pa.Table:
-        vc = pc.value_counts(t[col].combine_chunks())
+        # quantile_disc semantics ignore NULLs — drop before counting
+        vc = pc.value_counts(pc.drop_null(t[col].combine_chunks()))
         return pa.table(
             {
                 "value": vc.field("values"),
@@ -437,11 +467,16 @@ def group_quantiles(
     on ``by`` co-locates a group's histogram, and the per-group walk
     runs on distinct-value counts — raw rows never shuffle, and skew is
     bounded by a group's DISTINCT-value count, not its row count.
+
+    NULL ``col`` values are ignored (quantile_disc semantics); a group
+    whose values are ALL null is omitted from the output (SQL would emit
+    it with a NULL quantile).
     """
     import polars as pl
 
     def _partial(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t)
+        # quantile_disc semantics ignore NULL values
+        df = pl.from_arrow(t).drop_nulls(subset=[col])
         return (
             df.group_by([by, col])
             .agg(pl.len().cast(pl.Int64).alias("n"))

@@ -112,3 +112,22 @@ def test_conll_feeds_extraction_pipeline(ray_session, tmp_path, sf0001_corpus):
     # grammar so emitted spans here are arbitrary — but well-formed
     for m in kg.mentions_of(tagged).take_all():
         assert 0 <= m["start"] < m["end"]
+
+
+def test_parse_reappearing_doc_id_and_tab_header():
+    text = (
+        "#doc\tA\n"
+        "0\tBonn\tB-Loc\t['N']\t[0]\n"
+        "\n"
+        "#doc B\n"
+        "0\tRome\tB-Loc\t['N']\t[0]\n"
+        "\n"
+        "#doc A\n"
+        "0\tOslo\tB-Loc\t['N']\t[0]\n"
+    )
+    turns, mentions, _ = parse_conll("f", text)
+    keys = [(t["conv_id"], t["turn_idx"]) for t in turns]
+    # reappearing doc A continues numbering — keys stay unique
+    assert keys == [("f:A", 0), ("f:B", 0), ("f:A", 1)]
+    assert len(set(keys)) == 3
+    assert {m["surface"] for m in mentions} == {"Bonn", "Rome", "Oslo"}

@@ -354,3 +354,24 @@ def test_knn_label_majority_and_ties(ray_session):
     out = knn_label(emb, queries, k=5).take_all()
     assert len(out) == 1
     assert out[0]["query_id"] == 0 and out[0]["knn_label"] == 2
+
+
+def test_dedup_apply_no_pairs_passthrough(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.dedup import dedup_apply
+
+    docs = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([1, 2, 3], pa.int64())})
+    )
+    empty_pairs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_a": pa.array([], pa.int64()),
+                "doc_b": pa.array([], pa.int64()),
+            }
+        )
+    )
+    got = sorted(r["doc_id"] for r in dedup_apply(docs, empty_pairs).take_all())
+    assert got == [1, 2, 3]

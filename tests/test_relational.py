@@ -309,3 +309,55 @@ def test_asof_random_vs_duckdb(ray_session):
     a = out[["lid", "r_ts", "val"]].sort_values("lid").reset_index(drop=True)
     b = want.sort_values("lid").reset_index(drop=True)
     assert a.astype(str).equals(b.astype(str))
+
+
+def test_group_topk_nulls_rank_last(ray_session):
+    # SQL ORDER BY v DESC puts NULLS LAST — a null must never win a rank
+    ds = _ds(
+        {
+            "g": [1, 1, 1],
+            "v": [5.0, None, 9.0],
+            "id": [0, 1, 2],
+        }
+    )
+    out = group_topk(
+        ds, by="g", sort_col="v", k=2, descending=True, tiebreak="id", num_buckets=2
+    ).take_all()
+    got = sorted((r["rank"], r["id"]) for r in out)
+    assert got == [(1, 2), (2, 0)]  # 9.0 then 5.0; null ranks last (cut)
+
+
+def test_value_quantiles_ignore_nulls(ray_session):
+    ds = _ds({"x": [1, 2, 3, None, None, None, None]}, {"x": pa.int64()})
+    out = {
+        r["q"]: r["value"]
+        for r in value_quantiles(ds, "x", [0.5, 0.99], num_buckets=2).take_all()
+    }
+    assert out == {0.5: 2, 0.99: 3}  # n=3, nulls excluded
+
+
+def test_rolling_window_single_hot_bucket_schema(ray_session):
+    # one user + many buckets → most buckets empty; schema must not skew
+    ds = _ds(
+        {
+            "u": [1] * 6,
+            "ts": pa.array([10, 20, 30, 40, 50, 60], pa.int64()),
+            "v": pa.array([1, 2, 3, 4, 5, 6], pa.int64()),
+        },
+        {"u": pa.int64()},
+    )
+    out = rolling_window(
+        ds,
+        by="u",
+        on="ts",
+        aggs={"n": ("v", "count"), "s": ("v", "sum")},
+        period_us=15,
+        num_buckets=8,
+    )
+    t = pa.concat_tables(
+        [pa.Table.from_pylist([r]) for r in out.take_all()]
+    )
+    assert out.count() == 6
+    df = out.to_pandas()
+    assert df["n"].tolist() and str(df["n"].dtype) == "int64"
+    assert str(df["s"].dtype) == "int64"

@@ -226,3 +226,21 @@ def test_read_transcripts_jsonl(ray_session, tmp_path):
     from joint_entity_and_relation_extraction_ray.schema import TRANSCRIPTS
 
     assert ds.schema().names == list(TRANSCRIPTS.names)
+
+
+def test_read_transcripts_jsonl_fractional_seconds(ray_session, tmp_path):
+    import json
+
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts_jsonl,
+    )
+
+    p = tmp_path / "frac.jsonl"
+    p.write_text(
+        json.dumps(
+            {"conv_id": "c", "turn_idx": 0, "role": "user", "text": "hi",
+             "tool": None, "ts": "2024-01-02T03:04:05.123456"}
+        )
+    )
+    (row,) = read_transcripts_jsonl(str(p)).take_all()
+    assert row["ts"].microsecond == 123456
