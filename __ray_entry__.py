@@ -241,6 +241,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_json": co.q_events_json,
         "sample_hash": co.q_sample_hash,
         "sample_random": co.q_sample_random,  # rows-only (Ray-seeded sampler)
+        "sample_stratified": co.q_sample_stratified,
+        "pack_sequences": co.q_pack_sequences,  # rows-only (greedy FFD)
         "asof_join": co.q_asof_join,
         "group_topk": co.q_group_topk,
         "value_quantiles": co.q_value_quantiles,
@@ -467,6 +469,15 @@ def oracle_sql() -> dict[str, str]:
         "sample_hash": """
             SELECT doc_id FROM documents
             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < '1a'
+        """,
+        "sample_stratified": """
+            SELECT lang, doc_id, rank FROM (
+                SELECT lang, doc_id,
+                       row_number() OVER (PARTITION BY lang
+                           ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id
+                       ) AS rank
+                FROM documents) t
+            WHERE rank <= 5
         """,
         # --- relational ops Ray Data has no primitive for -------------------
         "asof_join": """

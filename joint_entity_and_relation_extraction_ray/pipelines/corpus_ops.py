@@ -25,10 +25,13 @@ COSINE_DUP_THRESHOLD = 0.45
 JACCARD_THRESHOLD = 0.5
 
 
-def read_documents(sf_dir: str) -> ray.data.Dataset:
-    """Column-pruned read: only (doc_id, text) leave storage."""
+def read_documents(
+    sf_dir: str, columns: list[str] | None = None
+) -> ray.data.Dataset:
+    """Column-pruned read: only the requested columns leave storage
+    (default (doc_id, text))."""
     return ray.data.read_parquet(
-        f"{sf_dir}/documents.parquet", columns=["doc_id", "text"]
+        f"{sf_dir}/documents.parquet", columns=columns or ["doc_id", "text"]
     )
 
 
@@ -351,6 +354,70 @@ def q_sample_random(sf_dir: str) -> ray.data.Dataset:
     return read_documents(sf_dir).select_columns(["doc_id"]).random_sample(
         0.1, seed=42
     )
+
+
+def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
+    """Token-budget sequence packing of the document corpus (rows-only:
+    the FFD greedy assignment has no SQL analogue; invariants pinned in
+    tests/test_corpus_ops.py)."""
+    import polars as pl
+
+    from ..stages.packing import pack_sequences
+
+    def _count(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("text")
+            .str.extract_all(r"\S+")
+            .list.len()
+            .cast(pl.Int64)
+            .alias("n_tokens"),
+        )
+        return out.to_arrow()
+
+    docs = read_documents(sf_dir).map_batches(
+        _count, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return pack_sequences(docs, budget=512, num_buckets=16)
+
+
+def q_sample_stratified(sf_dir: str) -> ray.data.Dataset:
+    """Stratified deterministic sample: the 5 docs with the smallest
+    md5(doc_id) digests PER LANGUAGE — the class-balancing sampler a
+    training pipeline uses to cap dominant classes. Composition of the
+    hash-rank map and group_topk (per-block combiner pre-truncation →
+    one bucket shuffle), reproducible across runs and engines."""
+    import hashlib
+
+    from ..stages.relational import group_topk
+
+    def _with_digest(t: pa.Table) -> pa.Table:
+        dig = [
+            hashlib.md5(str(i).encode()).hexdigest()
+            for i in t["doc_id"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "lang": t["lang"],
+                "doc_id": t["doc_id"],
+                "digest": pa.array(dig, pa.string()),
+            }
+        )
+
+    docs = read_documents(sf_dir, ["doc_id", "lang"]).map_batches(
+        _with_digest, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = group_topk(
+        docs,
+        by="lang",
+        sort_col="digest",
+        k=5,
+        descending=False,
+        tiebreak="doc_id",
+        num_buckets=8,
+    )
+    return out.select_columns(["lang", "doc_id", "rank"])
 
 
 # --- relational ops Ray Data lacks (as-of join, group top-k, quantiles) ----

@@ -1,0 +1,101 @@
+"""Sequence packing — assign documents to fixed-token-budget training
+shards (the packing step an LLM data pipeline runs before writing
+training examples; no reference analogue, new engine capability).
+
+Deterministic and distributed: docs hash-bucket by id (stable across
+runs AND block layouts), each bucket packs its docs first-fit-decreasing
+(FFD, the standard bin-packing heuristic) in a deterministic
+(n_tokens desc, id asc) order, and shard ids are ``{bucket}:{bin}`` so
+buckets never coordinate. The invariants (each doc exactly once; every
+multi-doc shard within budget; byte-identical assignment on rerun) are
+pinned in tests; no SQL oracle exists for the greedy assignment, so the
+driver query is rows-only.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import ray.data
+
+from ..functions.shuffle import bucket_group_apply
+from ..schema import stable_bucket
+
+PACKED = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("n_tokens", pa.int64()),
+        ("shard_id", pa.string()),
+    ]
+)
+
+
+def pack_sequences(
+    docs: ray.data.Dataset,
+    *,
+    budget: int,
+    id_col: str = "doc_id",
+    tokens_col: str = "n_tokens",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """(id, n_tokens) rows → (id, n_tokens, shard_id) with per-shard
+    token sums ≤ ``budget`` (a doc longer than the budget gets a shard
+    of its own). One bucket shuffle; the per-bucket FFD loop is
+    O(docs × open_bins) python over ints only — text never moves.
+    """
+
+    def _with_bucket(t: pa.Table) -> pa.Table:
+        b = stable_bucket(
+            t[id_col].to_numpy(zero_copy_only=False), num_buckets
+        )
+        return pa.table(
+            {
+                "doc_id": t[id_col].cast(pa.int64()),
+                "n_tokens": t[tokens_col].cast(pa.int64()),
+                "_bucket": pa.array(b, pa.int32()),
+            }
+        )
+
+    def _pack_one(bucket: int, ids: np.ndarray, toks: np.ndarray):
+        order = np.lexsort((ids, -toks))  # FFD: big first, id tiebreak
+        bins_room: list[int] = []
+        assign = np.empty(len(ids), dtype=np.int64)
+        for pos in order:
+            need = int(toks[pos])
+            for bi, room in enumerate(bins_room):
+                if room >= need:
+                    bins_room[bi] = room - need
+                    assign[pos] = bi
+                    break
+            else:
+                bins_room.append(max(0, budget - need))
+                assign[pos] = len(bins_room) - 1
+        return [f"{bucket}:{bi}" for bi in assign.tolist()]
+
+    def _pack(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return PACKED.empty_table()
+        # a reduce task may receive several hash-equal _bucket values —
+        # pack each independently so shard ids stay layout-independent
+        out_id, out_tok, out_shard = [], [], []
+        buckets = t["_bucket"].to_numpy(zero_copy_only=False)
+        ids_all = t["doc_id"].to_numpy(zero_copy_only=False)
+        toks_all = t["n_tokens"].to_numpy(zero_copy_only=False)
+        for b in np.unique(buckets):
+            m = buckets == b
+            ids, toks = ids_all[m], toks_all[m]
+            out_id.append(ids)
+            out_tok.append(toks)
+            out_shard.extend(_pack_one(int(b), ids, toks))
+        return pa.table(
+            {
+                "doc_id": pa.array(np.concatenate(out_id), pa.int64()),
+                "n_tokens": pa.array(np.concatenate(out_tok), pa.int64()),
+                "shard_id": pa.array(out_shard, pa.string()),
+            }
+        )
+
+    keyed = docs.map_batches(
+        _with_bucket, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(keyed, "_bucket", _pack, num_buckets=num_buckets)

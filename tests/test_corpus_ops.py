@@ -375,3 +375,49 @@ def test_dedup_apply_no_pairs_passthrough(ray_session):
     )
     got = sorted(r["doc_id"] for r in dedup_apply(docs, empty_pairs).take_all())
     assert got == [1, 2, 3]
+
+
+def test_pack_sequences_invariants(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.packing import (
+        pack_sequences,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 3000
+    t = pa.table(
+        {
+            "doc_id": pa.array(np.arange(n), pa.int64()),
+            "n_tokens": pa.array(rng.integers(1, 900, n), pa.int64()),
+        }
+    )
+    # one over-budget doc gets its own shard
+    t = t.set_column(1, "n_tokens", pa.array(
+        [1500 if i == 7 else v for i, v in enumerate(t["n_tokens"].to_pylist())],
+        pa.int64(),
+    ))
+    budget = 1024
+
+    def run(parts):
+        ds = ray.data.from_arrow(t).repartition(parts)
+        out = pack_sequences(ds, budget=budget, num_buckets=8).to_pandas()
+        return out.sort_values("doc_id").reset_index(drop=True)
+
+    a = run(5)
+    # every doc exactly once
+    assert sorted(a["doc_id"]) == list(range(n))
+    # every multi-doc shard within budget
+    g = a.groupby("shard_id").agg(n=("doc_id", "size"), s=("n_tokens", "sum"))
+    assert (g[g["n"] > 1]["s"] <= budget).all()
+    # over-budget doc is alone in its shard
+    big_shard = a[a["doc_id"] == 7]["shard_id"].iloc[0]
+    assert (a["shard_id"] == big_shard).sum() == 1
+    # deterministic across a different block layout
+    b = run(23)
+    assert a.equals(b)
+    # packing efficiency: shard count close to the lower bound
+    lower = int(np.ceil(a["n_tokens"].sum() / budget))
+    assert g.shape[0] <= int(lower * 1.35) + 8
