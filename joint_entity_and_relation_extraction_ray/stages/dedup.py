@@ -937,6 +937,7 @@ def dedup_apply(
     """
     a, b = pair_cols
 
+    pairs = pairs.materialize()  # consumed twice: count guard + edges
     if pairs.count() == 0:
         # clean corpus: nothing to merge, nothing to drop — and an empty
         # edge Dataset would materialize as 0-column blocks downstream

@@ -48,10 +48,15 @@ def pack_sequences(
         b = stable_bucket(
             t[id_col].to_numpy(zero_copy_only=False), num_buckets
         )
+        import pyarrow.compute as pc
+
         return pa.table(
             {
                 "doc_id": t[id_col].cast(pa.int64()),
-                "n_tokens": t[tokens_col].cast(pa.int64()),
+                # null token counts (e.g. null text) pack as 0 tokens
+                "n_tokens": pc.fill_null(
+                    t[tokens_col].cast(pa.int64()), 0
+                ),
                 "_bucket": pa.array(b, pa.int32()),
             }
         )
@@ -68,7 +73,12 @@ def pack_sequences(
                     assign[pos] = bi
                     break
             else:
-                bins_room.append(max(0, budget - need))
+                # an over-budget doc CLOSES its bin (room -1, which no
+                # need ≥ 0 can satisfy) so even zero-token docs cannot
+                # join it — the own-shard invariant holds
+                bins_room.append(
+                    budget - need if need <= budget else -1
+                )
                 assign[pos] = len(bins_room) - 1
         return [f"{bucket}:{bi}" for bi in assign.tolist()]
 

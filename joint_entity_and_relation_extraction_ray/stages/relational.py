@@ -345,13 +345,10 @@ def rolling_window(
                 [
                     pl.lit(None)
                     .cast(
-                        pl.Int64
-                        if kind == "count"
-                        or (
-                            kind == "sum"
-                            and df.schema[src].is_integer()
-                        )
-                        else df.schema[src]
+                        # polars rolling agg preserves the source dtype
+                        # for min/max/sum (verified on 1.42); only count
+                        # is cast (to Int64, matching agg_exprs)
+                        pl.Int64 if kind == "count" else df.schema[src]
                     )
                     .alias(n)
                     for n, (src, kind) in aggs.items()

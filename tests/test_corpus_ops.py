@@ -394,11 +394,12 @@ def test_pack_sequences_invariants(ray_session):
             "n_tokens": pa.array(rng.integers(1, 900, n), pa.int64()),
         }
     )
-    # one over-budget doc gets its own shard
-    t = t.set_column(1, "n_tokens", pa.array(
-        [1500 if i == 7 else v for i, v in enumerate(t["n_tokens"].to_pylist())],
-        pa.int64(),
-    ))
+    # one over-budget doc gets its own shard; zero-token docs exist in
+    # real corpora (empty text) and must NOT slip into the closed
+    # over-budget bin
+    toks = t["n_tokens"].to_pylist()
+    toks = [1500 if i == 7 else (0 if i % 11 == 0 else v) for i, v in enumerate(toks)]
+    t = t.set_column(1, "n_tokens", pa.array(toks, pa.int64()))
     budget = 1024
 
     def run(parts):

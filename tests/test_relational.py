@@ -267,8 +267,9 @@ def test_asof_random_vs_duckdb(ray_session):
             "lid": pa.array(np.arange(nl), pa.int64()),
         }
     )
-    # unique (k, ts) on the right so tie resolution can't differ between
-    # engines (the driver query pre-reduces the same way)
+    # unique (k, ts) on the right here; duplicate-(k, ts) tie resolution
+    # (which q_asof_join relies on) is pinned in
+    # test_asof_duplicate_ts_tie_is_max_value
     rt_raw = pa.table(
         {
             "k": pa.array(rng.integers(0, 40, nr), pa.int64()),
@@ -354,10 +355,27 @@ def test_rolling_window_single_hot_bucket_schema(ray_session):
         period_us=15,
         num_buckets=8,
     )
-    t = pa.concat_tables(
-        [pa.Table.from_pylist([r]) for r in out.take_all()]
-    )
-    assert out.count() == 6
     df = out.to_pandas()
+    assert len(df) == 6
     assert df["n"].tolist() and str(df["n"].dtype) == "int64"
     assert str(df["s"].dtype) == "int64"
+
+
+def test_asof_duplicate_ts_tie_is_max_value(ray_session):
+    # q_asof_join's correctness rests on this: among equal-(by, on) right
+    # rows, the LAST in ascending (on, right_cols) sort order wins, i.e.
+    # the max (r_ts, val) tuple — identical to SQL's pre-reduced
+    # max(value) per (by, ts)
+    left = _ds({"k": [1], "ts": [20], "lid": [0]})
+    right = _ds(
+        {
+            "k": [1, 1, 1, 1],
+            "ts": [10, 10, 10, 5],
+            "r_ts": [10, 10, 10, 5],
+            "val": [3.0, 9.0, 1.0, 99.0],
+        }
+    )
+    (row,) = asof_join(
+        left, right, by="k", on="ts", right_cols=["r_ts", "val"], num_buckets=2
+    ).take_all()
+    assert (row["r_ts"], row["val"]) == (10, 9.0)
