@@ -221,6 +221,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "lang_id": co.q_lang_id,
         "doc_fingerprint": co.q_doc_fingerprint,
         "doc_winnow": co.q_doc_winnow,  # rows-only (winnowing not in SQL)
+        "decontaminate": co.q_decontaminate,
+        "redact": co.q_redact,
+        "vocab_encode": co.q_vocab_encode,
+        "token_bpe": co.q_token_bpe,
         "dedup_exact": co.q_dedup_exact,
         "dedup_minhash": co.q_dedup_minhash,
         "dedup_minhash_apply": co.q_dedup_minhash_apply,
@@ -606,6 +610,76 @@ def oracle_sql() -> dict[str, str]:
         "dedup_exact": """
             SELECT min(doc_id) AS doc_id, count(*) AS n_dups
             FROM documents GROUP BY text
+        """,
+        # benchmark decontamination: corpus docs sharing any distinct
+        # word-8-gram with the held-out slice (doc_id % 20 == 0); grams
+        # are space-joined \\S+ token runs — identical to
+        # textstats.word_shingles(text, 8) on the Ray side
+        "decontaminate": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(t) - 6),
+                           i -> t[i]   || ' ' || t[i+1] || ' ' || t[i+2]
+                             || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]
+                             || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+                FROM toks WHERE len(t) >= 8),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0)
+            SELECT doc_id, count(*) AS n_hit_grams
+            FROM grams
+            WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM bench)
+            GROUP BY 1
+        """,
+        "redact": """
+            SELECT doc_id,
+                   regexp_replace(text, '\\b(customer|order)\\b',
+                                  '<PII>', 'g') AS clean,
+                   len(regexp_extract_all(text, '\\b(customer|order)\\b'))
+                       AS n_redactions
+            FROM documents
+        """,
+        # top-100 vocabulary (count desc, token asc tie-break) → per-doc
+        # in-vocab / unk token counts
+        "vocab_encode": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            flat AS (SELECT doc_id, unnest(t) AS token FROM toks),
+            vocab AS (
+                SELECT token FROM (
+                    SELECT token, count(*) AS c FROM flat GROUP BY 1
+                    ORDER BY c DESC, token LIMIT 100)),
+            enc AS (
+                SELECT f.doc_id, count(*) AS n_in_vocab
+                FROM flat f JOIN vocab v USING (token) GROUP BY 1)
+            SELECT t.doc_id,
+                   len(t.t) AS n_tokens,
+                   coalesce(e.n_in_vocab, 0) AS n_in_vocab,
+                   len(t.t) - coalesce(e.n_in_vocab, 0) AS n_unk
+            FROM toks t LEFT JOIN enc e USING (doc_id)
+        """,
+        # BPE-ish pretokenizer — IDENTICAL regex on both sides (verified:
+        # RE2 and rust-regex produce the same token sequences incl. Unicode
+        # letter/digit classes, contractions, empty/whitespace-only docs)
+        "token_bpe": r"""
+            SELECT doc_id,
+                   len(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+'))
+                       AS n_bpe_tokens,
+                   len(list_distinct(regexp_extract_all(text,
+                       '''(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')))
+                       AS n_bpe_distinct,
+                   len(regexp_extract_all(text, '\S+')) AS n_ws_tokens
+            FROM documents
         """,
         # exact all-pairs word-3-gram-shingle Jaccard — the ground truth the
         # MinHash+LSH pipeline must reproduce (its miss probability at the

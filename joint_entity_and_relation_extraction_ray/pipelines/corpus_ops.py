@@ -77,62 +77,11 @@ def q_doc_winnow(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_token_counts(sf_dir: str, k: int = 100) -> ray.data.Dataset:
-    """Corpus token frequencies, top-k (vocabulary building): per-block
-    partial counts (combiner) → one token-bucketed merge shuffle → global
-    top-k by (count desc, token asc). The shuffle moves one row per
-    (block, distinct token), never the corpus."""
-    from ..functions.shuffle import bucket_group_apply
+    """Corpus token frequencies, top-k (vocabulary building) — see
+    `stages/curation.token_counts` for the combiner → bucket-merge shape."""
+    from ..stages.curation import token_counts
 
-    _SCHEMA = pa.schema(
-        [
-            ("token", pa.string()),
-            ("n_occurrences", pa.int64()),
-            ("n_docs", pa.int64()),
-        ]
-    )
-
-    def _partial(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        df = pl.from_arrow(t.select(["doc_id", "text"]))
-        ex = (
-            df.select(
-                pl.col("doc_id"),
-                pl.col("text").str.extract_all(r"\S+").alias("token"),
-            )
-            .explode("token")
-            .drop_nulls("token")
-        )
-        # n_docs sums exactly across blocks: a doc is one row, so all its
-        # tokens land in one block's partial
-        per = ex.group_by("token").agg(
-            pl.len().alias("n_occurrences"),
-            pl.col("doc_id").n_unique().alias("n_docs"),
-        )
-        return per.to_arrow().cast(_SCHEMA)
-
-    partials = read_documents(sf_dir).map_batches(
-        _partial, batch_format="pyarrow", zero_copy_batch=True
-    )
-
-    def _merge(t: pa.Table) -> pa.Table:
-        import polars as pl
-
-        return (
-            pl.from_arrow(t)
-            .group_by("token")
-            .agg(
-                pl.col("n_occurrences").sum(),
-                pl.col("n_docs").sum(),
-            )
-            .to_arrow()
-            .cast(_SCHEMA)
-        )
-
-    agg = bucket_group_apply(partials, "token", _merge, num_buckets=32)
-    return agg.sort(
-        ["n_occurrences", "token"], descending=[True, False]
-    ).limit(k)
+    return token_counts(read_documents(sf_dir), k=k)
 
 
 def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
@@ -317,6 +266,65 @@ def q_events_daily_approx(sf_dir: str) -> ray.data.Dataset:
     return events.daily_rollup_approx(
         events.read_events(sf_dir, ["event_type", "ts", "user_id", "value"])
     )
+
+
+# --- corpus curation (decontamination / redaction / vocabulary) ------------
+
+DECONTAM_NGRAM = 8
+BENCH_MODULUS = 20  # docs with doc_id % 20 == 0 play the held-out benchmark
+REDACT_PATTERN = r"\b(customer|order)\b"
+REDACT_REPLACEMENT = "<PII>"
+VOCAB_SIZE = 100
+
+
+def q_decontaminate(sf_dir: str) -> ray.data.Dataset:
+    """Benchmark decontamination: flag corpus docs (doc_id % 20 != 0)
+    sharing any distinct word-8-gram with the held-out benchmark slice
+    (doc_id % 20 == 0). Benchmark gram set broadcast once; corpus streams."""
+    from ..stages.curation import decontaminate
+
+    def _mod_filter(is_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            rem = t["doc_id"].to_numpy(zero_copy_only=False) % BENCH_MODULUS
+            keep = rem == 0 if is_bench else rem != 0
+            return t.filter(pa.array(keep))
+
+        return _f
+
+    docs = read_documents(sf_dir)
+    bench = docs.map_batches(
+        _mod_filter(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    corpus = docs.map_batches(
+        _mod_filter(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return decontaminate(corpus, bench, n=DECONTAM_NGRAM)
+
+
+def q_redact(sf_dir: str) -> ray.data.Dataset:
+    """PII-style regex scrub (vectorized replace + match count)."""
+    from ..stages.curation import redact
+
+    return redact(
+        read_documents(sf_dir), REDACT_PATTERN, REDACT_REPLACEMENT
+    )
+
+
+def q_vocab_encode(sf_dir: str) -> ray.data.Dataset:
+    """Tokenizer-vocabulary encode: distributed top-100 vocab build →
+    broadcast → per-doc in-vocab/unk token counts."""
+    from ..stages.curation import vocab_encode
+
+    return vocab_encode(read_documents(sf_dir), vocab_size=VOCAB_SIZE)
+
+
+def q_token_bpe(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc BPE-ish-pretokenizer token counts (subword cost estimate)."""
+    from ..stages.curation import token_counts_bpe
+
+    return token_counts_bpe(read_documents(sf_dir))
 
 
 # --- sampling (O3) ---------------------------------------------------------

@@ -1,0 +1,300 @@
+"""Corpus-curation operators: benchmark decontamination, regex redaction
+and vocabulary encoding — the remaining standard stages of an LLM
+training-data pipeline (driver brief: text analysis / training-data ops
+are first-class alongside the KG pipeline).
+
+Decontamination (the "remove test-set overlap" step every pretraining
+corpus runs): the benchmark side is small by nature (eval sets are
+O(10^3..10^5) docs even when the corpus is 100 TB), so its distinct
+word-n-gram set is built distributed, collected once under an explicit
+size guard, and BROADCAST via ``ray.put`` — the corpus side then streams
+through a stateless ``map_batches`` membership scan; the corpus never
+shuffles and the gram set ships to each worker once (plasma-cached), not
+per batch.
+
+Redaction is a pure vectorized polars kernel (regex replace + match
+count); vocabulary encoding composes the distributed token-count top-k
+(one partial-counts shuffle) with a broadcast membership encode.
+
+All outputs are integer/string columns mirrored 1:1 by DuckDB oracle SQL
+(`__ray_entry__.oracle_sql`): tokens are maximal ``\\S+`` runs, n-grams
+are space-joined, vocab ties break on (count desc, token asc).
+"""
+
+from __future__ import annotations
+
+import pyarrow as pa
+import ray
+import ray.data
+
+from ..functions import textstats
+from ..functions.shuffle import bucket_group_apply
+from .linker import default_pool_size
+
+# eval benchmarks are small; 50M distinct grams ≈ 4 GB of strings is the
+# most a sane broadcast should carry — beyond that, fail loudly rather
+# than OOM the driver (the alternative at that size is a co-bucketed
+# semi-join on gram hash, same shape as dedup.ngram_jaccard_pairs)
+MAX_BENCH_GRAMS = 50_000_000
+
+_TOKEN_COUNT_SCHEMA = pa.schema(
+    [
+        ("token", pa.string()),
+        ("n_occurrences", pa.int64()),
+        ("n_docs", pa.int64()),
+    ]
+)
+
+
+def token_counts(docs: ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
+    """Corpus token frequencies, top-k by (count desc, token asc) —
+    vocabulary building. Per-block partial counts (combiner) → one
+    token-bucketed merge shuffle → global top-k. The shuffle moves one
+    row per (block, distinct token), never the corpus."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        ex = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("token"),
+            )
+            .explode("token")
+            .drop_nulls("token")
+        )
+        # n_docs sums exactly across blocks: a doc is one row, so all its
+        # tokens land in one block's partial
+        per = ex.group_by("token").agg(
+            pl.len().alias("n_occurrences"),
+            pl.col("doc_id").n_unique().alias("n_docs"),
+        )
+        return per.to_arrow().cast(_TOKEN_COUNT_SCHEMA)
+
+    partials = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by("token")
+            .agg(pl.col("n_occurrences").sum(), pl.col("n_docs").sum())
+            .to_arrow()
+            .cast(_TOKEN_COUNT_SCHEMA)
+        )
+
+    agg = bucket_group_apply(partials, "token", _merge, num_buckets=32)
+    return agg.sort(
+        ["n_occurrences", "token"], descending=[True, False]
+    ).limit(k)
+
+
+# GPT-2-family pretokenizer shape, minus the lookahead RE2/rust-regex lack:
+# contraction suffixes | space-prefixed letter runs | space-prefixed digit
+# runs | space-prefixed punctuation runs | whitespace runs. Verified to
+# produce IDENTICAL token sequences in polars (rust regex) and DuckDB (RE2)
+# across Unicode/empty/contraction corners — the oracle contract.
+BPE_PATTERN = r"'(?:s|t|re|ve|m|ll|d)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+"
+
+
+def token_counts_bpe(docs: ray.data.Dataset) -> ray.data.Dataset:
+    """Per-doc token counting under a BPE-ish pretokenizer regex
+    (subword-tokenizer cost estimation: the unit a BPE merge table would
+    consume) → (doc_id, n_bpe_tokens, n_bpe_distinct, n_ws_tokens).
+    Stateless vectorized kernel; no shuffle."""
+
+    def _c(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        bpe = pl.col("text").str.extract_all(BPE_PATTERN)
+        out = df.select(
+            pl.col("doc_id"),
+            bpe.list.len().cast(pl.Int64).alias("n_bpe_tokens"),
+            bpe.list.n_unique().cast(pl.Int64).alias("n_bpe_distinct"),
+            pl.col("text")
+            .str.extract_all(r"\S+")
+            .list.len()
+            .cast(pl.Int64)
+            .alias("n_ws_tokens"),
+        )
+        return out.to_arrow()
+
+    return docs.map_batches(_c, batch_format="pyarrow", zero_copy_batch=True)
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def _gram_set_ref(bench: ray.data.Dataset, n: int) -> "ray.ObjectRef":
+    """Distinct word-n-gram set of the benchmark side, built distributed
+    (per-block distinct via the same shingle kernel the scan uses), then
+    collected under MAX_BENCH_GRAMS and broadcast once via ``ray.put``."""
+
+    def _grams(t: pa.Table) -> pa.Table:
+        out: set[str] = set()
+        for x in t["text"].to_pylist():
+            out.update(textstats.word_shingles(x, n))
+        return pa.table({"gram": pa.array(sorted(out), pa.string())})
+
+    gram_rows = bench.map_batches(
+        _grams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    grams: set[str] = set()
+    for b in gram_rows.iter_batches(batch_format="pyarrow"):
+        grams.update(b["gram"].to_pylist())
+        if len(grams) > MAX_BENCH_GRAMS:
+            raise ValueError(
+                f"benchmark gram set exceeds MAX_BENCH_GRAMS="
+                f"{MAX_BENCH_GRAMS}; use a hash semi-join decontaminator "
+                "(see stages/dedup.ngram_jaccard_pairs) for corpus-sized "
+                "benchmark sides"
+            )
+    return ray.put(frozenset(grams))
+
+
+class _ContaminationScan:
+    """Actor-pool membership scan: the broadcast gram set is fetched from
+    the object store ONCE per actor (zero-copy plasma read), then every
+    batch is a C-speed set-membership sweep."""
+
+    def __init__(self, gram_ref: "ray.ObjectRef", n: int):
+        self._grams: frozenset[str] = ray.get(gram_ref)
+        self._n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_id: list[int] = []
+        out_hits: list[int] = []
+        g = self._grams
+        for i, x in zip(ids, texts):
+            hits = sum(
+                1 for s in textstats.word_shingles(x, self._n) if s in g
+            )
+            if hits:
+                out_id.append(i)
+                out_hits.append(hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_hit_grams": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+
+def decontaminate(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    *,
+    n: int = 8,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Flag corpus docs sharing ≥1 distinct word-n-gram with any benchmark
+    doc → (doc_id, n_hit_grams). ``n_hit_grams`` counts the doc's DISTINCT
+    contaminated n-grams (per-doc grams are distinct by construction).
+
+    Corpus side streams (no shuffle); benchmark gram set broadcasts once.
+    """
+    ref = _gram_set_ref(bench, n)
+    return docs.map_batches(
+        _ContaminationScan,
+        fn_constructor_kwargs={"gram_ref": ref, "n": n},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or default_pool_size(),
+    )
+
+
+# ---------------------------------------------------------------------------
+# regex redaction
+# ---------------------------------------------------------------------------
+
+
+def redact(
+    docs: ray.data.Dataset, pattern: str, replacement: str
+) -> ray.data.Dataset:
+    """PII-style regex scrub: (doc_id, text) → (doc_id, clean,
+    n_redactions). Vectorized polars kernel (compiled once per batch by
+    the regex engine's cache); non-overlapping global replacement —
+    identical semantics to DuckDB ``regexp_replace(..., 'g')`` /
+    ``regexp_extract_all`` (both RE2-compatible syntax)."""
+
+    def _r(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        out = df.select(
+            pl.col("doc_id"),
+            pl.col("text")
+            .str.replace_all(pattern, replacement)
+            .alias("clean"),
+            pl.col("text")
+            .str.count_matches(pattern)
+            .cast(pl.Int64)
+            .alias("n_redactions"),
+        )
+        return out.to_arrow()
+
+    return docs.map_batches(
+        _r, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary encoding
+# ---------------------------------------------------------------------------
+
+
+class _VocabEncode:
+    def __init__(self, vocab_ref: "ray.ObjectRef"):
+        self._vocab: list[str] = ray.get(vocab_ref)
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        toks = pl.col("text").str.extract_all(r"\S+")
+        out = df.select(
+            pl.col("doc_id"),
+            toks.list.len().cast(pl.Int64).alias("n_tokens"),
+            toks.list.eval(pl.element().is_in(self._vocab))
+            .list.sum()
+            .cast(pl.Int64)
+            .alias("n_in_vocab"),
+        ).with_columns(
+            (pl.col("n_tokens") - pl.col("n_in_vocab")).alias("n_unk")
+        )
+        return out.to_arrow()
+
+
+def vocab_encode(
+    docs: ray.data.Dataset,
+    *,
+    vocab_size: int = 100,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Two-stage tokenizer-vocabulary pipeline: build the top-``vocab_size``
+    token vocabulary distributed (one partial-counts shuffle), broadcast
+    it, then stream the corpus through a vectorized membership encode →
+    (doc_id, n_tokens, n_in_vocab, n_unk).
+
+    The vocab list (not a Dataset) is tiny by construction (top-k), so the
+    collect is bounded at k rows; ties at the boundary break on
+    (count desc, token asc) — deterministic across engines."""
+    vocab_tbl = token_counts(docs, k=vocab_size).select_columns(["token"])
+    vocab = [r["token"] for r in vocab_tbl.take_all()]
+    ref = ray.put(vocab)
+    return docs.map_batches(
+        _VocabEncode,
+        fn_constructor_kwargs={"vocab_ref": ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or default_pool_size(),
+    )

@@ -1,0 +1,112 @@
+"""Tests for corpus-curation ops: benchmark decontamination, regex
+redaction, vocabulary encoding (stages/curation.py)."""
+
+import pyarrow as pa
+import ray.data
+
+from joint_entity_and_relation_extraction_ray.stages import curation
+
+
+def _docs(texts, ids=None):
+    ids = ids if ids is not None else list(range(len(texts)))
+    return ray.data.from_arrow(
+        pa.table({"doc_id": pa.array(ids, pa.int64()), "text": texts})
+    )
+
+
+def test_decontaminate_flags_overlapping_docs(ray_session):
+    bench = _docs(["a b c d e f g h i j"], ids=[100])
+    corpus = _docs(
+        [
+            # shares the 8-gram "b c d e f g h i" (and one more)
+            "z b c d e f g h i j",
+            # 8 tokens, no shared 8-gram
+            "q w e r t y u i",
+            # shorter than 8 tokens: no grams at all
+            "a b c",
+        ],
+        ids=[1, 2, 3],
+    )
+    out = curation.decontaminate(corpus, bench, n=8, concurrency=2)
+    rows = {r["doc_id"]: r["n_hit_grams"] for r in out.take_all()}
+    # doc 1 grams: "z b..i", "b..i j" (2 distinct); bench has "b..i", "c..j"
+    # → shared distinct grams = {"b c d e f g h i", "c d e f g h i j"}
+    assert rows == {1: 2}
+
+
+def test_decontaminate_counts_distinct_grams_once(ray_session):
+    # repeated contaminated gram in one doc counts once (distinct shingles)
+    bench = _docs(["a a a a a a a a"], ids=[0])
+    corpus = _docs(["a a a a a a a a a a"], ids=[1])
+    out = curation.decontaminate(corpus, bench, n=8, concurrency=2)
+    assert {r["doc_id"]: r["n_hit_grams"] for r in out.take_all()} == {1: 1}
+
+
+def test_redact_replaces_and_counts(ray_session):
+    docs = _docs(
+        ["customer paid order now", "no match here", "order order"],
+    )
+    out = curation.redact(
+        docs, r"\b(customer|order)\b", "<PII>"
+    ).to_pandas().set_index("doc_id")
+    assert out.loc[0, "clean"] == "<PII> paid <PII> now"
+    assert out.loc[0, "n_redactions"] == 2
+    assert out.loc[1, "clean"] == "no match here"
+    assert out.loc[1, "n_redactions"] == 0
+    assert out.loc[2, "clean"] == "<PII> <PII>"
+    assert out.loc[2, "n_redactions"] == 2
+
+
+def test_redact_word_boundary(ray_session):
+    # 'orders' must NOT match \border\b
+    docs = _docs(["orders customers order"])
+    out = curation.redact(docs, r"\b(customer|order)\b", "<PII>").take_all()
+    assert out[0]["clean"] == "orders customers <PII>"
+    assert out[0]["n_redactions"] == 1
+
+
+def test_token_counts_topk_ordering(ray_session):
+    docs = _docs(["b b b a a c", "a c", ""])
+    out = curation.token_counts(docs, k=2).take_all()
+    # a:3 (2 docs), b:3 (1 doc), c:2 — tie a/b broken alphabetically
+    assert [(r["token"], r["n_occurrences"], r["n_docs"]) for r in out] == [
+        ("a", 3, 2),
+        ("b", 3, 1),
+    ]
+
+
+def test_token_bpe_counts(ray_session):
+    docs = _docs(["I'll pay the customer's order #42 now!", "", "a a b"])
+    out = (
+        curation.token_counts_bpe(docs)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # I | 'll | " pay" | " the" | " customer" | 's | " order" | " #" |
+    # 42 | " now" | ! — 11 tokens (identical in polars and DuckDB)
+    assert out.loc[0, "n_bpe_tokens"] == 11
+    assert out.loc[0, "n_ws_tokens"] == 7
+    assert out.loc[1, "n_bpe_tokens"] == 0
+    assert out.loc[1, "n_ws_tokens"] == 0
+    # "a" + " a" + " b" = 3 bpe tokens, 3 distinct ("a" != " a")
+    assert out.loc[2, "n_bpe_tokens"] == 3
+    assert out.loc[2, "n_bpe_distinct"] == 3
+
+
+def test_vocab_encode_counts(ray_session):
+    docs = _docs(["b b b a a c", "a c x", "x y z"])
+    out = (
+        curation.vocab_encode(docs, vocab_size=2, concurrency=2)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    # vocab = top-2 = {a (4), b (3)}; x:2, c:2 are out
+    assert out.loc[0, "n_tokens"] == 6
+    assert out.loc[0, "n_in_vocab"] == 5
+    assert out.loc[0, "n_unk"] == 1
+    assert out.loc[1, "n_in_vocab"] == 1
+    assert out.loc[1, "n_unk"] == 2
+    assert out.loc[2, "n_in_vocab"] == 0
+    assert out.loc[2, "n_unk"] == 3
