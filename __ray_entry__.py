@@ -253,6 +253,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_quantiles": co.q_group_quantiles,
         "range_join": co.q_range_join,
         "rolling_window": co.q_rolling_window,
+        "semi_join": co.q_semi_join,
+        "anti_join": co.q_anti_join,
+        "pricing_summary": co.q_pricing_summary,
+        "ngram_counts": co.q_ngram_counts,
     }
 
 
@@ -516,6 +520,47 @@ def oracle_sql() -> dict[str, str]:
             FROM events
             WINDOW w AS (PARTITION BY user_id ORDER BY ts
                 RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+        "semi_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'F')
+        """,
+        "anti_join": """
+            SELECT c_custkey, c_name FROM customer c
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_custkey = c.c_custkey
+                                AND o.o_orderstatus = 'F')
+        """,
+        "pricing_summary": """
+            SELECT l_returnflag, l_linestatus,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                       AS sum_qty,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents
+            FROM lineitem GROUP BY 1, 2
+        """,
+        "ngram_counts": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM toks WHERE len(t) >= 2)
+            SELECT gram,
+                   count(*) AS n_occurrences,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM grams
+            GROUP BY 1
+            ORDER BY n_occurrences DESC, gram
+            LIMIT 100
         """,
         "group_quantiles": " UNION ALL ".join(
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "

@@ -569,6 +569,89 @@ def q_group_quantiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_semi_join(sf_dir: str) -> ray.data.Dataset:
+    """Distributed SEMI join: customers with at least one finished
+    ('F'-status) order. The order side reduces to distinct custkeys
+    before anything moves; customers stream through a broadcast
+    membership filter (shuffle fallback above the size guard)."""
+    from ..stages.relational import membership_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'F'")
+    return membership_join(cust, ords, on="c_custkey", right_on="o_custkey")
+
+
+def q_anti_join(sf_dir: str) -> ray.data.Dataset:
+    """Distributed ANTI join (NOT EXISTS): customers with NO finished
+    order — same machinery as q_semi_join, inverted mask."""
+    from ..stages.relational import membership_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'F'")
+    return membership_join(
+        cust, ords, on="c_custkey", right_on="o_custkey", anti=True
+    )
+
+
+def q_pricing_summary(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q1-shaped grouped aggregate over lineitem: per-block partial
+    aggregation (combiner) → tiny merge shuffle. Money is summed as
+    integer cents (rounded per row on BOTH sides) so the oracle compare
+    is float-free."""
+    from ..stages.relational import grouped_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=[
+            "l_returnflag",
+            "l_linestatus",
+            "l_quantity",
+            "l_extendedprice",
+        ],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "qty": pc_.cast(pc_.round(t["l_quantity"]), pa.int64()),
+                "cents": pc_.cast(
+                    pc_.round(pc_.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return grouped_summary(
+        prep,
+        by=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": ("qty", "count"),
+            "sum_qty": ("qty", "sum"),
+            "sum_price_cents": ("cents", "sum"),
+        },
+    )
+
+
+def q_ngram_counts(sf_dir: str, k: int = 100) -> ray.data.Dataset:
+    """Corpus word-bigram frequencies, top-k (collocation mining) —
+    see `stages/curation.ngram_counts`."""
+    from ..stages.curation import ngram_counts
+
+    return ngram_counts(read_documents(sf_dir), n=2, k=k)
+
+
 # --- bench subset ----------------------------------------------------------
 
 

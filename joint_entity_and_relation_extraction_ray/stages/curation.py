@@ -93,6 +93,63 @@ def token_counts(docs: ray.data.Dataset, k: int = 100) -> ray.data.Dataset:
     ).limit(k)
 
 
+def ngram_counts(
+    docs: ray.data.Dataset, *, n: int = 2, k: int = 100
+) -> ray.data.Dataset:
+    """Corpus word-n-gram frequencies, top-k by (count desc, gram asc) —
+    the phrase-vocabulary / collocation-mining counterpart of
+    ``token_counts``, same combiner → one-bucket-merge-shuffle shape:
+    one row per (block, distinct gram) moves, never the corpus.
+
+    Grams are built vectorized: explode whitespace tokens (order
+    preserved), then ``shift(-i).over(doc_id)`` joins each token with its
+    i-th successor — no Python loop over rows. A doc's grams all land in
+    one block's partial, so per-gram ``n_docs`` partials sum exactly."""
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        toks = (
+            pl.from_arrow(t.select(["doc_id", "text"]))
+            .select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("tok"),
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        cols = [pl.col("tok")]
+        for i in range(1, n):
+            cols.append(pl.col("tok").shift(-i).over("doc_id"))
+        grams = toks.with_columns(
+            pl.concat_str(cols, separator=" ").alias("gram")
+        ).drop_nulls("gram")
+        per = grams.group_by("gram").agg(
+            pl.len().alias("n_occurrences"),
+            pl.col("doc_id").n_unique().alias("n_docs"),
+        )
+        return per.select(["gram", "n_occurrences", "n_docs"]).to_arrow()
+
+    partials = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by("gram")
+            .agg(pl.col("n_occurrences").sum(), pl.col("n_docs").sum())
+            .to_arrow()
+        )
+
+    agg = bucket_group_apply(partials, "gram", _merge, num_buckets=32)
+    return agg.sort(
+        ["n_occurrences", "gram"], descending=[True, False]
+    ).limit(k)
+
+
 # GPT-2-family pretokenizer shape, minus the lookahead RE2/rust-regex lack:
 # contraction suffixes | space-prefixed letter runs | space-prefixed digit
 # runs | space-prefixed punctuation runs | whitespace runs. Verified to

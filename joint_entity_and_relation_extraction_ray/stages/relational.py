@@ -38,10 +38,135 @@ from ..functions.shuffle import bucket_group_apply, cobucket_apply
 __all__ = [
     "asof_join",
     "group_topk",
+    "grouped_summary",
+    "membership_join",
     "range_join",
     "rolling_window",
     "value_quantiles",
 ]
+
+# distinct right-key sets up to this size broadcast (one ray.put, read
+# zero-copy in every filter task); above it the semi/anti join falls back
+# to the co-bucketed shuffle so neither side ever sits on the driver
+MEMBERSHIP_BROADCAST_ROWS = 2_000_000
+
+
+def membership_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    broadcast_threshold: int = MEMBERSHIP_BROADCAST_ROWS,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Distributed SEMI (``anti=False``) / ANTI (``anti=True``) join:
+    keep the ``left`` rows whose ``on`` key does / does not appear in
+    ``right``'s ``right_on`` column.
+
+    The right side is reduced to per-block DISTINCT keys (a combiner)
+    before anything moves, then deduplicated with one key-bucketed
+    shuffle — so the shuffle carries distinct keys, never right rows.
+    Small key sets broadcast (`ray.put` once, vectorized ``pc.is_in``
+    per batch — the left side never shuffles); large ones fall back to
+    a co-bucketed shuffle where each bucket filters its left rows
+    against its local key set. Null left keys never match (SQL ``IN``
+    semantics for the semi side; for the anti side a null key is kept,
+    matching ``NOT EXISTS`` — callers wanting ``NOT IN`` null semantics
+    should pre-filter)."""
+    right_on = right_on or on
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        arr = pc.drop_null(t[right_on].combine_chunks()).unique()
+        return pa.table({right_on: arr})
+
+    keys = (
+        right.select_columns([right_on])
+        .map_batches(_distinct, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    keys = bucket_group_apply(
+        keys, right_on, _distinct, num_buckets=min(num_buckets, 16)
+    ).materialize()
+
+    if keys.count() <= broadcast_threshold:
+        from ..functions.joins import dataset_to_table
+
+        key_tbl = dataset_to_table(keys).combine_chunks()
+        ref = ray.put(key_tbl) if ray.is_initialized() else key_tbl
+
+        def _filter(batch: pa.Table) -> pa.Table:
+            tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            mask = pc.is_in(batch[on], value_set=tbl[right_on])
+            if anti:
+                mask = pc.invert(pc.fill_null(mask, False))
+            else:
+                mask = pc.fill_null(mask, False)
+            return batch.filter(mask)
+
+        return left.map_batches(
+            _filter, batch_format="pyarrow", zero_copy_batch=True
+        )
+
+    def _bucket_filter(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        mask = pc.is_in(lt[on], value_set=rt[right_on].combine_chunks())
+        mask = pc.fill_null(mask, False)
+        return lt.filter(pc.invert(mask) if anti else mask)
+
+    return cobucket_apply(
+        left,
+        keys,
+        lambda t: t[on].combine_chunks(),
+        lambda t: t[right_on].combine_chunks(),
+        _bucket_filter,
+        num_buckets=num_buckets,
+    )
+
+
+def grouped_summary(
+    ds: ray.data.Dataset,
+    *,
+    by: list[str],
+    aggs: "dict[str, tuple[str, str]]",
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Decomposable multi-column grouped aggregate (the TPC-H-Q1 shape):
+    per-BLOCK partial aggregation inside ``map_batches`` (the combiner —
+    one row per (block, group) moves, never the corpus), then one tiny
+    key-bucketed merge shuffle.
+
+    ``aggs`` maps output column → (input column, fn) with fn in
+    {sum, count, min, max}; count re-merges by summing partial counts."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # polars group_by on a 0-row frame returns a typed empty frame,
+        # so no empty special case is needed (house style: token_counts)
+        df = pl.from_arrow(t)
+        exprs = []
+        for out, (col, fn) in aggs.items():
+            if fn == "count":
+                exprs.append(pl.len().cast(pl.Int64).alias(out))
+            else:
+                exprs.append(getattr(pl.col(col), fn)().alias(out))
+        return df.group_by(by).agg(exprs).to_arrow()
+
+    merge_fn = {
+        out: ("sum" if fn == "count" else fn) for out, (_, fn) in aggs.items()
+    }
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        exprs = [
+            getattr(pl.col(out), fn)().alias(out)
+            for out, fn in merge_fn.items()
+        ]
+        return df.group_by(by).agg(exprs).to_arrow()
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, by[0], _merge, num_buckets=num_buckets)
 
 
 def asof_join(

@@ -379,3 +379,117 @@ def test_asof_duplicate_ts_tie_is_max_value(ray_session):
         left, right, by="k", on="ts", right_cols=["r_ts", "val"], num_buckets=2
     ).take_all()
     assert (row["r_ts"], row["val"]) == (10, 9.0)
+
+
+def test_membership_semi_and_anti(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        membership_join,
+    )
+
+    left = _ds({"k": [1, 2, 3, 4, 5], "name": list("abcde")})
+    # duplicate + irrelevant right keys: only DISTINCT membership matters
+    right = _ds({"rk": [2, 2, 4, 9, 9]})
+    semi = membership_join(left, right, on="k", right_on="rk")
+    anti = membership_join(left, right, on="k", right_on="rk", anti=True)
+    assert sorted(r["k"] for r in semi.take_all()) == [2, 4]
+    assert sorted(r["k"] for r in anti.take_all()) == [1, 3, 5]
+
+
+def test_membership_join_shuffle_path_matches_broadcast(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        membership_join,
+    )
+
+    left = _ds({"k": list(range(50)), "v": list(range(50))})
+    right = _ds({"k": [i * 2 for i in range(30)]})  # 0..58 even
+    for anti in (False, True):
+        bc = membership_join(left, right, on="k", anti=anti)
+        sh = membership_join(
+            left, right, on="k", anti=anti, broadcast_threshold=0
+        )
+        assert sorted(r["k"] for r in bc.take_all()) == sorted(
+            r["k"] for r in sh.take_all()
+        )
+
+
+def test_membership_null_left_keys(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        membership_join,
+    )
+
+    left = _ds(
+        {"k": [1, None, 3], "name": ["a", "b", "c"]},
+        types={"k": pa.int64()},
+    )
+    right = _ds({"k": [1]})
+    semi = membership_join(left, right, on="k")
+    anti = membership_join(left, right, on="k", anti=True)
+    # null never matches (IN); NOT EXISTS keeps the null row
+    assert [r["name"] for r in semi.take_all()] == ["a"]
+    assert sorted(r["name"] for r in anti.take_all()) == ["b", "c"]
+
+
+def test_grouped_summary_matches_duckdb(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        grouped_summary,
+    )
+
+    g = ["x", "y", "x", "x", "y", "z"]
+    s = ["A", "A", "B", "A", "A", "B"]
+    q = [1, 2, 3, 4, 5, 6]
+    ds = _ds({"g": g, "s": s, "q": q}, types={"q": pa.int64()})
+    out = grouped_summary(
+        ds,
+        by=["g", "s"],
+        aggs={"n": ("q", "count"), "sq": ("q", "sum"), "mx": ("q", "max")},
+        num_buckets=4,
+    ).to_pandas()
+    exp = duckdb.sql(
+        """SELECT g, s, count(*) AS n, sum(q) AS sq, max(q) AS mx
+           FROM (SELECT unnest($g) g, unnest($s) s, unnest($q) q)
+           GROUP BY 1,2""",
+        params={"g": g, "s": s, "q": q},
+    ).df()
+    got = out.sort_values(["g", "s"]).reset_index(drop=True)
+    exp = exp.sort_values(["g", "s"]).reset_index(drop=True)
+    assert got["n"].astype(int).tolist() == exp["n"].astype(int).tolist()
+    assert got["sq"].astype(int).tolist() == exp["sq"].astype(int).tolist()
+    assert got["mx"].astype(int).tolist() == exp["mx"].astype(int).tolist()
+
+
+def test_ngram_counts_closed_form(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.curation import (
+        ngram_counts,
+    )
+
+    docs = _ds(
+        {
+            "doc_id": [1, 2, 3, 4],
+            "text": [
+                "a b c a b",  # bigrams: a b, b c, c a, a b
+                "a b",  # a b
+                "solo",  # no bigram
+                "  ",  # no tokens at all
+            ],
+        }
+    )
+    rows = {
+        r["gram"]: (r["n_occurrences"], r["n_docs"])
+        for r in ngram_counts(docs, n=2, k=10).take_all()
+    }
+    assert rows["a b"] == (3, 2)
+    assert rows["b c"] == (1, 1)
+    assert rows["c a"] == (1, 1)
+    assert len(rows) == 3
+
+
+def test_ngram_counts_trigrams(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.curation import (
+        ngram_counts,
+    )
+
+    docs = _ds({"doc_id": [1], "text": ["w x y z"]})
+    rows = sorted(
+        r["gram"] for r in ngram_counts(docs, n=3, k=10).take_all()
+    )
+    assert rows == ["w x y", "x y z"]
