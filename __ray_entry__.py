@@ -257,6 +257,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "anti_join": co.q_anti_join,
         "pricing_summary": co.q_pricing_summary,
         "ngram_counts": co.q_ngram_counts,
+        "revenue_by_nation": co.q_revenue_by_nation,
+        "event_pivot": co.q_event_pivot,
+        "group_moments": co.q_group_moments,
+        "set_intersect": co.q_set_intersect,
+        "set_except": co.q_set_except,
+        "user_gaps": co.q_user_gaps,
     }
 
 
@@ -541,6 +547,71 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                         AS BIGINT) AS sum_price_cents
             FROM lineitem GROUP BY 1, 2
+        """,
+        "revenue_by_nation": """
+            SELECT n_name,
+                   count(*) AS n_orders,
+                   CAST(sum(rev) AS BIGINT) AS revenue_cbp
+            FROM (
+                SELECT l_orderkey,
+                       sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                           * (100 - CAST(round(l_discount * 100) AS BIGINT)))
+                           AS rev
+                FROM lineitem GROUP BY 1) lo
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON o_custkey = c_custkey
+            JOIN nation ON c_nationkey = n_nationkey
+            JOIN region ON n_regionkey = r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY 1
+        """,
+        "event_pivot": """
+            SELECT user_id,
+                   count(*) FILTER (WHERE event_type = 'click') AS n_click,
+                   count(*) FILTER (WHERE event_type = 'error') AS n_error,
+                   count(*) FILTER (WHERE event_type = 'purchase')
+                       AS n_purchase,
+                   count(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+                   count(*) FILTER (WHERE event_type = 'view') AS n_view,
+                   count(*) AS n_total
+            FROM events GROUP BY 1
+        """,
+        "group_moments": """
+            SELECT l_returnflag,
+                   count(*) AS n,
+                   CAST(sum(q) AS BIGINT) AS sum_q,
+                   CAST(sum(p) AS BIGINT) AS sum_p,
+                   CAST(sum(q * q) AS BIGINT) AS sum_qq,
+                   CAST(sum(p * p) AS BIGINT) AS sum_pp,
+                   CAST(sum(q * p) AS BIGINT) AS sum_qp
+            FROM (SELECT l_returnflag,
+                         (CAST(round(l_quantity * 100) AS BIGINT) + 50)
+                             // 100 AS q,
+                         (CAST(round(l_extendedprice * 100) AS BIGINT) + 50)
+                             // 100 AS p
+                  FROM lineitem)
+            GROUP BY 1
+        """,
+        "set_intersect": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "set_except": """
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "user_gaps": """
+            SELECT user_id, count(*) AS n_gaps,
+                   CAST(sum(gap) AS BIGINT) AS sum_gap_us,
+                   CAST(max(gap) AS BIGINT) AS max_gap_us
+            FROM (SELECT user_id,
+                         epoch_us(ts) - lag(epoch_us(ts)) OVER
+                             (PARTITION BY user_id ORDER BY ts) AS gap
+                  FROM events)
+            WHERE gap IS NOT NULL
+            GROUP BY 1
         """,
         "ngram_counts": """
             WITH toks AS (

@@ -652,6 +652,185 @@ def q_ngram_counts(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     return ngram_counts(read_documents(sf_dir), n=2, k=k)
 
 
+def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
+    """Star-schema join + aggregate (the TPC-H-Q5 shape): revenue per
+    EUROPE nation. Join-strategy composition end to end:
+
+    - lineitem first collapses per orderkey with a `grouped_summary`
+      combiner (the fact table shrinks ~4x BEFORE any join),
+    - per-order revenue ⋈ orders and ⋈ customer go through `join_auto`
+      (broadcast at this sf; degrades to the co-partitioned hash join
+      above the threshold — both are big at 100 TB),
+    - nation⋈region is a driver-small dim pre-join; the region filter
+      rides the broadcast INNER join (acts as filter + lookup in one
+      map-side pass).
+
+    Money is exact integers end to end: revenue in cent-basis-points =
+    round(price*100) * (100 - round(disc*100)) — no float product ever
+    crosses a rounding boundary, so the oracle compare is float-free."""
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        ext = pc_.cast(
+            pc_.round(pc_.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc = pc_.cast(
+            pc_.round(pc_.multiply(t["l_discount"], 100.0)), pa.int64()
+        )
+        rev = pc_.multiply(ext, pc_.subtract(pa.scalar(100, pa.int64()), disc))
+        return pa.table({"l_orderkey": t["l_orderkey"], "rev": rev})
+
+    per_order = grouped_summary(
+        li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        by=["l_orderkey"],
+        aggs={"revenue_cbp": ("rev", "sum")},
+        num_buckets=32,
+    )
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_custkey"]
+    )
+    with_cust = join_auto(
+        per_order, orders, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    with_nat = join_auto(
+        with_cust, cust, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    nation = ray.data.read_parquet(f"{sf_dir}/nation.parquet")
+    region = ray.data.read_parquet(f"{sf_dir}/region.parquet")
+    dim = join_auto(
+        nation, region, on=("n_regionkey",), right_on=("r_regionkey",)
+    ).filter(expr="r_name == 'EUROPE'")
+    dim = dim.select_columns(["n_nationkey", "n_name"])
+
+    joined = join_auto(
+        with_nat, dim, on=("c_nationkey",), right_on=("n_nationkey",)
+    )
+    return grouped_summary(
+        joined,
+        by=["n_name"],
+        aggs={
+            "n_orders": ("l_orderkey", "count"),
+            "revenue_cbp": ("revenue_cbp", "sum"),
+        },
+        num_buckets=4,
+    )
+
+
+def q_event_pivot(sf_dir: str) -> ray.data.Dataset:
+    """Per-user event-type count pivot (conditional aggregates) — see
+    `stages/relational.pivot_counts`. Category values discovered with a
+    guarded distinct pass."""
+    from ..stages.events import read_events
+    from ..stages.relational import pivot_counts
+
+    return pivot_counts(
+        read_events(sf_dir, columns=["user_id", "event_type"]),
+        index="user_id",
+        col="event_type",
+    )
+
+
+def q_group_moments(sf_dir: str) -> ray.data.Dataset:
+    """Per-group decomposable second moments (the corr/covariance
+    partial-aggregation pattern): per l_returnflag the exact integer
+    sums n, Σq, Σp, Σq², Σp², Σqp over q=round(quantity),
+    p=round(extendedprice in whole dollars). Pearson r / covariance
+    derive from these on the driver (float math happens once, on G
+    rows, never inside the shuffle) — see test_relational for the
+    numpy cross-check."""
+    from ..stages.relational import grouped_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_extendedprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+
+        def _dollars(col) -> pa.Array:
+            # round-to-cents is exact on 2-decimal data; whole dollars
+            # then come from integer half-up division — identical on
+            # both sides, immune to the half-to-even vs half-away split
+            cents = pc_.cast(pc_.round(pc_.multiply(col, 100.0)), pa.int64())
+            return pc_.divide(pc_.add(cents, 50), 100)
+
+        q = _dollars(t["l_quantity"])
+        p = _dollars(t["l_extendedprice"])
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "q": q,
+                "p": p,
+                "qq": pc_.multiply(q, q),
+                "pp": pc_.multiply(p, p),
+                "qp": pc_.multiply(q, p),
+            }
+        )
+
+    return grouped_summary(
+        li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        by=["l_returnflag"],
+        aggs={
+            "n": ("q", "count"),
+            "sum_q": ("q", "sum"),
+            "sum_p": ("p", "sum"),
+            "sum_qq": ("qq", "sum"),
+            "sum_pp": ("pp", "sum"),
+            "sum_qp": ("qp", "sum"),
+        },
+        num_buckets=4,
+    )
+
+
+def q_set_intersect(sf_dir: str) -> ray.data.Dataset:
+    """SQL INTERSECT: custkeys holding BOTH a finished ('F') and an open
+    ('O') order — see `stages/relational.set_intersect`."""
+    from ..stages.relational import set_intersect
+
+    f = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'F'")
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'O'")
+    return set_intersect(f, o, on="o_custkey")
+
+
+def q_set_except(sf_dir: str) -> ray.data.Dataset:
+    """SQL EXCEPT: custkeys with a finished order but NO open order."""
+    from ..stages.relational import set_except
+
+    f = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'F'")
+    o = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderstatus"]
+    ).filter(expr="o_orderstatus == 'O'")
+    return set_except(f, o, on="o_custkey")
+
+
+def q_user_gaps(sf_dir: str) -> ray.data.Dataset:
+    """Per-user inter-event-gap rollup (the LAG window family) — see
+    `stages/events.gap_rollup`."""
+    from ..stages.events import gap_rollup, read_events
+
+    return gap_rollup(read_events(sf_dir, columns=["user_id", "ts"]))
+
+
 # --- bench subset ----------------------------------------------------------
 
 

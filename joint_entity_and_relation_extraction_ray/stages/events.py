@@ -320,3 +320,54 @@ def json_props_rollup(
     return bucket_group_apply(
         partials, "event_type", _merge, num_buckets=num_buckets
     )
+
+
+def gap_rollup(
+    events: ray.data.Dataset,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-user inter-event-gap rollup — the LAG window-function family
+    (``ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)``) reduced to
+    integer metrics: per user, the number of gaps and the sum / max gap
+    in epoch microseconds.
+
+    One user_id-bucketed shuffle co-locates each user's events; the
+    per-bucket diff runs vectorized in polars on int64 epoch-us. With
+    duplicate timestamps the sorted sequence is the same multiset under
+    any tie order, so the gap multiset — hence every output — is
+    deterministic. Users with a single event emit no row (no gaps),
+    matching the SQL WHERE gap IS NOT NULL."""
+
+    def _gaps(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t)
+            .with_columns(pl.col("ts").cast(pl.Int64).alias("us"))
+            .sort(["user_id", "us"])
+            .with_columns(
+                (pl.col("us") - pl.col("us").shift(1).over("user_id")).alias(
+                    "gap"
+                )
+            )
+            .drop_nulls("gap")
+        )
+        out = (
+            df.group_by("user_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_gaps"),
+                pl.col("gap").sum().alias("sum_gap_us"),
+                pl.col("gap").max().alias("max_gap_us"),
+            )
+        )
+        return out.select(
+            ["user_id", "n_gaps", "sum_gap_us", "max_gap_us"]
+        ).to_arrow()
+
+    return bucket_group_apply(
+        events.select_columns(["user_id", "ts"]),
+        "user_id",
+        _gaps,
+        num_buckets=num_buckets,
+    )

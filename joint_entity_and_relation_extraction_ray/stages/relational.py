@@ -37,11 +37,15 @@ from ..functions.shuffle import bucket_group_apply, cobucket_apply
 
 __all__ = [
     "asof_join",
+    "distinct_keys",
     "group_topk",
     "grouped_summary",
     "membership_join",
+    "pivot_counts",
     "range_join",
     "rolling_window",
+    "set_except",
+    "set_intersect",
     "value_quantiles",
 ]
 
@@ -49,6 +53,26 @@ __all__ = [
 # zero-copy in every filter task); above it the semi/anti join falls back
 # to the co-bucketed shuffle so neither side ever sits on the driver
 MEMBERSHIP_BROADCAST_ROWS = 2_000_000
+
+
+def distinct_keys(
+    ds: ray.data.Dataset, col: str, *, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Reduce ``ds`` to the DISTINCT non-null values of ``col`` — a
+    per-block distinct combiner first (so the shuffle carries each
+    block's unique values, never rows), then one key-bucketed dedup
+    shuffle. Returns a materialized single-column Dataset."""
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        arr = pc.drop_null(t[col].combine_chunks()).unique()
+        return pa.table({col: arr})
+
+    keys = ds.select_columns([col]).map_batches(
+        _distinct, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        keys, col, _distinct, num_buckets=num_buckets
+    ).materialize()
 
 
 def membership_join(
@@ -76,18 +100,7 @@ def membership_join(
     matching ``NOT EXISTS`` — callers wanting ``NOT IN`` null semantics
     should pre-filter)."""
     right_on = right_on or on
-
-    def _distinct(t: pa.Table) -> pa.Table:
-        arr = pc.drop_null(t[right_on].combine_chunks()).unique()
-        return pa.table({right_on: arr})
-
-    keys = (
-        right.select_columns([right_on])
-        .map_batches(_distinct, batch_format="pyarrow", zero_copy_batch=True)
-    )
-    keys = bucket_group_apply(
-        keys, right_on, _distinct, num_buckets=min(num_buckets, 16)
-    ).materialize()
+    keys = distinct_keys(right, right_on, num_buckets=min(num_buckets, 16))
 
     if keys.count() <= broadcast_threshold:
         from ..functions.joins import dataset_to_table
@@ -120,6 +133,98 @@ def membership_join(
         lambda t: t[right_on].combine_chunks(),
         _bucket_filter,
         num_buckets=num_buckets,
+    )
+
+
+def set_intersect(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``INTERSECT`` on a key column: the DISTINCT ``on`` values of
+    ``left`` that also appear in ``right``. Both sides reduce to distinct
+    keys per block before anything moves; the membership filter is the
+    semi-join machinery (broadcast under the guard, co-bucketed shuffle
+    above it). Output column is named ``on``."""
+    lkeys = distinct_keys(left, on, num_buckets=min(num_buckets, 16))
+    return membership_join(
+        lkeys, right, on=on, right_on=right_on, num_buckets=num_buckets
+    )
+
+
+def set_except(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``EXCEPT`` on a key column: the DISTINCT ``on`` values of
+    ``left`` that do NOT appear in ``right`` — ``set_intersect`` with the
+    mask inverted."""
+    lkeys = distinct_keys(left, on, num_buckets=min(num_buckets, 16))
+    return membership_join(
+        lkeys, right, on=on, right_on=right_on, anti=True,
+        num_buckets=num_buckets,
+    )
+
+
+def _safe_col(v: object) -> str:
+    s = "".join(ch if ch.isalnum() else "_" for ch in str(v)).strip("_")
+    return s.lower() or "null"
+
+
+def pivot_counts(
+    ds: ray.data.Dataset,
+    *,
+    index: str,
+    col: str,
+    values: list | None = None,
+    num_buckets: int = 16,
+    max_values: int = 1_000,
+) -> ray.data.Dataset:
+    """Wide conditional-aggregate pivot — one output count column per
+    category value of ``col`` (``n_<value>``), plus ``n_total``, grouped
+    by ``index``. The SQL shape is ``count(*) FILTER (WHERE col = v)``.
+
+    Category values are either supplied (``values``) or discovered with a
+    tiny distinct pass (guarded by ``max_values`` — a pivot to millions
+    of columns is a modeling error, not a scale problem). The widening
+    happens per block as int indicator columns, so the whole thing is a
+    ``grouped_summary``: per-block partials → one tiny merge shuffle;
+    raw rows never move."""
+    if values is None:
+        vals_ds = distinct_keys(ds, col, num_buckets=min(num_buckets, 16))
+        n = vals_ds.count()
+        if n > max_values:
+            raise ValueError(
+                f"pivot_counts: {n} distinct values of {col!r} exceeds "
+                f"max_values={max_values}"
+            )
+        values = sorted(r[col] for r in vals_ds.take_all())
+    values = list(values)
+    names = [f"n_{_safe_col(v)}" for v in values]
+    if len(set(names)) != len(names):
+        raise ValueError(f"pivot_counts: value names collide: {names}")
+
+    def _ind(t: pa.Table) -> pa.Table:
+        c = t[col].combine_chunks()
+        cols = {index: t[index]}
+        for v, name in zip(values, names):
+            cols[name] = pc.cast(
+                pc.fill_null(pc.equal(c, pa.scalar(v)), False), pa.int64()
+            )
+        return pa.table(cols)
+
+    ind = ds.map_batches(_ind, batch_format="pyarrow", zero_copy_batch=True)
+    aggs: dict = {name: (name, "sum") for name in names}
+    aggs["n_total"] = (index, "count")
+    return grouped_summary(
+        ind, by=[index], aggs=aggs, num_buckets=num_buckets
     )
 
 

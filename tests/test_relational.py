@@ -493,3 +493,154 @@ def test_ngram_counts_trigrams(ray_session):
         r["gram"] for r in ngram_counts(docs, n=3, k=10).take_all()
     )
     assert rows == ["w x y", "x y z"]
+
+
+def test_set_intersect_and_except(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        set_except,
+        set_intersect,
+    )
+
+    # duplicates on both sides: set semantics must dedup
+    left = _ds({"k": [1, 1, 2, 3, 3, 5]})
+    right = _ds({"k": [2, 2, 3, 9]})
+    inter = set_intersect(left, right, on="k")
+    exc = set_except(left, right, on="k")
+    assert sorted(r["k"] for r in inter.take_all()) == [2, 3]
+    assert sorted(r["k"] for r in exc.take_all()) == [1, 5]
+
+
+def test_pivot_counts_vs_duckdb(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        pivot_counts,
+    )
+
+    u = [1, 1, 1, 2, 2, 3]
+    ev = ["a", "b", "a", "b", "b", "a"]
+    out = pivot_counts(
+        _ds({"u": u, "ev": ev}), index="u", col="ev", num_buckets=4
+    ).to_pandas().sort_values("u").reset_index(drop=True)
+    exp = duckdb.sql(
+        """SELECT u, count(*) FILTER (WHERE ev='a') AS n_a,
+                  count(*) FILTER (WHERE ev='b') AS n_b,
+                  count(*) AS n_total
+           FROM (SELECT unnest($u) u, unnest($ev) ev) GROUP BY 1 ORDER BY 1""",
+        params={"u": u, "ev": ev},
+    ).df()
+    for c in ["n_a", "n_b", "n_total"]:
+        assert out[c].astype(int).tolist() == exp[c].astype(int).tolist()
+
+
+def test_pivot_counts_explicit_values_and_collision_guard(ray_session):
+    import pytest
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        pivot_counts,
+    )
+
+    ds = _ds({"u": [1, 2], "ev": ["x", "y"]})
+    # explicit values: absent category still gets a zero column
+    out = pivot_counts(
+        ds, index="u", col="ev", values=["x", "z"], num_buckets=2
+    ).to_pandas()
+    assert set(out.columns) == {"u", "n_x", "n_z", "n_total"}
+    assert out["n_z"].sum() == 0
+    with pytest.raises(ValueError):
+        pivot_counts(ds, index="u", col="ev", values=["a b", "a_b"])
+
+
+def test_gap_rollup_closed_form(ray_session):
+    import datetime as dt
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        gap_rollup,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = {
+        "user_id": [1, 1, 1, 2, 2, 3],
+        "ts": [
+            base,
+            base + dt.timedelta(seconds=10),
+            base + dt.timedelta(seconds=10),  # duplicate ts: gap 0
+            base + dt.timedelta(seconds=5),
+            base,
+            base,  # single event: no row
+        ],
+    }
+    ds = _ds(rows, types={"ts": pa.timestamp("us")})
+    got = {
+        r["user_id"]: (r["n_gaps"], r["sum_gap_us"], r["max_gap_us"])
+        for r in gap_rollup(ds, num_buckets=2).take_all()
+    }
+    assert got == {1: (2, 10_000_000, 10_000_000), 2: (1, 5_000_000, 5_000_000)}
+
+
+def test_group_moments_derive_pearson(ray_session):
+    """The driver query ships integer moments; Pearson r derived from
+    them must equal numpy's corrcoef on the rounded values."""
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        q_group_moments,
+    )
+
+    row = (
+        q_group_moments("/root/testdata/sf0.001")
+        .to_pandas()
+        .sort_values("l_returnflag")
+        .iloc[0]
+    )
+    # python ints: the cross terms (e.g. sum_p**2) overflow numpy int64
+    n, sq, sp, sqq, spp, sqp = (
+        int(row["n"]), int(row["sum_q"]), int(row["sum_p"]),
+        int(row["sum_qq"]), int(row["sum_pp"]), int(row["sum_qp"]),
+    )
+    r_from_moments = (n * sqp - sq * sp) / math.sqrt(
+        (n * sqq - sq * sq) * (n * spp - sp * sp)
+    )
+    li = duckdb.sql(
+        """SELECT l_returnflag,
+                  (CAST(round(l_quantity*100) AS BIGINT)+50)//100 AS q,
+                  (CAST(round(l_extendedprice*100) AS BIGINT)+50)//100 AS p
+           FROM read_parquet('/root/testdata/sf0.001/lineitem.parquet')"""
+    ).df()
+    flag = sorted(li["l_returnflag"].unique())[0]
+    sub = li[li["l_returnflag"] == flag]
+    r_np = np.corrcoef(sub["q"], sub["p"])[0, 1]
+    assert abs(r_from_moments - r_np) < 1e-9
+
+
+def test_revenue_by_nation_vs_duckdb(ray_session):
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        q_revenue_by_nation,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        q_revenue_by_nation(sf)
+        .to_pandas()
+        .sort_values("n_name")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        f"""SELECT n_name, count(*) AS n_orders, CAST(sum(rev) AS BIGINT)
+                   AS revenue_cbp
+            FROM (SELECT l_orderkey,
+                         sum(CAST(round(l_extendedprice*100) AS BIGINT)
+                             * (100 - CAST(round(l_discount*100) AS BIGINT)))
+                             AS rev
+                  FROM read_parquet('{sf}/lineitem.parquet') GROUP BY 1) lo
+            JOIN read_parquet('{sf}/orders.parquet') o ON l_orderkey=o_orderkey
+            JOIN read_parquet('{sf}/customer.parquet') c ON o_custkey=c_custkey
+            JOIN read_parquet('{sf}/nation.parquet') n ON c_nationkey=n_nationkey
+            JOIN read_parquet('{sf}/region.parquet') r ON n_regionkey=r_regionkey
+            WHERE r_name = 'EUROPE'
+            GROUP BY 1 ORDER BY 1"""
+    ).df()
+    assert got["n_name"].tolist() == exp["n_name"].tolist()
+    assert got["n_orders"].astype(int).tolist() == exp["n_orders"].astype(int).tolist()
+    assert (
+        got["revenue_cbp"].astype(int).tolist()
+        == exp["revenue_cbp"].astype(int).tolist()
+    )
