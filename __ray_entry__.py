@@ -263,6 +263,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "set_intersect": co.q_set_intersect,
         "set_except": co.q_set_except,
         "user_gaps": co.q_user_gaps,
+        "pricing_rollup": co.q_pricing_rollup,
+        "running_total": co.q_running_total,
+        "value_histogram": co.q_value_histogram,
+        "customer_order_counts": co.q_customer_order_counts,
     }
 
 
@@ -601,6 +605,39 @@ def oracle_sql() -> dict[str, str]:
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
             EXCEPT
             SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+        """,
+        "pricing_rollup": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping(l_returnflag) + grouping(l_linestatus)
+                        AS BIGINT) AS level,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents
+            FROM lineitem
+            GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        "running_total": """
+            SELECT user_id, event_id,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS running_cents
+            FROM events
+        """,
+        "value_histogram": """
+            SELECT CAST(round(value * 100) AS BIGINT) // 5000 AS bin,
+                   count(*) AS n,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS sum_cents
+            FROM events GROUP BY 1
+        """,
+        "customer_order_counts": """
+            SELECT c_custkey, c_name,
+                   CAST(coalesce(n_orders, 0) AS BIGINT) AS n_orders
+            FROM customer LEFT JOIN
+                 (SELECT o_custkey, count(*) AS n_orders
+                  FROM orders GROUP BY 1) o
+            ON c_custkey = o_custkey
         """,
         "user_gaps": """
             SELECT user_id, count(*) AS n_gaps,

@@ -831,6 +831,113 @@ def q_user_gaps(sf_dir: str) -> ray.data.Dataset:
     return gap_rollup(read_events(sf_dir, columns=["user_id", "ts"]))
 
 
+def q_pricing_rollup(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY ROLLUP (l_returnflag, l_linestatus): detail + per-flag
+    subtotal + grand total in one corpus scan — see
+    `stages/relational.grouped_rollup`."""
+    from ..stages.relational import grouped_rollup
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "cents": pc_.cast(
+                    pc_.round(pc_.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_rollup(
+        li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        by=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": ("cents", "count"),
+            "sum_price_cents": ("cents", "sum"),
+        },
+    )
+
+
+def q_running_total(sf_dir: str) -> ray.data.Dataset:
+    """Per-event running total of `value` per user (the cumulative-sum
+    window shape) — see `stages/events.running_total`."""
+    from ..stages.events import read_events, running_total
+
+    return running_total(read_events(sf_dir))
+
+
+def q_value_histogram(sf_dir: str, width_cents: int = 5_000) -> ray.data.Dataset:
+    """Fixed-width histogram of event `value` ($50 bins): the binned
+    aggregate is just `grouped_summary` over an integer bin key —
+    per-block partials, one tiny merge."""
+    from ..stages.events import read_events
+    from ..stages.relational import grouped_summary
+
+    ev = read_events(sf_dir, columns=["value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        cents = pc_.cast(
+            pc_.round(pc_.multiply(t["value"], 100.0)), pa.int64()
+        )
+        return pa.table(
+            {"bin": pc_.divide(cents, width_cents), "cents": cents}
+        )
+
+    return grouped_summary(
+        ev.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        by=["bin"],
+        aggs={"n": ("cents", "count"), "sum_cents": ("cents", "sum")},
+        num_buckets=4,
+    )
+
+
+def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
+    """LEFT OUTER join shape: every customer with their order count,
+    zero included. Orders collapse per custkey through the combiner
+    first; customers stream through the left-outer `join_auto`
+    (broadcast here, hash join at scale); null counts coalesce to 0."""
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary
+
+    per_cust = grouped_summary(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        ),
+        by=["o_custkey"],
+        aggs={"n_orders": ("o_custkey", "count")},
+        num_buckets=16,
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    joined = join_auto(
+        cust,
+        per_cust,
+        on=("c_custkey",),
+        right_on=("o_custkey",),
+        join_type="left_outer",
+    )
+
+    def _coalesce(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        n = pc_.fill_null(t["n_orders"], pa.scalar(0, pa.int64()))
+        return t.set_column(
+            t.column_names.index("n_orders"), "n_orders", n
+        )
+
+    return joined.map_batches(
+        _coalesce, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 # --- bench subset ----------------------------------------------------------
 
 

@@ -371,3 +371,45 @@ def gap_rollup(
         _gaps,
         num_buckets=num_buckets,
     )
+
+
+def running_total(
+    events: ray.data.Dataset,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Per-row cumulative sum — the ``SUM(x) OVER (PARTITION BY user
+    ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING)`` window shape:
+    each event annotated with the user's running total of ``value`` in
+    integer cents.
+
+    ``event_id`` breaks timestamp ties so the per-row prefix sums are
+    deterministic (a pure ``ORDER BY ts`` leaves equal-ts prefixes
+    ambiguous). One user-bucketed shuffle; the cum-sum runs vectorized
+    per bucket. Cents via round(value*100): exact on 2-decimal inputs,
+    where the scaled double is never a representable .5 boundary, so
+    every rounding mode agrees."""
+
+    def _cum(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t)
+            .with_columns(
+                (pl.col("value") * 100).round(0).cast(pl.Int64).alias("cents")
+            )
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                pl.col("cents").cum_sum().over("user_id").alias(
+                    "running_cents"
+                )
+            )
+        )
+        return df.select(["user_id", "event_id", "running_cents"]).to_arrow()
+
+    return bucket_group_apply(
+        events.select_columns(["user_id", "event_id", "ts", "value"]),
+        "user_id",
+        _cum,
+        num_buckets=num_buckets,
+    )

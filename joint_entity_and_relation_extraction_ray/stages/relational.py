@@ -39,6 +39,7 @@ __all__ = [
     "asof_join",
     "distinct_keys",
     "group_topk",
+    "grouped_rollup",
     "grouped_summary",
     "membership_join",
     "pivot_counts",
@@ -272,6 +273,80 @@ def grouped_summary(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, by[0], _merge, num_buckets=num_buckets)
+
+
+def grouped_rollup(
+    ds: ray.data.Dataset,
+    *,
+    by: list[str],
+    aggs: "dict[str, tuple[str, str]]",
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY ROLLUP (a, b, ...)``: the detail aggregate plus
+    every prefix subtotal and the grand total, with a ``level`` column
+    (0 = detail, len(by) = grand total) disambiguating NULL group keys
+    exactly like SQL ``GROUPING()``.
+
+    The corpus is scanned ONCE: the detail level is a `grouped_summary`
+    (per-block combiner → tiny merge shuffle); every coarser level
+    re-aggregates the already-tiny detail RESULT (count partials
+    re-merge by sum — the standard decomposability argument), so
+    subtotals cost G rows of work, not another corpus pass."""
+    detail = grouped_summary(
+        ds, by=by, aggs=aggs, num_buckets=num_buckets
+    ).materialize()
+    remerge = {
+        out: (out, "sum" if fn == "count" else fn)
+        for out, (_, fn) in aggs.items()
+    }
+    agg_names = list(aggs.keys())
+
+    schema = detail.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    def _with_level(level: int, keep: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            cols: dict = {}
+            for c in by:
+                cols[c] = (
+                    t[c] if c in keep else pa.nulls(t.num_rows, types[c])
+                )
+            cols["level"] = pa.array([level] * t.num_rows, pa.int64())
+            for a in agg_names:
+                cols[a] = t[a]
+            return pa.table(cols)
+
+        return _f
+
+    out = detail.map_batches(
+        _with_level(0, by), batch_format="pyarrow", zero_copy_batch=True
+    )
+    for i in range(1, len(by) + 1):
+        sub_by = by[:-i]
+        if sub_by:
+            lvl = grouped_summary(
+                detail, by=sub_by, aggs=remerge, num_buckets=1
+            )
+        else:
+            # grand total: polars can't group by nothing — a constant key
+            const = detail.map_batches(
+                lambda t: t.append_column(
+                    "_all", pa.array([0] * t.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            lvl = grouped_summary(
+                const, by=["_all"], aggs=remerge, num_buckets=1
+            ).drop_columns(["_all"])
+        out = out.union(
+            lvl.map_batches(
+                _with_level(i, sub_by),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    return out
 
 
 def asof_join(

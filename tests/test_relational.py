@@ -644,3 +644,68 @@ def test_revenue_by_nation_vs_duckdb(ray_session):
         got["revenue_cbp"].astype(int).tolist()
         == exp["revenue_cbp"].astype(int).tolist()
     )
+
+
+def test_grouped_rollup_vs_duckdb(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        grouped_rollup,
+    )
+
+    a = ["x", "x", "y", "y", "y"]
+    b = ["p", "q", "p", "p", "q"]
+    v = [1, 2, 3, 4, 5]
+    out = (
+        grouped_rollup(
+            _ds({"a": a, "b": b, "v": v}, types={"v": pa.int64()}),
+            by=["a", "b"],
+            aggs={"n": ("v", "count"), "sv": ("v", "sum"), "mx": ("v", "max")},
+            num_buckets=2,
+        )
+        .to_pandas()
+        .fillna({"a": "~", "b": "~"})
+        .sort_values(["level", "a", "b"])
+        .reset_index(drop=True)
+    )
+    exp = (
+        duckdb.sql(
+            """SELECT a, b,
+                      CAST(grouping(a) + grouping(b) AS BIGINT) AS level,
+                      count(*) AS n, sum(v) AS sv, max(v) AS mx
+               FROM (SELECT unnest($a) a, unnest($b) b, unnest($v) v)
+               GROUP BY ROLLUP (a, b)""",
+            params={"a": a, "b": b, "v": v},
+        )
+        .df()
+        .fillna({"a": "~", "b": "~"})
+        .sort_values(["level", "a", "b"])
+        .reset_index(drop=True)
+    )
+    assert out["a"].tolist() == exp["a"].tolist()
+    assert out["b"].tolist() == exp["b"].tolist()
+    for c in ["level", "n", "sv", "mx"]:
+        assert out[c].astype(int).tolist() == exp[c].astype(int).tolist(), c
+
+
+def test_running_total_tie_break(ray_session):
+    import datetime as dt
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        running_total,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    ds = _ds(
+        {
+            "user_id": [1, 1, 1, 2],
+            "event_id": [11, 10, 12, 20],  # 10 and 11 share a timestamp
+            "ts": [t0, t0, t0 + dt.timedelta(seconds=1), t0],
+            "value": [1.00, 2.00, 4.00, 9.99],
+        },
+        types={"ts": pa.timestamp("us")},
+    )
+    got = {
+        r["event_id"]: r["running_cents"]
+        for r in running_total(ds, num_buckets=2).take_all()
+    }
+    # equal ts → event_id ascending: 10 (200) then 11 (+100=300), then 12
+    assert got == {10: 200, 11: 300, 12: 700, 20: 999}
