@@ -267,6 +267,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "running_total": co.q_running_total,
         "value_histogram": co.q_value_histogram,
         "customer_order_counts": co.q_customer_order_counts,
+        "funnel": co.q_funnel,
+        "retention": co.q_retention,
     }
 
 
@@ -638,6 +640,33 @@ def oracle_sql() -> dict[str, str]:
                  (SELECT o_custkey, count(*) AS n_orders
                   FROM orders GROUP BY 1) o
             ON c_custkey = o_custkey
+        """,
+        "funnel": """
+            WITH s AS (
+                SELECT user_id, min(epoch_us(ts)) AS t1_us
+                FROM events WHERE event_type = 'signup' GROUP BY 1),
+            p AS (
+                SELECT s.user_id, t1_us, min(epoch_us(e.ts)) AS t2_us
+                FROM s JOIN events e ON e.user_id = s.user_id
+                 AND e.event_type = 'purchase'
+                 AND epoch_us(e.ts) >= t1_us
+                 AND epoch_us(e.ts) <= t1_us + 7 * 86400000000
+                GROUP BY 1, 2)
+            SELECT s.user_id, s.t1_us, p.t2_us
+            FROM s LEFT JOIN p ON s.user_id = p.user_id
+        """,
+        "retention": """
+            WITH d AS (
+                SELECT user_id, epoch_us(ts) // 86400000000 AS day
+                FROM events),
+            f AS (
+                SELECT user_id, min(day) AS cohort_day FROM d GROUP BY 1),
+            a AS (
+                SELECT DISTINCT d.user_id, cohort_day,
+                       day - cohort_day AS offset_days
+                FROM d JOIN f ON d.user_id = f.user_id)
+            SELECT cohort_day, offset_days, count(*) AS n_users
+            FROM a GROUP BY 1, 2
         """,
         "user_gaps": """
             SELECT user_id, count(*) AS n_gaps,

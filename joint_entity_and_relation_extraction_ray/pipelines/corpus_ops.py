@@ -938,6 +938,27 @@ def q_customer_order_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_funnel(sf_dir: str) -> ray.data.Dataset:
+    """signup → purchase conversion within 7 days — see
+    `stages/events.funnel`."""
+    from ..stages.events import funnel, read_events
+
+    return funnel(
+        read_events(sf_dir, columns=["user_id", "event_type", "ts"]),
+        step1="signup",
+        step2="purchase",
+        window_us=7 * 86_400_000_000,
+    )
+
+
+def q_retention(sf_dir: str) -> ray.data.Dataset:
+    """Cohort retention (distinct users per first-seen-day × day-offset)
+    — see `stages/events.retention_cohorts`."""
+    from ..stages.events import read_events, retention_cohorts
+
+    return retention_cohorts(read_events(sf_dir, columns=["user_id", "ts"]))
+
+
 # --- bench subset ----------------------------------------------------------
 
 
@@ -957,4 +978,6 @@ def bench_ops():
         "dedup_minhash": _consume(q_dedup_minhash),
         "ann_topk": _consume(q_ann_topk),
         "rolling_window": _consume(q_rolling_window),
+        "pricing_summary": _consume(q_pricing_summary),
+        "revenue_by_nation": _consume(q_revenue_by_nation),
     }

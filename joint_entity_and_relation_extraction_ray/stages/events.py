@@ -413,3 +413,130 @@ def running_total(
         _cum,
         num_buckets=num_buckets,
     )
+
+
+def funnel(
+    events: ray.data.Dataset,
+    *,
+    step1: str,
+    step2: str,
+    window_us: int,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Two-step conversion funnel: per user who performed ``step1``, the
+    epoch-us of their FIRST ``step1`` event (``t1_us``) and of the first
+    ``step2`` event at-or-after it within ``window_us`` (``t2_us``,
+    null = did not convert).
+
+    One user-bucketed shuffle; all window logic is vectorized per bucket
+    (min / filtered-min — deterministic under timestamp ties). This is
+    the sessionize/gap_rollup partitioning assumption: one user's events
+    fit in a reducer."""
+
+    def _fun(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).with_columns(
+            pl.col("ts").cast(pl.Int64).alias("us")
+        )
+        s = (
+            df.filter(pl.col("event_type") == step1)
+            .group_by("user_id")
+            .agg(pl.col("us").min().alias("t1_us"))
+        )
+        p = (
+            df.filter(pl.col("event_type") == step2)
+            .join(s, on="user_id")
+            .filter(
+                (pl.col("us") >= pl.col("t1_us"))
+                & (pl.col("us") <= pl.col("t1_us") + window_us)
+            )
+            .group_by(["user_id", "t1_us"])
+            .agg(pl.col("us").min().alias("t2_us"))
+        )
+        out = s.join(p, on=["user_id", "t1_us"], how="left")
+        return out.select(["user_id", "t1_us", "t2_us"]).to_arrow().cast(
+            pa.schema(
+                [
+                    ("user_id", pa.int64()),
+                    ("t1_us", pa.int64()),
+                    ("t2_us", pa.int64()),
+                ]
+            )
+        )
+
+    return bucket_group_apply(
+        events.select_columns(["user_id", "event_type", "ts"]),
+        "user_id",
+        _fun,
+        num_buckets=num_buckets,
+    )
+
+
+def retention_cohorts(
+    events: ray.data.Dataset,
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Cohort retention: users grouped by first-seen day (the cohort);
+    for each (cohort_day, offset_days) the count of DISTINCT cohort
+    users active that day. Days are integer days-since-epoch so the
+    compare is timezone- and type-free.
+
+    Exact distinct in ONE corpus shuffle: events bucket by user_id, so a
+    user's whole history is in exactly one bucket — the per-bucket
+    (cohort, offset) distinct-user counts are disjoint partials that
+    merge by plain sum (the same argument as ngram_counts' n_docs). The
+    shuffle ships (user_id, day) int pairs; the merge ships tiny
+    (cohort, offset, n) partials."""
+
+    def _day(t: pa.Table) -> pa.Table:
+        us = pc.cast(t["ts"].combine_chunks(), pa.int64())
+        return pa.table(
+            {
+                "user_id": t["user_id"],
+                "day": pc.divide(us, 86_400_000_000),
+            }
+        )
+
+    days = events.select_columns(["user_id", "ts"]).map_batches(
+        _day, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        first = df.group_by("user_id").agg(
+            pl.col("day").min().alias("cohort_day")
+        )
+        act = (
+            df.join(first, on="user_id")
+            .select(
+                pl.col("cohort_day"),
+                (pl.col("day") - pl.col("cohort_day")).alias("offset_days"),
+                pl.col("user_id"),
+            )
+            .unique()
+        )
+        return (
+            act.group_by(["cohort_day", "offset_days"])
+            .agg(pl.len().cast(pl.Int64).alias("n_users"))
+            .to_arrow()
+        )
+
+    partials = bucket_group_apply(
+        days, "user_id", _partial, num_buckets=num_buckets
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by(["cohort_day", "offset_days"])
+            .agg(pl.col("n_users").sum())
+            .to_arrow()
+        )
+
+    return bucket_group_apply(partials, "cohort_day", _merge, num_buckets=8)

@@ -82,3 +82,70 @@ def test_json_props_rollup(ray_session):
         for r in events.json_props_rollup(ds, num_buckets=2).take_all()
     }
     assert got == {"a": (3, 1, 10, 14), "b": (1, 7, 7, 7)}
+
+
+def test_funnel_closed_form(ray_session):
+    DAY = 86_400
+    rows = [
+        # u1: signup at 0, purchase at day 3 → converts
+        (1, 0, "signup", 0.0),
+        (1, 3 * DAY, "purchase", 1.0),
+        # u2: purchase BEFORE signup only → no conversion
+        (2, 5 * DAY, "purchase", 1.0),
+        (2, 6 * DAY, "signup", 0.0),
+        # u3: purchase outside the 7-day window → no conversion
+        (3, 0, "signup", 0.0),
+        (3, 8 * DAY, "purchase", 1.0),
+        # u4: two signups — window anchors on the FIRST; second purchase
+        # inside it wins by min
+        (4, 0, "signup", 0.0),
+        (4, 1 * DAY, "signup", 0.0),
+        (4, 2 * DAY, "purchase", 1.0),
+        (4, 4 * DAY, "purchase", 1.0),
+        # u5: never signed up → no row at all
+        (5, 0, "purchase", 1.0),
+    ]
+    got = {
+        r["user_id"]: (r["t1_us"], r["t2_us"])
+        for r in events.funnel(
+            _ev(rows),
+            step1="signup",
+            step2="purchase",
+            window_us=7 * DAY * 1_000_000,
+            num_buckets=3,
+        ).take_all()
+    }
+    M = 1_000_000
+    assert got == {
+        1: (0, 3 * DAY * M),
+        2: (6 * DAY * M, None),
+        3: (0, None),
+        4: (0, 2 * DAY * M),
+    }
+
+
+def test_retention_cohorts_closed_form(ray_session):
+    DAY = 86_400
+    rows = [
+        # cohort day 0: users 1, 2; cohort day 1: user 3
+        (1, 0, "a", 0.0),
+        (1, 1 * DAY, "a", 0.0),
+        (1, 1 * DAY + 7, "a", 0.0),  # same day twice → still 1 distinct
+        (2, 12, "a", 0.0),
+        (2, 2 * DAY, "a", 0.0),
+        (3, 1 * DAY, "a", 0.0),
+        (3, 2 * DAY, "a", 0.0),
+    ]
+    got = {
+        (r["cohort_day"], r["offset_days"]): r["n_users"]
+        for r in events.retention_cohorts(
+            _ev(rows), num_buckets=3
+        ).take_all()
+    }
+    assert got == {
+        (0, 0): 2,  # users 1 and 2 on their first day
+        (0, 1): 1,  # user 1
+        (0, 2): 1,  # user 2
+        (1, 0): 1,  # user 3
+        (1, 1): 1,  # user 3
+    }
