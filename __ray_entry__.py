@@ -269,6 +269,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "customer_order_counts": co.q_customer_order_counts,
         "funnel": co.q_funnel,
         "retention": co.q_retention,
+        "user_mode": co.q_user_mode,
     }
 
 
@@ -667,6 +668,15 @@ def oracle_sql() -> dict[str, str]:
                 FROM d JOIN f ON d.user_id = f.user_id)
             SELECT cohort_day, offset_days, count(*) AS n_users
             FROM a GROUP BY 1, 2
+        """,
+        "user_mode": """
+            SELECT user_id, event_type, n, CAST(rn AS BIGINT) AS rank
+            FROM (
+                SELECT user_id, event_type, count(*) AS n,
+                       row_number() OVER (PARTITION BY user_id
+                           ORDER BY count(*) DESC, event_type) AS rn
+                FROM events GROUP BY 1, 2)
+            WHERE rn = 1
         """,
         "user_gaps": """
             SELECT user_id, count(*) AS n_gaps,

@@ -959,6 +959,32 @@ def q_retention(sf_dir: str) -> ray.data.Dataset:
     return retention_cohorts(read_events(sf_dir, columns=["user_id", "ts"]))
 
 
+def q_user_mode(sf_dir: str) -> ray.data.Dataset:
+    """Per-group MODE (most frequent value, ties → smallest value) as a
+    pure composition of existing operators: distributed (user,
+    event_type) counts via `grouped_summary`, then `group_topk` k=1 on
+    (count desc, value asc) — the counts table is already tiny, so the
+    top-1 pass is free."""
+    from ..stages.events import read_events
+    from ..stages.relational import group_topk, grouped_summary
+
+    counts = grouped_summary(
+        read_events(sf_dir, columns=["user_id", "event_type"]),
+        by=["user_id", "event_type"],
+        aggs={"n": ("event_type", "count")},
+        num_buckets=16,
+    )
+    return group_topk(
+        counts,
+        by="user_id",
+        sort_col="n",
+        k=1,
+        descending=True,
+        tiebreak="event_type",
+        num_buckets=8,
+    )
+
+
 # --- bench subset ----------------------------------------------------------
 
 
