@@ -270,6 +270,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "funnel": co.q_funnel,
         "retention": co.q_retention,
         "user_mode": co.q_user_mode,
+        "tfidf": co.q_tfidf,
     }
 
 

@@ -29,6 +29,10 @@ import ray.data
 # on any reasonable worker; override per call for wider rows.
 BROADCAST_THRESHOLD_ROWS = 2_000_000
 
+# below this, the once-per-actor index build saves less than the actor
+# pool's spin-up costs — use the stateless per-task join instead
+ACTOR_INDEX_MIN_ROWS = 50_000
+
 
 def dataset_to_table(ds: ray.data.Dataset) -> pa.Table:
     """Small materialized Dataset → one Arrow table (driver-side; only ever
@@ -124,7 +128,10 @@ def broadcast_join(
     unique_single = len(keys) == 1 and (
         pa.compute.count_distinct(small[keys[0]]).as_py() == small.num_rows
     )
-    if unique_single:
+    # Tiny sides (dim tables) go through the per-task Acero join below:
+    # rebuilding a few-thousand-row hash table per batch is noise, while
+    # an actor pool pays seconds of spin-up per join stage.
+    if unique_single and small.num_rows >= ACTOR_INDEX_MIN_ROWS:
         from ..stages.linker import default_pool_size
 
         return big.map_batches(
@@ -145,6 +152,14 @@ def broadcast_join(
 
     def _bj(batch: pa.Table) -> pa.Table:
         side = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        # Acero requires exact key-type equality; polars-built sides carry
+        # large_string where batches carry string — align side to batch
+        for k in keys:
+            bt = batch.schema.field(k).type
+            if side.schema.field(k).type != bt:
+                side = side.set_column(
+                    side.column_names.index(k), k, side[k].cast(bt)
+                )
         return batch.join(side, keys=keys, join_type=jt)
 
     return big.map_batches(_bj, batch_format="pyarrow", zero_copy_batch=True)

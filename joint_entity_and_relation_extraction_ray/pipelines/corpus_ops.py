@@ -959,6 +959,15 @@ def q_retention(sf_dir: str) -> ray.data.Dataset:
     return retention_cohorts(read_events(sf_dir, columns=["user_id", "ts"]))
 
 
+def q_tfidf(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc top-5 TF-IDF terms (rows-only: ln has no exact SQL
+    mirror; ranking verified vs a numpy reference in pytest) — see
+    `stages/curation.tfidf_top_terms`."""
+    from ..stages.curation import tfidf_top_terms
+
+    return tfidf_top_terms(read_documents(sf_dir), k=5)
+
+
 def q_user_mode(sf_dir: str) -> ray.data.Dataset:
     """Per-group MODE (most frequent value, ties → smallest value) as a
     pure composition of existing operators: distributed (user,

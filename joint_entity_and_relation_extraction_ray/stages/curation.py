@@ -355,3 +355,132 @@ def vocab_encode(
         zero_copy_batch=True,
         concurrency=concurrency or default_pool_size(),
     )
+
+
+# a 100-TB corpus's DISTINCT-term table is the bounded object here (vocab,
+# not corpus, cardinality); above this the df map should stay a Dataset
+# and the score join becomes a token-bucketed cobucket pass
+MAX_TFIDF_VOCAB = 20_000_000
+
+
+def tfidf_top_terms(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 5,
+    max_vocab: int = MAX_TFIDF_VOCAB,
+) -> ray.data.Dataset:
+    """Per-document top-k terms by TF-IDF (the classic distinctive-term
+    extraction): score = tf * ln(n_docs / df), ties → lexicographic.
+
+    Document frequencies build distributed (the token_counts combiner:
+    per-block (term, df) partials → one term-bucketed merge), collect
+    under the vocab guard, and BROADCAST once; scoring streams per block
+    — the corpus never shuffles, exactly the decontaminate shape. Float
+    math happens only in the final per-block ranking; the driver query
+    is rows-only by construction (ln has no exact SQL mirror)."""
+
+    def _df_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        ex = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("term"),
+            )
+            .explode("term")
+            .drop_nulls("term")
+            .unique()
+        )
+        return (
+            ex.group_by("term")
+            .agg(pl.len().cast(pl.Int64).alias("df"))
+            .to_arrow()
+        )
+
+    partials = docs.map_batches(
+        _df_partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _df_merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by("term")
+            .agg(pl.col("df").sum())
+            .to_arrow()
+        )
+
+    df_tbl = bucket_group_apply(partials, "term", _df_merge, num_buckets=32)
+    df_tbl = df_tbl.materialize()
+    n_terms = df_tbl.count()
+    if n_terms > max_vocab:
+        raise ValueError(
+            f"tfidf_top_terms: {n_terms} distinct terms exceeds "
+            f"max_vocab={max_vocab}; keep the df map distributed instead"
+        )
+    n_docs = docs.count()
+
+    from ..functions.joins import dataset_to_table
+
+    df_pa = dataset_to_table(df_tbl).combine_chunks()
+    ref = ray.put(df_pa) if ray.is_initialized() else df_pa
+
+    class _Scorer:
+        """df map loaded once per actor; per-batch scoring is vectorized
+        polars (explode → tf counts → join df → score → top-k)."""
+
+        def __init__(self):
+            import polars as pl
+
+            tbl = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            self.df = pl.from_arrow(tbl)
+            self.n_docs = n_docs
+
+        def __call__(self, t: pa.Table) -> pa.Table:
+            import numpy as np
+            import polars as pl
+
+            d = pl.from_arrow(t.select(["doc_id", "text"]))
+            tf = (
+                d.select(
+                    pl.col("doc_id"),
+                    pl.col("text").str.extract_all(r"\S+").alias("term"),
+                )
+                .explode("term")
+                .drop_nulls("term")
+                .group_by(["doc_id", "term"])
+                .agg(pl.len().cast(pl.Int64).alias("tf"))
+                .join(self.df, on="term")
+            )
+            scored = tf.with_columns(
+                (
+                    pl.col("tf")
+                    * (float(self.n_docs) / pl.col("df")).log()
+                ).alias("score")
+            )
+            out = (
+                scored.sort(
+                    ["doc_id", "score", "term"],
+                    descending=[False, True, False],
+                )
+                .group_by("doc_id", maintain_order=True)
+                .head(k)
+                .with_columns(
+                    pl.int_range(1, pl.len() + 1)
+                    .over("doc_id")
+                    .cast(pl.Int64)
+                    .alias("rank")
+                )
+            )
+            return out.select(
+                ["doc_id", "rank", "term", "tf", "df", "score"]
+            ).to_arrow()
+
+    return docs.map_batches(
+        _Scorer,
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=(1, default_pool_size()),
+    )

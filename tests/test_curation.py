@@ -110,3 +110,57 @@ def test_vocab_encode_counts(ray_session):
     assert out.loc[1, "n_unk"] == 2
     assert out.loc[2, "n_in_vocab"] == 0
     assert out.loc[2, "n_unk"] == 3
+
+
+def test_tfidf_top_terms_vs_numpy_reference(ray_session):
+    import math
+
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.curation import (
+        tfidf_top_terms,
+    )
+
+    docs = {
+        1: "apple banana apple cherry",
+        2: "banana banana date",
+        3: "apple egg egg egg fig",
+        4: "",  # empty doc: no terms, no rows
+    }
+    ds = ray.data.from_items(
+        [{"doc_id": d, "text": t} for d, t in docs.items()]
+    )
+    got = tfidf_top_terms(ds, k=2).take_all()
+
+    # independent reference: plain python dicts
+    n_docs = len(docs)
+    df = {}
+    for t in docs.values():
+        for term in set(t.split()):
+            df[term] = df.get(term, 0) + 1
+    expect = {}
+    for d, t in docs.items():
+        tf = {}
+        for term in t.split():
+            tf[term] = tf.get(term, 0) + 1
+        scored = sorted(
+            ((-c * math.log(n_docs / df[w]), w, c) for w, c in tf.items()),
+        )[:2]
+        expect[d] = [
+            (i + 1, w, c, df[w], -s) for i, (s, w, c) in enumerate(scored)
+        ]
+    got_by_doc = {}
+    for r in got:
+        got_by_doc.setdefault(r["doc_id"], []).append(
+            (r["rank"], r["term"], r["tf"], r["df"], r["score"])
+        )
+    for d in got_by_doc:
+        got_by_doc[d].sort()
+    assert set(got_by_doc) == {1, 2, 3}
+    for d in (1, 2, 3):
+        assert len(got_by_doc[d]) == len(expect[d])
+        for (gr, gt, gtf, gdf, gs), (er, et, etf, edf, es) in zip(
+            got_by_doc[d], expect[d]
+        ):
+            assert (gr, gt, gtf, gdf) == (er, et, etf, edf)
+            assert abs(gs - es) < 1e-12
