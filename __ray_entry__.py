@@ -271,6 +271,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "retention": co.q_retention,
         "user_mode": co.q_user_mode,
         "tfidf": co.q_tfidf,
+        "event_quartiles": co.q_event_quartiles,
     }
 
 
@@ -669,6 +670,12 @@ def oracle_sql() -> dict[str, str]:
                 FROM d JOIN f ON d.user_id = f.user_id)
             SELECT cohort_day, offset_days, count(*) AS n_users
             FROM a GROUP BY 1, 2
+        """,
+        "event_quartiles": """
+            SELECT event_type, event_id,
+                   CAST(ntile(4) OVER (PARTITION BY event_type
+                        ORDER BY value, event_id) AS BIGINT) AS quartile
+            FROM events
         """,
         "user_mode": """
             SELECT user_id, event_type, n, CAST(rn AS BIGINT) AS rank

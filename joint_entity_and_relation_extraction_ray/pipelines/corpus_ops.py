@@ -959,6 +959,24 @@ def q_retention(sf_dir: str) -> ray.data.Dataset:
     return retention_cohorts(read_events(sf_dir, columns=["user_id", "ts"]))
 
 
+def q_event_quartiles(sf_dir: str) -> ray.data.Dataset:
+    """NTILE(4) of `value` within each event_type (event_id breaks
+    value ties so the assignment is a total order) — see
+    `stages/relational.ntile_window`."""
+    from ..stages.events import read_events
+    from ..stages.relational import ntile_window
+
+    return ntile_window(
+        read_events(sf_dir, columns=["event_id", "event_type", "value"]),
+        by="event_type",
+        order_cols=["value", "event_id"],
+        k=4,
+        keep_cols=["event_id"],
+        out_col="quartile",
+        num_buckets=8,
+    )
+
+
 def q_tfidf(sf_dir: str) -> ray.data.Dataset:
     """Per-doc top-5 TF-IDF terms (rows-only: ln has no exact SQL
     mirror; ranking verified vs a numpy reference in pytest) — see

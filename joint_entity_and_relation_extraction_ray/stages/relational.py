@@ -42,6 +42,7 @@ __all__ = [
     "grouped_rollup",
     "grouped_summary",
     "membership_join",
+    "ntile_window",
     "pivot_counts",
     "range_join",
     "rolling_window",
@@ -824,3 +825,53 @@ def group_quantiles(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, by, _walk, num_buckets=num_buckets)
+
+
+def ntile_window(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    order_cols: list[str],
+    k: int,
+    keep_cols: list[str],
+    out_col: str = "tile",
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ``NTILE(k) OVER (PARTITION BY by ORDER BY order_cols)`` with
+    SQL's exact bucket-size rule: base = n//k rows per tile, the first
+    n%k tiles get one extra. ``order_cols`` must be a total order per
+    partition (include a unique tiebreak column) or the assignment is
+    not deterministic — same contract as SQL.
+
+    One `by`-bucketed shuffle; rank and tile arithmetic are vectorized
+    int ops per bucket."""
+
+    def _nt(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).sort([by] + order_cols)
+        df = df.with_columns(
+            pl.int_range(1, pl.len() + 1).over(by).alias("_r"),
+            pl.len().over(by).alias("_n"),
+        )
+        base = pl.col("_n") // k
+        rem = pl.col("_n") % k
+        big = rem * (base + 1)  # rows covered by the (base+1)-sized tiles
+        tile = (
+            pl.when(pl.col("_r") <= big)
+            .then((pl.col("_r") - 1) // (base + 1) + 1)
+            .otherwise(
+                rem
+                + (pl.col("_r") - 1 - big)
+                // pl.max_horizontal(base, pl.lit(1))
+                + 1
+            )
+            .cast(pl.Int64)
+            .alias(out_col)
+        )
+        return df.with_columns(tile).select([by, *keep_cols, out_col]).to_arrow()
+
+    cols = list(dict.fromkeys([by, *keep_cols, *order_cols]))
+    return bucket_group_apply(
+        ds.select_columns(cols), by, _nt, num_buckets=num_buckets
+    )

@@ -709,3 +709,41 @@ def test_running_total_tie_break(ray_session):
     }
     # equal ts → event_id ascending: 10 (200) then 11 (+100=300), then 12
     assert got == {10: 200, 11: 300, 12: 700, 20: 999}
+
+
+def test_ntile_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        ntile_window,
+    )
+
+    rng = np.random.default_rng(5)
+    n = 1000
+    # group sizes deliberately NOT divisible by k, including a size < k
+    g = np.concatenate([np.zeros(3), np.ones(498), np.full(499, 2)]).astype(int)
+    t = pa.table(
+        {
+            "g": pa.array(g, pa.int64()),
+            "v": pa.array(rng.integers(0, 50, n), pa.int64()),  # many ties
+            "id": pa.array(np.arange(n), pa.int64()),
+        }
+    )
+    out = (
+        ntile_window(
+            ray.data.from_arrow(t).repartition(5),
+            by="g",
+            order_cols=["v", "id"],
+            k=4,
+            keep_cols=["id"],
+            num_buckets=3,
+        )
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    exp = duckdb.sql(
+        """SELECT id, ntile(4) OVER (PARTITION BY g ORDER BY v, id) AS tile
+           FROM t ORDER BY id"""
+    ).df()
+    assert out["tile"].astype(int).tolist() == exp["tile"].astype(int).tolist()
