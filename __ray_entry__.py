@@ -272,6 +272,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_mode": co.q_user_mode,
         "tfidf": co.q_tfidf,
         "event_quartiles": co.q_event_quartiles,
+        "event_melt": co.q_event_melt,
+        "event_share": co.q_event_share,
     }
 
 
@@ -670,6 +672,25 @@ def oracle_sql() -> dict[str, str]:
                 FROM d JOIN f ON d.user_id = f.user_id)
             SELECT cohort_day, offset_days, count(*) AS n_users
             FROM a GROUP BY 1, 2
+        """,
+        "event_melt": """
+            WITH types AS (
+                SELECT DISTINCT event_type FROM events),
+            counts AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2)
+            SELECT u.user_id, t.event_type,
+                   CAST(coalesce(c.n, 0) AS BIGINT) AS n
+            FROM (SELECT DISTINCT user_id FROM events) u
+            CROSS JOIN types t
+            LEFT JOIN counts c
+              ON c.user_id = u.user_id AND c.event_type = t.event_type
+        """,
+        "event_share": """
+            SELECT event_type, count(*) AS n,
+                   CAST(count(*) * 1000000 // sum(count(*)) OVER ()
+                        AS BIGINT) AS share_ppm
+            FROM events GROUP BY 1
         """,
         "event_quartiles": """
             SELECT event_type, event_id,

@@ -977,6 +977,58 @@ def q_event_quartiles(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_event_melt(sf_dir: str) -> ray.data.Dataset:
+    """UNPIVOT round-trip: the per-user event-type pivot melted back to
+    long form (user_id, event_type, n) — zeros kept, so the oracle is
+    the users × types cross join with coalesce."""
+    from ..stages.relational import melt
+
+    wide = q_event_pivot(sf_dir).drop_columns(["n_total"])
+    names = ["n_click", "n_error", "n_purchase", "n_signup", "n_view"]
+    long = melt(
+        wide,
+        id_cols=["user_id"],
+        value_cols=names,
+        var_name="event_type",
+        value_name="n",
+    )
+
+    def _strip(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        et = pc_.utf8_replace_slice(t["event_type"], 0, 2, "")
+        return pa.table(
+            {"user_id": t["user_id"], "event_type": et, "n": t["n"]}
+        )
+
+    return long.map_batches(
+        _strip, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_event_share(sf_dir: str) -> ray.data.Dataset:
+    """Ratio-to-report: each event_type's share of all events in exact
+    integer parts-per-million. The grouped counts are by definition tiny
+    (G rows), so the share division happens once on the collected
+    result — the corpus itself only ever feeds the count combiner."""
+    from ..functions.joins import dataset_to_table
+    from ..stages.events import read_events
+    from ..stages.relational import grouped_summary
+
+    counts = grouped_summary(
+        read_events(sf_dir, columns=["event_type"]),
+        by=["event_type"],
+        aggs={"n": ("event_type", "count")},
+        num_buckets=4,
+    ).materialize()
+    tbl = dataset_to_table(counts)
+    total = pa.compute.sum(tbl["n"]).as_py() or 0
+    share = pa.compute.divide(
+        pa.compute.multiply(tbl["n"], pa.scalar(1_000_000, pa.int64())),
+        pa.scalar(total, pa.int64()),
+    )
+    return ray.data.from_arrow(tbl.append_column("share_ppm", share))
+
+
 def q_tfidf(sf_dir: str) -> ray.data.Dataset:
     """Per-doc top-5 TF-IDF terms (rows-only: ln has no exact SQL
     mirror; ranking verified vs a numpy reference in pytest) — see

@@ -41,6 +41,7 @@ __all__ = [
     "group_topk",
     "grouped_rollup",
     "grouped_summary",
+    "melt",
     "membership_join",
     "ntile_window",
     "pivot_counts",
@@ -173,6 +174,35 @@ def set_except(
         lkeys, right, on=on, right_on=right_on, anti=True,
         num_buckets=num_buckets,
     )
+
+
+def melt(
+    ds: ray.data.Dataset,
+    *,
+    id_cols: list[str],
+    value_cols: list[str],
+    var_name: str = "variable",
+    value_name: str = "value",
+) -> ray.data.Dataset:
+    """UNPIVOT (wide → long): one output row per (input row, value
+    column). Stateless per-block transform — no shuffle, no state; the
+    inverse of ``pivot_counts``'s widening."""
+
+    def _melt(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .unpivot(
+                index=id_cols,
+                on=value_cols,
+                variable_name=var_name,
+                value_name=value_name,
+            )
+            .to_arrow()
+        )
+
+    return ds.map_batches(_melt, batch_format="pyarrow", zero_copy_batch=True)
 
 
 def _safe_col(v: object) -> str:

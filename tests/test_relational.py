@@ -747,3 +747,27 @@ def test_ntile_matches_duckdb(ray_session):
            FROM t ORDER BY id"""
     ).df()
     assert out["tile"].astype(int).tolist() == exp["tile"].astype(int).tolist()
+
+
+def test_melt_round_trip(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        melt,
+        pivot_counts,
+    )
+
+    u = [1, 1, 2]
+    ev = ["a", "b", "a"]
+    wide = pivot_counts(
+        _ds({"u": u, "ev": ev}), index="u", col="ev", num_buckets=2
+    )
+    long = melt(
+        wide.drop_columns(["n_total"]),
+        id_cols=["u"],
+        value_cols=["n_a", "n_b"],
+        var_name="col",
+        value_name="n",
+    ).take_all()
+    got = {(r["u"], r["col"]): r["n"] for r in long}
+    assert got == {
+        (1, "n_a"): 1, (1, "n_b"): 1, (2, "n_a"): 1, (2, "n_b"): 0,
+    }
