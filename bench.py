@@ -171,9 +171,21 @@ def _bench_once(sf_dir: str, num_cpus: int) -> dict:
             "num_cpus": num_cpus,
             "turns": n_turns,
             "turns_per_sec": round(n_turns / total, 1) if total else None,
+            # sandbox-host health at measurement time: this VM's memcpy
+            # bandwidth swings ~8x between sessions (0.35..3+ GB/s
+            # observed) and absolute wall times swing with it — read
+            # this number next to any cross-session comparison
+            "host_memcpy_gbps": _host_memcpy_gbps(),
+            "host_load1": round(os.getloadavg()[0], 1),
         }
     finally:
         ray.shutdown()
+
+
+def _host_memcpy_gbps() -> float:
+    t0 = time.perf_counter()
+    bytearray(bytes(200_000_000))
+    return round(0.2 / (time.perf_counter() - t0), 2)
 
 
 def _run_subprocess(sf_dir: str, num_cpus: int) -> dict:
