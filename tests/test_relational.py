@@ -771,3 +771,93 @@ def test_melt_round_trip(ray_session):
     assert got == {
         (1, "n_a"): 1, (1, "n_b"): 1, (2, "n_a"): 1, (2, "n_b"): 0,
     }
+
+
+def test_grouped_summary_property_vs_duckdb(ray_session):
+    """Property-based: random frames, random group keys — the combiner →
+    merge pipeline must equal a plain SQL GROUP BY."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        grouped_summary,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        rows=st.lists(
+            st.tuples(
+                st.sampled_from(["a", "b", "c", "d"]),
+                st.integers(min_value=-1000, max_value=1000),
+            ),
+            min_size=1,
+            max_size=60,
+        )
+    )
+    def run(rows):
+        g = [r[0] for r in rows]
+        v = [r[1] for r in rows]
+        out = grouped_summary(
+            _ds({"g": g, "v": v}, types={"v": pa.int64()}).repartition(3),
+            by=["g"],
+            aggs={
+                "n": ("v", "count"),
+                "sv": ("v", "sum"),
+                "mn": ("v", "min"),
+                "mx": ("v", "max"),
+            },
+            num_buckets=2,
+        ).to_pandas().sort_values("g").reset_index(drop=True)
+        exp = duckdb.sql(
+            """SELECT g, count(*) n, sum(v) sv, min(v) mn, max(v) mx
+               FROM (SELECT unnest($g) g, unnest($v) v)
+               GROUP BY 1 ORDER BY 1""",
+            params={"g": g, "v": v},
+        ).df()
+        for c in ["n", "sv", "mn", "mx"]:
+            assert out[c].astype(int).tolist() == exp[c].astype(int).tolist()
+
+    run()
+
+
+def test_membership_join_property_vs_duckdb(ray_session):
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        membership_join,
+    )
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+    )
+    @given(
+        left=st.lists(
+            st.integers(min_value=0, max_value=20), min_size=1, max_size=40
+        ),
+        right=st.lists(
+            st.integers(min_value=0, max_value=20), min_size=0, max_size=40
+        ),
+        anti=st.booleans(),
+    )
+    def run(left, right, anti):
+        lds = _ds({"k": left}, types={"k": pa.int64()})
+        rds = _ds({"k": right or [999]}, types={"k": pa.int64()})
+        rvals = right or [999]
+        got = sorted(
+            r["k"]
+            for r in membership_join(lds, rds, on="k", anti=anti).take_all()
+        )
+        rs = set(rvals)
+        want = sorted(
+            k for k in left if (k not in rs) if anti
+        ) if anti else sorted(k for k in left if k in rs)
+        assert got == want
+
+    run()

@@ -113,3 +113,33 @@ def test_custom_scorer_injection(ray_session, sf0001_corpus, tmp_path):
     assert all(
         p.startswith("custom_") for p in set(edges.to_pandas()["pred"])
     )
+
+
+def test_cli_job_submit_entry(tmp_path):
+    """The `ray job submit` surface (pipelines/run.py CLI): a fresh
+    subprocess owns its own Ray session, runs the checkpointed job over
+    the sf0.001 fixture corpus, and prints the manifest JSON."""
+    import json
+    import subprocess
+    import sys
+
+    fx = "/tmp/kgray_fixtures/sf0.001-seed42-v3"
+    out = subprocess.run(
+        [
+            sys.executable,
+            "-m",
+            "joint_entity_and_relation_extraction_ray.pipelines.run",
+            "--transcripts", f"{fx}/transcripts",
+            "--aliases", f"{fx}/aliases.parquet",
+            "--entities", f"{fx}/entities.parquet",
+            "--out", str(tmp_path / "job_out"),
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd="/root/repo",
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    manifest = json.loads(out.stdout.strip().splitlines()[-1])
+    assert manifest["stages"], manifest
+    assert all(v is None or v >= 0 for v in manifest["stages"].values())
