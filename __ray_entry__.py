@@ -188,6 +188,18 @@ def _q_kg_two_hop(sf_dir: str):
     return two_hop_pred_counts(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_triangles(sf_dir: str):
+    """Exact triangle count of the undirected KG graph — degree-ordered
+    wedge counting (each out-neighborhood bounded by O(sqrt(m)) after
+    orientation; wedges semi-join the oriented edge set)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        triangle_count,
+    )
+
+    return triangle_count(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_pagerank(sf_dir: str):
     """Iterative PageRank over the materialized edges (rows-only: float
     ranks are sum-order-dependent, no SQL oracle; exactness vs a dense
@@ -208,6 +220,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "canonicalize": _q_canonicalize,
         "kg_edges": _q_kg_edges,
         "kg_two_hop": _q_kg_two_hop,
+        "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
@@ -274,6 +287,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_quartiles": co.q_event_quartiles,
         "event_melt": co.q_event_melt,
         "event_share": co.q_event_share,
+        "semi_join_bloom": co.q_semi_join_bloom,
+        "anti_join_bloom": co.q_anti_join_bloom,
+        "split_assign": co.q_split_assign,
+        "group_outliers": co.q_group_outliers,
+        "value_quantiles_cont": co.q_value_quantiles_cont,
+        "above_avg_orders": co.q_above_avg_orders,
     }
 
 
@@ -415,6 +434,43 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_paths
             FROM edges e1 JOIN edges e2 ON e1.obj_id = e2.subj_id
             GROUP BY 1, 2
+        """,
+        # MATERIALIZED CTEs are load-bearing: inlined, DuckDB re-expands
+        # `und` three times into a catastrophic plan (measured >30 min;
+        # materialized, the same query is <1 s)
+        "kg_triangles": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM edges WHERE subj_id <> obj_id
+            )
+            SELECT count(*) AS n_triangles
+            FROM und e1
+            JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+            JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
         """,
         "top_entities": f"""
             WITH best AS (
@@ -697,6 +753,64 @@ def oracle_sql() -> dict[str, str]:
                    CAST(ntile(4) OVER (PARTITION BY event_type
                         ORDER BY value, event_id) AS BIGINT) AS quartile
             FROM events
+        """,
+        "semi_join_bloom": """
+            SELECT l_orderkey, l_linenumber FROM lineitem l
+            WHERE EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_orderkey = l.l_orderkey
+                            AND o.o_orderpriority = '1-URGENT')
+        """,
+        "anti_join_bloom": """
+            SELECT l_orderkey, l_linenumber FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey
+                                AND o.o_orderpriority = '1-URGENT')
+        """,
+        "value_quantiles_cont": """
+            WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS c FROM lineitem),
+            q AS (SELECT quantile_cont(c, [0.0, 0.25, 0.5, 0.75, 1.0])
+                         AS qv FROM v),
+            ks AS (SELECT unnest([1, 2, 3, 4, 5]) AS k)
+            SELECT CAST(k - 1 AS BIGINT) AS q_quarters,
+                   CAST(round(4 * qv[k]) AS BIGINT) AS value_x4
+            FROM q CROSS JOIN ks
+        """,
+        "above_avg_orders": """
+            WITH v AS (SELECT o_orderkey, o_custkey,
+                              CAST(round(o_totalprice * 100) AS BIGINT)
+                                  AS price_cents
+                       FROM orders)
+            SELECT o_orderkey, o_custkey, price_cents FROM (
+                SELECT *,
+                       count(*) OVER (PARTITION BY o_custkey) AS n,
+                       sum(price_cents) OVER (PARTITION BY o_custkey) AS s
+                FROM v) t
+            WHERE CAST(n AS HUGEINT) * price_cents > CAST(s AS HUGEINT)
+        """,
+        "split_assign": """
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'e6'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2) < 'f3'
+                            THEN 'val'
+                        ELSE 'test' END AS split
+            FROM documents
+        """,
+        "group_outliers": """
+            WITH v AS (SELECT event_id, event_type,
+                              CAST(round(value * 100) AS BIGINT) AS value_cents
+                       FROM events),
+            s AS (SELECT event_type,
+                         CAST(count(*) AS HUGEINT) AS n,
+                         CAST(sum(value_cents) AS HUGEINT) AS sv,
+                         CAST(sum(value_cents * value_cents) AS HUGEINT) AS sv2
+                  FROM v GROUP BY 1)
+            SELECT v.event_id, v.event_type, v.value_cents
+            FROM v JOIN s USING (event_type)
+            WHERE (s.n * v.value_cents - s.sv) > 0
+              AND (s.n * v.value_cents - s.sv) * (s.n * v.value_cents - s.sv)
+                  > 4 * (s.n * s.sv2 - s.sv * s.sv)
         """,
         "user_mode": """
             SELECT user_id, event_type, n, CAST(rn AS BIGINT) AS rank

@@ -1064,6 +1064,139 @@ def q_user_mode(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_semi_join_bloom(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-prefiltered EXACT semi join — the big-big path: lineitems
+    of URGENT orders. The orders side reduces to distinct keys, folds
+    into a broadcast Bloom filter that culls non-matching lineitems
+    BEFORE the shuffle, and the survivors go through the co-bucketed
+    exact membership stage (forced here via broadcast_threshold=0 so
+    the driver exercises the full scale path; false positives die in
+    the exact stage, so the result equals plain membership_join)."""
+    from ..stages.relational import bloom_membership_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    return bloom_membership_join(
+        li, ords, on="l_orderkey", right_on="o_orderkey",
+        broadcast_threshold=0,
+    )
+
+
+def q_anti_join_bloom(sf_dir: str) -> ray.data.Dataset:
+    """Bloom-prefiltered EXACT anti join: lineitems of non-URGENT
+    orders. Bloom definite-misses are kept for free pre-shuffle; only
+    maybe-members pay the exact co-bucketed anti stage."""
+    from ..stages.relational import bloom_membership_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_linenumber"]
+    )
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_orderpriority"]
+    ).filter(expr="o_orderpriority == '1-URGENT'")
+    return bloom_membership_join(
+        li, ords, on="l_orderkey", right_on="o_orderkey", anti=True,
+        broadcast_threshold=0,
+    )
+
+
+def q_split_assign(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic train/val/test split assignment — THE first
+    operation of every training-data pipeline. md5(doc_id) hex-prefix
+    ranges: < 'e6' train (230/256 ≈ 89.8%), < 'f3' val (13/256 ≈ 5.1%),
+    rest test. Pure VARCHAR ordering on the lowercase digest (the
+    sample_hash rule: no hex→int cast on either side), stateless per
+    batch — reproducible across runs, engines and block layouts."""
+    import hashlib
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = [hashlib.md5(str(d).encode()).hexdigest()[:2] for d in ids]
+        split = ["train" if x < "e6" else "val" if x < "f3" else "test"
+                 for x in h]
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(split, pa.string())}
+        )
+
+    return read_documents(sf_dir).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_value_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
+    """Exact INTERPOLATED quantiles (percentile_cont, R-7 rule) of
+    lineitem price cents at the quarter grid, returned ×4 so the oracle
+    compare is integer — see `stages/relational.value_quantiles_cont`."""
+    from ..stages.relational import value_quantiles_cont
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cents": pa.compute.cast(
+                    pa.compute.round(
+                        pa.compute.multiply(t["l_extendedprice"], 100.0)
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return value_quantiles_cont(prep, "cents", [0, 1, 2, 3, 4], num_buckets=8)
+
+
+def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
+    """Correlated-subquery shape: orders strictly above their
+    customer's average order value — exact integers (n·v > S, no
+    division), one custkey-bucketed shuffle, group cardinality
+    unbounded — see `stages/relational.above_group_mean`."""
+    from ..stages.relational import above_group_mean
+
+    ords = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_totalprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderkey": t["o_orderkey"],
+                "o_custkey": t["o_custkey"],
+                "price_cents": pa.compute.cast(
+                    pa.compute.round(
+                        pa.compute.multiply(t["o_totalprice"], 100.0)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    prep = ords.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return above_group_mean(
+        prep,
+        by="o_custkey",
+        col="price_cents",
+        keep=["o_orderkey", "o_custkey", "price_cents"],
+        num_buckets=32,
+    )
+
+
+def q_group_outliers(sf_dir: str) -> ray.data.Dataset:
+    """Per-event-type >2σ high outliers in exact integer arithmetic —
+    see `stages/events.group_outliers` (isqrt threshold trick)."""
+    from ..stages.events import group_outliers, read_events
+
+    return group_outliers(read_events(sf_dir), sigma=2)
+
+
 # --- bench subset ----------------------------------------------------------
 
 

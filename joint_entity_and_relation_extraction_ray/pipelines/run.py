@@ -206,7 +206,14 @@ def main() -> None:
     args = ap.parse_args()
 
     if not ray.is_initialized():
-        ray.init(address="local", include_dashboard=False)
+        import os
+
+        ncpu = os.environ.get("KGRAY_NUM_CPUS")
+        ray.init(
+            address="local",
+            include_dashboard=False,
+            num_cpus=int(ncpu) if ncpu else None,
+        )
     try:
         manifest = run_checkpointed(
             args.transcripts,

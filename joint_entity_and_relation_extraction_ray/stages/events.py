@@ -540,3 +540,81 @@ def retention_cohorts(
         )
 
     return bucket_group_apply(partials, "cohort_day", _merge, num_buckets=8)
+
+
+def group_outliers(
+    events: ray.data.Dataset,
+    *,
+    sigma: int = 2,
+) -> ray.data.Dataset:
+    """Per-group high outliers — events whose value sits strictly more
+    than ``sigma`` standard deviations ABOVE their event_type's mean —
+    in EXACT integer arithmetic (oracle-equal by construction).
+
+    Two-pass decomposable shape: (1) per-block partial (n, Σv, Σv²) per
+    group via :func:`grouped_summary` (one row per (block, group) moves;
+    raw rows never shuffle); (2) the tiny per-group stats collect to the
+    driver, fold into an integer threshold, broadcast, and the corpus
+    streams through a vectorized filter — no second shuffle.
+
+    Exactness without bignum in the hot path: for integer cents v,
+
+        v > mean + sigma·std  ⟺  (n·v − S)² > sigma²·(n·Σv² − S²)
+                              ⟺  n·v − S > isqrt(sigma²·(n·Σv² − S²))
+
+    (integers: d > t where t = isqrt(rhs), since t² ≤ rhs < (t+1)²).
+    The threshold t is computed ONCE per group in arbitrary-precision
+    Python; the per-row test ``n·v − S > t`` is plain vectorized int64.
+    Overflow bound: n·max(v) < 2⁶³ holds to ~10¹⁴ rows at 10⁵ cents;
+    beyond that the partials widen to 128-bit (schema.stable_hash64's
+    documented escalation), the shape is unchanged.
+    """
+    import math
+
+    from .relational import grouped_summary
+
+    def _prep(t: pa.Table) -> pa.Table:
+        cents = pc.cast(pc.round(pc.multiply(t["value"], 100.0)), pa.int64())
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "event_type": t["event_type"],
+                "value_cents": cents,
+                "cents2": pc.multiply(cents, cents),
+            }
+        )
+
+    prep = events.select_columns(
+        ["event_id", "event_type", "value"]
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+
+    stats_rows = grouped_summary(
+        prep,
+        by=["event_type"],
+        aggs={
+            "n": ("value_cents", "count"),
+            "sv": ("value_cents", "sum"),
+            "sv2": ("cents2", "sum"),
+        },
+    ).take_all()  # one row per event_type — driver-small by contract
+    thresholds = {}
+    for r in stats_rows:
+        n, sv, sv2 = int(r["n"]), int(r["sv"]), int(r["sv2"])
+        rhs = sigma * sigma * (n * sv2 - sv * sv)  # ≥ 0 (Cauchy–Schwarz)
+        thresholds[r["event_type"]] = (n, sv, math.isqrt(rhs))
+    ref = ray.put(thresholds) if ray.is_initialized() else thresholds
+
+    def _filt(t: pa.Table) -> pa.Table:
+        th = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        et = t["event_type"].to_numpy(zero_copy_only=False)
+        v = t["value_cents"].to_numpy(zero_copy_only=False)
+        uq, inv = np.unique(et, return_inverse=True)
+        trip = np.array([th[u] for u in uq], dtype=np.int64)[inv]
+        keep = trip[:, 0] * v - trip[:, 1] > trip[:, 2]
+        return t.select(["event_id", "event_type", "value_cents"]).filter(
+            pa.array(keep)
+        )
+
+    return prep.map_batches(
+        _filt, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -36,7 +36,9 @@ import ray.data
 from ..functions.shuffle import bucket_group_apply, cobucket_apply
 
 __all__ = [
+    "above_group_mean",
     "asof_join",
+    "bloom_membership_join",
     "distinct_keys",
     "group_topk",
     "grouped_rollup",
@@ -50,6 +52,7 @@ __all__ = [
     "set_except",
     "set_intersect",
     "value_quantiles",
+    "value_quantiles_cont",
 ]
 
 # distinct right-key sets up to this size broadcast (one ray.put, read
@@ -137,6 +140,77 @@ def membership_join(
         _bucket_filter,
         num_buckets=num_buckets,
     )
+
+
+def bloom_membership_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str | None = None,
+    anti: bool = False,
+    fp_rate: float = 0.01,
+    broadcast_threshold: int = MEMBERSHIP_BROADCAST_ROWS,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """EXACT semi/anti join with a Bloom pre-filter — the big-big path.
+
+    When ``right``'s distinct keys outgrow the broadcast guard,
+    :func:`membership_join` ships EVERY left row through the co-bucketed
+    shuffle. Here a Bloom filter of the right keys (~1.2 bytes/key at 1%
+    false positives — broadcastable long after the key set isn't) culls
+    left rows first, so the exact shuffle only moves maybe-members:
+
+    - SEMI: definite non-members are dropped pre-shuffle (no false
+      negatives ⇒ no lost matches); false positives die in the exact
+      membership stage ⇒ result identical to ``membership_join``.
+    - ANTI: definite non-members (bloom says no, plus null keys — the
+      ``NOT EXISTS`` rule) are KEPT pre-shuffle for free; only
+      maybe-members go through the exact anti stage; the union is exact.
+
+    Shuffle volume drops from |left| to |matches| + fp_rate·|left|."""
+    from ..functions.bloom import bloom_from_dataset
+
+    right_on = right_on or on
+    keys = distinct_keys(right, right_on, num_buckets=min(num_buckets, 16))
+    bloom = bloom_from_dataset(keys, right_on, fp_rate=fp_rate)
+    ref = ray.put(bloom) if ray.is_initialized() else bloom
+
+    def _pre(keep_maybe: bool):
+        def _f(batch: pa.Table) -> pa.Table:
+            bf = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+            col = batch[on].combine_chunks()
+            valid_mask = pc.is_valid(col)
+            valid = valid_mask.to_numpy(zero_copy_only=False)
+            maybe = np.zeros(len(col), dtype=bool)
+            if valid.any():
+                # filter nulls at the Arrow level FIRST — to_numpy on a
+                # nullable int column widens to float64/NaN, which would
+                # hash differently from the int keys the filter was built on
+                vals = col.filter(valid_mask).to_numpy(zero_copy_only=False)
+                maybe[valid] = bf.contains(vals)
+            return batch.filter(pa.array(maybe if keep_maybe else ~maybe))
+
+        return _f
+
+    maybe_members = left.map_batches(
+        _pre(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    exact = membership_join(
+        maybe_members,
+        keys,
+        on=on,
+        right_on=right_on,
+        anti=anti,
+        broadcast_threshold=broadcast_threshold,
+        num_buckets=num_buckets,
+    )
+    if not anti:
+        return exact
+    definite_out = left.map_batches(
+        _pre(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return definite_out.union(exact)
 
 
 def set_intersect(
@@ -714,25 +788,15 @@ def rolling_window(
     return bucket_group_apply(ds, by, _roll, num_buckets=num_buckets)
 
 
-def value_quantiles(
-    ds: ray.data.Dataset,
-    col: str,
-    qs: list[float],
-    *,
-    num_buckets: int = 16,
-) -> ray.data.Dataset:
-    """Exact discrete quantiles of ``col`` → rows (q:double, value).
-
-    Matches DuckDB ``quantile_disc``: the selected value is the element
-    at index ``max(0, ceil(q*n) - 1)`` of the ascending sort (verified
-    empirically for n ∈ {4, 5, 10}). Computation is decomposable: each
-    block collapses to (value, count) partials, one bucket shuffle sums
-    per-value counts, and the driver walks only the distinct-value
-    histogram — exact at any row count whose distinct-value set is
-    bounded (integer metrics)."""
+def _value_histogram(
+    ds: ray.data.Dataset, col: str, num_buckets: int
+) -> tuple["pa.Array", np.ndarray]:
+    """Distinct-value histogram of ``col``: per-block (value, count)
+    partials → one value-bucketed sum shuffle → driver walks only the
+    distinct values. Returns (sorted values, cumulative counts)."""
 
     def _partial(t: pa.Table) -> pa.Table:
-        # quantile_disc semantics ignore NULLs — drop before counting
+        # quantile semantics ignore NULLs — drop before counting
         vc = pc.value_counts(pc.drop_null(t[col].combine_chunks()))
         return pa.table(
             {
@@ -765,6 +829,24 @@ def value_quantiles(
     order = pc.sort_indices(ht["value"].combine_chunks())
     vals = ht["value"].combine_chunks().take(order)
     cum = np.cumsum(ht["n"].combine_chunks().take(order).to_numpy())
+    return vals, cum
+
+
+def value_quantiles(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact discrete quantiles of ``col`` → rows (q:double, value).
+
+    Matches DuckDB ``quantile_disc``: the selected value is the element
+    at index ``max(0, ceil(q*n) - 1)`` of the ascending sort (verified
+    empirically for n ∈ {4, 5, 10}). Computation is decomposable via
+    :func:`_value_histogram` — exact at any row count whose
+    distinct-value set is bounded (integer metrics)."""
+    vals, cum = _value_histogram(ds, col, num_buckets)
     n = int(cum[-1]) if len(cum) else 0
     out_q, out_v = [], []
     for q in qs:
@@ -778,9 +860,88 @@ def value_quantiles(
         pa.table(
             {
                 "q": pa.array(out_q, pa.float64()),
-                "value": pa.array(out_v, ht.schema.field("value").type),
+                "value": pa.array(out_v, vals.type),
             }
         )
+    )
+
+
+def value_quantiles_cont(
+    ds: ray.data.Dataset,
+    col: str,
+    quarters: list[int],
+    *,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact INTERPOLATED quantiles (SQL ``percentile_cont`` / DuckDB
+    ``quantile_cont``, the R-7 rule) at quarter grid points q = k/4 —
+    float-free: the result is returned ×4 as an integer.
+
+    R-7 on integer values v: h = (n−1)·k/4, i = ⌊h⌋, r = (n−1)·k mod 4,
+    interpolated = v_i + (v_{i+1} − v_i)·r/4, so 4·interpolated =
+    4·v_i + (v_{i+1} − v_i)·r — exact int64. The SQL mirror
+    ``round(4*quantile_cont(v, k/4.0))`` is exact too: v fits well under
+    2⁵³ and r/4 is a dyadic rational, so the double math never rounds.
+    Same decomposable histogram as :func:`value_quantiles` — raw rows
+    never shuffle."""
+    vals_arr, cum = _value_histogram(ds, col, num_buckets)
+    vals = vals_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    n = int(cum[-1]) if len(cum) else 0
+
+    def _at(idx: int) -> int:
+        return int(vals[int(np.searchsorted(cum, idx + 1))])
+
+    out_k, out_v4 = [], []
+    for k in quarters:
+        if n == 0:
+            continue
+        hk = (n - 1) * k  # h = hk/4
+        i, r = divmod(hk, 4)
+        lo = _at(i)
+        v4 = 4 * lo + (( _at(i + 1) - lo) * r if r else 0)
+        out_k.append(k)
+        out_v4.append(v4)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q_quarters": pa.array(out_k, pa.int64()),
+                "value_x4": pa.array(out_v4, pa.int64()),
+            }
+        )
+    )
+
+
+def above_group_mean(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    col: str,
+    keep: list[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Correlated-subquery shape — rows strictly above their group's
+    mean (``WHERE v > (SELECT avg(v) ... WHERE group = outer.group)``)
+    — EXACT on integer columns: ``v > S/n ⟺ n·v > S``, no division
+    anywhere. One ``by``-bucketed shuffle co-locates each group; the
+    per-bucket test is a vectorized polars window — no stats collect to
+    the driver, so group cardinality is unbounded (contrast
+    events.group_outliers, which broadcasts per-group thresholds
+    because its groups are few)."""
+
+    def _filt(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t)
+        out = df.filter(
+            pl.col(col) * pl.len().over(by) > pl.col(col).sum().over(by)
+        )
+        return out.select(keep).to_arrow()
+
+    return bucket_group_apply(
+        ds.select_columns(sorted(set(keep) | {by, col})),
+        by,
+        _filt,
+        num_buckets=num_buckets,
     )
 
 

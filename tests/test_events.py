@@ -149,3 +149,83 @@ def test_retention_cohorts_closed_form(ray_session):
         (1, 0): 1,  # user 3
         (1, 1): 1,  # user 3
     }
+
+
+def test_group_outliers_exact_integer_rule(ray_session):
+    """The isqrt threshold rule is EXACTLY v > mean + 2*std, strictly.
+
+    [0,0,0,0,x]: x is exactly 2 std above the mean -> excluded (strict).
+    [0]*5+[x]: 5x/6 > 2 std -> flagged. Two-point groups are never
+    flagged at 2 sigma ((b-a)^2 < 4(b-a)^2).
+    """
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        group_outliers,
+    )
+
+    def _ev(types, values):
+        n = len(types)
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "event_id": pa.array(range(n), pa.int64()),
+                    "event_type": pa.array(types),
+                    "value": pa.array([v / 100 for v in values], pa.float64()),
+                }
+            )
+        )
+
+    # boundary: d == t exactly -> not an outlier
+    ds = _ev(["a"] * 5, [0, 0, 0, 0, 400])
+    assert group_outliers(ds, sigma=2).count() == 0
+    # one step past the boundary -> flagged
+    ds = _ev(["b"] * 6, [0, 0, 0, 0, 0, 400])
+    out = group_outliers(ds, sigma=2).take_all()
+    assert [r["event_id"] for r in out] == [5]
+    assert out[0]["value_cents"] == 400
+    # two-point groups mathematically cannot exceed 2 sigma
+    ds = _ev(["c", "c"], [0, 10**6])
+    assert group_outliers(ds, sigma=2).count() == 0
+    # mixed groups are independent
+    ds = _ev(
+        ["a"] * 6 + ["b"] * 2,
+        [0, 0, 0, 0, 0, 500] + [0, 999999],
+    )
+    out = group_outliers(ds, sigma=2).take_all()
+    assert [(r["event_type"], r["event_id"]) for r in out] == [("a", 5)]
+
+
+def test_group_outliers_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        group_outliers,
+    )
+
+    rng = np.random.default_rng(3)
+    types = rng.choice(["x", "y", "z"], 400).tolist()
+    cents = rng.integers(0, 50000, 400).tolist()
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(range(400), pa.int64()),
+                "event_type": pa.array(types),
+                "value": pa.array([c / 100 for c in cents], pa.float64()),
+            }
+        )
+    )
+    got = sorted(r["event_id"] for r in group_outliers(ds, sigma=2).take_all())
+    want = []
+    for g in set(types):
+        vs = [c for t, c in zip(types, cents) if t == g]
+        n, S, S2 = len(vs), sum(vs), sum(v * v for v in vs)
+        for i, (t, c) in enumerate(zip(types, cents)):
+            if t == g:
+                d = n * c - S
+                if d > 0 and d * d > 4 * (n * S2 - S * S):  # exact ints
+                    want.append(i)
+    assert got == sorted(want)

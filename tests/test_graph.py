@@ -171,3 +171,76 @@ def test_pagerank_matches_dense_numpy(ray_session):
     for v in present:
         assert abs(got[v] - r[idx[v]]) < 1e-9, v
     assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_triangle_count_closed_forms(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        triangle_count,
+    )
+
+    def _edges(pairs):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj_id": pa.array([p[0] for p in pairs]),
+                    "pred": pa.array(["r"] * len(pairs)),
+                    "obj_id": pa.array([p[1] for p in pairs]),
+                }
+            )
+        )
+
+    def _n(ds):
+        return ds.take_all()[0]["n_triangles"]
+
+    # K4: C(4,3) = 4 triangles; direction/duplicates/self-loops ignored
+    k4 = [(a, b) for a in "abcd" for b in "abcd" if a < b]
+    assert _n(triangle_count(_edges(k4), num_buckets=4)) == 4
+    # duplicated + reversed + self-loop edges collapse to the same K4
+    noisy = k4 + [(b, a) for a, b in k4] + [("a", "a"), ("b", "b")]
+    assert _n(triangle_count(_edges(noisy), num_buckets=4)) == 4
+    # star graph: no triangles
+    star = [("hub", f"v{i}") for i in range(10)]
+    assert _n(triangle_count(_edges(star), num_buckets=4)) == 0
+    # triangle + pendant edge
+    tri = [("x", "y"), ("y", "z"), ("z", "x"), ("x", "w")]
+    assert _n(triangle_count(_edges(tri), num_buckets=4)) == 1
+
+
+def test_triangle_count_random_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        triangle_count,
+    )
+
+    rng = np.random.default_rng(5)
+    src = [f"n{int(i)}" for i in rng.integers(0, 60, 500)]
+    dst = [f"n{int(i)}" for i in rng.integers(0, 60, 500)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(src),
+                "pred": pa.array(["r"] * 500),
+                "obj_id": pa.array(dst),
+            }
+        )
+    )
+    got = triangle_count(ds, num_buckets=8).take_all()[0]["n_triangles"]
+    want = duckdb.sql(
+        """
+        WITH e AS (SELECT unnest(?) AS s, unnest(?) AS o),
+        und AS (SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+                FROM e WHERE s <> o)
+        SELECT count(*) FROM und e1
+        JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+        JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        params=[src, dst],
+    ).fetchone()[0]
+    assert got == want

@@ -861,3 +861,130 @@ def test_membership_join_property_vs_duckdb(ray_session):
         assert got == want
 
     run()
+
+
+def test_bloom_filter_no_false_negatives(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.functions.bloom import (
+        BloomFilter,
+        bloom_from_dataset,
+    )
+
+    keys = list(range(0, 5000, 3))
+    ds = _ds({"k": keys})
+    bf = bloom_from_dataset(ds, "k", fp_rate=0.01)
+    # every inserted key MUST test positive (false negatives impossible)
+    assert bf.contains(np.array(keys, dtype=np.int64)).all()
+    # false-positive rate on non-members stays near the target
+    non = np.array([x for x in range(5000) if x % 3], dtype=np.int64)
+    fp = bf.contains(non).mean()
+    assert fp < 0.05
+    # string keys hash through the object path
+    sbf = bloom_from_dataset(_ds({"k": ["a", "b", "c"]}), "k")
+    assert sbf.contains(np.array(["a", "b", "c"], dtype=object)).all()
+    m, k = BloomFilter.sized_for(10**6, 0.01)
+    assert m % 64 == 0 and 1 <= k <= 16
+
+
+def test_bloom_join_matches_plain_membership(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        bloom_membership_join,
+        membership_join,
+    )
+
+    rng = np.random.default_rng(7)
+    left = _ds(
+        {
+            "k": rng.integers(0, 400, 3000).tolist(),
+            "lid": list(range(3000)),
+        }
+    )
+    right = _ds({"rk": rng.integers(0, 200, 500).tolist()})
+    for anti in (False, True):
+        # force the co-bucketed exact stage (broadcast_threshold=0) so the
+        # bloom prefilter + shuffle path is what's tested
+        got = bloom_membership_join(
+            left, right, on="k", right_on="rk", anti=anti,
+            broadcast_threshold=0, num_buckets=8,
+        )
+        want = membership_join(left, right, on="k", right_on="rk", anti=anti)
+        assert sorted(r["lid"] for r in got.take_all()) == sorted(
+            r["lid"] for r in want.take_all()
+        )
+
+
+def test_bloom_join_null_left_keys(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        bloom_membership_join,
+    )
+
+    left = _ds(
+        {"k": [1, None, 2, None], "lid": [0, 1, 2, 3]},
+        types={"k": pa.int64()},
+    )
+    right = _ds({"k": [1, 9]})
+    semi = bloom_membership_join(
+        left, right, on="k", broadcast_threshold=0, num_buckets=4
+    )
+    assert sorted(r["lid"] for r in semi.take_all()) == [0]
+    anti = bloom_membership_join(
+        left, right, on="k", anti=True, broadcast_threshold=0, num_buckets=4
+    )
+    # NOT EXISTS keeps null-keyed rows
+    assert sorted(r["lid"] for r in anti.take_all()) == [1, 2, 3]
+
+
+def test_value_quantiles_cont_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        value_quantiles_cont,
+    )
+
+    rng = np.random.default_rng(11)
+    for n in (4, 5, 10, 101):
+        vals = rng.integers(0, 10**7, n).tolist()
+        got = {
+            r["q_quarters"]: r["value_x4"]
+            for r in value_quantiles_cont(
+                _ds({"v": vals}), "v", [0, 1, 2, 3, 4], num_buckets=4
+            ).take_all()
+        }
+        want = duckdb.sql(
+            "SELECT quantile_cont(v, [0.0, 0.25, 0.5, 0.75, 1.0]) FROM "
+            "(SELECT unnest(?) AS v)",
+            params=[vals],
+        ).fetchone()[0]
+        assert got == {k: round(4 * want[k]) for k in range(5)}
+    # numpy R-7 cross-check on the median
+    vals = rng.integers(0, 10**6, 17).tolist()
+    (row,) = [
+        r
+        for r in value_quantiles_cont(_ds({"v": vals}), "v", [2]).take_all()
+    ]
+    assert row["value_x4"] == round(4 * float(np.quantile(vals, 0.5)))
+
+
+def test_above_group_mean_exact(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        above_group_mean,
+    )
+
+    # group a: mean 20 -> only 50 is strictly above; group b: all equal
+    # -> nothing strictly above the mean
+    ds = _ds(
+        {
+            "g": ["a", "a", "a", "b", "b"],
+            "v": [5, 5, 50, 7, 7],
+            "rid": [0, 1, 2, 3, 4],
+        }
+    )
+    out = above_group_mean(ds, by="g", col="v", keep=["rid"], num_buckets=4)
+    assert sorted(r["rid"] for r in out.take_all()) == [2]
+    # boundary: v exactly at the mean is excluded (strict n*v > S)
+    ds = _ds({"g": ["c"] * 3, "v": [10, 20, 30], "rid": [0, 1, 2]})
+    out = above_group_mean(ds, by="g", col="v", keep=["rid"], num_buckets=2)
+    assert sorted(r["rid"] for r in out.take_all()) == [2]

@@ -123,7 +123,10 @@ def test_cli_job_submit_entry(tmp_path):
     import subprocess
     import sys
 
+    import os
+
     fx = "/tmp/kgray_fixtures/sf0.001-seed42-v3"
+    env = dict(os.environ, KGRAY_NUM_CPUS="8")  # bounded + contention-proof
     out = subprocess.run(
         [
             sys.executable,
@@ -136,8 +139,9 @@ def test_cli_job_submit_entry(tmp_path):
         ],
         capture_output=True,
         text=True,
-        timeout=600,
+        timeout=1200,
         cwd="/root/repo",
+        env=env,
     )
     assert out.returncode == 0, out.stderr[-2000:]
     manifest = json.loads(out.stdout.strip().splitlines()[-1])
