@@ -293,6 +293,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "group_outliers": co.q_group_outliers,
         "value_quantiles_cont": co.q_value_quantiles_cont,
         "above_avg_orders": co.q_above_avg_orders,
+        "doc_repetition": co.q_doc_repetition,
+        "users_cumulative": co.q_users_cumulative,
+        "value_mad": co.q_value_mad,
     }
 
 
@@ -787,6 +790,40 @@ def oracle_sql() -> dict[str, str]:
                        sum(price_cents) OVER (PARTITION BY o_custkey) AS s
                 FROM v) t
             WHERE CAST(n AS HUGEINT) * price_cents > CAST(s AS HUGEINT)
+        """,
+        "value_mad": """
+            WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)
+                              AS c FROM lineitem),
+            m AS (SELECT quantile_disc(c, 0.5) AS med FROM v)
+            SELECT CAST(any_value(m.med) AS BIGINT) AS median,
+                   CAST(quantile_disc(abs(v.c - m.med), 0.5) AS BIGINT)
+                       AS mad
+            FROM v CROSS JOIN m
+        """,
+        "doc_repetition": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            cnt AS (SELECT doc_id, tok, count(*) AS c FROM ex GROUP BY 1, 2),
+            top AS (SELECT doc_id, max(c) AS top_n FROM cnt GROUP BY 1)
+            SELECT k.doc_id,
+                   CAST(len(k.t) AS BIGINT) AS n_tokens,
+                   CAST(len(list_distinct(k.t)) AS BIGINT) AS n_distinct,
+                   CAST(coalesce(top.top_n, 0) * 1000000
+                        // greatest(len(k.t), 1) AS BIGINT) AS top_share_ppm
+            FROM toks k LEFT JOIN top USING (doc_id)
+        """,
+        "users_cumulative": """
+            WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day
+                       FROM events GROUP BY 1),
+            c AS (SELECT day, count(*) AS n FROM f GROUP BY 1)
+            SELECT day, CAST(sum(n) OVER (ORDER BY day) AS BIGINT)
+                       AS cum_users
+            FROM c
         """,
         "split_assign": """
             SELECT doc_id,

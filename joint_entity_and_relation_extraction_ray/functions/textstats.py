@@ -251,3 +251,41 @@ def hamming64(a: np.ndarray, b: np.ndarray) -> np.ndarray:
     x = np.bitwise_xor(a, b)
     # popcount via unpackbits on the byte view
     return np.unpackbits(x.view(np.uint8).reshape(-1, 8), axis=1).sum(axis=1)
+
+
+def repetition_stats(batch: pa.Table) -> pa.Table:
+    """Gopher-style within-document repetition signals: token count,
+    distinct-token count, and the most-frequent token's share in ppm —
+    the standard gate against degenerate/boilerplate docs. Integer-only
+    (ppm via floor division) so the oracle compare is float-free.
+    Stateless per block — a pure map, no shuffle."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    toks = df.select(
+        "doc_id",
+        tok=pl.col("text").str.strip_chars().str.extract_all(_TOKEN_RE),
+    )
+    base = toks.select(
+        "doc_id",
+        n_tokens=pl.col("tok").list.len().cast(pl.Int64),
+        n_distinct=pl.col("tok").list.unique().list.len().cast(pl.Int64),
+    )
+    top = (
+        toks.explode("tok")
+        .drop_nulls("tok")  # empty docs explode to a null row
+        .group_by("doc_id", "tok")
+        .len()
+        .group_by("doc_id")
+        .agg(pl.col("len").max().alias("top_n"))
+    )
+    out = (
+        base.join(top, on="doc_id", how="left")
+        .with_columns(
+            top_share_ppm=(
+                pl.col("top_n").fill_null(0)
+                * 1_000_000
+                // pl.col("n_tokens").clip(lower_bound=1)
+            ).cast(pl.Int64)
+        )
+        .select(["doc_id", "n_tokens", "n_distinct", "top_share_ppm"])
+    )
+    return out.to_arrow()

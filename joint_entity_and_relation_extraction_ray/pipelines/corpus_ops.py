@@ -1153,6 +1153,31 @@ def q_value_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
     return value_quantiles_cont(prep, "cents", [0, 1, 2, 3, 4], num_buckets=8)
 
 
+def q_value_mad(sf_dir: str) -> ray.data.Dataset:
+    """Exact median absolute deviation of lineitem price cents — robust
+    dispersion from ONE histogram pass; see `stages/relational.value_mad`."""
+    from ..stages.relational import value_mad
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "cents": pa.compute.cast(
+                    pa.compute.round(
+                        pa.compute.multiply(t["l_extendedprice"], 100.0)
+                    ),
+                    pa.int64(),
+                )
+            }
+        )
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return value_mad(prep, "cents", num_buckets=8)
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no
@@ -1189,6 +1214,26 @@ def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_doc_repetition(sf_dir: str) -> ray.data.Dataset:
+    """Gopher-style repetition quality signals per doc (token count,
+    distinct tokens, top-token share ppm) — stateless map, no shuffle;
+    see `functions/textstats.repetition_stats`."""
+    from ..functions.textstats import repetition_stats
+
+    return read_documents(sf_dir).map_batches(
+        repetition_stats, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_users_cumulative(sf_dir: str) -> ray.data.Dataset:
+    """Cumulative distinct users per day — exact via the first-seen-day
+    decomposition (no user set ever held anywhere); see
+    `stages/events.cumulative_users`."""
+    from ..stages.events import cumulative_users, read_events
+
+    return cumulative_users(read_events(sf_dir, columns=["user_id", "ts"]))
+
+
 def q_group_outliers(sf_dir: str) -> ray.data.Dataset:
     """Per-event-type >2σ high outliers in exact integer arithmetic —
     see `stages/events.group_outliers` (isqrt threshold trick)."""
@@ -1217,5 +1262,6 @@ def bench_ops():
         "ann_topk": _consume(q_ann_topk),
         "rolling_window": _consume(q_rolling_window),
         "pricing_summary": _consume(q_pricing_summary),
+        "semi_join_bloom": _consume(q_semi_join_bloom),
         "revenue_by_nation": _consume(q_revenue_by_nation),
     }

@@ -618,3 +618,58 @@ def group_outliers(
     return prep.map_batches(
         _filt, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def cumulative_users(
+    events: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Cumulative DISTINCT users per day — exact, without ever holding a
+    user set: cumulative distinct decomposes as "users whose FIRST day
+    ≤ d". min-day per user is a decomposable aggregate (per-block
+    (user, min day) partials → one user-bucketed min merge), the per-day
+    new-user counts are day-cardinality-sized, and the running sum runs
+    once over that tiny table. Raw events never shuffle; the only
+    full-width exchange carries one row per (block, user)."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).with_columns(
+            pl.col("ts").dt.date().alias("day")
+        )
+        return df.group_by("user_id").agg(pl.col("day").min()).to_arrow()
+
+    parts = events.select_columns(["user_id", "ts"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _min_then_count(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        first = df.group_by("user_id").agg(pl.col("day").min())
+        return (
+            first.group_by("day")
+            .agg(pl.len().cast(pl.Int64).alias("new_users"))
+            .to_arrow()
+        )
+
+    per_day = bucket_group_apply(
+        parts, "user_id", _min_then_count, num_buckets=num_buckets
+    )
+    # buckets partition users, so per-day new-user counts merge by sum;
+    # the day table is driver-small by construction
+    tbl = pa.concat_tables(
+        [t for t in ray.get(per_day.to_arrow_refs()) if t.num_rows],
+        promote_options="default",
+    )
+    import polars as pl2
+
+    out = (
+        pl2.from_arrow(tbl)
+        .group_by("day")
+        .agg(pl2.col("new_users").sum())
+        .sort("day")
+        .with_columns(
+            pl2.col("new_users").cum_sum().cast(pl2.Int64).alias("cum_users")
+        )
+        .select(["day", "cum_users"])
+    )
+    return ray.data.from_arrow(out.to_arrow())

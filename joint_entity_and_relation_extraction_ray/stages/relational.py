@@ -51,6 +51,7 @@ __all__ = [
     "rolling_window",
     "set_except",
     "set_intersect",
+    "value_mad",
     "value_quantiles",
     "value_quantiles_cont",
 ]
@@ -815,12 +816,12 @@ def _value_histogram(
             .to_arrow()
         )
 
-    hist = bucket_group_apply(
-        ds.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True),
-        "value",
-        _sum,
-        num_buckets=num_buckets,
-    )
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if partials.count() == 0:  # empty input: typed empty histogram
+        return pa.array([], pa.int64()), np.array([], dtype=np.int64)
+    hist = bucket_group_apply(partials, "value", _sum, num_buckets=num_buckets)
     # the histogram is distinct-value-sized — driver-small by contract
     ht = pa.concat_tables(
         [ray.get(r) for r in hist.to_arrow_refs()],
@@ -906,6 +907,50 @@ def value_quantiles_cont(
             {
                 "q_quarters": pa.array(out_k, pa.int64()),
                 "value_x4": pa.array(out_v4, pa.int64()),
+            }
+        )
+    )
+
+
+def value_mad(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact median absolute deviation (robust dispersion — the
+    outlier-resistant sibling of group_outliers' σ rule). One row:
+    (median, mad), both by the ``quantile_disc`` index rule.
+
+    ONE corpus pass: the |v − median| distribution is derived from the
+    same (value, count) histogram that produced the median — reorder the
+    distinct values by absolute distance and walk cumulative counts.
+    Raw rows never shuffle; the second "pass" is driver arithmetic on
+    the distinct-value table."""
+    vals_arr, cum = _value_histogram(ds, col, num_buckets)
+    n = int(cum[-1]) if len(cum) else 0
+    if n == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "median": pa.array([], pa.int64()),
+                    "mad": pa.array([], pa.int64()),
+                }
+            )
+        )
+    vals = vals_arr.to_numpy(zero_copy_only=False).astype(np.int64)
+    counts = np.diff(np.concatenate(([0], cum)))
+    idx = max(0, math.ceil(0.5 * n) - 1)
+    med = int(vals[int(np.searchsorted(cum, idx + 1))])
+    diff = np.abs(vals - med)
+    order = np.argsort(diff, kind="stable")
+    cumd = np.cumsum(counts[order])
+    mad = int(diff[order][int(np.searchsorted(cumd, idx + 1))])
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "median": pa.array([med], pa.int64()),
+                "mad": pa.array([mad], pa.int64()),
             }
         )
     )

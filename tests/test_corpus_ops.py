@@ -422,3 +422,27 @@ def test_pack_sequences_invariants(ray_session):
     # packing efficiency: shard count close to the lower bound
     lower = int(np.ceil(a["n_tokens"].sum() / budget))
     assert g.shape[0] <= int(lower * 1.35) + 8
+
+
+def test_repetition_stats_closed_form(ray_session):
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.textstats import (
+        repetition_stats,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+            "text": pa.array(
+                ["a a a b", "", "x y z", "  w  w  "], pa.string()
+            ),
+        }
+    )
+    out = {r["doc_id"]: r for r in repetition_stats(t).to_pylist()}
+    assert (out[1]["n_tokens"], out[1]["n_distinct"]) == (4, 2)
+    assert out[1]["top_share_ppm"] == 750_000
+    assert (out[2]["n_tokens"], out[2]["top_share_ppm"]) == (0, 0)
+    assert out[3]["top_share_ppm"] == 333_333  # floor division
+    assert (out[4]["n_tokens"], out[4]["n_distinct"]) == (2, 1)
+    assert out[4]["top_share_ppm"] == 1_000_000

@@ -229,3 +229,36 @@ def test_group_outliers_matches_bruteforce(ray_session):
                 if d > 0 and d * d > 4 * (n * S2 - S * S):  # exact ints
                     want.append(i)
     assert got == sorted(want)
+
+
+def test_cumulative_users_first_seen_decomposition(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        cumulative_users,
+    )
+
+    def ts(day, h=0):
+        return dt.datetime(2024, 1, day, h, 0, 0)
+
+    # u1 first on d1 (again d3), u2 first d1, u3 first d2, u4 first d3
+    rows = [
+        (1, ts(1)), (1, ts(3)), (2, ts(1, 5)), (3, ts(2)),
+        (4, ts(3)), (2, ts(3)),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                "ts": pa.array([r[1] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    out = {
+        str(r["day"]): r["cum_users"]
+        for r in cumulative_users(ds, num_buckets=4).take_all()
+    }
+    assert out == {"2024-01-01": 2, "2024-01-02": 3, "2024-01-03": 4}

@@ -988,3 +988,25 @@ def test_above_group_mean_exact(ray_session):
     ds = _ds({"g": ["c"] * 3, "v": [10, 20, 30], "rid": [0, 1, 2]})
     out = above_group_mean(ds, by="g", col="v", keep=["rid"], num_buckets=2)
     assert sorted(r["rid"] for r in out.take_all()) == [2]
+
+
+def test_value_mad_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        value_mad,
+    )
+
+    rng = np.random.default_rng(23)
+    for n in (1, 4, 5, 200):
+        vals = rng.integers(-100, 10**6, n).tolist()
+        (row,) = value_mad(_ds({"v": vals}), "v", num_buckets=4).take_all()
+        med, mad = duckdb.sql(
+            "SELECT quantile_disc(v, 0.5), "
+            "quantile_disc(abs(v - (SELECT quantile_disc(v, 0.5) "
+            "FROM (SELECT unnest(?) AS v))), 0.5) "
+            "FROM (SELECT unnest(?) AS v)",
+            params=[vals, vals],
+        ).fetchone()
+        assert (row["median"], row["mad"]) == (med, mad)
+    assert value_mad(_ds({"v": []}, types={"v": pa.int64()}), "v").count() == 0
