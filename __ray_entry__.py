@@ -296,6 +296,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": co.q_doc_repetition,
         "users_cumulative": co.q_users_cumulative,
         "value_mad": co.q_value_mad,
+        "doc_chunks": co.q_doc_chunks,
     }
 
 
@@ -816,6 +817,25 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(top.top_n, 0) * 1000000
                         // greatest(len(k.t), 1) AS BIGINT) AS top_share_ppm
             FROM toks k LEFT JOIN top USING (doc_id)
+        """,
+        "doc_chunks": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            n AS (SELECT doc_id, t, len(t) AS n FROM toks WHERE len(t) > 0),
+            ch AS (SELECT doc_id, t, n,
+                          unnest(range(0, CAST(ceil(n / 50.0) AS BIGINT)))
+                              AS chunk_idx
+                   FROM n)
+            SELECT doc_id, CAST(chunk_idx AS BIGINT) AS chunk_idx,
+                   CAST(least(50, n - chunk_idx * 50) AS BIGINT) AS n_tokens,
+                   array_to_string(
+                       t[chunk_idx * 50 + 1 : least(n, chunk_idx * 50 + 50)],
+                       ' ') AS chunk_text
+            FROM ch
         """,
         "users_cumulative": """
             WITH f AS (SELECT user_id, min(CAST(ts AS DATE)) AS day

@@ -289,3 +289,40 @@ def repetition_stats(batch: pa.Table) -> pa.Table:
         .select(["doc_id", "n_tokens", "n_distinct", "top_share_ppm"])
     )
     return out.to_arrow()
+
+
+def chunk_tokens(batch: pa.Table, *, chunk_size: int = 50) -> pa.Table:
+    """RAG-style fixed-size token chunking: explode each document into
+    ``ceil(n/chunk_size)`` rows of ``chunk_size`` whitespace tokens (last
+    chunk ragged), with the chunk text re-joined single-spaced — the
+    standard pre-embedding segmentation step. Stateless per block (a
+    flat-map), fully vectorized (no per-row Python); empty docs emit no
+    chunks. Token rule = maximal ``\\S+`` runs, the house definition the
+    oracle mirrors with regexp_split_to_array."""
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    out = (
+        df.select(
+            "doc_id",
+            tok=pl.col("text").str.strip_chars().str.extract_all(_TOKEN_RE),
+        )
+        .with_columns(n=pl.col("tok").list.len().cast(pl.Int64))
+        .filter(pl.col("n") > 0)
+        .with_columns(
+            chunk_idx=pl.int_ranges(
+                0, (pl.col("n") + chunk_size - 1) // chunk_size
+            )
+        )
+        .explode("chunk_idx")
+        .with_columns(
+            chunk_idx=pl.col("chunk_idx").cast(pl.Int64),
+            n_tokens=pl.min_horizontal(
+                pl.lit(chunk_size),
+                pl.col("n") - pl.col("chunk_idx") * chunk_size,
+            ).cast(pl.Int64),
+            chunk_text=pl.col("tok")
+            .list.slice(pl.col("chunk_idx") * chunk_size, chunk_size)
+            .list.join(" "),
+        )
+        .select(["doc_id", "chunk_idx", "n_tokens", "chunk_text"])
+    )
+    return out.to_arrow()

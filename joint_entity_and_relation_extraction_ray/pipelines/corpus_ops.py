@@ -1225,6 +1225,21 @@ def q_doc_repetition(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_doc_chunks(sf_dir: str) -> ray.data.Dataset:
+    """RAG-style 50-token chunking of every document (pre-embedding
+    segmentation) — stateless vectorized flat-map; see
+    `functions/textstats.chunk_tokens`."""
+    from functools import partial
+
+    from ..functions.textstats import chunk_tokens
+
+    return read_documents(sf_dir).map_batches(
+        partial(chunk_tokens, chunk_size=50),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def q_users_cumulative(sf_dir: str) -> ray.data.Dataset:
     """Cumulative distinct users per day — exact via the first-seen-day
     decomposition (no user set ever held anywhere); see

@@ -446,3 +446,31 @@ def test_repetition_stats_closed_form(ray_session):
     assert out[3]["top_share_ppm"] == 333_333  # floor division
     assert (out[4]["n_tokens"], out[4]["n_distinct"]) == (2, 1)
     assert out[4]["top_share_ppm"] == 1_000_000
+
+
+def test_chunk_tokens_closed_form(ray_session):
+    from functools import partial
+
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.textstats import (
+        chunk_tokens,
+    )
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": pa.array(["a b c d e", "", "  x   y  "], pa.string()),
+        }
+    )
+    rows = chunk_tokens(t, chunk_size=3).to_pylist()
+    assert [(r["doc_id"], r["chunk_idx"], r["n_tokens"], r["chunk_text"])
+            for r in rows] == [
+        (1, 0, 3, "a b c"),
+        (1, 1, 2, "d e"),  # ragged tail chunk
+        (3, 0, 2, "x y"),  # multi-space collapses via token join
+    ]  # empty doc emits no chunks
+    # exact-multiple boundary: no empty trailing chunk
+    t2 = pa.table({"doc_id": [9], "text": ["p q r s"]})
+    rows2 = chunk_tokens(t2, chunk_size=2).to_pylist()
+    assert [(r["chunk_idx"], r["n_tokens"]) for r in rows2] == [(0, 2), (1, 2)]
