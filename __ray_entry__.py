@@ -297,6 +297,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_cumulative": co.q_users_cumulative,
         "value_mad": co.q_value_mad,
         "doc_chunks": co.q_doc_chunks,
+        "group_quantiles_cont": co.q_group_quantiles_cont,
     }
 
 
@@ -791,6 +792,19 @@ def oracle_sql() -> dict[str, str]:
                        sum(price_cents) OVER (PARTITION BY o_custkey) AS s
                 FROM v) t
             WHERE CAST(n AS HUGEINT) * price_cents > CAST(s AS HUGEINT)
+        """,
+        "group_quantiles_cont": """
+            WITH v AS (SELECT l_returnflag,
+                              CAST(round(l_extendedprice * 100) AS BIGINT)
+                                  AS c
+                       FROM lineitem),
+            q AS (SELECT l_returnflag,
+                         quantile_cont(c, [0.25, 0.5, 0.75]) AS qv
+                  FROM v GROUP BY 1),
+            ks AS (SELECT unnest([1, 2, 3]) AS k)
+            SELECT l_returnflag, CAST(k AS BIGINT) AS q_quarters,
+                   CAST(round(4 * qv[k]) AS BIGINT) AS value_x4
+            FROM q CROSS JOIN ks
         """,
         "value_mad": """
             WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -1178,6 +1178,37 @@ def q_value_mad(sf_dir: str) -> ray.data.Dataset:
     return value_mad(prep, "cents", num_buckets=8)
 
 
+def q_group_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
+    """percentile_cont PER GROUP (interpolated quartiles of lineitem
+    price cents per return flag), exact as ×4 integers — see
+    `stages/relational.group_quantiles_cont`."""
+    from ..stages.relational import group_quantiles_cont
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "cents": pa.compute.cast(
+                    pa.compute.round(
+                        pa.compute.multiply(t["l_extendedprice"], 100.0)
+                    ),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    prep = li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return group_quantiles_cont(
+        prep, by="l_returnflag", col="cents", quarters=[1, 2, 3],
+        num_buckets=8,
+    )
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no

@@ -40,6 +40,7 @@ __all__ = [
     "asof_join",
     "bloom_membership_join",
     "distinct_keys",
+    "group_quantiles_cont",
     "group_topk",
     "grouped_rollup",
     "grouped_summary",
@@ -1054,6 +1055,76 @@ def group_quantiles(
                 by: pa.array(out_b, t.schema.field(by).type),
                 "q": pa.array(out_q, pa.float64()),
                 "value": pa.array(out_v, t.schema.field("value").type),
+            }
+        )
+
+    partials = ds.select_columns([by, col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, by, _walk, num_buckets=num_buckets)
+
+
+def group_quantiles_cont(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    col: str,
+    quarters: list[int],
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Exact INTERPOLATED quantiles PER GROUP at quarter grid points —
+    ``percentile_cont GROUP BY`` with the :func:`value_quantiles_cont`
+    ×4-integer trick. Rows (by, q_quarters:int64, value_x4:int64).
+
+    Same single-shuffle per-group histogram as :func:`group_quantiles`;
+    the R-7 interpolation runs on distinct-value counts per group.
+    Requires an integer ``col``; NULLs ignored; all-null groups omitted."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop_nulls(subset=[col])
+        return (
+            df.group_by([by, col])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({col: "value"})
+            .to_arrow()
+        )
+
+    def _walk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        if df.height == 0:
+            return pa.table(
+                {
+                    by: pa.array([], t.schema.field(by).type),
+                    "q_quarters": pa.array([], pa.int64()),
+                    "value_x4": pa.array([], pa.int64()),
+                }
+            )
+        hist = (
+            df.group_by([by, "value"])
+            .agg(pl.col("n").sum())
+            .sort([by, "value"])
+        )
+        out_b, out_k, out_v4 = [], [], []
+        for (bval,), grp in hist.group_by([by], maintain_order=True):
+            vals = grp["value"].to_list()
+            cum = np.cumsum(grp["n"].to_list())
+            n = int(cum[-1])
+
+            def _at(idx: int) -> int:
+                return int(vals[int(np.searchsorted(cum, idx + 1))])
+
+            for k in quarters:
+                i, r = divmod((n - 1) * k, 4)
+                lo = _at(i)
+                out_b.append(bval)
+                out_k.append(k)
+                out_v4.append(4 * lo + ((_at(i + 1) - lo) * r if r else 0))
+        return pa.table(
+            {
+                by: pa.array(out_b, t.schema.field(by).type),
+                "q_quarters": pa.array(out_k, pa.int64()),
+                "value_x4": pa.array(out_v4, pa.int64()),
             }
         )
 

@@ -1010,3 +1010,37 @@ def test_value_mad_matches_duckdb(ray_session):
         ).fetchone()
         assert (row["median"], row["mad"]) == (med, mad)
     assert value_mad(_ds({"v": []}, types={"v": pa.int64()}), "v").count() == 0
+
+
+def test_group_quantiles_cont_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_quantiles_cont,
+    )
+
+    rng = np.random.default_rng(31)
+    gs = rng.choice(["a", "b", "c"], 120).tolist()
+    vs = rng.integers(0, 10**6, 120).tolist()
+    got = {
+        (r["g"], r["q_quarters"]): r["value_x4"]
+        for r in group_quantiles_cont(
+            _ds({"g": gs, "v": vs}), by="g", col="v", quarters=[1, 2, 3],
+            num_buckets=4,
+        ).take_all()
+    }
+    want = duckdb.sql(
+        "SELECT g, quantile_cont(v, [0.25, 0.5, 0.75]) FROM "
+        "(SELECT unnest(?) AS g, unnest(?) AS v) GROUP BY g",
+        params=[gs, vs],
+    ).fetchall()
+    expect = {
+        (g, k): round(4 * qv[k - 1]) for g, qv in want for k in (1, 2, 3)
+    }
+    assert got == expect
+    # single-row group: all quarters equal 4*v
+    got1 = group_quantiles_cont(
+        _ds({"g": ["z"], "v": [7]}), by="g", col="v", quarters=[1, 2, 3],
+        num_buckets=2,
+    ).take_all()
+    assert {r["value_x4"] for r in got1} == {28}
