@@ -210,6 +210,30 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(kg.stage(sf_dir, "edges"), iters=10)
 
 
+def _q_kg_components(sf_dir: str):
+    """Connected components of the undirected KG (node → component =
+    lexicographic min entity id in the component) — the same salted
+    iterative min-label CC that canonicalization uses, here exposed as a
+    graph query with an exact recursive-CTE SQL oracle."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.canonical import (
+        connected_components,
+    )
+
+    edges = kg.stage(sf_dir, "edges").map_batches(
+        lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return connected_components(edges).map_batches(
+        lambda t: pa.table({"node": t["node"], "component": t["label"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
@@ -222,6 +246,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
+        "kg_components": _q_kg_components,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -298,6 +323,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_mad": co.q_value_mad,
         "doc_chunks": co.q_doc_chunks,
         "group_quantiles_cont": co.q_group_quantiles_cont,
+        "latest_event": co.q_latest_event,
+        "event_ranks": co.q_event_ranks,
+        "profile_orders": co.q_profile_orders,
+        "order_key_agg": co.q_order_key_agg,
+        "moving_sum": co.q_moving_sum,
+        "kg_degree_hist": co.q_kg_degree_hist,
     }
 
 
@@ -476,6 +507,79 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        "kg_degree_hist": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM edges WHERE subj_id <> obj_id
+            )
+            SELECT deg, count(*) AS n_nodes
+            FROM (SELECT v, CAST(count(*) AS BIGINT) AS deg
+                  FROM (SELECT a AS v FROM und
+                        UNION ALL SELECT b FROM und)
+                  GROUP BY v)
+            GROUP BY deg
+        """,
+        # recursive min-label reachability closure; fine at oracle scale
+        # (~400 nodes), MATERIALIZED for the same reason as kg_triangles
+        "kg_components": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS src, o.entity_id AS dst
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT src, dst FROM edges
+                UNION SELECT dst, src FROM edges
+            ),
+            reach(node, lbl) AS (
+                SELECT src, src FROM sym
+                UNION
+                SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+            )
+            SELECT node, min(lbl) AS component FROM reach GROUP BY node
         """,
         "top_entities": f"""
             WITH best AS (
@@ -805,6 +909,69 @@ def oracle_sql() -> dict[str, str]:
             SELECT l_returnflag, CAST(k AS BIGINT) AS q_quarters,
                    CAST(round(4 * qv[k]) AS BIGINT) AS value_x4
             FROM q CROSS JOIN ks
+        """,
+        "moving_sum": """
+            SELECT event_id,
+                   CAST(SUM(c) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id
+                                     ROWS BETWEEN 2 PRECEDING
+                                     AND CURRENT ROW)
+                        AS BIGINT) AS moving_cents
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events WHERE value IS NOT NULL)
+        """,
+        "order_key_agg": """
+            SELECT o_custkey,
+                   string_agg(CAST(o_orderkey AS VARCHAR),
+                              ',' ORDER BY o_orderkey) AS agg
+            FROM orders GROUP BY o_custkey
+        """,
+        "profile_orders": """
+            SELECT col, n_rows, n_null, n_distinct FROM (
+                SELECT 'o_orderkey' AS col, count(*) AS n_rows,
+                       count(*) - count(o_orderkey) AS n_null,
+                       count(DISTINCT o_orderkey) AS n_distinct FROM orders
+                UNION ALL
+                SELECT 'o_custkey', count(*),
+                       count(*) - count(o_custkey),
+                       count(DISTINCT o_custkey) FROM orders
+                UNION ALL
+                SELECT 'o_orderstatus', count(*),
+                       count(*) - count(o_orderstatus),
+                       count(DISTINCT o_orderstatus) FROM orders
+                UNION ALL
+                SELECT 'o_totalprice', count(*),
+                       count(*) - count(o_totalprice),
+                       count(DISTINCT o_totalprice) FROM orders
+                UNION ALL
+                SELECT 'o_orderpriority', count(*),
+                       count(*) - count(o_orderpriority),
+                       count(DISTINCT o_orderpriority) FROM orders
+            )
+        """,
+        "latest_event": """
+            SELECT event_id, ts, user_id, event_type
+            FROM (SELECT event_id, ts, user_id, event_type,
+                         row_number() OVER (
+                             PARTITION BY user_id
+                             ORDER BY ts DESC, event_id
+                         ) AS rn
+                  FROM events)
+            WHERE rn = 1
+        """,
+        "event_ranks": """
+            WITH v AS (SELECT event_type,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events WHERE value IS NOT NULL)
+            SELECT DISTINCT event_type, c AS value,
+                   CAST(rank() OVER (PARTITION BY event_type ORDER BY c)
+                        AS BIGINT) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY event_type ORDER BY c)
+                        AS BIGINT) AS cume_n,
+                   CAST(count(*) OVER (PARTITION BY event_type)
+                        AS BIGINT) AS n_rows
+            FROM v
         """,
         "value_mad": """
             WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

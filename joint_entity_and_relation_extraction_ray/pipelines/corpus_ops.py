@@ -1209,6 +1209,119 @@ def q_group_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_latest_event(sf_dir: str) -> ray.data.Dataset:
+    """CDC compaction: each user's newest event (max ts, min event_id on
+    ties) — see `stages/relational.latest_by_key`. Only per-block winners
+    shuffle; the event stream never does."""
+    from ..stages.events import read_events
+    from ..stages.relational import latest_by_key
+
+    ev = read_events(
+        sf_dir, columns=["event_id", "ts", "user_id", "event_type"]
+    )
+    return latest_by_key(
+        ev, key="user_id", order_by="ts", tiebreak="event_id", num_buckets=8
+    )
+
+
+def q_event_ranks(sf_dir: str) -> ray.data.Dataset:
+    """Exact RANK / CUME_DIST integer counts per distinct value cents
+    within each event_type — see `stages/relational.group_ranks`."""
+    from ..stages.events import read_events
+    from ..stages.relational import group_ranks
+
+    ev = read_events(sf_dir, columns=["event_type", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        return pa.table(
+            {
+                "event_type": t["event_type"],
+                "cents": pc_.cast(
+                    pc_.round(pc_.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    prep = ev.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return group_ranks(prep, by="event_type", col="cents", num_buckets=8)
+
+
+def q_profile_orders(sf_dir: str) -> ray.data.Dataset:
+    """Data-quality profile of the orders table (per-column row / null /
+    exact distinct counts in one pass) — see
+    `stages/relational.profile_columns`."""
+    from ..stages.relational import profile_columns
+
+    cols = [
+        "o_orderkey",
+        "o_custkey",
+        "o_orderstatus",
+        "o_totalprice",
+        "o_orderpriority",
+    ]
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    return profile_columns(od, cols, num_buckets=8)
+
+
+def q_order_key_agg(sf_dir: str) -> ray.data.Dataset:
+    """string_agg shape: each customer's order keys, ascending, joined
+    with ',' — see `stages/relational.group_string_agg`."""
+    from ..stages.relational import group_string_agg
+
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderkey"]
+    )
+    return group_string_agg(
+        od, by="o_custkey", col="o_orderkey", num_buckets=8
+    )
+
+
+def q_moving_sum(sf_dir: str) -> ray.data.Dataset:
+    """ROWS-frame moving sum: each event's value cents summed with its
+    user's 2 preceding events (ts, event_id order) — see
+    `stages/relational.frame_window`."""
+    from ..stages.events import read_events
+    from ..stages.relational import frame_window
+
+    ev = read_events(sf_dir, columns=["event_id", "ts", "user_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        t = t.filter(pc_.is_valid(t["value"]))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "cents": pc_.cast(
+                    pc_.round(pc_.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    prep = ev.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return frame_window(
+        prep,
+        by="user_id",
+        order_cols=["ts", "event_id"],
+        col="cents",
+        k=3,
+        out_col="moving_cents",
+        keep_cols=["event_id"],
+        num_buckets=8,
+    )
+
+
+def q_kg_degree_hist(sf_dir: str) -> ray.data.Dataset:
+    """Degree distribution of the undirected KG — see
+    `stages/graph.degree_histogram`."""
+    from ..stages.graph import degree_histogram
+    from . import kg
+
+    return degree_histogram(kg.stage(sf_dir, "edges"), num_buckets=16)
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no

@@ -728,3 +728,84 @@ def triangle_count(
     return ray.data.from_arrow(
         pa.table({"n_triangles": pa.array([n], pa.int64())})
     )
+
+
+def degree_histogram(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Degree DISTRIBUTION of the undirected simple graph underlying the
+    KG edge table — rows ``(deg, n_nodes)``: how many vertices have each
+    degree (the first thing anyone plots about a graph).
+
+    Same canonicalize→dedup front as :func:`triangle_count` (per-block
+    distinct (a<b) pairs, one key-bucketed dedup shuffle), then two
+    decomposable combiner aggregates: endpoints → per-block vertex
+    counts → vertex-bucketed sum = degrees; degrees → per-block degree
+    counts → tiny degree-bucketed sum. Raw edges shuffle once (the dedup
+    floor); everything downstream moves combiner partials only."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    SEP = "\x00"
+
+    def _canon(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        return (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                a=pl.min_horizontal("subj_id", "obj_id"),
+                b=pl.max_horizontal("subj_id", "obj_id"),
+            )
+            .unique()
+            .with_columns(key=pl.col("a") + pl.lit(SEP) + pl.col("b"))
+            .to_arrow()
+        )
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique(subset=["key"]).to_arrow()
+
+    und = bucket_group_apply(
+        edges.map_batches(
+            _canon, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "key",
+        _uniq,
+        num_buckets=num_buckets,
+    )
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["a", "b"]))
+        v = pl.concat([df.select(v=pl.col("a")), df.select(v=pl.col("b"))])
+        return (
+            v.group_by("v").agg(pl.len().cast(pl.Int64).alias("deg"))
+            .to_arrow()
+        )
+
+    def _deg_sum(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("v")
+            .agg(pl.col("deg").sum())
+            .group_by("deg")
+            .agg(pl.len().cast(pl.Int64).alias("n_nodes"))
+            .to_arrow()
+        )
+
+    def _hist_sum(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("deg")
+            .agg(pl.col("n_nodes").sum())
+            .to_arrow()
+        )
+
+    per_vertex = bucket_group_apply(
+        und.map_batches(
+            _deg_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "v",
+        _deg_sum,
+        num_buckets=min(num_buckets, 16),
+    )
+    return bucket_group_apply(per_vertex, "deg", _hist_sum, num_buckets=4)

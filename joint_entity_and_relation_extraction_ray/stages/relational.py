@@ -40,14 +40,19 @@ __all__ = [
     "asof_join",
     "bloom_membership_join",
     "distinct_keys",
+    "frame_window",
     "group_quantiles_cont",
+    "group_ranks",
+    "group_string_agg",
     "group_topk",
     "grouped_rollup",
     "grouped_summary",
+    "latest_by_key",
     "melt",
     "membership_join",
     "ntile_window",
     "pivot_counts",
+    "profile_columns",
     "range_join",
     "rolling_window",
     "set_except",
@@ -1132,6 +1137,266 @@ def group_quantiles_cont(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, by, _walk, num_buckets=num_buckets)
+
+
+_PROFILE_COUNTS = "\x00__counts__"
+
+
+def profile_columns(
+    ds: ray.data.Dataset,
+    cols: list[str],
+    *,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Data-quality column profiler: ONE corpus pass → per column exact
+    ``n_rows``, ``n_null`` and ``n_distinct`` (SQL: ``count(*)``,
+    ``count(*) - count(c)``, ``count(DISTINCT c)`` per column).
+
+    Per block each column reduces to its DISTINCT values (cast to string
+    — injective for ints/strings/timestamps/doubles in Arrow) plus one
+    counts row; rows shuffle keyed by (col, value) so no value pair spans
+    reducers and a hot column's values spread over all buckets. Each
+    reducer emits per-column partials (global distinct within its key
+    range); a second, tiny merge sums partials. Raw rows never shuffle —
+    only distinct values do, which is the floor for EXACT count-distinct
+    (the HLL sketch in `functions/sketch.py` is the approximate scale
+    path for near-unique columns)."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        outs = []
+        for c in cols:
+            arr = t[c].combine_chunks()
+            vals = pc.drop_null(pc.cast(pc.unique(arr), pa.string()))
+            nv = len(vals)
+            outs.append(
+                pa.table(
+                    {
+                        "col": pa.array([c] * (nv + 1), pa.string()),
+                        "value": pa.concat_arrays(
+                            [vals, pa.array([_PROFILE_COUNTS], pa.string())]
+                        ),
+                        "n": pa.array([0] * nv + [len(arr)], pa.int64()),
+                        "n_null": pa.array(
+                            [0] * nv + [arr.null_count], pa.int64()
+                        ),
+                    }
+                )
+            )
+        t2 = pa.concat_tables(outs)
+        return t2.append_column(
+            "k",
+            pc.binary_join_element_wise(t2["col"], t2["value"], "\x1f"),
+        )
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["k"]))
+        counts = (
+            df.filter(pl.col("value") == _PROFILE_COUNTS)
+            .group_by("col")
+            .agg(pl.col("n").sum(), pl.col("n_null").sum())
+        )
+        nd = (
+            df.filter(pl.col("value") != _PROFILE_COUNTS)
+            .group_by("col")
+            .agg(pl.col("value").n_unique().cast(pl.Int64).alias("nd"))
+        )
+        return (
+            counts.join(nd, on="col", how="full", coalesce=True)
+            .fill_null(0)
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("col")
+            .agg(
+                pl.col("n").sum().alias("n_rows"),
+                pl.col("n_null").sum().alias("n_null"),
+                pl.col("nd").sum().alias("n_distinct"),
+            )
+            .sort("col")
+            .to_arrow()
+        )
+
+    partials = ds.select_columns(cols).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_bucket = bucket_group_apply(
+        partials, "k", _reduce, num_buckets=num_buckets
+    )
+    return bucket_group_apply(per_bucket, "col", _merge, num_buckets=1)
+
+
+def latest_by_key(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    order_by: str,
+    tiebreak: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """CDC/SCD-1 compaction: the NEWEST row per key (max ``order_by``,
+    ties broken by MIN ``tiebreak`` — a total order, so the survivor is
+    unique and deterministic). SQL: ``row_number() OVER (PARTITION BY key
+    ORDER BY order_by DESC, tiebreak) = 1``.
+
+    Decomposable: keep-latest is associative, so a per-BLOCK combiner
+    reduces each block to ≤ one row per key BEFORE the shuffle — only
+    per-block winners move, the corpus never does (a key appearing in
+    every block ships block-count rows, not its row count). One tiny
+    key-bucketed merge re-applies the same reduction."""
+    import polars as pl
+
+    def _keep(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by(key)
+            .agg(
+                pl.all()
+                .sort_by([order_by, tiebreak], descending=[True, False])
+                .first()
+            )
+            .to_arrow()
+        )
+
+    winners = ds.map_batches(
+        _keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(winners, key, _keep, num_buckets=num_buckets)
+
+
+def group_ranks(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    col: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Exact SQL rank statistics per DISTINCT value per group, as pure
+    integers: ``rnk`` (SQL ``RANK()``: 1 + rows strictly below),
+    ``cume_n`` (rows ≤ value — the ``CUME_DIST`` numerator) and
+    ``n_rows`` (group size). ``PERCENT_RANK = (rnk-1)/(n_rows-1)`` and
+    ``CUME_DIST = cume_n/n_rows`` are driver-side division — floats never
+    enter the shuffle or the oracle compare.
+
+    Same decomposable (by, value, count) histogram as
+    :func:`group_quantiles`: blocks reduce to per-block value counts, one
+    key-bucketed merge, then a vectorized cumsum per group. Raw rows
+    never shuffle; assumes each group's DISTINCT-value histogram fits in
+    a reducer (bounded integer metrics — the intended use)."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop_nulls(subset=[col])
+        return (
+            df.group_by([by, col])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({col: "value"})
+            .to_arrow()
+        )
+
+    def _walk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        if df.height == 0:
+            return pa.table(
+                {
+                    by: pa.array([], t.schema.field(by).type),
+                    "value": pa.array([], t.schema.field("value").type),
+                    "rnk": pa.array([], pa.int64()),
+                    "cume_n": pa.array([], pa.int64()),
+                    "n_rows": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            df.group_by([by, "value"])
+            .agg(pl.col("n").sum())
+            .sort([by, "value"])
+            .with_columns(
+                cume_n=pl.col("n").cum_sum().over(by),
+                n_rows=pl.col("n").sum().over(by),
+            )
+            .with_columns(rnk=pl.col("cume_n") - pl.col("n") + 1)
+            .select([by, "value", "rnk", "cume_n", "n_rows"])
+            .to_arrow()
+        )
+
+    partials = ds.select_columns([by, col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, by, _walk, num_buckets=num_buckets)
+
+
+def frame_window(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    order_cols: list[str],
+    col: str,
+    k: int,
+    out_col: str,
+    keep_cols: list[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """SQL ROWS-frame window sum — ``sum(col) OVER (PARTITION BY by
+    ORDER BY order_cols ROWS BETWEEN k-1 PRECEDING AND CURRENT ROW)``.
+    The complement of :func:`rolling_window` (RANGE frame): this one
+    counts ROWS, so ``order_cols`` must be a total order within each
+    partition or the result is non-deterministic.
+
+    One ``by``-bucketed shuffle (the PARTITION BY floor); per bucket a
+    vectorized polars sort + per-group rolling sum, one output row per
+    input row."""
+    import polars as pl
+
+    def _win(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort([by] + order_cols)
+        return (
+            df.with_columns(
+                pl.col(col)
+                .rolling_sum(window_size=k, min_samples=1)
+                .over(by)
+                .alias(out_col)
+            )
+            .select(keep_cols + [out_col])
+            .to_arrow()
+        )
+
+    return bucket_group_apply(ds, by, _win, num_buckets=num_buckets)
+
+
+def group_string_agg(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    col: str,
+    sep: str = ",",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SQL ``string_agg(col, sep ORDER BY col)``: per group, values
+    joined in ascending ``col`` order (a deterministic total order as
+    long as ``col`` orders totally within each group). Rows
+    (by, agg:string).
+
+    One ``by``-bucketed shuffle — the values themselves are the payload,
+    so rows must move (the same floor SQL's string_agg has); per bucket
+    the sort+join is vectorized polars. Assumes one group's rows fit in a
+    reducer (every PARTITION BY implementation's assumption)."""
+    import polars as pl
+
+    def _agg(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.sort([by, col])
+            .group_by(by, maintain_order=True)
+            .agg(pl.col(col).cast(pl.String).str.join(sep).alias("agg"))
+            .to_arrow()
+        )
+
+    return bucket_group_apply(
+        ds.select_columns([by, col]), by, _agg, num_buckets=num_buckets
+    )
 
 
 def ntile_window(

@@ -244,3 +244,48 @@ def test_triangle_count_random_vs_duckdb(ray_session):
         params=[src, dst],
     ).fetchone()[0]
     assert got == want
+
+
+def test_degree_histogram_random_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        degree_histogram,
+    )
+
+    rng = np.random.default_rng(17)
+    n = 200
+    src = [f"n{v}" for v in rng.integers(0, 30, n)]
+    dst = [f"n{v}" for v in rng.integers(0, 30, n)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(src),
+                "pred": pa.array(["r"] * n),
+                "obj_id": pa.array(dst),
+            }
+        )
+    ).repartition(5)
+    got = {
+        r["deg"]: r["n_nodes"]
+        for r in degree_histogram(edges, num_buckets=4).take_all()
+    }
+    want = dict(
+        duckdb.sql(
+            """
+            WITH und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM (SELECT unnest(?) s, unnest(?) d) WHERE s <> d)
+            SELECT deg, count(*) FROM (
+                SELECT v, count(*) AS deg FROM
+                    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                GROUP BY v)
+            GROUP BY deg
+            """,
+            params=[src, dst],
+        ).fetchall()
+    )
+    assert got == want

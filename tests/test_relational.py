@@ -1044,3 +1044,179 @@ def test_group_quantiles_cont_matches_duckdb(ray_session):
         num_buckets=2,
     ).take_all()
     assert {r["value_x4"] for r in got1} == {28}
+
+
+def test_latest_by_key_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        latest_by_key,
+    )
+
+    rng = np.random.default_rng(7)
+    n = 300
+    ks = rng.integers(0, 40, n).tolist()
+    # coarse ts so ties are common and the tiebreak is exercised
+    ts = rng.integers(0, 20, n).tolist()
+    ids = list(range(n))
+    vals = rng.integers(-5, 5, n).tolist()
+    got = {
+        r["k"]: (r["ts"], r["id"], r["v"])
+        for r in latest_by_key(
+            _ds({"k": ks, "ts": ts, "id": ids, "v": vals}),
+            key="k", order_by="ts", tiebreak="id", num_buckets=4,
+        ).take_all()
+    }
+    want = {
+        k: (t, i, v)
+        for k, t, i, v in duckdb.sql(
+            "SELECT k, ts, id, v FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY k ORDER BY ts DESC, id) rn FROM (SELECT "
+            "unnest(?) k, unnest(?) ts, unnest(?) id, unnest(?) v)) "
+            "WHERE rn = 1",
+            params=[ks, ts, ids, vals],
+        ).fetchall()
+    }
+    assert got == want
+    # single-block input must equal multi-block (combiner associativity)
+    got1 = {
+        r["k"]: (r["ts"], r["id"], r["v"])
+        for r in latest_by_key(
+            _ds({"k": ks, "ts": ts, "id": ids, "v": vals}).repartition(13),
+            key="k", order_by="ts", tiebreak="id", num_buckets=4,
+        ).take_all()
+    }
+    assert got1 == want
+
+
+def test_group_ranks_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_ranks,
+    )
+
+    rng = np.random.default_rng(11)
+    gs = rng.choice(["x", "y", "z"], 250).tolist()
+    vs = rng.integers(0, 25, 250).tolist()  # heavy ties
+    got = {
+        (r["g"], r["value"]): (r["rnk"], r["cume_n"], r["n_rows"])
+        for r in group_ranks(
+            _ds({"g": gs, "v": vs}), by="g", col="v", num_buckets=4
+        ).take_all()
+    }
+    want = {
+        (g, v): (rk, cn, nr)
+        for g, v, rk, cn, nr in duckdb.sql(
+            "SELECT DISTINCT g, v, rank() OVER (PARTITION BY g ORDER BY v),"
+            " count(*) OVER (PARTITION BY g ORDER BY v),"
+            " count(*) OVER (PARTITION BY g) FROM "
+            "(SELECT unnest(?) g, unnest(?) v)",
+            params=[gs, vs],
+        ).fetchall()
+    }
+    assert got == want
+    # percent_rank / cume_dist derive exactly from the integers
+    for (g, v), (rk, cn, nr) in got.items():
+        pr = (rk - 1) / (nr - 1) if nr > 1 else 0.0
+        row = duckdb.sql(
+            "SELECT DISTINCT percent_rank() OVER (PARTITION BY g ORDER BY v),"
+            " cume_dist() OVER (PARTITION BY g ORDER BY v) FROM "
+            "(SELECT unnest(?) g, unnest(?) v) QUALIFY g = ? AND v = ?",
+            params=[gs, vs, g, v],
+        ).fetchone()
+        assert math.isclose(row[0], pr) and math.isclose(row[1], cn / nr)
+
+
+def test_profile_columns_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        profile_columns,
+    )
+
+    rng = np.random.default_rng(3)
+    n = 400
+    a = rng.integers(0, 37, n).tolist()
+    b = [None if i % 7 == 0 else f"s{i % 13}" for i in range(n)]
+    c = [None] * n  # all-null column
+    got = {
+        r["col"]: (r["n_rows"], r["n_null"], r["n_distinct"])
+        for r in profile_columns(
+            _ds(
+                {"a": a, "b": b, "c": c},
+                types={"c": pa.string()},
+            ).repartition(9),
+            ["a", "b", "c"],
+            num_buckets=4,
+        ).take_all()
+    }
+    want = {
+        col: duckdb.sql(
+            f"SELECT count(*), count(*) - count({col}), "
+            f"count(DISTINCT {col}) FROM (SELECT unnest(?) a, unnest(?) b, "
+            "unnest(CAST(? AS VARCHAR[])) c)",
+            params=[a, b, c],
+        ).fetchone()
+        for col in ("a", "b", "c")
+    }
+    assert got == want
+
+
+def test_group_string_agg_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_string_agg,
+    )
+
+    rng = np.random.default_rng(5)
+    ks = rng.integers(0, 20, 200).tolist()
+    vs = rng.integers(0, 10**4, 200).tolist()
+    got = {
+        r["k"]: r["agg"]
+        for r in group_string_agg(
+            _ds({"k": ks, "v": vs}).repartition(7),
+            by="k", col="v", num_buckets=4,
+        ).take_all()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT k, string_agg(CAST(v AS VARCHAR), ',' ORDER BY v) FROM "
+            "(SELECT unnest(?) k, unnest(?) v) GROUP BY k",
+            params=[ks, vs],
+        ).fetchall()
+    )
+    assert got == want
+
+
+def test_frame_window_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        frame_window,
+    )
+
+    rng = np.random.default_rng(13)
+    n = 300
+    ks = rng.integers(0, 25, n).tolist()
+    ts = rng.integers(0, 15, n).tolist()  # coarse: order ties via id
+    ids = list(range(n))
+    vs = rng.integers(-100, 100, n).tolist()
+    got = {
+        r["id"]: r["mv"]
+        for r in frame_window(
+            _ds({"k": ks, "ts": ts, "id": ids, "v": vs}).repartition(6),
+            by="k", order_cols=["ts", "id"], col="v", k=3,
+            out_col="mv", keep_cols=["id"], num_buckets=4,
+        ).take_all()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT id, SUM(v) OVER (PARTITION BY k ORDER BY ts, id "
+            "ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) FROM "
+            "(SELECT unnest(?) k, unnest(?) ts, unnest(?) id, unnest(?) v)",
+            params=[ks, ts, ids, vs],
+        ).fetchall()
+    )
+    assert got == want
