@@ -329,6 +329,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "order_key_agg": co.q_order_key_agg,
         "moving_sum": co.q_moving_sum,
         "kg_degree_hist": co.q_kg_degree_hist,
+        "kg_bfs": co.q_kg_bfs,
+        # rows-only: mergeable-sketch results are block-layout-dependent
+        # by contract; the rank-error certificate is pytest-pinned
+        "value_quantiles_sketch": co.q_value_quantiles_sketch,
     }
 
 
@@ -507,6 +511,46 @@ def oracle_sql() -> dict[str, str]:
             FROM und e1
             JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
             JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b
+        """,
+        # BFS = recursive reachability with min hop count; the d < 6 cap
+        # mirrors the Ray side's max_hops=6
+        "kg_bfs": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS src, o.entity_id AS dst
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT src, dst FROM edges
+                UNION SELECT dst, src FROM edges
+            ),
+            reach(node, d) AS (
+                SELECT (SELECT min(src) FROM sym), 0
+                UNION
+                SELECT s.dst, r.d + 1
+                FROM reach r JOIN sym s ON s.src = r.node
+                WHERE r.d < 6
+            )
+            SELECT node, CAST(min(d) AS BIGINT) AS dist
+            FROM reach GROUP BY node
         """,
         "kg_degree_hist": f"""
             WITH best AS MATERIALIZED (

@@ -1322,6 +1322,31 @@ def q_kg_degree_hist(sf_dir: str) -> ray.data.Dataset:
     return degree_histogram(kg.stage(sf_dir, "edges"), num_buckets=16)
 
 
+def q_kg_bfs(sf_dir: str) -> ray.data.Dataset:
+    """BFS hop distances from the lexicographic-min entity over the
+    undirected KG (≤ 6 hops) — see `stages/graph.bfs_distances`."""
+    from ..stages.graph import bfs_distances
+    from . import kg
+
+    return bfs_distances(kg.stage(sf_dir, "edges"), max_hops=6)
+
+
+def q_value_quantiles_sketch(sf_dir: str) -> ray.data.Dataset:
+    """Approximate lineitem price quantiles via the deterministic MRL
+    sketch, with the rank-error certificate in the output — rows-only
+    (sketch results are block-layout-dependent by contract; exactness
+    bounds are pinned in tests/test_qsketch.py) — see
+    `stages/relational.value_quantiles_approx`."""
+    from ..stages.relational import value_quantiles_approx
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_extendedprice"]
+    )
+    return value_quantiles_approx(
+        li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99]
+    )
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no

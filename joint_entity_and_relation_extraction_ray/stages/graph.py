@@ -809,3 +809,89 @@ def degree_histogram(
         num_buckets=min(num_buckets, 16),
     )
     return bucket_group_apply(per_vertex, "deg", _hist_sum, num_buckets=4)
+
+
+def bfs_distances(
+    edges: ray.data.Dataset,
+    *,
+    source: str | None = None,
+    max_hops: int = 6,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Single-source BFS hop distances over the UNDIRECTED KG — rows
+    ``(node, dist:int64)`` for every node within ``max_hops`` of
+    ``source`` (default: the lexicographic min node id, so the query is
+    deterministic with no parameter). SQL mirror: recursive reachability
+    with ``min(d)`` per node.
+
+    Same iterative dataflow as ``canonical.connected_components``: the
+    symmetrized edge set is materialized once and reused every
+    iteration; each hop is one broadcast-or-shuffle join (``join_auto``)
+    of the frontier against edges plus a salted min-merge — per
+    iteration only (node, dist) pairs move, never edge payloads.
+    ``max_hops`` bounds the loop (BFS is inherently iterative: the
+    streaming executor runs each hop as its own pipelined stage)."""
+    import pyarrow.compute as _pc
+
+    from ..functions.joins import join_auto
+    from .canonical import _salted_min, default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+
+    sym = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t["subj_id"].combine_chunks(),
+                        t["obj_id"].combine_chunks(),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t["obj_id"].combine_chunks(),
+                        t["subj_id"].combine_chunks(),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    if source is None:
+        mins = sym.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([_pc.min(t["src"]).as_py()], pa.string())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()  # one row per block — tiny by construction
+        source = min(r["m"] for r in mins if r["m"] is not None)
+
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([source], pa.string()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    for _ in range(max_hops):
+        prop = join_auto(
+            sym,
+            labels,
+            on=("src",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t["dst"], "dist": _pc.add(t["dist"], 1)}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = _salted_min(
+            labels.union(prop), "node", "dist"
+        ).materialize()
+    return labels

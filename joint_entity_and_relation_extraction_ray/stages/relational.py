@@ -59,6 +59,7 @@ __all__ = [
     "set_intersect",
     "value_mad",
     "value_quantiles",
+    "value_quantiles_approx",
     "value_quantiles_cont",
 ]
 
@@ -1326,6 +1327,66 @@ def group_ranks(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, by, _walk, num_buckets=num_buckets)
+
+
+def value_quantiles_approx(
+    ds: ray.data.Dataset,
+    col: str,
+    qs: list[float],
+    *,
+    k: int = 256,
+    merge_batch: int = 256,
+) -> ray.data.Dataset:
+    """Approximate quantiles via the deterministic MRL compactor-chain
+    sketch (`functions/qsketch.py`) — the scale path where
+    :func:`value_quantiles`'s exact distinct-value histogram would BE
+    the column (unbounded-cardinality floats). Rows
+    (q_permille:int64, value:float64, n:int64, err_bound:int64);
+    ``err_bound`` is the sketch's worst-case rank-error certificate.
+
+    Per-block partial sketches (O(k·log(n/k)) each, the only thing that
+    ever leaves a block) → in-dataset fan-in merge (``merge_batch``
+    sketches per task) → tiny driver merge of the survivors. No shuffle
+    of raw rows anywhere."""
+    from ..functions.qsketch import QuantileSketch
+
+    def _partial(t: pa.Table) -> pa.Table:
+        s = QuantileSketch(k)
+        s.add_batch(t[col].to_numpy(zero_copy_only=False))
+        return pa.table({"sk": pa.array([s.serialize()], pa.binary())})
+
+    def _merge_batch(t: pa.Table) -> pa.Table:
+        s = QuantileSketch(k)
+        for blob in t["sk"].to_pylist():
+            s.merge(QuantileSketch.deserialize(blob))
+        return pa.table({"sk": pa.array([s.serialize()], pa.binary())})
+
+    parts = ds.select_columns([col]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    fanin = parts.map_batches(
+        _merge_batch,
+        batch_format="pyarrow",
+        batch_size=merge_batch,
+        zero_copy_batch=True,
+    )
+    final = QuantileSketch(k)
+    for row in fanin.take_all():  # ≤ blocks/merge_batch rows — tiny
+        final.merge(QuantileSketch.deserialize(row["sk"]))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "q_permille": pa.array(
+                    [int(round(q * 1000)) for q in qs], pa.int64()
+                ),
+                "value": pa.array([final.query(q) for q in qs]),
+                "n": pa.array([final.n] * len(qs), pa.int64()),
+                "err_bound": pa.array(
+                    [final.err_bound] * len(qs), pa.int64()
+                ),
+            }
+        )
+    )
 
 
 def frame_window(

@@ -289,3 +289,67 @@ def test_degree_histogram_random_vs_duckdb(ray_session):
         ).fetchall()
     )
     assert got == want
+
+
+def test_bfs_distances_random_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        bfs_distances,
+    )
+
+    rng = np.random.default_rng(23)
+    n = 120
+    src = [f"n{v:02d}" for v in rng.integers(0, 40, n)]
+    dst = [f"n{v:02d}" for v in rng.integers(0, 40, n)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(src),
+                "pred": pa.array(["r"] * n),
+                "obj_id": pa.array(dst),
+            }
+        )
+    ).repartition(4)
+    got = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(edges, max_hops=4).take_all()
+    }
+    want = dict(
+        duckdb.sql(
+            """
+            WITH RECURSIVE sym AS (
+                SELECT s AS src, d AS dst
+                FROM (SELECT unnest(?) s, unnest(?) d)
+                UNION
+                SELECT d, s FROM (SELECT unnest(?) s, unnest(?) d)),
+            reach(node, hop) AS (
+                SELECT (SELECT min(src) FROM sym), 0
+                UNION
+                SELECT sy.dst, r.hop + 1
+                FROM reach r JOIN sym sy ON sy.src = r.node
+                WHERE r.hop < 4)
+            SELECT node, min(hop) FROM reach GROUP BY node
+            """,
+            params=[src, dst, src, dst],
+        ).fetchall()
+    )
+    assert got == want
+    # explicit source, tiny chain: a-b-c, isolated d (self-loop only)
+    chain = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": ["a", "b", "d"],
+                "pred": ["r"] * 3,
+                "obj_id": ["b", "c", "d"],
+            }
+        )
+    )
+    got2 = {
+        r["node"]: r["dist"]
+        for r in bfs_distances(chain, source="a", max_hops=2).take_all()
+    }
+    assert got2 == {"a": 0, "b": 1, "c": 2}
