@@ -333,6 +333,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: mergeable-sketch results are block-layout-dependent
         # by contract; the rank-error certificate is pytest-pinned
         "value_quantiles_sketch": co.q_value_quantiles_sketch,
+        "sample_bottomk": co.q_sample_bottomk,
+        "user_daily_dense": co.q_user_daily_dense,
     }
 
 
@@ -993,6 +995,23 @@ def oracle_sql() -> dict[str, str]:
                        count(*) - count(o_orderpriority),
                        count(DISTINCT o_orderpriority) FROM orders
             )
+        """,
+        "user_daily_dense": """
+            WITH c AS (SELECT user_id, CAST(ts AS DATE) AS day,
+                              count(*) AS n
+                       FROM events GROUP BY 1, 2),
+            b AS (SELECT user_id, min(day) AS mn, max(day) AS mx
+                  FROM c GROUP BY 1),
+            spine AS (SELECT user_id,
+                             CAST(unnest(generate_series(mn, mx,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+                      FROM b)
+            SELECT s.user_id, s.day, coalesce(c.n, 0) AS n
+            FROM spine s LEFT JOIN c USING (user_id, day)
+        """,
+        "sample_bottomk": """
+            SELECT doc_id FROM documents
+            ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
         """,
         "latest_event": """
             SELECT event_id, ts, user_id, event_type

@@ -356,6 +356,44 @@ def q_sample_hash(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_sample_bottomk(sf_dir: str) -> ray.data.Dataset:
+    """EXACT fixed-size uniform sample: the 50 docs with the smallest
+    md5(doc_id) — reservoir sampling's deterministic, engine-reproducible
+    replacement (bottom-k by hash IS a uniform sample of fixed size k,
+    and unlike a reservoir it has an exact SQL mirror). Distributed as
+    `group_topk` ascending with a constant group: per-block bottom-k
+    combiner → one single-bucket merge; ≤ blocks×k rows ever move."""
+    import hashlib
+
+    from ..stages.relational import group_topk
+
+    def _h(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "h": pa.array(
+                    [
+                        hashlib.md5(str(d).encode()).hexdigest()
+                        for d in ids
+                    ],
+                    pa.string(),
+                ),
+                "g": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+
+    ds = (
+        read_documents(sf_dir)
+        .select_columns(["doc_id"])
+        .map_batches(_h, batch_format="pyarrow", zero_copy_batch=True)
+    )
+    top = group_topk(
+        ds, by="g", sort_col="h", k=50, descending=False, num_buckets=1
+    )
+    return top.select_columns(["doc_id"])
+
+
 def q_sample_random(sf_dir: str) -> ray.data.Dataset:
     """Seeded ``random_sample`` (rows-only: Ray's sampler isn't
     SQL-reproducible; determinism for a fixed block layout only)."""
@@ -1344,6 +1382,17 @@ def q_value_quantiles_sketch(sf_dir: str) -> ray.data.Dataset:
     )
     return value_quantiles_approx(
         li, "l_extendedprice", [0.25, 0.5, 0.75, 0.99]
+    )
+
+
+def q_user_daily_dense(sf_dir: str) -> ray.data.Dataset:
+    """Date-spine gap filling: dense per-user daily event counts (0 for
+    idle days between first and last activity) — see
+    `stages/events.fill_date_gaps`."""
+    from ..stages.events import fill_date_gaps, read_events
+
+    return fill_date_gaps(
+        read_events(sf_dir, columns=["user_id", "ts"]), num_buckets=8
     )
 
 

@@ -147,3 +147,33 @@ def read_transcripts_jsonl(
     return ds.map_batches(
         _coerce, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(_validate_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def read_transcripts_csv(
+    path: str | list[str], *, override_num_blocks: int | None = None
+) -> ray.data.Dataset:
+    """T0 source from CSV shards — the third interchange format, through
+    the SAME coerce + validate/filter stages as the parquet and JSONL
+    readers so every downstream stage sees one schema. CSV-specific
+    repair: empty strings in nullable string columns (``tool``) become
+    true nulls (CSV cannot distinguish them); ``ts`` accepts ISO-8601."""
+    ds = ray.data.read_csv(path, override_num_blocks=override_num_blocks)
+
+    def _coerce(batch: pa.Table) -> pa.Table:
+        cols = {}
+        n = batch.num_rows
+        for f in TRANSCRIPTS:
+            if f.name in batch.column_names:
+                c = batch[f.name].combine_chunks()
+                if f.name == "tool" and pa.types.is_string(c.type):
+                    c = pc.if_else(pc.equal(pc.coalesce(c, ""), ""), None, c)
+                cols[f.name] = c.cast(f.type)
+            else:
+                cols[f.name] = pa.nulls(n, f.type)
+        return pa.Table.from_arrays(
+            [cols[f.name] for f in TRANSCRIPTS], schema=TRANSCRIPTS
+        )
+
+    return ds.map_batches(
+        _coerce, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(_validate_batch, batch_format="pyarrow", zero_copy_batch=True)

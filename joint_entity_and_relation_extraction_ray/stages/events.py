@@ -673,3 +673,74 @@ def cumulative_users(
         .select(["day", "cum_users"])
     )
     return ray.data.from_arrow(out.to_arrow())
+
+
+def fill_date_gaps(
+    ds: ray.data.Dataset, *, by: str = "user_id", num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Date-spine gap filling: each key's sparse daily event counts made
+    DENSE from its first to its last active day, missing days as 0 —
+    the resample/reindex step every per-entity time-series model needs
+    before training. Rows ``(by, day:date32, n:int64)``.
+
+    Decomposable: blocks reduce to (by, day, n) partials (the combiner),
+    one ``by``-bucketed shuffle moves only those partials, and the dense
+    spine is GENERATED inside the reducer (pl.int_ranges over epoch
+    days + explode) — spine rows never cross the wire. Assumes one key's
+    day span fits in a reducer (a few KB per entity-year)."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select([by, "ts"]))
+        return (
+            df.with_columns(pl.col("ts").dt.date().alias("day"))
+            .group_by([by, "day"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    def _dense(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        if df.height == 0:
+            return pa.table(
+                {
+                    by: pa.array([], t.schema.field(by).type),
+                    "day": pa.array([], pa.date32()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        sparse = (
+            df.group_by([by, "day"])
+            .agg(pl.col("n").sum())
+            .with_columns(pl.col("day").cast(pl.Int32).alias("d"))
+        )
+        spine = (
+            sparse.group_by(by)
+            .agg(
+                pl.col("d").min().alias("lo"),
+                pl.col("d").max().alias("hi"),
+            )
+            .with_columns(
+                pl.int_ranges(
+                    pl.col("lo"), pl.col("hi") + 1, dtype=pl.Int32
+                ).alias("d")
+            )
+            .explode("d")
+            .select([by, "d"])
+        )
+        out = (
+            spine.join(
+                sparse.select([by, "d", "n"]), on=[by, "d"], how="left"
+            )
+            .with_columns(
+                pl.col("n").fill_null(0),
+                pl.col("d").cast(pl.Date).alias("day"),
+            )
+            .select([by, "day", "n"])
+        )
+        return out.to_arrow()
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, by, _dense, num_buckets=num_buckets)

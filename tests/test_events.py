@@ -262,3 +262,63 @@ def test_cumulative_users_first_seen_decomposition(ray_session):
         for r in cumulative_users(ds, num_buckets=4).take_all()
     }
     assert out == {"2024-01-01": 2, "2024-01-02": 3, "2024-01-03": 4}
+
+
+def test_fill_date_gaps_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        fill_date_gaps,
+    )
+
+    rng = np.random.default_rng(29)
+    n = 200
+    users = rng.integers(1, 12, n).tolist()
+    # sparse days over ~2 months, with multi-day gaps guaranteed
+    ts = np.array(
+        [
+            np.datetime64("2024-03-01T00:00:00")
+            + np.timedelta64(int(d), "D")
+            + np.timedelta64(int(h), "h")
+            for d, h in zip(
+                rng.integers(0, 60, n) * 2 % 60, rng.integers(0, 24, n)
+            )
+        ],
+        dtype="datetime64[us]",
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts),
+            }
+        )
+    ).repartition(6)
+    got = {
+        (r["user_id"], str(r["day"])): r["n"]
+        for r in fill_date_gaps(ds, num_buckets=4).take_all()
+    }
+    want = {
+        (u, str(d)): c
+        for u, d, c in duckdb.sql(
+            """
+            WITH e AS (SELECT unnest(?) AS user_id, unnest(?) AS ts),
+            c AS (SELECT user_id, CAST(ts AS DATE) AS day, count(*) AS n
+                  FROM e GROUP BY 1, 2),
+            b AS (SELECT user_id, min(day) mn, max(day) mx FROM c GROUP BY 1),
+            spine AS (SELECT user_id,
+                             CAST(unnest(generate_series(mn, mx,
+                                         INTERVAL 1 DAY)) AS DATE) AS day
+                      FROM b)
+            SELECT s.user_id, s.day, coalesce(c.n, 0)
+            FROM spine s LEFT JOIN c USING (user_id, day)
+            """,
+            params=[users, [t.item() for t in ts]],
+        ).fetchall()
+    }
+    assert got == want
+    # zeros actually present: at least one user has an idle day
+    assert any(v == 0 for v in got.values())

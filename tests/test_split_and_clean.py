@@ -244,3 +244,25 @@ def test_read_transcripts_jsonl_fractional_seconds(ray_session, tmp_path):
     )
     (row,) = read_transcripts_jsonl(str(p)).take_all()
     assert row["ts"].microsecond == 123456
+
+
+def test_read_transcripts_csv(ray_session, tmp_path):
+    from joint_entity_and_relation_extraction_ray.schema import TRANSCRIPTS
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts_csv,
+    )
+
+    p = tmp_path / "shard.csv"
+    p.write_text(
+        "conv_id,turn_idx,role,text,tool,ts\n"
+        'c1,0,user,hello,,2024-01-02T03:04:05\n'
+        'c1,1,assistant,"  ",,2024-01-02T03:04:06\n'  # blank text dropped
+        'c2,0,tool,ok,search,2024-01-02T03:04:07.123456\n'
+    )
+    ds = read_transcripts_csv(str(p))
+    out = sorted(ds.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert [r["conv_id"] for r in out] == ["c1", "c2"]
+    assert out[0]["tool"] is None  # empty string -> true null
+    assert out[1]["tool"] == "search"
+    assert out[1]["ts"].microsecond == 123456
+    assert ds.schema().names == list(TRANSCRIPTS.names)
