@@ -335,6 +335,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "value_quantiles_sketch": co.q_value_quantiles_sketch,
         "sample_bottomk": co.q_sample_bottomk,
         "user_daily_dense": co.q_user_daily_dense,
+        "event_transitions": co.q_event_transitions,
+        "event_cooccurrence": co.q_event_cooccurrence,
     }
 
 
@@ -995,6 +997,25 @@ def oracle_sql() -> dict[str, str]:
                        count(*) - count(o_orderpriority),
                        count(DISTINCT o_orderpriority) FROM orders
             )
+        """,
+        "event_transitions": """
+            SELECT from_type, event_type AS to_type, count(*) AS n
+            FROM (SELECT event_type,
+                         lag(event_type) OVER (
+                             PARTITION BY user_id ORDER BY ts, event_id
+                         ) AS from_type
+                  FROM events)
+            WHERE from_type IS NOT NULL
+            GROUP BY 1, 2
+        """,
+        "event_cooccurrence": """
+            SELECT a.event_type AS t1, b.event_type AS t2,
+                   count(*) AS n
+            FROM events a JOIN events b
+              ON a.user_id = b.user_id
+             AND b.ts > a.ts
+             AND b.ts <= a.ts + INTERVAL 1 HOUR
+            GROUP BY 1, 2
         """,
         "user_daily_dense": """
             WITH c AS (SELECT user_id, CAST(ts AS DATE) AS day,

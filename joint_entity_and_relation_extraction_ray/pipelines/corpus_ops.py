@@ -1396,6 +1396,29 @@ def q_user_daily_dense(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
+    """Markov event-type transition counts per user sequence — see
+    `stages/events.event_transitions`."""
+    from ..stages.events import event_transitions, read_events
+
+    return event_transitions(
+        read_events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"]),
+        num_buckets=8,
+    )
+
+
+def q_event_cooccurrence(sf_dir: str) -> ray.data.Dataset:
+    """Temporal co-occurrence: ordered same-user event-type pairs within
+    1 hour — see `stages/events.event_cooccurrence`."""
+    from ..stages.events import event_cooccurrence, read_events
+
+    return event_cooccurrence(
+        read_events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"]),
+        window_us=3_600_000_000,
+        num_buckets=8,
+    )
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no

@@ -744,3 +744,129 @@ def fill_date_gaps(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, by, _dense, num_buckets=num_buckets)
+
+
+def event_transitions(
+    events: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Markov transition counts over each user's time-ordered event
+    sequence — rows ``(from_type, to_type, n)``: how often one event
+    type immediately follows another (the bigram feature sequence models
+    train on). SQL: ``lag(event_type) OVER (PARTITION BY user_id ORDER
+    BY ts, event_id)`` + GROUP BY.
+
+    One user-bucketed shuffle co-locates each user's events (the
+    sequence floor); per bucket a vectorized polars shift produces
+    |types|²-bounded partial counts, and a tiny second merge sums them —
+    raw events never shuffle twice. (ts, event_id) is a total order, so
+    the result is deterministic under timestamp ties."""
+    import polars as pl
+
+    def _trans(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        return (
+            df.with_columns(
+                from_type=pl.col("event_type").shift(1).over("user_id")
+            )
+            .drop_nulls("from_type")
+            .group_by(["from_type", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"event_type": "to_type"})
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["from_type", "to_type"])
+            .agg(pl.col("n").sum())
+            .to_arrow()
+        )
+
+    per_user = bucket_group_apply(
+        events.select_columns(["user_id", "ts", "event_id", "event_type"]),
+        "user_id",
+        _trans,
+        num_buckets=num_buckets,
+    )
+    return bucket_group_apply(per_user, "from_type", _merge, num_buckets=4)
+
+
+def event_cooccurrence(
+    events: ray.data.Dataset,
+    *,
+    window_us: int,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Temporal co-occurrence counts: for every ordered pair of events
+    by the SAME user with ``0 < ts_b − ts_a ≤ window_us``, count per
+    (t1, t2) type pair — the market-basket statistic over an event
+    stream. SQL mirror: the band self-join.
+
+    One user-bucketed shuffle; per user the sorted sweep finds each
+    event's window with two ``searchsorted`` calls and the pair counts
+    accumulate into a |types|² matrix via flat ``np.add.at`` — the pair
+    LIST is never materialized (the band join's output can be quadratic;
+    its COUNTS per type pair are bounded). Partial matrices merge in a
+    tiny second shuffle."""
+    import polars as pl
+
+    def _cooc(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        if df.height == 0:
+            return pa.table(
+                {
+                    "t1": pa.array([], pa.string()),
+                    "t2": pa.array([], pa.string()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        types, codes_s = np.unique(
+            df["event_type"].to_numpy(), return_inverse=True
+        )
+        T = len(types)
+        counts = np.zeros((T, T), dtype=np.int64)
+        ts_all = df["ts"].cast(pl.Int64).to_numpy()
+        uid = df["user_id"].to_numpy()
+        bounds = np.flatnonzero(np.r_[True, uid[1:] != uid[:-1], True])
+        for s, e in zip(bounds[:-1], bounds[1:]):
+            ts = ts_all[s:e]
+            codes = codes_s[s:e]
+            lo = np.searchsorted(ts, ts, side="right")
+            hi = np.searchsorted(ts, ts + window_us, side="right")
+            lens = hi - lo
+            total = int(lens.sum())
+            if total == 0:
+                continue
+            # flat [lo_i, hi_i) index ranges without a python loop
+            starts = np.repeat(lo, lens)
+            offs = np.arange(total) - np.repeat(
+                np.cumsum(lens) - lens, lens
+            )
+            cols = codes[starts + offs]
+            rows = np.repeat(codes, lens)
+            np.add.at(counts.reshape(-1), rows * T + cols, 1)
+        r, c = np.nonzero(counts)
+        return pa.table(
+            {
+                "t1": pa.array(types[r], pa.string()),
+                "t2": pa.array(types[c], pa.string()),
+                "n": pa.array(counts[r, c], pa.int64()),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["t1", "t2"])
+            .agg(pl.col("n").sum())
+            .to_arrow()
+        )
+
+    per_user = bucket_group_apply(
+        events.select_columns(["user_id", "ts", "event_id", "event_type"]),
+        "user_id",
+        _cooc,
+        num_buckets=num_buckets,
+    )
+    return bucket_group_apply(per_user, "t1", _merge, num_buckets=4)

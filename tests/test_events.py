@@ -322,3 +322,96 @@ def test_fill_date_gaps_matches_duckdb(ray_session):
     assert got == want
     # zeros actually present: at least one user has an idle day
     assert any(v == 0 for v in got.values())
+
+
+def test_event_transitions_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        event_transitions,
+    )
+
+    rng = np.random.default_rng(31)
+    n = 300
+    users = rng.integers(1, 15, n).tolist()
+    ts_us = (rng.integers(0, 10**7, n)).tolist()  # coarse; id breaks ties
+    ids = list(range(n))
+    types = rng.choice(["a", "b", "c", "d"], n).tolist()
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+                "event_id": pa.array(ids, pa.int64()),
+                "event_type": pa.array(types),
+            }
+        )
+    ).repartition(7)
+    got = {
+        (r["from_type"], r["to_type"]): r["n"]
+        for r in event_transitions(ds, num_buckets=4).take_all()
+    }
+    want = {
+        (f, t): c
+        for f, t, c in duckdb.sql(
+            """
+            SELECT prev, t, count(*) FROM (
+                SELECT t, lag(t) OVER (PARTITION BY u ORDER BY ts, i)
+                       AS prev
+                FROM (SELECT unnest(?) u, unnest(?) ts, unnest(?) i,
+                             unnest(?) t))
+            WHERE prev IS NOT NULL GROUP BY 1, 2
+            """,
+            params=[users, ts_us, ids, types],
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_event_cooccurrence_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        event_cooccurrence,
+    )
+
+    rng = np.random.default_rng(37)
+    n = 250
+    users = rng.integers(1, 10, n).tolist()
+    ts_us = (rng.integers(0, 2000, n) * 7).tolist()  # dup ts exercised
+    ids = list(range(n))
+    types = rng.choice(["x", "y", "z"], n).tolist()
+    W = 500
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+                "event_id": pa.array(ids, pa.int64()),
+                "event_type": pa.array(types),
+            }
+        )
+    ).repartition(5)
+    got = {
+        (r["t1"], r["t2"]): r["n"]
+        for r in event_cooccurrence(ds, window_us=W, num_buckets=4).take_all()
+    }
+    want = {
+        (a, b): c
+        for a, b, c in duckdb.sql(
+            """
+            WITH e AS (SELECT unnest(?) u, unnest(?) ts, unnest(?) t)
+            SELECT a.t, b.t, count(*) FROM e a JOIN e b
+              ON a.u = b.u AND b.ts > a.ts AND b.ts <= a.ts + ?
+            GROUP BY 1, 2
+            """,
+            params=[users, ts_us, types, W],
+        ).fetchall()
+    }
+    assert got == want
