@@ -337,6 +337,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_daily_dense": co.q_user_daily_dense,
         "event_transitions": co.q_event_transitions,
         "event_cooccurrence": co.q_event_cooccurrence,
+        "curate_corpus": co.q_curate_corpus,
     }
 
 
@@ -997,6 +998,60 @@ def oracle_sql() -> dict[str, str]:
                        count(*) - count(o_orderpriority),
                        count(DISTINCT o_orderpriority) FROM orders
             )
+        """,
+        # the composite curation pipeline: quality gate -> near-dup CC
+        # closure on the survivors -> split assignment, all one statement
+        "curate_corpus": """
+            WITH RECURSIVE q AS (
+                SELECT doc_id, text FROM (
+                    SELECT doc_id, text,
+                           CASE WHEN trim(text) = ''
+                                THEN CAST([] AS VARCHAR[])
+                                ELSE regexp_split_to_array(trim(text),
+                                                           '\\s+')
+                           END AS t
+                    FROM documents)
+                WHERE len(t) >= 5
+                  AND list_max(list_transform(t, x -> length(x))) <= 40
+                  AND len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) * 10
+                      <= length(text)
+            ),
+            toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM q),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])))
+                           AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT i AS a, j AS b FROM inter
+                JOIN sizes sa ON sa.doc_id = i
+                JOIN sizes sb ON sb.doc_id = j
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+            sym AS (SELECT a, b FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+            reach(v, r) AS (
+                SELECT a AS v, a AS r FROM sym
+                UNION
+                SELECT reach.v, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+            lbl AS (SELECT v, min(r) AS l FROM reach GROUP BY v)
+            SELECT doc_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                            < 'e6' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                            < 'f3' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM q
+            WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
         """,
         "event_transitions": """
             SELECT from_type, event_type AS to_type, count(*) AS n

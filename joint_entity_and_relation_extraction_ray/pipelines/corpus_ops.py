@@ -1165,6 +1165,58 @@ def q_split_assign(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
+    """The COMPOSITE curation pipeline every pretraining corpus goes
+    through, end-to-end ORACLE-EXACT: quality gate (integer heuristics)
+    → near-dup clustering on the survivors (MinHash pairs → CC closure
+    → keep min doc_id per cluster) → deterministic train/val/test
+    assignment. Rows (doc_id, split).
+
+    Each stage is the already-verified operator; the composition stays
+    exact because every stage is (quality filter: stateless map; dedup:
+    verified-pair closure; split: stateless hash map). The filtered
+    corpus is materialized once and feeds both the pair generator and
+    the survivor filter — at production scale that seam is a
+    `state/checkpoint.py run_partitioned` stage boundary."""
+    import hashlib
+
+    docs = read_documents(sf_dir)
+
+    def _qf(t: pa.Table) -> pa.Table:
+        s = textstats.doc_stats(t)
+        keep = pa.compute.and_(
+            pa.compute.and_(
+                pa.compute.greater_equal(s["n_tokens"], 5),
+                pa.compute.less_equal(s["max_token_len"], 40),
+            ),
+            pa.compute.less_equal(
+                pa.compute.multiply(s["n_punct"], 10), s["n_chars"]
+            ),
+        )
+        return t.filter(keep)
+
+    ok = docs.map_batches(
+        _qf, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    pairs = dedup.minhash_dedup_pairs(ok, threshold=JACCARD_THRESHOLD)
+    kept = dedup.dedup_apply(ok.select_columns(["doc_id"]), pairs)
+
+    def _assign(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        h = [hashlib.md5(str(d).encode()).hexdigest()[:2] for d in ids]
+        split = [
+            "train" if x < "e6" else "val" if x < "f3" else "test"
+            for x in h
+        ]
+        return pa.table(
+            {"doc_id": t["doc_id"], "split": pa.array(split, pa.string())}
+        )
+
+    return kept.map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_value_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
     """Exact INTERPOLATED quantiles (percentile_cont, R-7 rule) of
     lineitem price cents at the quarter grid, returned ×4 so the oracle
