@@ -338,6 +338,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "event_transitions": co.q_event_transitions,
         "event_cooccurrence": co.q_event_cooccurrence,
         "curate_corpus": co.q_curate_corpus,
+        # rows-only: CMS candidate set is block-local by design;
+        # guarantees pytest-pinned (tests/test_curation.py)
+        "token_topk_cms": co.q_token_topk_cms,
     }
 
 

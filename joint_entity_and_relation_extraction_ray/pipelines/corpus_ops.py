@@ -84,6 +84,16 @@ def q_token_counts(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     return token_counts(read_documents(sf_dir), k=k)
 
 
+def q_token_topk_cms(sf_dir: str) -> ray.data.Dataset:
+    """Heavy hitters via count-min sketch (rows-only: the candidate set
+    is per-block-local by design; estimates are layout-independent and
+    the ≥-true guarantee + exact-head recovery are pytest-pinned) — see
+    `stages/curation.token_topk_approx`."""
+    from ..stages.curation import token_topk_approx
+
+    return token_topk_approx(read_documents(sf_dir), k=25)
+
+
 def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
     """Quality gate over integer doc statistics: keep docs with ≥5 tokens,
     max token length ≤40 and punctuation ≤10% of chars — the standard

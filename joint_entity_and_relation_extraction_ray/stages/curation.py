@@ -484,3 +484,122 @@ def tfidf_top_terms(
         zero_copy_batch=True,
         concurrency=(1, default_pool_size()),
     )
+
+
+def token_topk_approx(
+    docs: ray.data.Dataset,
+    *,
+    k: int = 50,
+    d: int = 4,
+    w: int = 1 << 15,
+    candidates_per_block: int | None = None,
+    merge_batch: int = 256,
+) -> ray.data.Dataset:
+    """Heavy hitters WITHOUT shuffling token counts: the count-min path
+    (`functions/cmsketch.py`) for corpora where even `token_counts`'
+    one-row-per-(block, distinct-token) merge is too much (10⁹-token
+    vocabularies). Rows (token, est_count) — ``est_count ≥ true`` always
+    (CMS one-sided guarantee) and is block-layout-INDEPENDENT (counter
+    adds commute); only the candidate set is heuristic (per-block local
+    top — a global heavy hitter is a local heavy hitter in blocks where
+    it appears, so well-separated heads are always found).
+
+    One corpus pass emits per block a d·w sketch + its local candidate
+    top; sketches fan-in by element-wise add, candidates dedup through
+    the distinct shuffle; the driver folds the handful of survivors and
+    scores the candidates."""
+    import numpy as np
+    import polars as pl
+
+    from ..functions.cmsketch import (
+        cms_add,
+        cms_deserialize,
+        cms_empty,
+        cms_estimate,
+        cms_merge,
+        cms_serialize,
+    )
+    from .relational import distinct_keys
+
+    cand_k = candidates_per_block or 4 * k
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["text"]))
+        per = (
+            df.select(pl.col("text").str.extract_all(r"\S+").alias("tok"))
+            .explode("tok")
+            .drop_nulls("tok")
+            .group_by("tok")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        cms = cms_empty(d, w)
+        cms_add(cms, per["tok"].to_numpy(), per["n"].to_numpy())
+        top = per.sort(["n", "tok"], descending=[True, False]).head(cand_k)
+        toks = top["tok"].to_list()
+        return pa.table(
+            {
+                "token": pa.array(toks + [None], pa.string()),
+                "sk": pa.array(
+                    [None] * len(toks) + [cms_serialize(cms)], pa.binary()
+                ),
+            }
+        )
+
+    both = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _merge_sk(t: pa.Table) -> pa.Table:
+        acc = cms_empty(d, w)
+        for blob in t["sk"].drop_null().to_pylist():
+            cms_merge(acc, cms_deserialize(blob))
+        return pa.table({"sk": pa.array([cms_serialize(acc)], pa.binary())})
+
+    def _sk_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return t.filter(pc_.is_null(t["token"])).select(["sk"])
+
+    def _cand_rows(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc_
+
+        return t.filter(pc_.is_valid(t["token"])).select(["token"])
+
+    fanin = both.map_batches(
+        _sk_rows, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        _merge_sk,
+        batch_format="pyarrow",
+        batch_size=merge_batch,
+        zero_copy_batch=True,
+    )
+    final = cms_empty(d, w)
+    for row in fanin.take_all():  # ≤ blocks/merge_batch rows
+        cms_merge(final, cms_deserialize(row["sk"]))
+
+    cands = distinct_keys(
+        both.map_batches(
+            _cand_rows, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "token",
+    ).take_all()  # ≤ blocks × cand_k rows, post-distinct
+    toks = np.array([r["token"] for r in cands])
+    if toks.size == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "token": pa.array([], pa.string()),
+                    "est_count": pa.array([], pa.int64()),
+                }
+            )
+        )
+    est = cms_estimate(final, toks)
+    order = np.lexsort((toks, -est))[:k]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "token": pa.array(toks[order], pa.string()),
+                "est_count": pa.array(est[order], pa.int64()),
+            }
+        )
+    )

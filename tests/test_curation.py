@@ -164,3 +164,48 @@ def test_tfidf_top_terms_vs_numpy_reference(ray_session):
         ):
             assert (gr, gt, gtf, gdf) == (er, et, etf, edf)
             assert abs(gs - es) < 1e-12
+
+
+def test_token_topk_approx_vs_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.curation import (
+        token_counts,
+        token_topk_approx,
+    )
+
+    # zipfian-ish corpus with a clearly separated head
+    rng = np.random.default_rng(53)
+    vocab = [f"w{i:03d}" for i in range(300)]
+    weights = 1.0 / np.arange(1, 301) ** 1.3
+    weights /= weights.sum()
+    docs = []
+    for i in range(200):
+        toks = rng.choice(vocab, size=40, p=weights)
+        docs.append(" ".join(toks))
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(200), pa.int64()),
+                "text": pa.array(docs),
+            }
+        )
+    ).repartition(8)
+    exact = {
+        r["token"]: r["n_occurrences"]
+        for r in token_counts(ds, k=300).take_all()
+    }
+    approx = token_topk_approx(ds, k=10).take_all()
+    assert len(approx) == 10
+    for r in approx:
+        # one-sided guarantee: CMS never undercounts
+        assert r["est_count"] >= exact.get(r["token"], 0)
+    # the separated head is found exactly (w=2^15 >> 300 distinct: no
+    # collisions expected, so estimates equal true counts here)
+    top_exact = sorted(exact.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert [(r["token"], r["est_count"]) for r in approx] == top_exact
+    # layout independence of the estimates
+    approx2 = token_topk_approx(ds.repartition(3), k=10).take_all()
+    assert [(r["token"], r["est_count"]) for r in approx2] == top_exact
