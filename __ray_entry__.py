@@ -234,6 +234,17 @@ def _q_kg_components(sf_dir: str):
     )
 
 
+def _q_kg_comention(sf_dir: str):
+    """Entity co-mention counts per turn (the co-occurrence edge layer)
+    — see `stages/graph.comention_counts`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        comention_counts,
+    )
+
+    return comention_counts(kg.stage(sf_dir, "linked"))
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
@@ -247,6 +258,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_components": _q_kg_components,
+        "kg_comention": _q_kg_comention,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -341,6 +353,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # rows-only: CMS candidate set is block-local by design;
         # guarantees pytest-pinned (tests/test_curation.py)
         "token_topk_cms": co.q_token_topk_cms,
+        "user_active_time": co.q_user_active_time,
     }
 
 
@@ -559,6 +572,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(d) AS BIGINT) AS dist
             FROM reach GROUP BY node
+        """,
+        "kg_comention": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            ment AS MATERIALIZED (
+                SELECT DISTINCT m.conv_id, m.turn_idx, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            )
+            SELECT a.entity_id AS e1, b2.entity_id AS e2,
+                   count(*) AS n
+            FROM ment a JOIN ment b2
+              ON a.conv_id = b2.conv_id AND a.turn_idx = b2.turn_idx
+             AND a.entity_id < b2.entity_id
+            GROUP BY 1, 2
         """,
         "kg_degree_hist": f"""
             WITH best AS MATERIALIZED (
@@ -1055,6 +1093,31 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM q
             WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
+        """,
+        "user_active_time": """
+            WITH iv AS (SELECT user_id, epoch_us(ts) AS s,
+                               epoch_us(ts) + 600000000 AS e
+                        FROM events),
+            m AS (SELECT user_id, s, e,
+                         CASE WHEN s > max(e) OVER (
+                                  PARTITION BY user_id ORDER BY s, e
+                                  ROWS BETWEEN UNBOUNDED PRECEDING
+                                  AND 1 PRECEDING)
+                              THEN 1 ELSE coalesce(NULL, 0) END
+                         + CASE WHEN row_number() OVER (
+                                    PARTITION BY user_id ORDER BY s, e) = 1
+                                THEN 1 ELSE 0 END AS new_island
+                  FROM iv),
+            isl AS (SELECT user_id, s, e,
+                           sum(new_island) OVER (
+                               PARTITION BY user_id ORDER BY s, e
+                               ROWS UNBOUNDED PRECEDING) AS island
+                    FROM m)
+            SELECT user_id,
+                   CAST(sum(cov) AS BIGINT) AS covered_us
+            FROM (SELECT user_id, island, max(e) - min(s) AS cov
+                  FROM isl GROUP BY 1, 2)
+            GROUP BY user_id
         """,
         "event_transitions": """
             SELECT from_type, event_type AS to_type, count(*) AS n

@@ -1458,6 +1458,19 @@ def q_user_daily_dense(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_user_active_time(sf_dir: str) -> ray.data.Dataset:
+    """Union-of-intervals active time per user (10-minute activity
+    window per event, overlaps merged, exact integer µs) — see
+    `stages/events.interval_coverage`."""
+    from ..stages.events import interval_coverage, read_events
+
+    return interval_coverage(
+        read_events(sf_dir, columns=["user_id", "ts"]),
+        length_us=600_000_000,
+        num_buckets=8,
+    )
+
+
 def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov event-type transition counts per user sequence — see
     `stages/events.event_transitions`."""

@@ -870,3 +870,53 @@ def event_cooccurrence(
         num_buckets=num_buckets,
     )
     return bucket_group_apply(per_user, "t1", _merge, num_buckets=4)
+
+
+def interval_coverage(
+    events: ray.data.Dataset,
+    *,
+    length_us: int,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Union-of-intervals coverage per user: treat every event as an
+    activity interval ``[ts, ts + length_us)``, merge overlaps, and
+    report the total covered microseconds — the gaps-and-islands
+    computation behind "active time" metrics (billing, engagement).
+    Rows ``(user_id, covered_us:int64)``, exact integer arithmetic.
+
+    One user-bucketed shuffle of (user_id, ts) only; per bucket the
+    island detection is fully vectorized polars: an interval starts a
+    new island iff its start exceeds the running max end of all earlier
+    intervals (cum_max + shift), islands sum as max(end) − min(start)."""
+    import polars as pl
+
+    def _cov(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t.select(["user_id", "ts"]))
+            .sort(["user_id", "ts"])
+            .with_columns(s=pl.col("ts").cast(pl.Int64))
+            .with_columns(e=pl.col("s") + length_us)
+        )
+        prev_max_e = pl.col("e").cum_max().shift(1).over("user_id")
+        df = (
+            df.with_columns(
+                new=(pl.col("s") > prev_max_e)
+                .fill_null(True)
+                .cast(pl.Int64)
+            )
+            .with_columns(island=pl.col("new").cum_sum().over("user_id"))
+        )
+        return (
+            df.group_by(["user_id", "island"])
+            .agg((pl.col("e").max() - pl.col("s").min()).alias("cov"))
+            .group_by("user_id")
+            .agg(pl.col("cov").sum().alias("covered_us"))
+            .to_arrow()
+        )
+
+    return bucket_group_apply(
+        events.select_columns(["user_id", "ts"]),
+        "user_id",
+        _cov,
+        num_buckets=num_buckets,
+    )

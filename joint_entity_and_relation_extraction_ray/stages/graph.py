@@ -895,3 +895,55 @@ def bfs_distances(
             labels.union(prop), "node", "dist"
         ).materialize()
     return labels
+
+
+def comention_counts(
+    linked: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Entity co-mention graph: for every unordered pair of DISTINCT
+    linked entities appearing in the same ``(conv_id, turn_idx)``, the
+    number of turns where they co-occur — rows ``(e1, e2, n)`` with
+    ``e1 < e2``. The co-occurrence edge layer KGs add next to the
+    predicate edges (SQL mirror: the per-turn self-join).
+
+    One conv-bucketed shuffle of (conv, turn, entity) triples — the
+    entity column, never mention payloads; per bucket the pair
+    generation is a vectorized polars self-join within each turn (a
+    turn's mention count is grammar-bounded, so per-turn pairs are too),
+    reduced to per-pair partial counts; a tiny second shuffle sums."""
+    import polars as pl
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .drop_nulls("cand_entity_id")
+            .select(["conv_id", "turn_idx", "cand_entity_id"])
+            .unique()
+        )
+        j = df.join(df, on=["conv_id", "turn_idx"], how="inner").filter(
+            pl.col("cand_entity_id") < pl.col("cand_entity_id_right")
+        )
+        return (
+            j.group_by(["cand_entity_id", "cand_entity_id_right"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"cand_entity_id": "e1", "cand_entity_id_right": "e2"})
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["e1", "e2"])
+            .agg(pl.col("n").sum())
+            .to_arrow()
+        )
+
+    from ..functions.shuffle import bucket_group_apply
+
+    per_conv = bucket_group_apply(
+        linked.select_columns(["conv_id", "turn_idx", "cand_entity_id"]),
+        "conv_id",
+        _pairs,
+        num_buckets=num_buckets,
+    )
+    return bucket_group_apply(per_conv, "e1", _merge, num_buckets=8)

@@ -415,3 +415,42 @@ def test_event_cooccurrence_matches_duckdb(ray_session):
         ).fetchall()
     }
     assert got == want
+
+
+def test_interval_coverage_matches_bruteforce(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        interval_coverage,
+    )
+
+    rng = np.random.default_rng(59)
+    n = 300
+    users = rng.integers(1, 10, n).tolist()
+    ts_us = (rng.integers(0, 5000, n) * 3).tolist()
+    L = 40
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+            }
+        )
+    ).repartition(6)
+    got = {
+        r["user_id"]: r["covered_us"]
+        for r in interval_coverage(ds, length_us=L, num_buckets=4).take_all()
+    }
+    want = {}
+    for u in set(users):
+        ivs = sorted((t, t + L) for uu, t in zip(users, ts_us) if uu == u)
+        merged = []
+        for s, e in ivs:
+            if merged and s <= merged[-1][1]:
+                merged[-1] = (merged[-1][0], max(merged[-1][1], e))
+            else:
+                merged.append((s, e))
+        want[u] = sum(e - s for s, e in merged)
+    assert got == want
