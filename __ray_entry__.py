@@ -245,6 +245,61 @@ def _q_kg_comention(sf_dir: str):
     return comention_counts(kg.stage(sf_dir, "linked"))
 
 
+def _q_conv_stats(sf_dir: str):
+    """Transcript analytics rollup: per conversation the turn count,
+    distinct roles and total text chars — `stages/relational.
+    grouped_summary` (per-block combiner, tiny merge) over the validated
+    T0 source, plus a distinct-role count folded into the same shuffle."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["conv_id", "role", "text"]))
+            .with_columns(pl.col("text").str.len_chars().alias("nc"))
+            .group_by(["conv_id", "role"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_turns"),
+                pl.col("nc").sum().cast(pl.Int64).alias("n_chars"),
+            )
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by(["conv_id", "role"])
+            .agg(pl.col("n_turns").sum(), pl.col("n_chars").sum())
+            .group_by("conv_id")
+            .agg(
+                pl.col("n_turns").sum(),
+                pl.len().cast(pl.Int64).alias("n_roles"),
+                pl.col("n_chars").sum(),
+            )
+            .to_arrow()
+        )
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "conv_id", _merge, num_buckets=8)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
@@ -259,6 +314,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_components": _q_kg_components,
         "kg_comention": _q_kg_comention,
+        "conv_stats": _q_conv_stats,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -572,6 +628,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(d) AS BIGINT) AS dist
             FROM reach GROUP BY node
+        """,
+        # mirrors the T0 validate/filter: non-null keys, non-blank text
+        "conv_stats": f"""
+            WITH t0 AS (
+                SELECT conv_id, role, text
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            )
+            SELECT conv_id, count(*) AS n_turns,
+                   count(DISTINCT role) AS n_roles,
+                   CAST(sum(length(text)) AS BIGINT) AS n_chars
+            FROM t0 GROUP BY conv_id
         """,
         "kg_comention": f"""
             WITH best AS MATERIALIZED (
