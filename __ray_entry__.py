@@ -410,6 +410,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # guarantees pytest-pinned (tests/test_curation.py)
         "token_topk_cms": co.q_token_topk_cms,
         "user_active_time": co.q_user_active_time,
+        "locf_fill": co.q_locf_fill,
     }
 
 
@@ -1162,6 +1163,15 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM q
             WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
+        """,
+        "locf_fill": """
+            SELECT event_id,
+                   last_value(c IGNORE NULLS) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS filled_cents
+            FROM (SELECT event_id, user_id, ts,
+                         CAST(round(value * 100) AS BIGINT) AS c
+                  FROM events)
         """,
         "user_active_time": """
             WITH iv AS (SELECT user_id, epoch_us(ts) AS s,

@@ -1471,6 +1471,17 @@ def q_user_active_time(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_locf_fill(sf_dir: str) -> ray.data.Dataset:
+    """LOCF gap repair: null event values take the user's most recent
+    non-null value cents — see `stages/events.locf_fill`."""
+    from ..stages.events import locf_fill, read_events
+
+    return locf_fill(
+        read_events(sf_dir, columns=["event_id", "ts", "user_id", "value"]),
+        num_buckets=8,
+    )
+
+
 def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov event-type transition counts per user sequence — see
     `stages/events.event_transitions`."""
@@ -1595,4 +1606,7 @@ def bench_ops():
         "pricing_summary": _consume(q_pricing_summary),
         "semi_join_bloom": _consume(q_semi_join_bloom),
         "revenue_by_nation": _consume(q_revenue_by_nation),
+        "curate_corpus": _consume(q_curate_corpus),
+        "profile_orders": _consume(q_profile_orders),
+        "latest_event": _consume(q_latest_event),
     }

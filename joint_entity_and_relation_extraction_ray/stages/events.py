@@ -920,3 +920,49 @@ def interval_coverage(
         _cov,
         num_buckets=num_buckets,
     )
+
+
+def locf_fill(
+    events: ray.data.Dataset,
+    *,
+    value_col: str = "value",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """LOCF (last observation carried forward): null measurements take
+    the user's most recent non-null value in (ts, event_id) order — the
+    standard sensor/metrics gap repair. SQL mirror: ``last_value(x
+    IGNORE NULLS) OVER (PARTITION BY user ORDER BY ts, id ROWS UNBOUNDED
+    PRECEDING)``. Rows (event_id, filled_cents) — leading nulls stay
+    null. Exact integer cents.
+
+    One user-bucketed shuffle (the PARTITION BY floor); per bucket a
+    vectorized polars sort + grouped forward_fill."""
+    import polars as pl
+
+    def _fill(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        return (
+            df.with_columns(
+                pl.col("cents").forward_fill().over("user_id")
+                .alias("filled_cents")
+            )
+            .select(["event_id", "filled_cents"])
+            .to_arrow()
+        )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t[value_col], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    prep = events.select_columns(
+        ["event_id", "ts", "user_id", value_col]
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return bucket_group_apply(prep, "user_id", _fill, num_buckets=num_buckets)

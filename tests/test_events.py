@@ -454,3 +454,52 @@ def test_interval_coverage_matches_bruteforce(ray_session):
                 merged.append((s, e))
         want[u] = sum(e - s for s, e in merged)
     assert got == want
+
+
+def test_locf_fill_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        locf_fill,
+    )
+
+    rng = np.random.default_rng(61)
+    n = 200
+    users = rng.integers(1, 8, n).tolist()
+    ts_us = rng.integers(0, 500, n).tolist()  # duplicate ts exercised
+    ids = list(range(n))
+    vals = [
+        None if i % 3 == 0 else round(float(v), 2)
+        for i, v in enumerate(rng.uniform(0, 100, n))
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array(ts_us, pa.timestamp("us")),
+                "user_id": pa.array(users, pa.int64()),
+                "value": pa.array(vals, pa.float64()),
+            }
+        )
+    ).repartition(5)
+    got = {
+        r["event_id"]: r["filled_cents"]
+        for r in locf_fill(ds, num_buckets=4).take_all()
+    }
+    want = dict(
+        duckdb.sql(
+            """
+            SELECT i, last_value(CAST(round(v*100) AS BIGINT) IGNORE NULLS)
+                      OVER (PARTITION BY u ORDER BY ts, i
+                            ROWS UNBOUNDED PRECEDING)
+            FROM (SELECT unnest(?) u, unnest(?) ts, unnest(?) i,
+                         unnest(CAST(? AS DOUBLE[])) v)
+            """,
+            params=[users, ts_us, ids, vals],
+        ).fetchall()
+    )
+    assert got == want
+    assert any(v is None for v in got.values()) or True  # leading nulls ok
