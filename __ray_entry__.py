@@ -411,6 +411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "token_topk_cms": co.q_token_topk_cms,
         "user_active_time": co.q_user_active_time,
         "locf_fill": co.q_locf_fill,
+        "active_users_7d": co.q_active_users_7d,
     }
 
 
@@ -1163,6 +1164,13 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM q
             WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
+        """,
+        "active_users_7d": """
+            WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)
+            SELECT d.day, count(DISTINCT e.user_id) AS n_users
+            FROM d JOIN events e
+              ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+            GROUP BY 1
         """,
         "locf_fill": """
             SELECT event_id,

@@ -1482,6 +1482,19 @@ def q_locf_fill(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_active_users_7d(sf_dir: str) -> ray.data.Dataset:
+    """EXACT trailing-7-day distinct active users per observed day —
+    see `stages/events.sliding_active_users` (per-user coverage-interval
+    explosion; disjoint distincts sum exactly across user buckets)."""
+    from ..stages.events import read_events, sliding_active_users
+
+    return sliding_active_users(
+        read_events(sf_dir, columns=["user_id", "ts"]),
+        window_days=7,
+        num_buckets=8,
+    )
+
+
 def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov event-type transition counts per user sequence — see
     `stages/events.event_transitions`."""

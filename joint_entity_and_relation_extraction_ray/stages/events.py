@@ -966,3 +966,109 @@ def locf_fill(
         ["event_id", "ts", "user_id", value_col]
     ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
     return bucket_group_apply(prep, "user_id", _fill, num_buckets=num_buckets)
+
+
+def sliding_active_users(
+    events: ray.data.Dataset,
+    *,
+    window_days: int = 7,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """EXACT trailing-window distinct users per day (the 7-day-active
+    metric) with no day-level distinct anywhere: a user counts toward
+    day D iff they were active in [D−w+1, D], i.e. each active day
+    contributes a w-day coverage interval — merge each user's intervals
+    (gaps-and-islands), explode the covered days, and the per-day counts
+    are EXACT because user-bucketed reducers hold disjoint user sets
+    (disjoint distincts sum). Rows (day:date32, n_users:int64), limited
+    to days that actually appear in the stream.
+
+    Shuffle payload: per-block DISTINCT (user, day) pairs, then one
+    user-bucketed shuffle; the second shuffle moves per-(bucket, day)
+    partial counts only. The observed-day floor is applied via a
+    broadcast min/max from the same partials — no extra corpus pass."""
+    import polars as pl
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["user_id", "ts"]))
+            .with_columns(
+                pl.col("ts").dt.date().cast(pl.Int32).alias("d")
+            )
+            .select(["user_id", "d"])
+            .unique()
+            .to_arrow()
+        )
+
+    pairs = events.map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # observed-day SET (tiny: distinct calendar days), broadcast into the
+    # reducers so uncovered-but-windowed days are dropped like the SQL
+    from ..stages.relational import distinct_keys
+
+    days = sorted(
+        r["d"] for r in distinct_keys(pairs, "d", num_buckets=4).take_all()
+    )
+    lo, hi = days[0], days[-1]
+    observed = np.zeros(hi - lo + 1, dtype=bool)
+    observed[np.asarray(days) - lo] = True
+
+    w = window_days
+
+    def _cover(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).unique().sort(["user_id", "d"])
+        if df.height == 0:
+            return pa.table(
+                {
+                    "day": pa.array([], pa.int32()),
+                    "n": pa.array([], pa.int64()),
+                }
+            )
+        # interval [d, d+w-1] per active day; merge per user, explode
+        df = df.with_columns(e=pl.col("d") + (w - 1))
+        prev_max_e = pl.col("e").cum_max().shift(1).over("user_id")
+        df = (
+            df.with_columns(
+                new=(pl.col("d") > prev_max_e + 1)
+                .fill_null(True)
+                .cast(pl.Int64)
+            )
+            .with_columns(island=pl.col("new").cum_sum().over("user_id"))
+        )
+        isl = (
+            df.group_by(["user_id", "island"])
+            .agg(pl.col("d").min().alias("s"), pl.col("e").max().alias("t"))
+            # shift coverage to [d, d+w-1]; a user covers day X iff some
+            # active d ∈ [X-w+1, X]
+            .with_columns(
+                pl.int_ranges(
+                    pl.col("s"), pl.col("t") + 1, dtype=pl.Int32
+                ).alias("day")
+            )
+            .explode("day")
+            .filter((pl.col("day") >= lo) & (pl.col("day") <= hi))
+        )
+        keep = pl.Series(observed[isl["day"].to_numpy() - lo])
+        return (
+            isl.filter(keep)
+            .group_by("day")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    per_bucket = bucket_group_apply(
+        pairs, "user_id", _cover, num_buckets=num_buckets
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("day")
+            .agg(pl.col("n").sum().alias("n_users"))
+            .with_columns(pl.col("day").cast(pl.Date))
+            .to_arrow()
+        )
+
+    return bucket_group_apply(per_bucket, "day", _merge, num_buckets=4)

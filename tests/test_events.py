@@ -503,3 +503,55 @@ def test_locf_fill_matches_duckdb(ray_session):
     )
     assert got == want
     assert any(v is None for v in got.values()) or True  # leading nulls ok
+
+
+def test_sliding_active_users_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        sliding_active_users,
+    )
+
+    rng = np.random.default_rng(67)
+    n = 250
+    users = rng.integers(1, 12, n).tolist()
+    # sparse days with full-day gaps so the observed-day filter matters
+    day_off = (rng.integers(0, 30, n) * 3).tolist()
+    ts = np.array(
+        [
+            np.datetime64("2024-05-01T12:00:00") + np.timedelta64(int(d), "D")
+            for d in day_off
+        ],
+        dtype="datetime64[us]",
+    )
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(users, pa.int64()),
+                "ts": pa.array(ts),
+            }
+        )
+    ).repartition(6)
+    got = {
+        str(r["day"]): r["n_users"]
+        for r in sliding_active_users(
+            ds, window_days=7, num_buckets=4
+        ).take_all()
+    }
+    want = {
+        str(d): c
+        for d, c in duckdb.sql(
+            """
+            WITH e AS (SELECT unnest(?) u, unnest(?) ts),
+            d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM e)
+            SELECT d.day, count(DISTINCT e.u)
+            FROM d JOIN e ON CAST(e.ts AS DATE) BETWEEN d.day - 6 AND d.day
+            GROUP BY 1
+            """,
+            params=[users, [t.item() for t in ts]],
+        ).fetchall()
+    }
+    assert got == want
