@@ -412,6 +412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_active_time": co.q_user_active_time,
         "locf_fill": co.q_locf_fill,
         "active_users_7d": co.q_active_users_7d,
+        "winsorize": co.q_winsorize,
     }
 
 
@@ -1164,6 +1165,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM q
             WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
+        """,
+        "winsorize": """
+            WITH v AS (SELECT event_id,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events WHERE value IS NOT NULL),
+            b AS (SELECT quantile_disc(c, 0.01) AS lo,
+                         quantile_disc(c, 0.99) AS hi FROM v)
+            SELECT event_id,
+                   least(greatest(c, b.lo), b.hi) AS clipped_cents
+            FROM v, b
         """,
         "active_users_7d": """
             WITH d AS (SELECT DISTINCT CAST(ts AS DATE) AS day FROM events)

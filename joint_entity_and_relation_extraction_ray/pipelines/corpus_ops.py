@@ -1495,6 +1495,33 @@ def q_active_users_7d(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_winsorize(sf_dir: str) -> ray.data.Dataset:
+    """Winsorized event values: cents clipped to the exact [p01, p99]
+    discrete quantiles — see `stages/relational.winsorize_values`."""
+    from ..stages.relational import winsorize_values
+
+    from ..stages.events import read_events
+
+    ev = read_events(sf_dir, columns=["event_id", "value"])
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        t = t.filter(pc_.is_valid(t["value"]))
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "cents": pc_.cast(
+                    pc_.round(pc_.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    prep = ev.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return winsorize_values(
+        prep, "cents", keep_cols=["event_id"], out_col="clipped_cents"
+    )
+
+
 def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov event-type transition counts per user sequence — see
     `stages/events.event_transitions`."""

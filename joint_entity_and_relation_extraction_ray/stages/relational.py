@@ -61,6 +61,7 @@ __all__ = [
     "value_quantiles",
     "value_quantiles_approx",
     "value_quantiles_cont",
+    "winsorize_values",
 ]
 
 # distinct right-key sets up to this size broadcast (one ray.put, read
@@ -1457,6 +1458,43 @@ def group_string_agg(
 
     return bucket_group_apply(
         ds.select_columns([by, col]), by, _agg, num_buckets=num_buckets
+    )
+
+
+def winsorize_values(
+    ds: ray.data.Dataset,
+    col: str,
+    *,
+    keep_cols: list[str],
+    lo_q: float = 0.01,
+    hi_q: float = 0.99,
+    out_col: str = "clipped",
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Winsorization: clip ``col`` to its EXACT [lo_q, hi_q] discrete
+    quantiles (the outlier-taming step before scaling/training). The
+    compute-stats-then-apply broadcast pattern: one decomposable
+    histogram pass yields two scalar thresholds (``value_quantiles``'s
+    quantile_disc rule), which ship to a stateless clip map — the corpus
+    is never shuffled."""
+    qv = {
+        round(r["q"], 6): r["value"]
+        for r in value_quantiles(
+            ds, col, [lo_q, hi_q], num_buckets=num_buckets
+        ).take_all()
+    }
+    lo, hi = qv[round(lo_q, 6)], qv[round(hi_q, 6)]
+
+    def _clip(t: pa.Table) -> pa.Table:
+        c = pc.max_element_wise(
+            pc.min_element_wise(t[col], pa.scalar(hi)), pa.scalar(lo)
+        )
+        return pa.table(
+            {**{k: t[k] for k in keep_cols}, out_col: c}
+        )
+
+    return ds.map_batches(
+        _clip, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -1220,3 +1220,34 @@ def test_frame_window_matches_duckdb(ray_session):
         ).fetchall()
     )
     assert got == want
+
+
+def test_winsorize_values_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        winsorize_values,
+    )
+
+    rng = np.random.default_rng(71)
+    n = 500
+    ids = list(range(n))
+    vs = rng.integers(-10**6, 10**6, n).tolist()
+    got = {
+        r["id"]: r["clipped"]
+        for r in winsorize_values(
+            _ds({"id": ids, "v": vs}).repartition(7),
+            "v", keep_cols=["id"], lo_q=0.05, hi_q=0.95, num_buckets=4,
+        ).take_all()
+    }
+    want = dict(
+        duckdb.sql(
+            "WITH t AS (SELECT unnest(?) id, unnest(?) v), "
+            "b AS (SELECT quantile_disc(v, 0.05) lo, "
+            "quantile_disc(v, 0.95) hi FROM t) "
+            "SELECT id, least(greatest(v, b.lo), b.hi) FROM t, b",
+            params=[ids, vs],
+        ).fetchall()
+    )
+    assert got == want
+    assert len(set(got.values())) < len(set(vs))  # clipping happened
