@@ -300,6 +300,17 @@ def _q_conv_stats(sf_dir: str):
     return bucket_group_apply(partials, "conv_id", _merge, num_buckets=8)
 
 
+def _q_kg_common_neighbors(sf_dir: str):
+    """Common-neighbors link prediction over the undirected KG — see
+    `stages/graph.common_neighbor_counts`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        common_neighbor_counts,
+    )
+
+    return common_neighbor_counts(kg.stage(sf_dir, "edges"), min_common=2)
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
@@ -315,6 +326,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_comention": _q_kg_comention,
         "conv_stats": _q_conv_stats,
+        "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -644,6 +656,44 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT role) AS n_roles,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM t0 GROUP BY conv_id
+        """,
+        "kg_common_neighbors": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM edges WHERE subj_id <> obj_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und
+            )
+            SELECT x.src AS u, y.src AS v, count(*) AS n_common
+            FROM sym x JOIN sym y
+              ON x.dst = y.dst AND x.src < y.src
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "kg_comention": f"""
             WITH best AS MATERIALIZED (

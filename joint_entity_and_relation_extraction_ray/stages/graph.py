@@ -947,3 +947,72 @@ def comention_counts(
         num_buckets=num_buckets,
     )
     return bucket_group_apply(per_conv, "e1", _merge, num_buckets=8)
+
+
+def common_neighbor_counts(
+    edges: ray.data.Dataset,
+    *,
+    min_common: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Structural entity similarity: unordered node pairs ranked by how
+    many UNDIRECTED neighbors they share — the common-neighbors link
+    predictor. Rows ``(u, v, n_common)`` with ``u < v`` and
+    ``n_common ≥ min_common``.
+
+    Wedge counting at the shared neighbor: symmetrized distinct edges
+    bucket by the hop vertex, each hop's neighbor list self-joins
+    vectorized (pairs per hop = C(deg, 2) — the output's own lower
+    bound; a degree-capped variant is the documented hub mitigation,
+    same as triangle_count's orientation), per-pair partials merge in a
+    tiny second shuffle and the ``min_common`` filter applies there."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    def _sym(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        und = df.filter(pl.col("subj_id") != pl.col("obj_id")).select(
+            a=pl.min_horizontal("subj_id", "obj_id"),
+            b=pl.max_horizontal("subj_id", "obj_id"),
+        ).unique()
+        return (
+            pl.concat(
+                [
+                    und.select(src=pl.col("a"), dst=pl.col("b")),
+                    und.select(src=pl.col("b"), dst=pl.col("a")),
+                ]
+            )
+            .to_arrow()
+        )
+
+    sym = edges.map_batches(
+        _sym, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        # bucket key = dst (the shared neighbor); dedup (src, dst) pairs
+        # that arrived from different blocks first
+        df = pl.from_arrow(t).unique()
+        j = df.join(df, on="dst", how="inner").filter(
+            pl.col("src") < pl.col("src_right")
+        )
+        return (
+            j.group_by(["src", "src_right"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"src": "u", "src_right": "v"})
+            .to_arrow()
+        )
+
+    per_hop = bucket_group_apply(sym, "dst", _wedges, num_buckets=num_buckets)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["u", "v"])
+            .agg(pl.col("n").sum().alias("n_common"))
+            .filter(pl.col("n_common") >= min_common)
+            .to_arrow()
+        )
+
+    return bucket_group_apply(per_hop, "u", _merge, num_buckets=8)
