@@ -425,6 +425,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "locf_fill": co.q_locf_fill,
         "active_users_7d": co.q_active_users_7d,
         "winsorize": co.q_winsorize,
+        "top_orders_ties": co.q_top_orders_ties,
     }
 
 
@@ -1215,6 +1216,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM q
             WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
+        """,
+        "top_orders_ties": """
+            SELECT o_custkey, o_orderkey,
+                   CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+                   CAST(rank() OVER (
+                       PARTITION BY o_custkey
+                       ORDER BY CAST(round(o_totalprice * 100) AS BIGINT)
+                           DESC) AS BIGINT) AS rnk
+            FROM orders
+            QUALIFY rnk <= 3
         """,
         "winsorize": """
             WITH v AS (SELECT event_id,

@@ -1495,6 +1495,35 @@ def q_active_users_7d(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_top_orders_ties(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 orders per customer by price cents WITH TIES (SQL RANK
+    semantics) — see `stages/relational.group_topk_rank`."""
+    from ..stages.relational import group_topk_rank
+
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderkey", "o_totalprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        return pa.table(
+            {
+                "o_custkey": t["o_custkey"],
+                "o_orderkey": t["o_orderkey"],
+                "cents": pc_.cast(
+                    pc_.round(pc_.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    prep = od.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return group_topk_rank(
+        prep, by="o_custkey", sort_col="cents", k=3, num_buckets=8
+    )
+
+
 def q_winsorize(sf_dir: str) -> ray.data.Dataset:
     """Winsorized event values: cents clipped to the exact [p01, p99]
     discrete quantiles — see `stages/relational.winsorize_values`."""

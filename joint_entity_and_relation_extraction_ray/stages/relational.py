@@ -45,6 +45,7 @@ __all__ = [
     "group_ranks",
     "group_string_agg",
     "group_topk",
+    "group_topk_rank",
     "grouped_rollup",
     "grouped_summary",
     "latest_by_key",
@@ -1459,6 +1460,55 @@ def group_string_agg(
     return bucket_group_apply(
         ds.select_columns([by, col]), by, _agg, num_buckets=num_buckets
     )
+
+
+def group_topk_rank(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    sort_col: str,
+    k: int,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Top-k per group WITH TIES — SQL ``QUALIFY rank() OVER (PARTITION
+    BY by ORDER BY sort_col DESC) <= k`` (RANK semantics: every row tied
+    at the boundary survives, unlike :func:`group_topk`'s row_number
+    cut). Output keeps all input columns plus ``rnk``.
+
+    Valid per-block combiner: a row's strictly-greater count within its
+    block is ≤ its global count, so every global qualifier qualifies
+    locally — pre-truncation keeps supersets and the merge re-ranks."""
+    import polars as pl
+
+    def _qual(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                rnk=pl.col(sort_col)
+                .rank(method="min", descending=True)
+                .over(by)
+                .cast(pl.Int64)
+            )
+            .filter(pl.col("rnk") <= k)
+            .to_arrow()
+        )
+
+    pre = ds.map_batches(_qual, batch_format="pyarrow", zero_copy_batch=True)
+
+    def _final(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop("rnk")
+        return (
+            df.with_columns(
+                rnk=pl.col(sort_col)
+                .rank(method="min", descending=True)
+                .over(by)
+                .cast(pl.Int64)
+            )
+            .filter(pl.col("rnk") <= k)
+            .to_arrow()
+        )
+
+    return bucket_group_apply(pre, by, _final, num_buckets=num_buckets)
 
 
 def winsorize_values(

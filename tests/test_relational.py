@@ -1251,3 +1251,37 @@ def test_winsorize_values_matches_duckdb(ray_session):
     )
     assert got == want
     assert len(set(got.values())) < len(set(vs))  # clipping happened
+
+
+def test_group_topk_rank_ties_match_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_topk_rank,
+    )
+
+    rng = np.random.default_rng(73)
+    n = 300
+    ks = rng.integers(0, 20, n).tolist()
+    ids = list(range(n))
+    vs = rng.integers(0, 8, n).tolist()  # tiny domain: boundary ties common
+    got = {
+        (r["k"], r["id"], r["rnk"])
+        for r in group_topk_rank(
+            _ds({"k": ks, "id": ids, "v": vs}).repartition(6),
+            by="k", sort_col="v", k=3, num_buckets=4,
+        ).take_all()
+    }
+    want = {
+        (k, i, r)
+        for k, i, r in duckdb.sql(
+            "SELECT k, id, CAST(rank() OVER (PARTITION BY k ORDER BY v DESC)"
+            " AS BIGINT) rnk FROM (SELECT unnest(?) k, unnest(?) id,"
+            " unnest(?) v) QUALIFY rnk <= 3",
+            params=[ks, ids, vs],
+        ).fetchall()
+    }
+    assert got == want
+    # ties actually kept: some group must exceed 3 rows
+    from collections import Counter
+    assert max(Counter(k for k, _, _ in got).values()) > 3
