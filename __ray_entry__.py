@@ -426,6 +426,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "active_users_7d": co.q_active_users_7d,
         "winsorize": co.q_winsorize,
         "top_orders_ties": co.q_top_orders_ties,
+        "users_vs_customers": co.q_users_vs_customers,
     }
 
 
@@ -1216,6 +1217,16 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM q
             WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
+        """,
+        "users_vs_customers": """
+            WITH ue AS (SELECT user_id AS id, count(*) AS n_events
+                        FROM events GROUP BY 1),
+            oc AS (SELECT o_custkey AS id, count(*) AS n_orders
+                   FROM orders GROUP BY 1)
+            SELECT coalesce(ue.id, oc.id) AS id,
+                   coalesce(n_events, 0) AS n_events,
+                   coalesce(n_orders, 0) AS n_orders
+            FROM ue FULL JOIN oc ON ue.id = oc.id
         """,
         "top_orders_ties": """
             SELECT o_custkey, o_orderkey,

@@ -1524,6 +1524,46 @@ def q_top_orders_ties(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_users_vs_customers(sf_dir: str) -> ray.data.Dataset:
+    """FULL OUTER join shape: per-user event counts ⟗ per-customer
+    order counts on the shared id domain, orphans on BOTH sides kept
+    with zero counts — see `stages/relational.full_outer_join`."""
+    from ..stages.events import read_events
+    from ..stages.relational import full_outer_join, grouped_summary
+
+    ue = grouped_summary(
+        read_events(sf_dir, columns=["user_id"]),
+        by=["user_id"],
+        aggs={"n_events": ("user_id", "count")},
+        num_buckets=8,
+    )
+    oc = grouped_summary(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+        ),
+        by=["o_custkey"],
+        aggs={"n_orders": ("o_custkey", "count")},
+        num_buckets=8,
+    )
+    j = full_outer_join(
+        ue, oc, on="user_id", right_on="o_custkey", key_out="id",
+        num_buckets=8,
+    )
+
+    def _zero(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        z = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "id": t["id"],
+                "n_events": pc_.fill_null(t["n_events"], z),
+                "n_orders": pc_.fill_null(t["n_orders"], z),
+            }
+        )
+
+    return j.map_batches(_zero, batch_format="pyarrow", zero_copy_batch=True)
+
+
 def q_winsorize(sf_dir: str) -> ray.data.Dataset:
     """Winsorized event values: cents clipped to the exact [p01, p99]
     discrete quantiles — see `stages/relational.winsorize_values`."""

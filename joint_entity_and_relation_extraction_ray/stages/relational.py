@@ -41,6 +41,7 @@ __all__ = [
     "bloom_membership_join",
     "distinct_keys",
     "frame_window",
+    "full_outer_join",
     "group_quantiles_cont",
     "group_ranks",
     "group_string_agg",
@@ -1459,6 +1460,43 @@ def group_string_agg(
 
     return bucket_group_apply(
         ds.select_columns([by, col]), by, _agg, num_buckets=num_buckets
+    )
+
+
+def full_outer_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str,
+    key_out: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """FULL OUTER equi-join — the one join type a broadcast CANNOT
+    express (unmatched RIGHT rows need the global view), so it goes
+    through ONE co-bucketed shuffle: both sides hash-bucket on their key
+    and each reducer emits matches plus both sides' orphans for its key
+    range. Key columns coalesce into ``key_out``."""
+    import polars as pl
+
+    def _bucket(col: str):
+        def f(t: pa.Table) -> pa.Array:
+            return t[col].combine_chunks()
+
+        return f
+
+    def _j(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        ldf, rdf = pl.from_arrow(lt), pl.from_arrow(rt)
+        out = ldf.join(
+            rdf, left_on=on, right_on=right_on, how="full"
+        ).with_columns(
+            pl.coalesce([pl.col(on), pl.col(right_on)]).alias(key_out)
+        )
+        return out.drop([c for c in (on, right_on) if c != key_out]).to_arrow()
+
+    return cobucket_apply(
+        left, right, _bucket(on), _bucket(right_on), _j,
+        num_buckets=num_buckets,
     )
 
 

@@ -1285,3 +1285,39 @@ def test_group_topk_rank_ties_match_duckdb(ray_session):
     # ties actually kept: some group must exceed 3 rows
     from collections import Counter
     assert max(Counter(k for k, _, _ in got).values()) > 3
+
+
+def test_full_outer_join_matches_duckdb(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        full_outer_join,
+    )
+
+    rng = np.random.default_rng(79)
+    lk = rng.integers(0, 30, 80).tolist()
+    lv = rng.integers(0, 100, 80).tolist()
+    rk = rng.integers(15, 45, 70).tolist()  # partial overlap both ways
+    rv = rng.integers(0, 100, 70).tolist()
+    got = sorted(
+        (r["id"], r["lv"], r["rv"])
+        for r in full_outer_join(
+            _ds({"k": lk, "lv": lv}).repartition(4),
+            _ds({"j": rk, "rv": rv}).repartition(3),
+            on="k", right_on="j", key_out="id", num_buckets=4,
+        ).take_all()
+    )
+    want = sorted(
+        duckdb.sql(
+            "SELECT coalesce(l.k, r.j), lv, rv FROM "
+            "(SELECT unnest(?) k, unnest(?) lv) l FULL JOIN "
+            "(SELECT unnest(?) j, unnest(?) rv) r ON l.k = r.j",
+            params=[lk, lv, rk, rv],
+        ).fetchall(),
+        key=lambda x: (x[0], x[1] is None, x[1], x[2] is None, x[2]),
+    )
+    got = sorted(got, key=lambda x: (x[0], x[1] is None, x[1], x[2] is None, x[2]))
+    assert got == [tuple(w) for w in want]
+    # orphans exist on both sides
+    assert any(v is None for _, v, _ in got)
+    assert any(v is None for _, _, v in got)
