@@ -338,7 +338,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "quality_filter": co.q_quality_filter,
         "lang_id": co.q_lang_id,
         "doc_fingerprint": co.q_doc_fingerprint,
-        "doc_winnow": co.q_doc_winnow,  # rows-only (winnowing not in SQL)
+        "doc_winnow": co.q_doc_winnow,
         "decontaminate": co.q_decontaminate,
         "redact": co.q_redact,
         "vocab_encode": co.q_vocab_encode,
@@ -1217,6 +1217,34 @@ def oracle_sql() -> dict[str, str]:
                         ELSE 'test' END AS split
             FROM q
             WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
+        """,
+        # winnowing (Schleimer et al.): md5-60-bit k-gram hash (k=5),
+        # min per window of 4 (window covers everything when cnt <= 4)
+        "doc_winnow": """
+            WITH grams AS (
+                SELECT doc_id,
+                       CASE WHEN length(text) < 5 THEN text
+                            ELSE substr(text, i, 5) END AS gr,
+                       i
+                FROM (SELECT doc_id, text,
+                             unnest(range(1, greatest(length(text) - 4, 1)
+                                             + 1)) AS i
+                      FROM documents)
+            ),
+            hs AS (SELECT doc_id, i,
+                          ('0x' || substr(md5(gr), 1, 15))::BIGINT AS h
+                   FROM grams),
+            m AS (SELECT doc_id, count(*) AS cnt FROM hs GROUP BY 1),
+            wins AS (
+                SELECT hs.doc_id,
+                       min(h) OVER (PARTITION BY hs.doc_id ORDER BY i
+                                    ROWS BETWEEN CURRENT ROW
+                                    AND 3 FOLLOWING) AS wmin,
+                       i, m.cnt
+                FROM hs JOIN m USING (doc_id)
+            )
+            SELECT DISTINCT doc_id, wmin AS h FROM wins
+            WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
         """,
         "users_vs_customers": """
             WITH ue AS (SELECT user_id AS id, count(*) AS n_events

@@ -111,20 +111,25 @@ def fingerprint(batch: pa.Table) -> pa.Table:
 def winnow(text: str, k: int = 5, window: int = 4) -> list[int]:
     """Winnowing fingerprint: min rolling hash per window of k-gram hashes.
 
-    Deterministic (blake2b-based); returns sorted distinct selected hashes.
+    Deterministic; returns sorted distinct selected hashes. The k-gram
+    hash is the first 15 hex chars of md5 (60 bits, always a positive
+    int64) — chosen over blake2b precisely because SQL can mirror it
+    (``('0x' || substr(md5(g), 1, 15))::BIGINT``), which is what turns
+    the doc_winnow driver query from rows-only into hash-exact.
     """
     n = len(text)
     if n < k:
         grams = [text]
     else:
         grams = [text[i : i + k] for i in range(n - k + 1)]
-    hs = np.frombuffer(
-        b"".join(
-            hashlib.blake2b(g.encode("utf-8"), digest_size=8).digest()
+    hs = np.fromiter(
+        (
+            int(hashlib.md5(g.encode("utf-8")).hexdigest()[:15], 16)
             for g in grams
         ),
-        dtype="<u8",
-    ).astype(np.int64)
+        dtype=np.int64,
+        count=len(grams),
+    )
     if len(hs) <= window:
         return sorted({int(hs.min())})
     sel = {

@@ -70,9 +70,22 @@ def q_doc_fingerprint(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_doc_winnow(sf_dir: str) -> ray.data.Dataset:
-    """Winnowing rolling-hash fingerprints (rows-only: not SQL-expressible)."""
+    """Winnowing rolling-hash fingerprints, EXPLODED to one row per
+    (doc_id, selected hash) — hash-exact against the SQL mirror of the
+    md5-60-bit k-gram hash + min-per-window selection (see
+    `functions/textstats.winnow`)."""
+
+    def _explode(t: pa.Table) -> pa.Table:
+        w = textstats.winnow_batch(t)
+        import polars as pl
+
+        return (
+            pl.from_arrow(w).explode("winnow").rename({"winnow": "h"})
+            .to_arrow()
+        )
+
     return read_documents(sf_dir).map_batches(
-        textstats.winnow_batch, batch_format="pyarrow", zero_copy_batch=True
+        _explode, batch_format="pyarrow", zero_copy_batch=True
     )
 
 
