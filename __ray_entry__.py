@@ -245,6 +245,45 @@ def _q_kg_comention(sf_dir: str):
     return comention_counts(kg.stage(sf_dir, "linked"))
 
 
+# Shared CTE chain computing each document's 64-bit SimHash in SQL —
+# exactly textstats.simhash64 (word-bigram features counted, whole-text
+# fallback under 2 tokens, md5-64-bit feature hash, sign-sum per bit,
+# v>0 rule). Spliced after WITH in both dedup_simhash oracles.
+_SIMHASH_SIMS_SQL = """
+            toks AS (SELECT doc_id, text,
+                            CASE WHEN trim(text) = ''
+                                 THEN CAST([] AS VARCHAR[])
+                                 ELSE regexp_split_to_array(trim(text),
+                                                            '\\s+')
+                            END AS t
+                     FROM documents),
+            feats AS (
+                SELECT doc_id, f, CAST(count(*) AS BIGINT) AS w FROM (
+                    SELECT doc_id, t[j] || ' ' || t[j+1] AS f
+                    FROM toks, unnest(range(1, greatest(len(t), 1)))
+                         AS u(j)
+                    WHERE len(t) >= 2
+                ) GROUP BY 1, 2
+                UNION ALL
+                SELECT doc_id, text AS f, 1 AS w FROM toks WHERE len(t) < 2
+            ),
+            hs AS (SELECT doc_id,
+                          ('0x' || substr(md5(f), 1, 16))::UBIGINT AS h, w
+                   FROM feats),
+            bits AS (SELECT doc_id, b,
+                            sum(CASE WHEN (h >> CAST(b AS UBIGINT)) & 1 = 1
+                                     THEN w ELSE -w END) AS v
+                     FROM hs, unnest(range(0, 64)) AS bb(b) GROUP BY 1, 2),
+            sims AS (SELECT doc_id,
+                            CAST(sum(CASE WHEN v > 0
+                                          THEN (1::HUGEINT
+                                                << CAST(b AS INTEGER))
+                                          ELSE 0::HUGEINT END)
+                                 AS UBIGINT) AS sh
+                     FROM bits GROUP BY 1)
+"""
+
+
 def _q_conv_stats(sf_dir: str):
     """Transcript analytics rollup: per conversation the turn count,
     distinct roles and total text chars — `stages/relational.
@@ -347,8 +386,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": co.q_dedup_minhash,
         "dedup_minhash_apply": co.q_dedup_minhash_apply,
         "dedup_ngram_jaccard": co.q_dedup_ngram_jaccard,
-        "dedup_simhash": co.q_dedup_simhash,  # rows-only (see oracle note)
-        "dedup_simhash_near": co.q_dedup_simhash_near,  # rows-only
+        "dedup_simhash": co.q_dedup_simhash,
+        "dedup_simhash_near": co.q_dedup_simhash_near,
         "dedup_embedding": co.q_dedup_embedding,
         "dedup_embedding_lsh": co.q_dedup_embedding_lsh,  # rows-only (approx)
         "ann_topk": co.q_ann_topk,
@@ -1701,9 +1740,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
         """,
-        # dedup_simhash is rows-only: identical 64-bit SimHashes legitimately
-        # merge near-identical texts (hamming 0 at Jaccard≈0.9), so no
-        # SQL-computable oracle exists; correctness is pytest-covered.
+        # SimHash is SQL-computable since the feature hash moved to
+        # md5-60/64-bit: the full sign-sum per bit is mirrored below, so
+        # both simhash queries are hash-exact (banding recall is exact
+        # for hamming<=3 by pigeonhole over 4 bands)
+        "dedup_simhash": f"""
+            WITH {_SIMHASH_SIMS_SQL}
+            SELECT CAST(min(doc_id) AS BIGINT) AS doc_id,
+                   CAST(count(*) AS BIGINT) AS n_dups
+            FROM sims GROUP BY sh
+        """,
+        "dedup_simhash_near": f"""
+            WITH {_SIMHASH_SIMS_SQL}
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(bit_count(xor(a.sh, b.sh)) AS BIGINT) AS hamming
+            FROM sims a JOIN sims b ON a.doc_id < b.doc_id
+            WHERE bit_count(xor(a.sh, b.sh)) <= 3
+        """,
         "dedup_embedding": """
             SELECT a.vec_id AS vec_a, b.vec_id AS vec_b
             FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id

@@ -234,12 +234,16 @@ def simhash64(texts: list[str], k: int = 2) -> np.ndarray:
         if not feats:
             out[i] = 0
             continue
-        hs = np.frombuffer(
-            b"".join(
-                hashlib.blake2b(f.encode("utf-8"), digest_size=8).digest()
+        # md5-based 64-bit feature hash — SQL-mirrorable
+        # (('0x' || substr(md5(f), 1, 16))::UBIGINT), which is what lets
+        # the driver verify dedup_simhash* hash-exact against DuckDB
+        hs = np.fromiter(
+            (
+                int(hashlib.md5(f.encode("utf-8")).hexdigest()[:16], 16)
                 for f in feats
             ),
-            dtype="<u8",
+            dtype=np.uint64,
+            count=len(feats),
         )
         w = np.fromiter(feats.values(), dtype=np.int64, count=len(feats))
         bits = ((hs[:, None] >> bit_cols[None, :]) & np.uint64(1)).astype(
