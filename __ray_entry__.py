@@ -339,6 +339,17 @@ def _q_conv_stats(sf_dir: str):
     return bucket_group_apply(partials, "conv_id", _merge, num_buckets=8)
 
 
+def _q_kg_clustering(sf_dir: str):
+    """Per-node triangle participation and degree (local clustering
+    coefficient as exact integers) — see `stages/graph.node_clustering`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        node_clustering,
+    )
+
+    return node_clustering(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_common_neighbors(sf_dir: str):
     """Common-neighbors link prediction over the undirected KG — see
     `stages/graph.common_neighbor_counts`."""
@@ -366,6 +377,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_comention": _q_kg_comention,
         "conv_stats": _q_conv_stats,
         "kg_common_neighbors": _q_kg_common_neighbors,
+        "kg_clustering": _q_kg_clustering,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -697,6 +709,53 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT role) AS n_roles,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM t0 GROUP BY conv_id
+        """,
+        "kg_clustering": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM edges WHERE subj_id <> obj_id
+            ),
+            degs AS MATERIALIZED (
+                SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+                    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                GROUP BY v),
+            tris AS MATERIALIZED (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            pertri AS (
+                SELECT v, CAST(count(*) AS BIGINT) AS t FROM
+                    (SELECT x AS v FROM tris UNION ALL
+                     SELECT y FROM tris UNION ALL SELECT z FROM tris)
+                GROUP BY v)
+            SELECT degs.v AS node, degs.deg,
+                   coalesce(pertri.t, 0) AS n_triangles
+            FROM degs LEFT JOIN pertri ON degs.v = pertri.v
         """,
         "kg_common_neighbors": f"""
             WITH best AS MATERIALIZED (

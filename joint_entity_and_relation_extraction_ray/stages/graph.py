@@ -1016,3 +1016,211 @@ def common_neighbor_counts(
         )
 
     return bucket_group_apply(per_hop, "u", _merge, num_buckets=8)
+
+
+def node_clustering(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-node triangle participation — rows ``(node, deg,
+    n_triangles)`` over the undirected simple KG; the local clustering
+    coefficient is the driver-side rational ``2·t / (deg·(deg−1))``
+    (emitted as integers so the oracle compare is float-free; nodes
+    with no triangles appear with 0).
+
+    Same degree-ordered wedge machinery as :func:`triangle_count` —
+    every out-neighborhood is O(√m) after orientation — except each
+    closed wedge is exploded to its THREE corners (a triangle counts
+    once per corner), reduced by per-block combiners before one
+    node-bucketed merge, then left-joined onto the degree table."""
+    import numpy as np
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from .relational import membership_join
+
+    SEP = "\x00"
+
+    def _canon(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        return (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                a=pl.min_horizontal("subj_id", "obj_id"),
+                b=pl.max_horizontal("subj_id", "obj_id"),
+            )
+            .unique()
+            .with_columns(key=pl.col("a") + pl.lit(SEP) + pl.col("b"))
+            .to_arrow()
+        )
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique(subset=["key"]).to_arrow()
+
+    und = bucket_group_apply(
+        edges.map_batches(
+            _canon, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "key",
+        _uniq,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["a", "b"]))
+        v = pl.concat([df.select(v=pl.col("a")), df.select(v=pl.col("b"))])
+        return (
+            v.group_by("v")
+            .agg(pl.len().cast(pl.Int64).alias("deg"))
+            .to_arrow()
+        )
+
+    def _deg_sum(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t).group_by("v").agg(pl.col("deg").sum()).to_arrow()
+        )
+
+    deg = bucket_group_apply(
+        und.map_batches(
+            _deg_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "v",
+        _deg_sum,
+        num_buckets=min(num_buckets, 16),
+    ).materialize()
+
+    da = deg.map_batches(
+        lambda t: t.rename_columns(["a", "deg_a"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    db = deg.map_batches(
+        lambda t: t.rename_columns(["b", "deg_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    withdeg = join_auto(join_auto(und, da, on=("a",)), db, on=("b",))
+
+    def _orient(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        a_first = (pl.col("deg_a") < pl.col("deg_b")) | (
+            (pl.col("deg_a") == pl.col("deg_b")) & (pl.col("a") < pl.col("b"))
+        )
+        return (
+            df.select(
+                src=pl.when(a_first).then(pl.col("a")).otherwise(pl.col("b")),
+                dst=pl.when(a_first).then(pl.col("b")).otherwise(pl.col("a")),
+                dst_deg=pl.when(a_first)
+                .then(pl.col("deg_b"))
+                .otherwise(pl.col("deg_a")),
+            )
+            .with_columns(key=pl.col("src") + pl.lit(SEP) + pl.col("dst"))
+            .to_arrow()
+        )
+
+    oriented = withdeg.map_batches(
+        _orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "u": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = pl.from_arrow(t.select(["src", "dst", "dst_deg"])).sort(
+            ["src", "dst_deg", "dst"]
+        )
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        starts = np.flatnonzero(np.r_[True, src[1:] != src[:-1]])
+        ends = np.r_[starts[1:], len(src)]
+        los, his, us = [], [], []
+        for s, e in zip(starts, ends):
+            nb = dst[s:e]
+            m = len(nb)
+            if m < 2:
+                continue
+            # ordered pairs (rank order): lo = nb[i], hi = nb[j], i < j
+            iu, ju = np.triu_indices(m, k=1)
+            los.append(nb[iu])
+            his.append(nb[ju])
+            us.append(np.repeat(src[s], len(iu)))
+        if not los:
+            return empty
+        lo = pa.array(np.concatenate(los), pa.string())
+        hi = pa.array(np.concatenate(his), pa.string())
+        # NB: NUL-separated keys must be joined in Arrow — numpy U
+        # arrays strip trailing NULs, which silently eats the separator
+        return pa.table(
+            {
+                "key": pc.binary_join_element_wise(lo, hi, SEP),
+                "u": pa.array(np.concatenate(us), pa.string()),
+            }
+        )
+
+    wedges = bucket_group_apply(
+        oriented, "src", _wedges, num_buckets=num_buckets
+    )
+    closed = membership_join(
+        wedges, oriented.select_columns(["key"]), on="key",
+        num_buckets=num_buckets,
+    )
+
+    def _corners(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        if df.height == 0:
+            return pa.table(
+                {
+                    "v": pa.array([], pa.string()),
+                    "n_tri": pa.array([], pa.int64()),
+                }
+            )
+        vw = df["key"].str.split(SEP)
+        corners = pl.concat(
+            [
+                df.select(v=pl.col("u")),
+                pl.DataFrame({"v": vw.list.get(0)}),
+                pl.DataFrame({"v": vw.list.get(1)}),
+            ]
+        )
+        return (
+            corners.group_by("v")
+            .agg(pl.len().cast(pl.Int64).alias("n_tri"))
+            .to_arrow()
+        )
+
+    tri_partials = closed.map_batches(
+        _corners, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _tri_sum(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("v")
+            .agg(pl.col("n_tri").sum())
+            .to_arrow()
+        )
+
+    tri = bucket_group_apply(
+        tri_partials, "v", _tri_sum, num_buckets=min(num_buckets, 16)
+    )
+    out = join_auto(
+        deg, tri, on=("v",), join_type="left_outer"
+    )
+
+    def _final(t: pa.Table) -> pa.Table:
+        z = pa.scalar(0, pa.int64())
+        return pa.table(
+            {
+                "node": t["v"],
+                "deg": t["deg"],
+                "n_triangles": pc.fill_null(t["n_tri"], z),
+            }
+        )
+
+    return out.map_batches(
+        _final, batch_format="pyarrow", zero_copy_batch=True
+    )

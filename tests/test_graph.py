@@ -353,3 +353,61 @@ def test_bfs_distances_random_vs_duckdb(ray_session):
         for r in bfs_distances(chain, source="a", max_hops=2).take_all()
     }
     assert got2 == {"a": 0, "b": 1, "c": 2}
+
+
+def test_node_clustering_random_vs_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        node_clustering,
+    )
+
+    rng = np.random.default_rng(83)
+    n = 220
+    src = [f"n{v:02d}" for v in rng.integers(0, 25, n)]
+    dst = [f"n{v:02d}" for v in rng.integers(0, 25, n)]
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(src),
+                "pred": pa.array(["r"] * n),
+                "obj_id": pa.array(dst),
+            }
+        )
+    ).repartition(5)
+    got = {
+        r["node"]: (r["deg"], r["n_triangles"])
+        for r in node_clustering(edges, num_buckets=4).take_all()
+    }
+    want = {
+        v: (d, t)
+        for v, d, t in duckdb.sql(
+            """
+            WITH und AS (
+                SELECT DISTINCT least(s, d) AS a, greatest(s, d) AS b
+                FROM (SELECT unnest(?) s, unnest(?) d) WHERE s <> d),
+            degs AS (
+                SELECT v, count(*) AS deg FROM
+                    (SELECT a AS v FROM und UNION ALL SELECT b FROM und)
+                GROUP BY v),
+            tris AS (
+                SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.a AND e2.b > e1.b
+                JOIN und e3 ON e3.a = e1.b AND e3.b = e2.b),
+            pertri AS (
+                SELECT v, count(*) AS t FROM
+                    (SELECT x AS v FROM tris UNION ALL
+                     SELECT y FROM tris UNION ALL SELECT z FROM tris)
+                GROUP BY v)
+            SELECT degs.v, degs.deg, coalesce(pertri.t, 0)
+            FROM degs LEFT JOIN pertri ON degs.v = pertri.v
+            """,
+            params=[src, dst],
+        ).fetchall()
+    }
+    assert got == want
+    assert sum(t for _, t in got.values()) % 3 == 0  # 3 corners/triangle
