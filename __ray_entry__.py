@@ -478,6 +478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "winsorize": co.q_winsorize,
         "top_orders_ties": co.q_top_orders_ties,
         "users_vs_customers": co.q_users_vs_customers,
+        "time_weighted": co.q_time_weighted,
+        "multi_grain": co.q_multi_grain,
     }
 
 
@@ -1343,6 +1345,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "time_weighted": """
+            WITH v AS (SELECT user_id, ts, event_id,
+                              CAST(round(value * 100) AS BIGINT) AS c
+                       FROM events WHERE value IS NOT NULL),
+            d AS (SELECT user_id, c,
+                         (epoch_us(lead(ts) OVER (PARTITION BY user_id
+                                                  ORDER BY ts, event_id))
+                          - epoch_us(ts)) // 1000000 AS dur_s
+                  FROM v)
+            SELECT user_id,
+                   CAST(sum(c * dur_s) AS BIGINT) AS weighted_cents_s,
+                   CAST(sum(dur_s) AS BIGINT) AS dur_s
+            FROM d WHERE dur_s IS NOT NULL GROUP BY user_id
+        """,
+        "multi_grain": """
+            SELECT 'day' AS grain, CAST(date_trunc('day', ts) AS DATE)
+                       AS period, count(*) AS n
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'week', CAST(date_trunc('week', ts) AS DATE), count(*)
+            FROM events GROUP BY 2
+            UNION ALL
+            SELECT 'month', CAST(date_trunc('month', ts) AS DATE), count(*)
+            FROM events GROUP BY 2
         """,
         "users_vs_customers": """
             WITH ue AS (SELECT user_id AS id, count(*) AS n_events

@@ -1604,6 +1604,27 @@ def q_winsorize(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_time_weighted(sf_dir: str) -> ray.data.Dataset:
+    """Per-user time-weighted value integral (step function, exact
+    integers) — see `stages/events.time_weighted_value`."""
+    from ..stages.events import read_events, time_weighted_value
+
+    return time_weighted_value(
+        read_events(sf_dir, columns=["event_id", "ts", "user_id", "value"]),
+        num_buckets=8,
+    )
+
+
+def q_multi_grain(sf_dir: str) -> ray.data.Dataset:
+    """Event counts at day/week/month grains in one pass — see
+    `stages/events.multi_grain_counts`."""
+    from ..stages.events import multi_grain_counts, read_events
+
+    return multi_grain_counts(
+        read_events(sf_dir, columns=["ts"]), num_buckets=4
+    )
+
+
 def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov event-type transition counts per user sequence — see
     `stages/events.event_transitions`."""

@@ -1072,3 +1072,100 @@ def sliding_active_users(
         )
 
     return bucket_group_apply(per_bucket, "day", _merge, num_buckets=4)
+
+
+def time_weighted_value(
+    events: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Time-weighted value integral per user — each event's value holds
+    until the user's next event (step function), so the integral is
+    Σ cents·Δt; the last event contributes nothing (no closing edge).
+    Rows ``(user_id, weighted_cents_s, dur_s)`` in exact integers
+    (durations floored to whole seconds on BOTH engines so the products
+    stay well inside int64); the time-weighted average is the
+    driver-side rational weighted/dur.
+
+    One user-bucketed shuffle; per bucket a vectorized polars sort +
+    lead-diff."""
+    import polars as pl
+
+    def _tw(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .drop_nulls("cents")
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(
+                dur_s=(
+                    (
+                        pl.col("ts").shift(-1).over("user_id").cast(pl.Int64)
+                        - pl.col("ts").cast(pl.Int64)
+                    )
+                    // 1_000_000
+                )
+            )
+            .drop_nulls("dur_s")
+        )
+        return (
+            df.with_columns(w=pl.col("cents") * pl.col("dur_s"))
+            .group_by("user_id")
+            .agg(
+                pl.col("w").sum().alias("weighted_cents_s"),
+                pl.col("dur_s").sum(),
+            )
+            .to_arrow()
+        )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "event_id": t["event_id"],
+                "ts": t["ts"],
+                "user_id": t["user_id"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["value"], 100.0)), pa.int64()
+                ),
+            }
+        )
+
+    prep = events.select_columns(
+        ["event_id", "ts", "user_id", "value"]
+    ).map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return bucket_group_apply(prep, "user_id", _tw, num_buckets=num_buckets)
+
+
+def multi_grain_counts(
+    events: ray.data.Dataset, *, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """Event counts at THREE time grains in one corpus pass — rows
+    ``(grain ∈ {day, week, month}, period:date32, n)``; week starts
+    Monday and month on the 1st on both engines (parity asserted in
+    tests). Per block each event reduces to three (grain, period)
+    partial counts (the combiner); one tiny bucketed merge."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["ts"]))
+        outs = []
+        for grain, every in (("day", "1d"), ("week", "1w"), ("month", "1mo")):
+            outs.append(
+                df.select(
+                    grain=pl.lit(grain),
+                    period=pl.col("ts").dt.truncate(every).dt.date(),
+                )
+                .group_by(["grain", "period"])
+                .agg(pl.len().cast(pl.Int64).alias("n"))
+            )
+        return pl.concat(outs).to_arrow()
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["grain", "period"])
+            .agg(pl.col("n").sum())
+            .to_arrow()
+        )
+
+    partials = events.select_columns(["ts"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "grain", _merge, num_buckets=num_buckets)
