@@ -480,6 +480,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "users_vs_customers": co.q_users_vs_customers,
         "time_weighted": co.q_time_weighted,
         "multi_grain": co.q_multi_grain,
+        "term_postings": co.q_term_postings,
     }
 
 
@@ -1345,6 +1346,21 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "term_postings": """
+            SELECT token,
+                   string_agg(CAST(doc_id AS VARCHAR), ','
+                              ORDER BY doc_id) AS postings
+            FROM (SELECT DISTINCT doc_id, t AS token
+                  FROM (SELECT doc_id,
+                               unnest(CASE WHEN trim(text) = ''
+                                           THEN CAST([] AS VARCHAR[])
+                                           ELSE regexp_split_to_array(
+                                                trim(text), '\\s+')
+                                      END) AS t
+                        FROM documents))
+            WHERE token IN ('hash', 'join', 'scan', 'vector')
+            GROUP BY token
         """,
         "time_weighted": """
             WITH v AS (SELECT user_id, ts, event_id,

@@ -107,6 +107,17 @@ def q_token_topk_cms(sf_dir: str) -> ray.data.Dataset:
     return token_topk_approx(read_documents(sf_dir), k=25)
 
 
+POSTING_TERMS = ["hash", "join", "scan", "vector"]
+
+
+def q_term_postings(sf_dir: str) -> ray.data.Dataset:
+    """Inverted-index posting lists for a fixed query vocabulary — see
+    `stages/curation.term_postings`."""
+    from ..stages.curation import term_postings
+
+    return term_postings(read_documents(sf_dir), POSTING_TERMS)
+
+
 def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
     """Quality gate over integer doc statistics: keep docs with ≥5 tokens,
     max token length ≤40 and punctuation ≤10% of chars — the standard

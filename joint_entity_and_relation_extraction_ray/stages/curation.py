@@ -603,3 +603,55 @@ def token_topk_approx(
             }
         )
     )
+
+
+def term_postings(
+    docs: ray.data.Dataset,
+    terms: list[str],
+    *,
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """Inverted-index posting lists for a query vocabulary — rows
+    ``(token, postings)`` where postings is the comma-joined ascending
+    doc_id list of documents CONTAINING the term (distinct per doc).
+    The IR building block behind the decontaminate/search family.
+
+    The query vocabulary broadcasts into the tokenize map (tiny set —
+    the corpus filters to matching (token, doc_id) pairs per block, so
+    only hits shuffle); one token-bucketed merge sorts and joins each
+    posting list (a term's list fits in a reducer — the inverted-index
+    assumption; shard by (term, doc-range) beyond that)."""
+    import polars as pl
+
+    tset = set(terms)
+
+    def _hits(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        ex = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("token"),
+            )
+            .explode("token")
+            .filter(pl.col("token").is_in(list(tset)))
+            .unique()
+        )
+        return ex.to_arrow()
+
+    hits = docs.map_batches(
+        _hits, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).unique()
+        return (
+            df.sort(["token", "doc_id"])
+            .group_by("token", maintain_order=True)
+            .agg(
+                pl.col("doc_id").cast(pl.String).str.join(",")
+                .alias("postings")
+            )
+            .to_arrow()
+        )
+
+    return bucket_group_apply(hits, "token", _merge, num_buckets=num_buckets)
