@@ -339,6 +339,106 @@ def _q_conv_stats(sf_dir: str):
     return bucket_group_apply(partials, "conv_id", _merge, num_buckets=8)
 
 
+def _q_kg_surfaces(sf_dir: str):
+    """Per-entity surface-form diversity: mention count, distinct
+    surfaces, and the modal surface (count desc, surface asc tiebreak) —
+    per-(entity, surface) combiner partials, one entity-bucketed merge."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    linked = kg.stage(sf_dir, "linked")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["cand_entity_id", "surface"]))
+            .drop_nulls("cand_entity_id")
+            .group_by(["cand_entity_id", "surface"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t)
+            .group_by(["cand_entity_id", "surface"])
+            .agg(pl.col("n").sum())
+        )
+        return (
+            df.sort(
+                ["cand_entity_id", "n", "surface"],
+                descending=[False, True, False],
+            )
+            .group_by("cand_entity_id", maintain_order=True)
+            .agg(
+                pl.col("n").sum().alias("n_mentions"),
+                pl.len().cast(pl.Int64).alias("n_surfaces"),
+                pl.col("surface").first().alias("top_surface"),
+            )
+            .rename({"cand_entity_id": "entity_id"})
+            .to_arrow()
+        )
+
+    partials = linked.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partials, "cand_entity_id", _merge, num_buckets=8
+    )
+
+
+def _q_conv_role_patterns(sf_dir: str):
+    """Conversation role-sequence signatures counted corpus-wide (the
+    dialogue-shape histogram): each conv reduces to its ordered role
+    string in one conv-bucketed shuffle, then signature counts merge."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+
+    def _sig(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["conv_id", "turn_idx", "role"]))
+            .sort(["conv_id", "turn_idx"])
+            .group_by("conv_id", maintain_order=True)
+            .agg(pl.col("role").str.join(">").alias("pattern"))
+            .group_by("pattern")
+            .agg(pl.len().cast(pl.Int64).alias("n_convs"))
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t)
+            .group_by("pattern")
+            .agg(pl.col("n_convs").sum())
+            .to_arrow()
+        )
+
+    per_conv = bucket_group_apply(ds, "conv_id", _sig, num_buckets=8)
+    return bucket_group_apply(per_conv, "pattern", _merge, num_buckets=4)
+
+
 def _q_kg_clustering(sf_dir: str):
     """Per-node triangle participation and degree (local clustering
     coefficient as exact integers) — see `stages/graph.node_clustering`."""
@@ -378,6 +478,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "conv_stats": _q_conv_stats,
         "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_clustering": _q_kg_clustering,
+        "kg_surfaces": _q_kg_surfaces,
+        "conv_role_patterns": _q_conv_role_patterns,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -712,6 +814,52 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT role) AS n_roles,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM t0 GROUP BY conv_id
+        """,
+        "kg_surfaces": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT b.entity_id, m.surface
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            per AS (SELECT entity_id, surface, count(*) AS n
+                    FROM lm GROUP BY 1, 2),
+            top AS (SELECT entity_id, surface FROM (
+                        SELECT entity_id, surface,
+                               row_number() OVER (
+                                   PARTITION BY entity_id
+                                   ORDER BY n DESC, surface) AS rn
+                        FROM per) WHERE rn = 1)
+            SELECT per.entity_id,
+                   CAST(sum(per.n) AS BIGINT) AS n_mentions,
+                   CAST(count(*) AS BIGINT) AS n_surfaces,
+                   top.surface AS top_surface
+            FROM per JOIN top ON per.entity_id = top.entity_id
+            GROUP BY per.entity_id, top.surface
+        """,
+        "conv_role_patterns": f"""
+            WITH t0 AS (
+                SELECT conv_id, turn_idx, role
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            ),
+            sig AS (SELECT conv_id,
+                           string_agg(role, '>' ORDER BY turn_idx)
+                               AS pattern
+                    FROM t0 GROUP BY conv_id)
+            SELECT pattern, count(*) AS n_convs FROM sig GROUP BY pattern
         """,
         "kg_clustering": f"""
             WITH best AS MATERIALIZED (
