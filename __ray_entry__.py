@@ -450,6 +450,18 @@ def _q_kg_clustering(sf_dir: str):
     return node_clustering(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_assortativity(sf_dir: str):
+    """Degree-assortativity sufficient statistics (one row of exact
+    integer sums; Newman's r is driver arithmetic) — see
+    `stages/graph.degree_assortativity_sums`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        degree_assortativity_sums,
+    )
+
+    return degree_assortativity_sums(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_common_neighbors(sf_dir: str):
     """Common-neighbors link prediction over the undirected KG — see
     `stages/graph.common_neighbor_counts`."""
@@ -479,6 +491,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_clustering": _q_kg_clustering,
         "kg_surfaces": _q_kg_surfaces,
+        "kg_assortativity": _q_kg_assortativity,
         "conv_role_patterns": _q_conv_role_patterns,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
@@ -814,6 +827,46 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT role) AS n_roles,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM t0 GROUP BY conv_id
+        """,
+        "kg_assortativity": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM edges WHERE subj_id <> obj_id
+            ),
+            degs AS (SELECT v, CAST(count(*) AS BIGINT) AS deg FROM
+                         (SELECT a AS v FROM und
+                          UNION ALL SELECT b FROM und) GROUP BY v)
+            SELECT CAST(count(*) AS BIGINT) AS m,
+                   CAST(sum(da.deg + db.deg) AS BIGINT) AS s_sum,
+                   CAST(sum(da.deg * da.deg + db.deg * db.deg) AS BIGINT)
+                       AS s_sq,
+                   CAST(sum(da.deg * db.deg) AS BIGINT) AS s_prod
+            FROM und JOIN degs da ON da.v = und.a
+                     JOIN degs db ON db.v = und.b
         """,
         "kg_surfaces": f"""
             WITH best AS (

@@ -1224,3 +1224,114 @@ def node_clustering(
     return out.map_batches(
         _final, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def degree_assortativity_sums(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Degree-assortativity sufficient statistics over the undirected
+    simple KG — ONE row of exact integers ``(m, s_sum, s_sq, s_prod)``
+    where, summing over edges with endpoint degrees (j, k):
+    m = edge count, s_sum = Σ(j+k), s_sq = Σ(j²+k²), s_prod = Σ j·k.
+    Newman's assortativity coefficient r is pure driver arithmetic on
+    these four numbers — floats never enter the dataflow.
+
+    Reuses the dedup + degree combiners of :func:`degree_histogram`;
+    degrees join onto edges through ``join_auto`` and the four sums
+    reduce per block before one single-row merge."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    SEP = "\x00"
+
+    def _canon(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        return (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                a=pl.min_horizontal("subj_id", "obj_id"),
+                b=pl.max_horizontal("subj_id", "obj_id"),
+            )
+            .unique()
+            .with_columns(key=pl.col("a") + pl.lit(SEP) + pl.col("b"))
+            .to_arrow()
+        )
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique(subset=["key"]).to_arrow()
+
+    und = bucket_group_apply(
+        edges.map_batches(
+            _canon, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "key",
+        _uniq,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["a", "b"]))
+        v = pl.concat([df.select(v=pl.col("a")), df.select(v=pl.col("b"))])
+        return (
+            v.group_by("v")
+            .agg(pl.len().cast(pl.Int64).alias("deg"))
+            .to_arrow()
+        )
+
+    def _deg_sum(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t).group_by("v").agg(pl.col("deg").sum()).to_arrow()
+        )
+
+    deg = bucket_group_apply(
+        und.map_batches(
+            _deg_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "v",
+        _deg_sum,
+        num_buckets=min(num_buckets, 16),
+    )
+    da = deg.map_batches(
+        lambda t: t.rename_columns(["a", "deg_a"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    db = deg.map_batches(
+        lambda t: t.rename_columns(["b", "deg_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    withdeg = join_auto(join_auto(und, da, on=("a",)), db, on=("b",))
+
+    def _partial_sums(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return df.select(
+            m=pl.len().cast(pl.Int64),
+            s_sum=(pl.col("deg_a") + pl.col("deg_b")).sum(),
+            s_sq=(
+                pl.col("deg_a") * pl.col("deg_a")
+                + pl.col("deg_b") * pl.col("deg_b")
+            ).sum(),
+            s_prod=(pl.col("deg_a") * pl.col("deg_b")).sum(),
+        ).to_arrow()
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.drop_columns(["_one"]))
+        return df.select(
+            pl.col("m").sum(),
+            pl.col("s_sum").sum(),
+            pl.col("s_sq").sum(),
+            pl.col("s_prod").sum(),
+        ).to_arrow()
+
+    partials = withdeg.map_batches(
+        _partial_sums, batch_format="pyarrow", zero_copy_batch=True
+    ).map_batches(
+        lambda t: t.append_column(
+            "_one", pa.array([1] * t.num_rows, pa.int32())
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bucket_group_apply(partials, "_one", _merge, num_buckets=1)
