@@ -596,6 +596,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "time_weighted": co.q_time_weighted,
         "multi_grain": co.q_multi_grain,
         "term_postings": co.q_term_postings,
+        "embedding_dim_stats": co.q_embedding_dim_stats,
     }
 
 
@@ -1547,6 +1548,15 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "embedding_dim_stats": """
+            SELECT CAST(d - 1 AS BIGINT) AS dim,
+                   count(*) AS n,
+                   min(x) AS min_val, max(x) AS max_val
+            FROM (SELECT unnest(CAST(embedding AS DOUBLE[])) AS x,
+                         generate_subscripts(embedding, 1) AS d
+                  FROM embeddings)
+            GROUP BY d
         """,
         "term_postings": """
             SELECT token,

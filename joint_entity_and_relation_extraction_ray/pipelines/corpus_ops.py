@@ -118,6 +118,12 @@ def q_term_postings(sf_dir: str) -> ray.data.Dataset:
     return term_postings(read_documents(sf_dir), POSTING_TERMS)
 
 
+def q_embedding_dim_stats(sf_dir: str) -> ray.data.Dataset:
+    """Per-dimension min/max/count over the embedding corpus — see
+    `stages/similarity.embedding_dim_stats`."""
+    return similarity.embedding_dim_stats(read_embeddings(sf_dir))
+
+
 def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
     """Quality gate over integer doc statistics: keep docs with ≥5 tokens,
     max token length ≤40 and punctuation ≤10% of chars — the standard

@@ -280,3 +280,58 @@ def knn_label(
     from ..functions.shuffle import bucket_group_apply
 
     return bucket_group_apply(joined, "query_id", _vote, num_buckets=4)
+
+
+def embedding_dim_stats(
+    emb: ray.data.Dataset, *, num_buckets: int = 4
+) -> ray.data.Dataset:
+    """Per-dimension corpus statistics of the embedding column — rows
+    ``(dim, n, min_val, max_val)``. min/max are SELECTIONS (bit-exact,
+    oracle-safe — the daily_rollup rule: no float arithmetic whose
+    result depends on reduction order), n is the vector count.
+
+    Fully decomposable: each block reduces its stacked vector matrix to
+    one D-row partial via vectorized np.min/np.max/len; one tiny
+    dim-bucketed merge. The corpus never shuffles — the feature-scaling
+    precursor (normalization bounds) every embedding pipeline needs."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "dim": pa.array([], pa.int64()),
+                    "n": pa.array([], pa.int64()),
+                    "min_val": pa.array([], pa.float64()),
+                    "max_val": pa.array([], pa.float64()),
+                }
+            )
+        d = m.shape[1]
+        return pa.table(
+            {
+                "dim": pa.array(np.arange(d, dtype=np.int64)),
+                "n": pa.array(np.full(d, m.shape[0], dtype=np.int64)),
+                "min_val": pa.array(m.min(axis=0)),
+                "max_val": pa.array(m.max(axis=0)),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("dim")
+            .agg(
+                pl.col("n").sum(),
+                pl.col("min_val").min(),
+                pl.col("max_val").max(),
+            )
+            .to_arrow()
+        )
+
+    partials = emb.select_columns(["embedding"]).map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "dim", _merge, num_buckets=num_buckets)
