@@ -177,3 +177,23 @@ def read_transcripts_csv(
     return ds.map_batches(
         _coerce, batch_format="pyarrow", zero_copy_batch=True
     ).map_batches(_validate_batch, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def write_transcripts_jsonl(ds: ray.data.Dataset, path: str) -> None:
+    """T0 sink: JSON-lines shards (one file per block, the interchange
+    format `read_transcripts_jsonl` consumes — the round trip is
+    pytest-pinned). Timestamps serialize as ISO-8601 strings so any
+    engine can re-ingest them."""
+    import pyarrow.compute as _pc
+
+    def _iso(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            # Arrow's %S already carries the fractional seconds
+            _pc.strftime(t["ts"], format="%Y-%m-%dT%H:%M:%S"),
+        )
+
+    ds.map_batches(
+        _iso, batch_format="pyarrow", zero_copy_batch=True
+    ).write_json(path)

@@ -1335,3 +1335,56 @@ def degree_assortativity_sums(
         zero_copy_batch=True,
     )
     return bucket_group_apply(partials, "_one", _merge, num_buckets=1)
+
+
+def merge_edges(
+    *edge_tables: ray.data.Dataset,
+    num_buckets: int = DEFAULT_WRITE_PARTS,
+) -> ray.data.Dataset:
+    """Incremental graph update: merge ALREADY-AGGREGATED edge tables
+    (yesterday's graph + today's shard) into one — weights add, ts
+    ranges widen, `part` is recomputed. ``merge_edges(build_edges(A),
+    build_edges(B)) ≡ build_edges(A ∪ B)`` (edge aggregation is
+    associative; pinned in tests), which is what lets the checkpointed
+    incremental pipeline merge per-shard edge outputs instead of
+    recomputing history."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    combined = edge_tables[0]
+    for other in edge_tables[1:]:
+        combined = combined.union(other)
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        agg = (
+            pl.from_arrow(t.drop_columns(["part"]))
+            .group_by(["subj_id", "pred", "obj_id"])
+            .agg(
+                pl.col("weight").sum(),
+                pl.col("first_ts").min(),
+                pl.col("last_ts").max(),
+            )
+        )
+        out = agg.to_arrow()
+        part = pa.array(
+            stable_bucket(
+                out["subj_id"].to_numpy(zero_copy_only=False), num_buckets
+            ),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "subj_id": out["subj_id"],
+                "pred": out["pred"],
+                "obj_id": out["obj_id"],
+                "weight": pc.cast(out["weight"], pa.int64()),
+                "first_ts": out["first_ts"],
+                "last_ts": out["last_ts"],
+                "part": part,
+            }
+        ).cast(EDGES)
+
+    return bucket_group_apply(
+        combined, "subj_id", _reduce, num_buckets=num_buckets
+    )

@@ -411,3 +411,49 @@ def test_node_clustering_random_vs_duckdb(ray_session):
     }
     assert got == want
     assert sum(t for _, t in got.values()) % 3 == 0  # 3 corners/triangle
+
+
+def test_merge_edges_equals_full_rebuild(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        build_edges,
+        merge_edges,
+    )
+
+    def _rewritten(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj_id": [r[0] for r in rows],
+                    "pred": [r[1] for r in rows],
+                    "obj_id": [r[2] for r in rows],
+                    "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+                }
+            )
+        )
+
+    day1 = [("a", "p", "b", 10), ("a", "p", "b", 20), ("b", "q", "c", 5)]
+    day2 = [("a", "p", "b", 1), ("c", "p", "a", 7), ("b", "q", "c", 99)]
+
+    def _key(rows):
+        return {
+            (r["subj_id"], r["pred"], r["obj_id"]): (
+                r["weight"],
+                r["first_ts"],
+                r["last_ts"],
+            )
+            for r in rows
+        }
+
+    merged = _key(
+        merge_edges(
+            build_edges(_rewritten(day1), num_buckets=4),
+            build_edges(_rewritten(day2), num_buckets=4),
+            num_buckets=4,
+        ).take_all()
+    )
+    full = _key(build_edges(_rewritten(day1 + day2), num_buckets=4).take_all())
+    assert merged == full
+    assert merged[("a", "p", "b")][0] == 3  # weights added across days

@@ -266,3 +266,34 @@ def test_read_transcripts_csv(ray_session, tmp_path):
     assert out[1]["tool"] == "search"
     assert out[1]["ts"].microsecond == 123456
     assert ds.schema().names == list(TRANSCRIPTS.names)
+
+
+def test_transcripts_jsonl_roundtrip(ray_session, tmp_path):
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts_jsonl,
+        write_transcripts_jsonl,
+    )
+
+    src = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c1", "c1", "c2"],
+                "turn_idx": pa.array([0, 1, 0], pa.int32()),
+                "role": ["user", "assistant", "tool"],
+                "text": ["hello", "world", "ok"],
+                "tool": pa.array([None, None, "search"], pa.string()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(3)],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    out = tmp_path / "shards"
+    write_transcripts_jsonl(src, str(out))
+    back = read_transcripts_jsonl(
+        [str(p) for p in sorted(out.glob("*.json"))]
+    )
+    a = sorted(src.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+    b = sorted(back.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert a == b
