@@ -439,6 +439,51 @@ def _q_conv_role_patterns(sf_dir: str):
     return bucket_group_apply(per_conv, "pattern", _merge, num_buckets=4)
 
 
+def _q_conv_windows(sf_dir: str):
+    """RAG-style dialog windowing: every 3 consecutive turns of a
+    conversation concatenated into one retrieval unit — rows (conv_id,
+    win_start, window_text). One conv-bucketed shuffle; the window build
+    is two vectorized shifts."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+
+    def _win(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["conv_id", "turn_idx", "text"])).sort(
+            ["conv_id", "turn_idx"]
+        )
+        return (
+            df.with_columns(
+                t1=pl.col("text").shift(-1).over("conv_id"),
+                t2=pl.col("text").shift(-2).over("conv_id"),
+            )
+            .drop_nulls(["t1", "t2"])
+            .select(
+                pl.col("conv_id"),
+                pl.col("turn_idx").cast(pl.Int64).alias("win_start"),
+                pl.concat_str(
+                    [pl.col("text"), pl.col("t1"), pl.col("t2")],
+                    separator=" ",
+                ).alias("window_text"),
+            )
+            .to_arrow()
+        )
+
+    return bucket_group_apply(ds, "conv_id", _win, num_buckets=8)
+
+
 def _q_kg_clustering(sf_dir: str):
     """Per-node triangle participation and degree (local clustering
     coefficient as exact integers) — see `stages/graph.node_clustering`."""
@@ -493,6 +538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_surfaces": _q_kg_surfaces,
         "kg_assortativity": _q_kg_assortativity,
         "conv_role_patterns": _q_conv_role_patterns,
+        "conv_windows": _q_conv_windows,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -901,6 +947,21 @@ def oracle_sql() -> dict[str, str]:
                    top.surface AS top_surface
             FROM per JOIN top ON per.entity_id = top.entity_id
             GROUP BY per.entity_id, top.surface
+        """,
+        "conv_windows": f"""
+            WITH t0 AS (
+                SELECT conv_id, turn_idx, text
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS win_start,
+                   text || ' '
+                   || lead(text, 1) OVER w || ' '
+                   || lead(text, 2) OVER w AS window_text
+            FROM t0
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            QUALIFY lead(text, 2) OVER w IS NOT NULL
         """,
         "conv_role_patterns": f"""
             WITH t0 AS (
