@@ -643,6 +643,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "multi_grain": co.q_multi_grain,
         "term_postings": co.q_term_postings,
         "embedding_dim_stats": co.q_embedding_dim_stats,
+        "user_streaks": co.q_user_streaks,
     }
 
 
@@ -1609,6 +1610,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "user_streaks": """
+            WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                       FROM events),
+            isl AS (SELECT user_id,
+                           day - CAST(row_number() OVER (
+                               PARTITION BY user_id ORDER BY day)
+                               AS INTEGER) AS k
+                    FROM d)
+            SELECT user_id, CAST(max(run) AS BIGINT) AS longest_streak
+            FROM (SELECT user_id, k, count(*) AS run
+                  FROM isl GROUP BY 1, 2)
+            GROUP BY user_id
         """,
         "embedding_dim_stats": """
             SELECT CAST(d - 1 AS BIGINT) AS dim,

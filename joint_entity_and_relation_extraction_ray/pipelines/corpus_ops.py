@@ -1642,6 +1642,16 @@ def q_multi_grain(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_user_streaks(sf_dir: str) -> ray.data.Dataset:
+    """Longest consecutive-day activity streak per user — see
+    `stages/events.user_streaks`."""
+    from ..stages.events import read_events, user_streaks
+
+    return user_streaks(
+        read_events(sf_dir, columns=["user_id", "ts"]), num_buckets=8
+    )
+
+
 def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov event-type transition counts per user sequence — see
     `stages/events.event_transitions`."""

@@ -1169,3 +1169,51 @@ def multi_grain_counts(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, "grain", _merge, num_buckets=num_buckets)
+
+
+def user_streaks(
+    events: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Longest consecutive-day activity streak per user — rows
+    ``(user_id, longest_streak:int64)`` (the classic gaps-and-islands
+    `day - dense_rank` trick, vectorized). Blocks reduce to distinct
+    (user, epoch-day) pairs before the one user-bucketed shuffle."""
+    import polars as pl
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["user_id", "ts"]))
+            .with_columns(pl.col("ts").dt.date().cast(pl.Int32).alias("d"))
+            .select(["user_id", "d"])
+            .unique()
+            .to_arrow()
+        )
+
+    pairs = events.map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _streak(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).unique().sort(["user_id", "d"])
+        if df.height == 0:
+            return pa.table(
+                {
+                    "user_id": pa.array([], t.schema.field("user_id").type),
+                    "longest_streak": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            df.with_columns(
+                isl=pl.col("d")
+                - pl.int_range(pl.len()).over("user_id").cast(pl.Int32)
+            )
+            .group_by(["user_id", "isl"])
+            .agg(pl.len().cast(pl.Int64).alias("run"))
+            .group_by("user_id")
+            .agg(pl.col("run").max().alias("longest_streak"))
+            .to_arrow()
+        )
+
+    return bucket_group_apply(
+        pairs, "user_id", _streak, num_buckets=num_buckets
+    )
