@@ -1,0 +1,80 @@
+"""Property tests: the new per-key operators must agree with DuckDB for
+arbitrary data and be invariant to block layout (the combiner-validity
+property a distributed op can silently lose)."""
+
+import duckdb
+import pyarrow as pa
+import ray.data
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+SMALL = st.integers(min_value=0, max_value=6)
+
+
+def _ds(cols: dict, nblocks: int):
+    return ray.data.from_arrow(pa.table(cols)).repartition(nblocks)
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(SMALL, SMALL, st.integers(0, 3)), min_size=1, max_size=60
+    ),
+    nblocks=st.integers(1, 5),
+)
+def test_latest_by_key_property(ray_session, data, nblocks):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        latest_by_key,
+    )
+
+    ks = [d[0] for d in data]
+    ts = [d[1] for d in data]
+    ids = list(range(len(data)))
+    got = {
+        r["k"]: (r["ts"], r["id"])
+        for r in latest_by_key(
+            _ds({"k": ks, "ts": ts, "id": ids}, nblocks),
+            key="k", order_by="ts", tiebreak="id", num_buckets=3,
+        ).take_all()
+    }
+    want = {
+        k: (t, i)
+        for k, t, i in duckdb.sql(
+            "SELECT k, ts, id FROM (SELECT *, row_number() OVER "
+            "(PARTITION BY k ORDER BY ts DESC, id) rn FROM (SELECT "
+            "unnest(?) k, unnest(?) ts, unnest(?) id)) WHERE rn = 1",
+            params=[ks, ts, ids],
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(st.tuples(SMALL, SMALL), min_size=1, max_size=60),
+    nblocks=st.integers(1, 5),
+)
+def test_group_ranks_property(ray_session, data, nblocks):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_ranks,
+    )
+
+    gs = [str(d[0]) for d in data]
+    vs = [d[1] for d in data]
+    got = {
+        (r["g"], r["value"]): (r["rnk"], r["cume_n"], r["n_rows"])
+        for r in group_ranks(
+            _ds({"g": gs, "v": vs}, nblocks), by="g", col="v", num_buckets=3
+        ).take_all()
+    }
+    want = {
+        (g, v): (rk, cn, nr)
+        for g, v, rk, cn, nr in duckdb.sql(
+            "SELECT DISTINCT g, v, rank() OVER (PARTITION BY g ORDER BY v),"
+            " count(*) OVER (PARTITION BY g ORDER BY v),"
+            " count(*) OVER (PARTITION BY g) FROM "
+            "(SELECT unnest(?) g, unnest(?) v)",
+            params=[gs, vs],
+        ).fetchall()
+    }
+    assert got == want
