@@ -507,6 +507,68 @@ def _q_kg_assortativity(sf_dir: str):
     return degree_assortativity_sums(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_reciprocity(sf_dir: str):
+    """Edge reciprocity of the directed KG — one row of exact integers
+    (n_edges = distinct directed pairs, n_recip = directed pairs whose
+    reverse also exists). Bucketing on the UNORDERED pair key co-locates
+    both directions, so reciprocity is a per-bucket check."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    edges = kg.stage(sf_dir, "edges")
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t.select(["subj_id", "obj_id"]))
+            .filter(pl.col("subj_id") != pl.col("obj_id"))
+            .unique()
+            .with_columns(
+                ukey=pl.min_horizontal("subj_id", "obj_id")
+                + pl.lit("\x00")
+                + pl.max_horizontal("subj_id", "obj_id")
+            )
+        )
+        return df.to_arrow()
+
+    def _count(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t).unique()
+        per = df.group_by("ukey").agg(pl.len().alias("n_dir"))
+        n_edges = int(per["n_dir"].sum())
+        n_recip = int(
+            per.filter(pl.col("n_dir") == 2)["n_dir"].sum()
+        )
+        return pa.table(
+            {
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "n_recip": pa.array([n_recip], pa.int64()),
+                "_one": pa.array([1], pa.int32()),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.drop_columns(["_one"]))
+            .select(pl.col("n_edges").sum(), pl.col("n_recip").sum())
+            .to_arrow()
+        )
+
+    pairs = edges.map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    per_bucket = bucket_group_apply(pairs, "ukey", _count, num_buckets=16)
+    return bucket_group_apply(per_bucket, "_one", _merge, num_buckets=1)
+
+
 def _q_kg_common_neighbors(sf_dir: str):
     """Common-neighbors link prediction over the undirected KG — see
     `stages/graph.common_neighbor_counts`."""
@@ -537,6 +599,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_clustering": _q_kg_clustering,
         "kg_surfaces": _q_kg_surfaces,
         "kg_assortativity": _q_kg_assortativity,
+        "kg_reciprocity": _q_kg_reciprocity,
         "conv_role_patterns": _q_conv_role_patterns,
         "conv_windows": _q_conv_windows,
         "kg_nodes": _q_kg_nodes,
@@ -644,6 +707,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "term_postings": co.q_term_postings,
         "embedding_dim_stats": co.q_embedding_dim_stats,
         "user_streaks": co.q_user_streaks,
+        "supplier_ranks": co.q_supplier_ranks,
     }
 
 
@@ -875,6 +939,38 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT role) AS n_roles,
                    CAST(sum(length(text)) AS BIGINT) AS n_chars
             FROM t0 GROUP BY conv_id
+        """,
+        "kg_reciprocity": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            dedges AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS s, o.entity_id AS o
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                WHERE s.entity_id <> o.entity_id
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_edges,
+                   CAST(count(*) FILTER (WHERE EXISTS (
+                       SELECT 1 FROM dedges r
+                       WHERE r.s = dedges.o AND r.o = dedges.s))
+                       AS BIGINT) AS n_recip
+            FROM dedges
         """,
         "kg_assortativity": f"""
             WITH best AS MATERIALIZED (
@@ -1610,6 +1706,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "supplier_ranks": """
+            WITH v AS (SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,
+                              CAST(round(s_acctbal * 100) AS BIGINT) AS c
+                       FROM supplier WHERE s_acctbal IS NOT NULL)
+            SELECT DISTINCT s_nationkey, c AS value,
+                   CAST(rank() OVER (PARTITION BY s_nationkey ORDER BY c)
+                        AS BIGINT) AS rnk,
+                   CAST(count(*) OVER (PARTITION BY s_nationkey ORDER BY c)
+                        AS BIGINT) AS cume_n,
+                   CAST(count(*) OVER (PARTITION BY s_nationkey)
+                        AS BIGINT) AS n_rows
+            FROM v
         """,
         "user_streaks": """
             WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day

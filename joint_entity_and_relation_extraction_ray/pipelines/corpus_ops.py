@@ -1675,6 +1675,32 @@ def q_event_cooccurrence(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_supplier_ranks(sf_dir: str) -> ray.data.Dataset:
+    """Exact RANK / CUME_DIST integers of supplier account-balance cents
+    within each nation — `stages/relational.group_ranks` over the
+    supplier dimension table."""
+    from ..stages.relational import group_ranks
+
+    sup = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_nationkey", "s_acctbal"]
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        return pa.table(
+            {
+                "s_nationkey": pc_.cast(t["s_nationkey"], pa.int64()),
+                "cents": pc_.cast(
+                    pc_.round(pc_.multiply(t["s_acctbal"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    prep = sup.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True)
+    return group_ranks(prep, by="s_nationkey", col="cents", num_buckets=4)
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no
