@@ -708,6 +708,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "embedding_dim_stats": co.q_embedding_dim_stats,
         "user_streaks": co.q_user_streaks,
         "supplier_ranks": co.q_supplier_ranks,
+        "q3_top_orders": co.q_q3_top_orders,
     }
 
 
@@ -1706,6 +1707,22 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "q3_top_orders": """
+            SELECT l_orderkey,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (10000 - CAST(round(l_discount * 10000)
+                                            AS BIGINT))) AS BIGINT)
+                       AS revenue
+            FROM lineitem
+            JOIN orders ON l_orderkey = o_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            WHERE c_mktsegment = 'BUILDING'
+              AND o_orderdate < TIMESTAMP '1998-06-01 00:00:00'
+              AND l_shipdate > TIMESTAMP '1998-06-01 00:00:00'
+            GROUP BY 1
+            ORDER BY revenue DESC, l_orderkey
+            LIMIT 10
         """,
         "supplier_ranks": """
             WITH v AS (SELECT CAST(s_nationkey AS BIGINT) AS s_nationkey,

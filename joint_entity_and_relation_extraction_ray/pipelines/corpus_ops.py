@@ -1701,6 +1701,79 @@ def q_supplier_ranks(sf_dir: str) -> ray.data.Dataset:
     return group_ranks(prep, by="s_nationkey", col="cents", num_buckets=4)
 
 
+Q3_CUTOFF = "1998-06-01"
+
+
+def q_q3_top_orders(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q3 shape: top-10 open orders by revenue for one market
+    segment — a THREE-table composition where the fact side collapses
+    through a combiner before any join. Revenue is the exact integer
+    Σ price_cents·(10000 − discount_bp); the two big sides never meet
+    raw: lineitem pre-aggregates to (orderkey, revenue) partials, the
+    customer segment reduces to a broadcast key set that semi-filters
+    orders, and eligible orderkeys semi-filter the aggregated revenue."""
+    import datetime as dt
+
+    from ..stages.relational import grouped_summary, membership_join
+
+    cut = dt.datetime.fromisoformat(Q3_CUTOFF)
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    )
+
+    def _rev(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        t = t.filter(pc_.greater(t["l_shipdate"], pa.scalar(cut)))
+        cents = pc_.cast(
+            pc_.round(pc_.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        bp = pc_.cast(
+            pc_.round(pc_.multiply(t["l_discount"], 10000.0)), pa.int64()
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "rev": pc_.multiply(cents, pc_.subtract(10000, bp)),
+            }
+        )
+
+    li_rev = grouped_summary(
+        li.map_batches(_rev, batch_format="pyarrow", zero_copy_batch=True),
+        by=["l_orderkey"],
+        aggs={"revenue": ("rev", "sum")},
+        num_buckets=8,
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_mktsegment"]
+    ).map_batches(
+        lambda t: t.filter(
+            pa.compute.equal(t["c_mktsegment"], "BUILDING")
+        ).select(["c_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pa.compute.less(t["o_orderdate"], pa.scalar(cut))
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    elig = membership_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    top = membership_join(
+        li_rev, elig, on="l_orderkey", right_on="o_orderkey"
+    )
+    return top.sort(["revenue", "l_orderkey"], descending=[True, False]).limit(
+        10
+    )
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no
