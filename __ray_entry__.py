@@ -709,6 +709,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "user_streaks": co.q_user_streaks,
         "supplier_ranks": co.q_supplier_ranks,
         "q3_top_orders": co.q_q3_top_orders,
+        "q6_revenue": co.q_q6_revenue,
     }
 
 
@@ -1707,6 +1708,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "q6_revenue": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * CAST(round(l_discount * 10000) AS BIGINT)), 0)
+                   AS BIGINT) AS revenue_micros
+            FROM lineitem
+            WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+              AND CAST(round(l_discount * 10000) AS BIGINT)
+                  BETWEEN 300 AND 700
+              AND l_quantity < 24
         """,
         "q3_top_orders": """
             SELECT l_orderkey,

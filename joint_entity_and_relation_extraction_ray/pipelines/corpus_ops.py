@@ -1774,6 +1774,66 @@ def q_q3_top_orders(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_q6_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q6 shape: fully decomposable filtered revenue — one row,
+    exact integer Σ price_cents·discount_bp over a predicate band
+    (shipdate year, discount band, quantity cap). The read prunes to 4
+    columns and every block reduces to one partial sum; the only
+    'shuffle' is a single-row merge."""
+    import datetime as dt
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_shipdate", "l_discount", "l_quantity", "l_extendedprice"],
+    )
+    lo = dt.datetime(1996, 1, 1)
+    hi = dt.datetime(1997, 1, 1)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        bp = pc_.cast(
+            pc_.round(pc_.multiply(t["l_discount"], 10000.0)), pa.int64()
+        )
+        keep = pc_.and_(
+            pc_.and_(
+                pc_.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc_.less(t["l_shipdate"], pa.scalar(hi)),
+            ),
+            pc_.and_(
+                pc_.and_(
+                    pc_.greater_equal(bp, 300), pc_.less_equal(bp, 700)
+                ),
+                pc_.less(t["l_quantity"], 24.0),
+            ),
+        )
+        t2 = t.filter(keep)
+        bp2 = pc_.cast(
+            pc_.round(pc_.multiply(t2["l_discount"], 10000.0)), pa.int64()
+        )
+        cents = pc_.cast(
+            pc_.round(pc_.multiply(t2["l_extendedprice"], 100.0)), pa.int64()
+        )
+        s = pc_.sum(pc_.multiply(cents, bp2)).as_py() or 0
+        return pa.table(
+            {
+                "revenue_micros": pa.array([s], pa.int64()),
+                "_one": pa.array([1], pa.int32()),
+            }
+        )
+
+    from ..functions.shuffle import bucket_group_apply
+
+    partials = li.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        s = pa.compute.sum(t["revenue_micros"]).as_py() or 0
+        return pa.table({"revenue_micros": pa.array([s], pa.int64())})
+
+    return bucket_group_apply(partials, "_one", _merge, num_buckets=1)
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no
