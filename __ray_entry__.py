@@ -710,6 +710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "supplier_ranks": co.q_supplier_ranks,
         "q3_top_orders": co.q_q3_top_orders,
         "q6_revenue": co.q_q6_revenue,
+        "monthly_revenue_delta": co.q_monthly_revenue_delta,
     }
 
 
@@ -1708,6 +1709,18 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "monthly_revenue_delta": """
+            WITH m AS (
+                SELECT CAST(date_trunc('month', o_orderdate) AS DATE)
+                           AS month,
+                       CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                            AS BIGINT) AS revenue_cents
+                FROM orders GROUP BY 1)
+            SELECT month, revenue_cents,
+                   revenue_cents - lag(revenue_cents)
+                       OVER (ORDER BY month) AS delta_cents
+            FROM m
         """,
         "q6_revenue": """
             SELECT CAST(coalesce(sum(

@@ -1834,6 +1834,48 @@ def q_q6_revenue(sf_dir: str) -> ray.data.Dataset:
     return bucket_group_apply(partials, "_one", _merge, num_buckets=1)
 
 
+def q_monthly_revenue_delta(sf_dir: str) -> ray.data.Dataset:
+    """Month-over-month order revenue deltas — per-block (month, cents)
+    combiner partials, one tiny merge, then the lag window runs on the
+    month-level result (a few dozen rows; first month's delta is NULL)."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderdate", "o_totalprice"]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                month=pl.col("o_orderdate").dt.truncate("1mo").dt.date(),
+                cents=(pl.col("o_totalprice") * 100).round(0).cast(pl.Int64),
+            )
+            .group_by("month")
+            .agg(pl.col("cents").sum().alias("revenue_cents"))
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = (
+            pl.from_arrow(t)
+            .group_by("month")
+            .agg(pl.col("revenue_cents").sum())
+            .sort("month")
+        )
+        return df.with_columns(
+            delta_cents=pl.col("revenue_cents")
+            - pl.col("revenue_cents").shift(1)
+        ).to_arrow()
+
+    partials = od.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "month", _merge, num_buckets=1)
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no
