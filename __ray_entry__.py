@@ -711,6 +711,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "q3_top_orders": co.q_q3_top_orders,
         "q6_revenue": co.q_q6_revenue,
         "monthly_revenue_delta": co.q_monthly_revenue_delta,
+        "part_top_brands": co.q_part_top_brands,
+        "hourly_activity": co.q_hourly_activity,
     }
 
 
@@ -1709,6 +1711,19 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "part_top_brands": """
+            WITH c AS (SELECT p_type, p_brand, count(*) AS n
+                       FROM part GROUP BY 1, 2)
+            SELECT p_type, p_brand, n,
+                   CAST(row_number() OVER (
+                       PARTITION BY p_type
+                       ORDER BY n DESC, p_brand) AS BIGINT) AS rank
+            FROM c QUALIFY rank <= 3
+        """,
+        "hourly_activity": """
+            SELECT CAST(hour(ts) AS BIGINT) AS hour, count(*) AS n
+            FROM events GROUP BY 1
         """,
         "monthly_revenue_delta": """
             WITH m AS (

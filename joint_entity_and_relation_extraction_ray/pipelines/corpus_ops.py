@@ -1876,6 +1876,62 @@ def q_monthly_revenue_delta(sf_dir: str) -> ray.data.Dataset:
     return bucket_group_apply(partials, "month", _merge, num_buckets=1)
 
 
+def q_part_top_brands(sf_dir: str) -> ray.data.Dataset:
+    """Top-3 brands per part type by part count (row_number semantics,
+    brand tiebreak) — `grouped_summary` combiner counts feeding
+    `group_topk`; dimension-table coverage of the top-k family."""
+    from ..stages.relational import group_topk, grouped_summary
+
+    pt = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_type", "p_brand"]
+    )
+    counts = grouped_summary(
+        pt,
+        by=["p_type", "p_brand"],
+        aggs={"n": ("p_brand", "count")},
+        num_buckets=8,
+    )
+    return group_topk(
+        counts,
+        by="p_type",
+        sort_col="n",
+        k=3,
+        descending=True,
+        tiebreak="p_brand",
+        num_buckets=8,
+    )
+
+
+def q_hourly_activity(sf_dir: str) -> ray.data.Dataset:
+    """Hour-of-day activity histogram over the event stream (0–23) —
+    per-block combiner partials, one tiny merge."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from ..stages.events import read_events
+
+    ev = read_events(sf_dir, columns=["ts"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .select(hour=pl.col("ts").dt.hour().cast(pl.Int64))
+            .group_by("hour")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t).group_by("hour").agg(pl.col("n").sum()).to_arrow()
+        )
+
+    partials = ev.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "hour", _merge, num_buckets=2)
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no
