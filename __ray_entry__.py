@@ -439,6 +439,71 @@ def _q_conv_role_patterns(sf_dir: str):
     return bucket_group_apply(per_conv, "pattern", _merge, num_buckets=4)
 
 
+def _q_conv_response_time(sf_dir: str):
+    """Per-conversation first-response latency: µs between the first
+    user turn and the first assistant turn at/after it (conversations
+    without both are omitted) — decomposable per-(conv, role) min-ts
+    partials, one conv-bucketed merge, exact integers."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["conv_id", "role", "ts"]))
+            .filter(pl.col("role").is_in(["user", "assistant"]))
+            .group_by(["conv_id", "role"])
+            .agg(pl.col("ts").min().alias("first_ts"))
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t)
+            .group_by(["conv_id", "role"])
+            .agg(pl.col("first_ts").min())
+        )
+        wide = df.pivot(
+            on="role", index="conv_id", values="first_ts"
+        )
+        for c in ("user", "assistant"):
+            if c not in wide.columns:
+                wide = wide.with_columns(
+                    pl.lit(None, dtype=pl.Datetime("us")).alias(c)
+                )
+        out = (
+            wide.drop_nulls(["user", "assistant"])
+            .with_columns(
+                latency_us=(
+                    pl.col("assistant").cast(pl.Int64)
+                    - pl.col("user").cast(pl.Int64)
+                )
+            )
+            .filter(pl.col("latency_us") >= 0)
+            .select(["conv_id", "latency_us"])
+        )
+        return out.to_arrow()
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "conv_id", _merge, num_buckets=8)
+
+
 def _q_conv_windows(sf_dir: str):
     """RAG-style dialog windowing: every 3 consecutive turns of a
     conversation concatenated into one retrieval unit — rows (conv_id,
@@ -602,6 +667,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": _q_kg_reciprocity,
         "conv_role_patterns": _q_conv_role_patterns,
         "conv_windows": _q_conv_windows,
+        "conv_response_time": _q_conv_response_time,
         "kg_nodes": _q_kg_nodes,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -1049,6 +1115,25 @@ def oracle_sql() -> dict[str, str]:
                    top.surface AS top_surface
             FROM per JOIN top ON per.entity_id = top.entity_id
             GROUP BY per.entity_id, top.surface
+        """,
+        "conv_response_time": f"""
+            WITH t0 AS (
+                SELECT conv_id, role, ts
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            ),
+            firsts AS (
+                SELECT conv_id,
+                       min(ts) FILTER (WHERE role = 'user') AS fu,
+                       min(ts) FILTER (WHERE role = 'assistant') AS fa
+                FROM t0 GROUP BY conv_id)
+            SELECT conv_id,
+                   CAST(epoch_us(fa) - epoch_us(fu) AS BIGINT)
+                       AS latency_us
+            FROM firsts
+            WHERE fu IS NOT NULL AND fa IS NOT NULL
+              AND fa >= fu
         """,
         "conv_windows": f"""
             WITH t0 AS (
