@@ -779,6 +779,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "monthly_revenue_delta": co.q_monthly_revenue_delta,
         "part_top_brands": co.q_part_top_brands,
         "hourly_activity": co.q_hourly_activity,
+        "session_summary": co.q_session_summary,
     }
 
 
@@ -1796,6 +1797,31 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "session_summary": """
+            WITH e AS (
+                SELECT user_id, ts,
+                       CASE WHEN ts - LAG(ts) OVER (
+                                PARTITION BY user_id ORDER BY ts)
+                            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END
+                           AS new_sess
+                FROM events),
+            s AS (
+                SELECT user_id, ts,
+                       SUM(new_sess) OVER (
+                           PARTITION BY user_id ORDER BY ts
+                           ROWS UNBOUNDED PRECEDING) AS sess_idx
+                FROM e),
+            per AS (
+                SELECT user_id, sess_idx, count(*) AS n_events,
+                       epoch_us(max(ts)) - epoch_us(min(ts)) AS dwell
+                FROM s GROUP BY 1, 2)
+            SELECT user_id,
+                   CAST(count(*) AS BIGINT) AS n_sessions,
+                   CAST(sum(n_events) AS BIGINT) AS n_events,
+                   CAST(max(n_events) AS BIGINT) AS max_session_events,
+                   CAST(sum(dwell) AS BIGINT) AS dwell_us
+            FROM per GROUP BY user_id
         """,
         "part_top_brands": """
             WITH c AS (SELECT p_type, p_brand, count(*) AS n

@@ -1932,6 +1932,41 @@ def q_hourly_activity(sf_dir: str) -> ray.data.Dataset:
     return bucket_group_apply(partials, "hour", _merge, num_buckets=2)
 
 
+def q_session_summary(sf_dir: str) -> ray.data.Dataset:
+    """Per-user session behaviour rollup composed ON TOP of the
+    verified sessionizer: session count, total events, largest session
+    and total in-session dwell µs — exact integers (sessionize's own
+    shuffle is the only one; the summary is a vectorized per-bucket
+    second aggregate over its bounded per-user output)."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from ..stages.events import read_events, sessionize
+
+    sess = sessionize(
+        read_events(sf_dir, columns=["user_id", "ts"]), gap_minutes=30
+    )
+
+    def _sum(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.with_columns(
+                dwell=pl.col("session_end").cast(pl.Int64)
+                - pl.col("session_start").cast(pl.Int64)
+            )
+            .group_by("user_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_sessions"),
+                pl.col("n_events").sum().alias("n_events"),
+                pl.col("n_events").max().alias("max_session_events"),
+                pl.col("dwell").sum().alias("dwell_us"),
+            )
+            .to_arrow()
+        )
+
+    return bucket_group_apply(sess, "user_id", _sum, num_buckets=8)
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no
