@@ -780,6 +780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "part_top_brands": co.q_part_top_brands,
         "hourly_activity": co.q_hourly_activity,
         "session_summary": co.q_session_summary,
+        "weekday_heatmap": co.q_weekday_heatmap,
     }
 
 
@@ -1797,6 +1798,11 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT DISTINCT doc_id, wmin AS h FROM wins
             WHERE (cnt <= 4 AND i = 1) OR (cnt > 4 AND i <= cnt - 3)
+        """,
+        "weekday_heatmap": """
+            SELECT CAST(isodow(ts) AS BIGINT) AS dow, event_type,
+                   count(*) AS n
+            FROM events GROUP BY 1, 2
         """,
         "session_summary": """
             WITH e AS (

@@ -1967,6 +1967,43 @@ def q_session_summary(sf_dir: str) -> ray.data.Dataset:
     return bucket_group_apply(sess, "user_id", _sum, num_buckets=8)
 
 
+def q_weekday_heatmap(sf_dir: str) -> ray.data.Dataset:
+    """Weekday × event-type activity heatmap counts (ISO weekday,
+    Monday=1 on both engines) — per-block combiner partials, tiny
+    merge."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from ..stages.events import read_events
+
+    ev = read_events(sf_dir, columns=["ts", "event_type"])
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .select(
+                dow=pl.col("ts").dt.weekday().cast(pl.Int64),
+                event_type=pl.col("event_type"),
+            )
+            .group_by(["dow", "event_type"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["dow", "event_type"])
+            .agg(pl.col("n").sum())
+            .to_arrow()
+        )
+
+    partials = ev.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "event_type", _merge, num_buckets=2)
+
+
 def q_above_avg_orders(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: orders strictly above their
     customer's average order value — exact integers (n·v > S, no
