@@ -370,6 +370,25 @@ def q_token_bpe(sf_dir: str) -> ray.data.Dataset:
 # --- sampling (O3) ---------------------------------------------------------
 
 
+def hash_sample_block(t: pa.Table, threshold: str = "1a") -> pa.Table:
+    """Per-block deterministic hash sampler: keep rows whose md5(doc_id)
+    lowercase-hex 2-char prefix sorts below `threshold` (VARCHAR order).
+
+    Blocks where NOTHING samples are the critical path: `keep` must be a
+    typed int64 array — a plain empty list would infer a null-typed index
+    array and `array_take(int64, null)` has no Arrow kernel (the round-1/2
+    driver crash)."""
+    import hashlib
+
+    ids = t["doc_id"].to_pylist()
+    keep = [
+        i
+        for i, d in enumerate(ids)
+        if hashlib.md5(str(d).encode()).hexdigest()[:2] < threshold
+    ]
+    return t.select(["doc_id"]).take(pa.array(keep, type=pa.int64()))
+
+
 def q_sample_hash(sf_dir: str) -> ray.data.Dataset:
     """Deterministic ~10% hash sample: md5(doc_id) hex prefix < '1a'
     (26/256 ≈ 10.2%).
@@ -380,19 +399,8 @@ def q_sample_hash(sf_dir: str) -> ray.data.Dataset:
     hex→int cast on either side), so neither engine's evaluation can throw
     mid-comparison.
     """
-    import hashlib
-
-    def _sample(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        keep = [
-            i
-            for i, d in enumerate(ids)
-            if hashlib.md5(str(d).encode()).hexdigest()[:2] < "1a"
-        ]
-        return t.select(["doc_id"]).take(keep)
-
     return read_documents(sf_dir).map_batches(
-        _sample, batch_format="pyarrow", zero_copy_batch=True
+        hash_sample_block, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

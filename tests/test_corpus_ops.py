@@ -474,3 +474,39 @@ def test_chunk_tokens_closed_form(ray_session):
     t2 = pa.table({"doc_id": [9], "text": ["p q r s"]})
     rows2 = chunk_tokens(t2, chunk_size=2).to_pylist()
     assert [(r["chunk_idx"], r["n_tokens"]) for r in rows2] == [(0, 2), (1, 2)]
+
+
+def test_hash_sample_block_empty_and_typed(ray_session):
+    """Regression for the round-1/2 driver crash: a block where NO row
+    samples must return a typed empty table, not ArrowNotImplementedError
+    from array_take(int64, null)."""
+    import hashlib
+
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        hash_sample_block,
+    )
+
+    # find doc_ids guaranteed NOT to sample (md5 prefix >= '1a')
+    misses = [d for d in range(200)
+              if hashlib.md5(str(d).encode()).hexdigest()[:2] >= "1a"][:50]
+    t = pa.table({"doc_id": pa.array(misses, pa.int64()),
+                  "text": ["x"] * len(misses)})
+    out = hash_sample_block(t)
+    assert out.num_rows == 0
+    assert out.schema.field("doc_id").type == pa.int64()
+
+    # and a mixed block matches the brute-force oracle
+    allids = list(range(500))
+    t2 = pa.table({"doc_id": pa.array(allids, pa.int64()),
+                   "text": ["x"] * len(allids)})
+    got = hash_sample_block(t2)["doc_id"].to_pylist()
+    want = [d for d in allids
+            if hashlib.md5(str(d).encode()).hexdigest()[:2] < "1a"]
+    assert got == want
+
+    # through Ray with tiny blocks so at least one block is all-miss
+    ds = ray.data.from_arrow(t).map_batches(
+        hash_sample_block, batch_format="pyarrow", batch_size=7,
+        zero_copy_batch=True,
+    )
+    assert ds.count() == 0
