@@ -645,7 +645,35 @@ def _q_kg_common_neighbors(sf_dir: str):
     return common_neighbor_counts(kg.stage(sf_dir, "edges"), min_common=2)
 
 
+# Queries the driver already hash-verified in round 2 (CORRECTNESS_r02.json).
+# The driver caps each round's CORRECTNESS run at the FIRST 50 dict entries,
+# so queries() rotates these to the back: the 77 never-driver-checked entries
+# come first and get driver-grade evidence this round (VERDICT r2, next #2).
+_DRIVER_CHECKED_R02 = frozenset({
+    "extract_mentions", "extract_triples", "link_mentions", "canonicalize",
+    "kg_edges", "kg_two_hop", "kg_triangles", "kg_pagerank", "kg_components",
+    "kg_comention", "conv_stats", "kg_common_neighbors", "kg_clustering",
+    "kg_surfaces", "kg_assortativity", "kg_reciprocity", "conv_role_patterns",
+    "conv_windows", "conv_response_time", "kg_nodes", "top_entities",
+    "kg_eval_triples", "kg_eval_mentions", "kg_eval_by_pred", "doc_stats",
+    "token_counts", "quality_filter", "lang_id", "doc_fingerprint",
+    "doc_winnow", "decontaminate", "redact", "vocab_encode", "token_bpe",
+    "dedup_exact", "dedup_minhash", "dedup_minhash_apply",
+    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_near",
+    "dedup_embedding", "dedup_embedding_lsh", "ann_topk", "ann_topk_ivf",
+    "knn_label", "multimodal_features", "multimodal_resize",
+    "multimodal_frames", "sessionize", "events_daily",
+})
+
+
 def queries() -> dict[str, Callable[[str], Any]]:
+    base = _queries_in_registration_order()
+    unchecked = {k: v for k, v in base.items() if k not in _DRIVER_CHECKED_R02}
+    checked = {k: v for k, v in base.items() if k in _DRIVER_CHECKED_R02}
+    return {**unchecked, **checked}
+
+
+def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
     return {
@@ -747,6 +775,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "latest_event": co.q_latest_event,
         "event_ranks": co.q_event_ranks,
         "profile_orders": co.q_profile_orders,
+        # rows-only: forced HLL cutover, estimate has no SQL mirror;
+        # the ±1.6% certificate is pytest-pinned
+        "profile_orders_sketch": co.q_profile_orders_sketch,
         "order_key_agg": co.q_order_key_agg,
         "moving_sum": co.q_moving_sum,
         "kg_degree_hist": co.q_kg_degree_hist,
@@ -1695,7 +1726,11 @@ def oracle_sql() -> dict[str, str]:
             FROM orders GROUP BY o_custkey
         """,
         "profile_orders": """
-            SELECT col, n_rows, n_null, n_distinct FROM (
+            -- distinct_exact mirrors the engine's HLL auto-cutover flag:
+            -- at oracle scale every block enumerates its distincts under
+            -- the cap, so the engine reports exact counts and TRUE
+            SELECT col, n_rows, n_null, n_distinct,
+                   TRUE AS distinct_exact FROM (
                 SELECT 'o_orderkey' AS col, count(*) AS n_rows,
                        count(*) - count(o_orderkey) AS n_null,
                        count(DISTINCT o_orderkey) AS n_distinct FROM orders

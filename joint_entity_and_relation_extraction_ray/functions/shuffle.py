@@ -142,17 +142,37 @@ def bucket_group_apply(
         ds, lambda t: t[key].combine_chunks(), num_buckets
     )
 
-    @ray.remote
+    @ray.remote(num_returns=2)
     def _reduce(*tables):
         tt = [t for t in tables if t.num_rows]
         if not tt:
-            return fn(schema.empty_table())
-        return fn(pa.concat_tables(tt, promote_options="default"))
+            out = fn(schema.empty_table())
+        else:
+            out = fn(pa.concat_tables(tt, promote_options="default"))
+        return out.num_rows, out
 
-    outs = [
+    pairs = [
         _reduce.remote(*[pb[p] for pb in per_block])
         for p in range(num_buckets)
     ]
+    return _dataset_from_reduce_pairs(pairs)
+
+
+def _dataset_from_reduce_pairs(pairs) -> ray.data.Dataset:
+    """Build the output Dataset from (num_rows_ref, table_ref) reduce
+    results, DROPPING 0-row buckets (keeping one typed empty if all are).
+
+    Empty buckets are produced with the callback's full output schema, but
+    Ray's Project/map operators pass 0-row blocks through UNTOUCHED, so a
+    downstream ``select_columns`` leaks the pre-projection schema on empty
+    blocks ("RefBundle with a different schema" — VERDICT r2 #3). Filtering
+    empties here makes every emitted block schema identical for any
+    consumer. The count fetch is a barrier across reduce tasks, which a
+    hash shuffle's consumers hit anyway."""
+    counts = ray.get([p[0] for p in pairs])
+    outs = [p[1] for p, c in zip(pairs, counts) if c]
+    if not outs:
+        outs = [pairs[0][1]]
     return ray.data.from_arrow_refs(outs)
 
 
@@ -176,7 +196,7 @@ def cobucket_apply(
     r_blocks, r_schema = _split_refs(right, right_bucket, num_buckets)
     nl = len(l_blocks)
 
-    @ray.remote
+    @ray.remote(num_returns=2)
     def _reduce(nl: int, *tables):
         lt = [t for t in tables[:nl] if t.num_rows]
         rt = [t for t in tables[nl:] if t.num_rows]
@@ -190,9 +210,10 @@ def cobucket_apply(
             if rt
             else r_schema.empty_table()
         )
-        return fn(ltbl, rtbl)
+        out = fn(ltbl, rtbl)
+        return out.num_rows, out
 
-    outs = [
+    pairs = [
         _reduce.remote(
             nl,
             *[pb[p] for pb in l_blocks],
@@ -200,7 +221,7 @@ def cobucket_apply(
         )
         for p in range(num_buckets)
     ]
-    return ray.data.from_arrow_refs(outs)
+    return _dataset_from_reduce_pairs(pairs)
 
 
 def with_bucket(

@@ -1402,6 +1402,21 @@ def q_profile_orders(sf_dir: str) -> ray.data.Dataset:
     return profile_columns(od, cols, num_buckets=8)
 
 
+def q_profile_orders_sketch(sf_dir: str) -> ray.data.Dataset:
+    """The profiler's near-unique-column SCALE path forced on: a tiny
+    ``value_cap`` makes every block overflow for the high-cardinality
+    columns, so their ``n_distinct`` is the merged-HLL ±1.6% estimate
+    (``distinct_exact=false``) and only sketch bytes shuffle, while the
+    low-cardinality o_orderstatus stays exact. Rows-only by design (the
+    estimate has no SQL mirror); the error bound is pytest-pinned
+    (tests/test_relational.py)."""
+    from ..stages.relational import profile_columns
+
+    cols = ["o_orderkey", "o_orderstatus", "o_totalprice"]
+    od = ray.data.read_parquet(f"{sf_dir}/orders.parquet", columns=cols)
+    return profile_columns(od, cols, num_buckets=8, value_cap=256)
+
+
 def q_order_key_agg(sf_dir: str) -> ray.data.Dataset:
     """string_agg shape: each customer's order keys, ascending, joined
     with ',' — see `stages/relational.group_string_agg`."""

@@ -35,29 +35,27 @@ def broadcast(obj):
     return ray.put(obj) if ray.is_initialized() else obj
 
 
-def extract_combined(
-    transcripts: ray.data.Dataset,
-    aliases: pa.Table,
+def scorer_map_kwargs(
+    gaz_ref,
     *,
     concurrency: int | None = None,
     batch_size: int = 512,
     num_gpus: float = 0,
     max_unit_chars: int | None = None,
-) -> ray.data.Dataset:
-    """A1: scorer actor pool over T0 → combined mention|triple rows.
-
-    ``num_gpus`` is the config knob for real-model deployments
-    (BASELINE.json:6 "GPU actor pool holding warm model replicas"); the
-    surrogate runs on CPU. ``max_unit_chars`` caps the model unit (M4) so
-    one mega-turn cannot blow up a batch.
-    """
+    encoder_factory=None,
+) -> dict:
+    """The exact ``map_batches`` kwargs for the scorer actor-pool stage —
+    factored out so tests can assert the plumbing (encoder seam +
+    ``num_gpus``) without running a pipeline. ``num_gpus`` > 0 makes each
+    scorer actor reserve that GPU fraction (warm-model replicas);
+    ``encoder_factory`` swaps the model without touching pipeline code."""
     from ..stages.scorer import MAX_UNIT_CHARS
 
-    gaz_ref = broadcast(gazetteer_from_alias_table(aliases))
     kwargs = dict(
         fn_constructor_kwargs={
             "gazetteer_ref": gaz_ref,
             "max_unit_chars": max_unit_chars or MAX_UNIT_CHARS,
+            "encoder_factory": encoder_factory,
         },
         batch_format="pyarrow",
         zero_copy_batch=True,
@@ -66,7 +64,39 @@ def extract_combined(
     )
     if num_gpus:
         kwargs["num_gpus"] = num_gpus
-    return transcripts.map_batches(TripleScorer, **kwargs)
+    return kwargs
+
+
+def extract_combined(
+    transcripts: ray.data.Dataset,
+    aliases: pa.Table,
+    *,
+    concurrency: int | None = None,
+    batch_size: int = 512,
+    num_gpus: float = 0,
+    max_unit_chars: int | None = None,
+    encoder_factory=None,
+) -> ray.data.Dataset:
+    """A1: scorer actor pool over T0 → combined mention|triple rows.
+
+    ``num_gpus`` is the config knob for real-model deployments
+    (BASELINE.json:6 "GPU actor pool holding warm model replicas"); the
+    surrogate runs on CPU. ``max_unit_chars`` caps the model unit (M4) so
+    one mega-turn cannot blow up a batch. ``encoder_factory`` is the
+    model seam — see :class:`..stages.scorer.TripleScorer`.
+    """
+    gaz_ref = broadcast(gazetteer_from_alias_table(aliases))
+    return transcripts.map_batches(
+        TripleScorer,
+        **scorer_map_kwargs(
+            gaz_ref,
+            concurrency=concurrency,
+            batch_size=batch_size,
+            num_gpus=num_gpus,
+            max_unit_chars=max_unit_chars,
+            encoder_factory=encoder_factory,
+        ),
+    )
 
 
 def mentions_of(combined: ray.data.Dataset) -> ray.data.Dataset:

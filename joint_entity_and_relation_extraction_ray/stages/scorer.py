@@ -92,26 +92,49 @@ class SurrogateEncoder:
         for cands in self._by_first.values():
             cands.sort(key=lambda c: -len(c[0]))
 
+    _norm_cache: dict[str, str] = {}
+    _NORM_CACHE_MAX = 1 << 17  # bounded: surfaces repeat heavily in chat
+
+    @classmethod
+    def _norm(cls, tok: str) -> str:
+        c = cls._norm_cache
+        v = c.get(tok)
+        if v is None:
+            if len(c) >= cls._NORM_CACHE_MAX:
+                c.clear()
+            v = c[tok] = normalize_surface(tok)
+        return v
+
     def forward(self, text: str):
         """→ (tokens_with_offsets, bio_tags, pair_scores)."""
         toks = tokenize_with_offsets(text)
-        norm = [normalize_surface(t) for t, _, _ in toks]
+        _n = self._norm
+        norm = [_n(t) for t, _, _ in toks]
         tags = ["O"] * len(toks)
+        # spans built inline during matching (identical to bio_decode(tags)
+        # by construction — matches ARE the B-/I- runs); skips a decode pass
+        spans: list[tuple[int, int, str]] = []
+        by_first = self._by_first
         i = 0
-        while i < len(toks):
+        n_toks = len(toks)
+        while i < n_toks:
             matched = 0
-            for cand, etype in self._by_first.get(norm[i], ()):  # longest first
-                n = len(cand)
-                if tuple(norm[i : i + n]) == cand:
-                    tags[i] = f"B-{etype}"
-                    for k in range(i + 1, i + n):
-                        tags[k] = f"I-{etype}"
-                    matched = n
-                    break
+            cands = by_first.get(norm[i])
+            if cands is not None:
+                for cand, etype in cands:  # longest first
+                    n = len(cand)
+                    if tuple(norm[i : i + n]) == cand:
+                        tags[i] = f"B-{etype}"
+                        for k in range(i + 1, i + n):
+                            tags[k] = f"I-{etype}"
+                        spans.append((i, i + n, etype))
+                        matched = n
+                        break
             i += matched if matched else 1
 
-        spans = bio_decode(tags)
         pair_scores: dict[tuple[int, int, str], float] = {}
+        if len(spans) < 2:
+            return toks, tags, pair_scores
         for a in range(len(spans)):
             for b in range(len(spans)):
                 if a == b:
@@ -129,6 +152,28 @@ class SurrogateEncoder:
         return toks, tags, pair_scores
 
 
+class AllCapsEncoder:
+    """Minimal second Encoder demonstrating the model seam's contract
+    (SURVEY.md §7.6): ``factory(gazetteer) -> encoder`` with
+    ``forward(text) -> (tokens_with_offsets, bio_tags, pair_scores)``.
+    Tags every ALL-CAPS alphabetic token as a Misc entity and emits no
+    relations — deliberately different behavior from
+    :class:`SurrogateEncoder`, so a swap is observable end-to-end.
+    Defined in the library (not a test module) because actor-pool workers
+    deserialize the factory BY REFERENCE and must be able to import it."""
+
+    def __init__(self, gazetteer):
+        self.n_aliases = len(gazetteer)  # state loads once per actor
+
+    def forward(self, text: str):
+        toks = tokenize_with_offsets(text)
+        tags = [
+            "B-Misc" if t.isupper() and t.isalpha() else "O"
+            for t, _, _ in toks
+        ]
+        return toks, tags, {}
+
+
 class TripleScorer:
     """Actor-pool batch scorer: T0 pyarrow batch → COMBINED pyarrow batch.
 
@@ -138,7 +183,17 @@ class TripleScorer:
     driver) or as a plain list (tests without Ray).
     """
 
-    def __init__(self, gazetteer_ref, max_unit_chars: int = MAX_UNIT_CHARS):
+    def __init__(
+        self,
+        gazetteer_ref,
+        max_unit_chars: int = MAX_UNIT_CHARS,
+        encoder_factory=None,
+    ):
+        """``encoder_factory`` is the model seam (SURVEY.md §7.6): any
+        callable ``factory(gazetteer) -> encoder`` whose encoder exposes
+        ``forward(text) -> (tokens_with_offsets, bio_tags, pair_scores)``
+        drops in — a warm torch BERT replica in production, the
+        deterministic surrogate here. Constructed ONCE per actor."""
         try:
             import ray
 
@@ -146,7 +201,8 @@ class TripleScorer:
                 gazetteer_ref = ray.get(gazetteer_ref)
         except ImportError:  # pure unit tests
             pass
-        self.encoder = SurrogateEncoder(gazetteer_ref)
+        factory = encoder_factory or SurrogateEncoder
+        self.encoder = factory(gazetteer_ref)
         self.max_unit_chars = max_unit_chars
 
     def __call__(self, batch: pa.Table) -> pa.Table:
@@ -155,26 +211,25 @@ class TripleScorer:
         texts = batch["text"].to_pylist()
         ts = batch["ts"].cast(pa.int64()).to_pylist()
 
-        cols: dict[str, list] = {name: [] for name in COMBINED.names}
-
-        def emit(kind, conv, turn, t_us, **kw):
-            cols["kind"].append(kind)
-            cols["conv_id"].append(conv)
-            cols["turn_idx"].append(turn)
-            cols["ts"].append(t_us)
-            for name in (
-                "mention_id", "start", "end", "surface", "ent_type",
-                "subj_mention_id", "obj_mention_id", "subj_surface", "pred",
-                "obj_surface", "score",
-            ):
-                cols[name].append(kw.get(name))
+        # columnar accumulation, mentions and triples in separate flat
+        # lists with DIRECT appends (the kwargs-dict emit closure was ~20%
+        # of scorer wall); the two groups concatenate into COMBINED at the
+        # end with typed null runs for the other kind's columns
+        m_conv, m_turn, m_ts = [], [], []
+        m_id, m_start, m_end, m_surf, m_type = [], [], [], [], []
+        t_conv, t_turn, t_ts = [], [], []
+        t_sid, t_oid, t_ssurf, t_pred, t_osurf, t_score = (
+            [], [], [], [], [], [],
+        )
+        forward = self.encoder.forward
+        max_chars = self.max_unit_chars
 
         for conv, turn, text, t_us in zip(conv_ids, turn_idxs, texts, ts):
             # M4: bounded model units; offsets stay relative to the
             # ORIGINAL text via the unit's base offset (split_units splits
             # only at whitespace, so token offsets shift exactly)
-            for base, sub in split_units(text, self.max_unit_chars):
-                toks, tags, pair_scores = self.encoder.forward(sub)
+            for base, sub in split_units(text, max_chars):
+                toks, tags, pair_scores = forward(sub)
                 spans = bio_decode(tags)
                 heads = threshold_heads(pair_scores)
                 triples = assemble_triples(spans, heads)
@@ -183,32 +238,57 @@ class TripleScorer:
                 for (s, e, etype) in spans:
                     c0, c1 = toks[s][1] + base, toks[e - 1][2] + base
                     span_char[(s, e)] = (c0, c1)
-                    emit(
-                        "mention", conv, turn, t_us,
-                        mention_id=mention_id(conv, turn, c0, c1),
-                        start=c0, end=c1, surface=text[c0:c1], ent_type=etype,
-                        score=_POS_SCORE,
-                    )
+                    m_conv.append(conv)
+                    m_turn.append(turn)
+                    m_ts.append(t_us)
+                    m_id.append(mention_id(conv, turn, c0, c1))
+                    m_start.append(c0)
+                    m_end.append(c1)
+                    m_surf.append(text[c0:c1])
+                    m_type.append(etype)
                 for (subj, rel, obj) in triples:
                     sc = span_char[(subj[0], subj[1])]
                     oc = span_char[(obj[0], obj[1])]
-                    emit(
-                        "triple", conv, turn, t_us,
-                        subj_mention_id=mention_id(conv, turn, *sc),
-                        obj_mention_id=mention_id(conv, turn, *oc),
-                        subj_surface=text[sc[0]:sc[1]], pred=rel,
-                        obj_surface=text[oc[0]:oc[1]],
-                        score=np.float32(
-                            pair_scores[(subj[1] - 1, obj[1] - 1, rel)]
-                        ),
+                    t_conv.append(conv)
+                    t_turn.append(turn)
+                    t_ts.append(t_us)
+                    t_sid.append(mention_id(conv, turn, *sc))
+                    t_oid.append(mention_id(conv, turn, *oc))
+                    t_ssurf.append(text[sc[0]:sc[1]])
+                    t_pred.append(rel)
+                    t_osurf.append(text[oc[0]:oc[1]])
+                    t_score.append(
+                        pair_scores[(subj[1] - 1, obj[1] - 1, rel)]
                     )
 
-        arrays = []
-        for field in COMBINED:
-            if field.name == "ts":
-                arrays.append(pa.array(cols["ts"], pa.int64()).cast(field.type))
-            else:
-                arrays.append(pa.array(cols[field.name], field.type))
+        nm, nt = len(m_conv), len(t_conv)
+
+        def _col(m_vals, t_vals, typ):
+            # None runs for the other kind's columns (same layout as the
+            # per-row emit produced)
+            return pa.array(
+                (m_vals if m_vals is not None else [None] * nm)
+                + (t_vals if t_vals is not None else [None] * nt),
+                typ,
+            )
+
+        arrays = [
+            _col(["mention"] * nm, ["triple"] * nt, pa.string()),
+            _col(m_conv, t_conv, pa.string()),
+            _col(m_turn, t_turn, pa.int32()),
+            _col(m_id, None, pa.string()),
+            _col(m_start, None, pa.int32()),
+            _col(m_end, None, pa.int32()),
+            _col(m_surf, None, pa.string()),
+            _col(m_type, None, pa.string()),
+            _col(None, t_sid, pa.string()),
+            _col(None, t_oid, pa.string()),
+            _col(None, t_ssurf, pa.string()),
+            _col(None, t_pred, pa.string()),
+            _col(None, t_osurf, pa.string()),
+            _col([_POS_SCORE] * nm, t_score, pa.float32()),
+            _col(m_ts, t_ts, pa.int64()).cast(pa.timestamp("us")),
+        ]
         return pa.Table.from_arrays(arrays, schema=COMBINED)
 
 

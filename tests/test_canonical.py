@@ -268,3 +268,62 @@ def test_contracted_big_label_path_matches_dict(ray_session, monkeypatch):
     b = dict(zip(base["member_id"], base["canonical_id"]))
     g = dict(zip(big["member_id"], big["canonical_id"]))
     assert b == g
+
+
+def test_cc_salting_spreads_hot_key(ray_session):
+    """VERDICT r2 #7: the Zipf-hub skew trigger. A celebrity entity
+    co-mentioned once per block with a DIFFERENT neighbor each time is
+    the shape that defeats the per-block combiner (each block still emits
+    a row for the hub, so the hub's reduce group grows with block count).
+    Salting by value-hash splits that group across reducers: with
+    num_salts=16 the hub's largest (key, salt) reduce group must shrink
+    by ≥4× vs num_salts=1 — and the CC labels are identical either way."""
+    import collections
+
+    from joint_entity_and_relation_extraction_ray.stages.canonical import (
+        _partial_min_combiner,
+    )
+
+    B = 256  # blocks; the hub appears once per block, diverse neighbors
+    hub = "zzz~hub"
+    blocks = [
+        pa.table(
+            {
+                "node": pa.array(
+                    [hub] + [f"bg{b}_{i}" for i in range(4)], pa.string()
+                ),
+                "label": pa.array(
+                    [f"l{b:05d}"] + [f"bg{b}_{i}" for i in range(4)],
+                    pa.string(),
+                ),
+            }
+        )
+        for b in range(B)
+    ]
+
+    def max_hub_group(num_salts: int) -> int:
+        comb = _partial_min_combiner("node", "label", num_salts)
+        parts = pa.concat_tables([comb(t) for t in blocks])
+        c = collections.Counter(
+            zip(parts["node"].to_pylist(), parts["salt"].to_pylist())
+        )
+        return max(n for (k, _), n in c.items() if k == hub)
+
+    unsalted = max_hub_group(1)
+    salted = max_hub_group(16)
+    assert unsalted == B  # the hub's group grows with block count
+    assert salted * 4 <= unsalted  # salting spreads it ≥4× (loose: ~16×)
+
+    # end-to-end: same fixpoint labels with and without salting
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "src": pa.array([hub] * B, pa.string()),
+                "dst": pa.array([f"l{b:05d}" for b in range(B)], pa.string()),
+            }
+        )
+    ).repartition(16)
+    for salts in (1, 16):
+        out = connected_components(edges, num_salts=salts).to_pandas()
+        assert set(out["label"]) == {"l00000"}
+        assert len(out) == B + 1

@@ -147,3 +147,68 @@ def test_cli_job_submit_entry(tmp_path):
     manifest = json.loads(out.stdout.strip().splitlines()[-1])
     assert manifest["stages"], manifest
     assert all(v is None or v >= 0 for v in manifest["stages"].values())
+
+
+def test_encoder_seam_swaps_without_pipeline_changes(ray_session):
+    """VERDICT r2 #6: a second Encoder implementation goes through
+    TripleScorer/extract_combined config only — no pipeline edits — and
+    num_gpus plumbs into the stage's map_batches kwargs."""
+    from joint_entity_and_relation_extraction_ray.pipelines.kg import (
+        extract_combined,
+        mentions_of,
+        scorer_map_kwargs,
+        to_table,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.scorer import (
+        AllCapsEncoder as _AllCapsEncoder,
+    )
+
+    aliases = pa.table(
+        {
+            "alias": pa.array(["acme corp"], pa.string()),
+            "ent_type": pa.array(["Org"], pa.string()),
+            "canonical_id": pa.array(["e1"], pa.string()),
+        }
+    )
+    transcripts = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["c1", "c1"], pa.string()),
+                "turn_idx": pa.array([0, 1], pa.int32()),
+                "text": pa.array(
+                    ["NASA launched from acme corp", "all lower here"],
+                    pa.string(),
+                ),
+                "ts": pa.array([0, 1], pa.timestamp("us")),
+            }
+        )
+    )
+
+    # default encoder: gazetteer match finds "acme corp", not NASA
+    default_out = to_table(
+        mentions_of(extract_combined(transcripts, aliases, concurrency=1))
+    )
+    assert set(default_out["surface"].to_pylist()) == {"acme corp"}
+
+    # swapped encoder: ALL-CAPS tagger finds NASA, not "acme corp"
+    swapped_out = to_table(
+        mentions_of(
+            extract_combined(
+                transcripts,
+                aliases,
+                concurrency=1,
+                encoder_factory=_AllCapsEncoder,
+            )
+        )
+    )
+    assert set(swapped_out["surface"].to_pylist()) == {"NASA"}
+    assert set(swapped_out["ent_type"].to_pylist()) == {"Misc"}
+
+    # num_gpus plumbs through to the actor-pool stage kwargs
+    kw = scorer_map_kwargs([], num_gpus=0.25, concurrency=2)
+    assert kw["num_gpus"] == 0.25
+    assert kw["concurrency"] == 2
+    assert kw["fn_constructor_kwargs"]["encoder_factory"] is None
+    kw2 = scorer_map_kwargs([], encoder_factory=_AllCapsEncoder)
+    assert "num_gpus" not in kw2  # CPU default reserves no GPU
+    assert kw2["fn_constructor_kwargs"]["encoder_factory"] is _AllCapsEncoder
