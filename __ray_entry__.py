@@ -645,32 +645,45 @@ def _q_kg_common_neighbors(sf_dir: str):
     return common_neighbor_counts(kg.stage(sf_dir, "edges"), min_common=2)
 
 
-# Queries the driver already hash-verified in round 2 (CORRECTNESS_r02.json).
-# The driver caps each round's CORRECTNESS run at the FIRST 50 dict entries,
-# so queries() rotates these to the back: the 77 never-driver-checked entries
-# come first and get driver-grade evidence this round (VERDICT r2, next #2).
-_DRIVER_CHECKED_R02 = frozenset({
-    "extract_mentions", "extract_triples", "link_mentions", "canonicalize",
-    "kg_edges", "kg_two_hop", "kg_triangles", "kg_pagerank", "kg_components",
-    "kg_comention", "conv_stats", "kg_common_neighbors", "kg_clustering",
-    "kg_surfaces", "kg_assortativity", "kg_reciprocity", "conv_role_patterns",
-    "conv_windows", "conv_response_time", "kg_nodes", "top_entities",
-    "kg_eval_triples", "kg_eval_mentions", "kg_eval_by_pred", "doc_stats",
-    "token_counts", "quality_filter", "lang_id", "doc_fingerprint",
-    "doc_winnow", "decontaminate", "redact", "vocab_encode", "token_bpe",
-    "dedup_exact", "dedup_minhash", "dedup_minhash_apply",
-    "dedup_ngram_jaccard", "dedup_simhash", "dedup_simhash_near",
-    "dedup_embedding", "dedup_embedding_lsh", "ann_topk", "ann_topk_ivf",
-    "knn_label", "multimodal_features", "multimodal_resize",
-    "multimodal_frames", "sessionize", "events_daily",
-})
+def _driver_verified_rounds() -> dict[str, int]:
+    """Per-query LAST round with a green driver CORRECTNESS row, read from
+    the repo's CORRECTNESS_r*.json files. The driver caps each round's run
+    at the FIRST 50 dict entries, so queries() orders by least-recently-
+    verified: never-checked queries come first and get driver-grade
+    evidence; long-green ones rotate to the back (VERDICT r2, next #2)."""
+    import glob as _glob
+    import json as _json
+    import os as _os
+    import re as _re
+
+    here = _os.path.dirname(_os.path.abspath(__file__))
+    last: dict[str, int] = {}
+    for path in sorted(_glob.glob(_os.path.join(here, "CORRECTNESS_r*.json"))):
+        m = _re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        if not m:
+            continue
+        rnd = int(m.group(1))
+        try:
+            rows = _json.load(open(path))
+        except (OSError, ValueError):
+            continue
+        for name, row in rows.items():
+            ok = isinstance(row, dict) and (
+                row.get("hash_match") is True
+                or (row.get("err") == "no_oracle" and row.get("spark_rows"))
+            )
+            if ok:
+                last[name] = max(last.get(name, 0), rnd)
+    return last
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
     base = _queries_in_registration_order()
-    unchecked = {k: v for k, v in base.items() if k not in _DRIVER_CHECKED_R02}
-    checked = {k: v for k, v in base.items() if k in _DRIVER_CHECKED_R02}
-    return {**unchecked, **checked}
+    seen = _driver_verified_rounds()
+    order = sorted(
+        base, key=lambda k: (seen.get(k, 0), list(base).index(k))
+    )
+    return {k: base[k] for k in order}
 
 
 def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:

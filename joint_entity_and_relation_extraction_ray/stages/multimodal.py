@@ -36,24 +36,48 @@ MEDIA_SCHEMA = pa.schema(
 FEATURE_DIM = 8
 
 
-def decode_image(payload: bytes, *, fake: bool = False) -> np.ndarray:
-    """Seam for a real image decoder (PIL/cv2 not installed here)."""
+def decode_image(payload: bytes, *, fake: bool = False, codec=None) -> np.ndarray:
+    """Seam for a real image decoder (PIL/cv2 not installed here).
+
+    ``codec`` is the injection point: any ``codec(payload: bytes) ->
+    np.ndarray`` (e.g. ``lambda p: np.asarray(PIL.Image.open(BytesIO(p)))``)
+    plugs the real library in without touching pipeline code — contract
+    pinned by tests/test_corpus_ops.py."""
+    if codec is not None:
+        return np.asarray(codec(payload))
     if not fake:
         raise NotImplementedError(
             "no image codec in this environment; pass fake=True for the "
-            "deterministic surrogate"
+            "deterministic surrogate or codec=<fn> for a real decoder"
         )
     return _fake_features(payload)
 
 
-def decode_audio(payload: bytes, *, fake: bool = False) -> np.ndarray:
-    """Seam for a real audio decoder (soundfile/librosa not installed)."""
+def decode_audio(payload: bytes, *, fake: bool = False, codec=None) -> np.ndarray:
+    """Seam for a real audio decoder (soundfile/librosa not installed).
+    ``codec`` injects the real library — see :func:`decode_image`."""
+    if codec is not None:
+        return np.asarray(codec(payload))
     if not fake:
         raise NotImplementedError(
             "no audio codec in this environment; pass fake=True for the "
-            "deterministic surrogate"
+            "deterministic surrogate or codec=<fn> for a real decoder"
         )
     return _fake_features(payload)
+
+
+def pooled_features(decoded: np.ndarray) -> np.ndarray:
+    """Decoded array (any shape/dtype a codec emits) → unit-norm
+    ``FEATURE_DIM`` pooling: flatten, zero-pad to a multiple of
+    FEATURE_DIM, chunk-mean. The post-decode half of the featurizer —
+    closed-form so codec-injection tests can assert exact values."""
+    flat = np.asarray(decoded, dtype=np.float64).ravel()
+    pad = (-len(flat)) % FEATURE_DIM
+    if pad:
+        flat = np.concatenate([flat, np.zeros(pad)])
+    v = flat.reshape(FEATURE_DIM, -1).mean(axis=1)
+    n = np.linalg.norm(v)
+    return v / (n if n else 1.0)
 
 
 def _fake_features(payload: bytes) -> np.ndarray:
@@ -72,14 +96,23 @@ class PayloadFeaturizer:
     (warm replica per actor) — exactly the TripleScorer pattern.
     """
 
-    def __init__(self, use_fake_decoder: bool = True):
+    def __init__(self, use_fake_decoder: bool = True, decoder=None):
+        """``decoder`` is the real-codec injection seam: any
+        ``decoder(payload: bytes) -> np.ndarray`` (decoded pixels /
+        samples); its output is pooled with :func:`pooled_features`.
+        Loaded once per actor — a heavyweight codec/model initializes
+        here, exactly the TripleScorer warm-replica pattern."""
         self.use_fake = use_fake_decoder
+        self.decoder = decoder
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         payloads = batch["payload"].to_pylist()
-        feats = [_fake_features(p) for p in payloads] if self.use_fake else [
-            decode_image(p) for p in payloads
-        ]
+        if self.decoder is not None:
+            feats = [pooled_features(self.decoder(p)) for p in payloads]
+        elif self.use_fake:
+            feats = [_fake_features(p) for p in payloads]
+        else:
+            feats = [decode_image(p) for p in payloads]
         return pa.table(
             {
                 "media_id": batch["media_id"],
@@ -100,14 +133,20 @@ def featurize(
     *,
     concurrency: int = 4,
     batch_size: int = 64,
+    decoder=None,
 ) -> ray.data.Dataset:
-    """Run the featurizer actor pool over a MEDIA_SCHEMA dataset."""
+    """Run the featurizer actor pool over a MEDIA_SCHEMA dataset.
+    ``decoder`` injects a real codec (see :class:`PayloadFeaturizer`)."""
+    kwargs = {}
+    if decoder is not None:
+        kwargs["fn_constructor_kwargs"] = {"decoder": decoder}
     return media.map_batches(
         PayloadFeaturizer,
         batch_format="pyarrow",
         zero_copy_batch=True,
         batch_size=batch_size,
         concurrency=concurrency,
+        **kwargs,
     )
 
 
