@@ -736,6 +736,10 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "ann_topk": co.q_ann_topk,
         "ann_topk_ivf": co.q_ann_topk_ivf,  # rows-only (approx)
         "knn_label": co.q_knn_label,
+        "embed_probe_assign": co.q_embed_probe_assign,
+        # rows-only: float centroid sums are reduction-order-dependent;
+        # cluster-recovery contract is pytest-pinned
+        "embed_kmeans": co.q_embed_kmeans,
         "multimodal_features": co.q_multimodal_features,
         "multimodal_resize": co.q_multimodal_resize,
         "multimodal_frames": co.q_multimodal_frames,
@@ -2501,6 +2505,36 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY qid ORDER BY c DESC, nid) AS rank
                 FROM s)
             WHERE rank <= 5
+        """,
+        # codebook assignment is integer-exact end-to-end: quantize to
+        # floor(x*1000 + 0.5) int64 (both engines compute this in IEEE
+        # double, identically), then ±1 probe dot products are exact
+        # integer sums in any order — argmax with lowest-probe tie-break
+        "embed_probe_assign": """
+            WITH x AS (
+                SELECT vec_id,
+                       generate_subscripts(embedding, 1) - 1 AS idx,
+                       CAST(floor(CAST(unnest(embedding) AS DOUBLE)
+                                  * 1000 + 0.5) AS BIGINT) AS xq
+                FROM embeddings),
+            s AS (
+                SELECT vec_id,
+                       CAST(SUM(CASE WHEN (idx >> 0) & 1 = 0
+                                THEN xq ELSE -xq END) AS BIGINT) AS s0,
+                       CAST(SUM(CASE WHEN (idx >> 1) & 1 = 0
+                                THEN xq ELSE -xq END) AS BIGINT) AS s1,
+                       CAST(SUM(CASE WHEN (idx >> 2) & 1 = 0
+                                THEN xq ELSE -xq END) AS BIGINT) AS s2,
+                       CAST(SUM(CASE WHEN (idx >> 3) & 1 = 0
+                                THEN xq ELSE -xq END) AS BIGINT) AS s3
+                FROM x GROUP BY vec_id)
+            SELECT vec_id,
+                   CASE WHEN s0 >= s1 AND s0 >= s2 AND s0 >= s3 THEN 0
+                        WHEN s1 >= s2 AND s1 >= s3 THEN 1
+                        WHEN s2 >= s3 THEN 2
+                        ELSE 3 END AS cluster,
+                   GREATEST(s0, s1, s2, s3) AS score
+            FROM s
         """,
         "knn_label": """
             WITH q AS (

@@ -233,6 +233,24 @@ def q_ann_topk_ivf(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_embed_probe_assign(sf_dir: str) -> ray.data.Dataset:
+    """Nearest-fixed-centroid (codebook) assignment: every vector routed
+    to its best ±1 probe direction over int64-quantized coordinates —
+    EXACT integer arithmetic end-to-end, so the oracle is hash-exact in
+    any engine (see `stages/similarity.fixed_probe_assign`)."""
+    return similarity.fixed_probe_assign(read_embeddings(sf_dir))
+
+
+def q_embed_kmeans(sf_dir: str) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means assignments (k=4, 3 rounds, broadcast
+    centroids, per-block partial sums — the corpus never shuffles).
+    Rows-only: centroid floats are reduction-order-dependent in the last
+    ulps; cluster-recovery quality is pytest-pinned
+    (tests/test_corpus_ops.py)."""
+    _, assigns = similarity.kmeans(read_embeddings(sf_dir), k=4, iters=3)
+    return assigns
+
+
 # --- multimodal (stubbed decode, real plumbing) ----------------------------
 
 

@@ -335,3 +335,172 @@ def embedding_dim_stats(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, "dim", _merge, num_buckets=num_buckets)
+
+
+# --- clustering -------------------------------------------------------------
+
+
+def probe_matrix(n_probes: int, dim: int) -> np.ndarray:
+    """Deterministic ±1 probe (centroid) matrix: probe j's coordinate i is
+    +1 when bit j of i is 0, else −1 — equal-norm Hadamard-style rows, so
+    argmax dot == argmax cosine. Integer-valued by construction."""
+    i = np.arange(dim)
+    return np.stack(
+        [np.where((i >> j) & 1 == 0, 1, -1) for j in range(n_probes)]
+    ).astype(np.int64)
+
+
+def fixed_probe_assign(
+    emb: ray.data.Dataset, *, n_probes: int = 4, scale: int = 1000
+) -> ray.data.Dataset:
+    """Assign every vector to its nearest fixed ±1 probe direction —
+    (vec_id, cluster, score) where score is the winning INTEGER dot
+    product. Vectors quantize to ``floor(x*scale + 0.5)`` int64 first, so
+    the entire computation is exact integer arithmetic — bit-identical in
+    any engine and reduction order (the oracle-safety rule: no float
+    arithmetic through the compare). Ties break to the lowest probe id.
+
+    The vector-quantization / nearest-fixed-centroid primitive (product-
+    quantization codebook assignment, routing embeddings to IVF lists
+    whose centroids shipped with the model). Stateless vectorized map:
+    one integer matmul per block, nothing shuffles."""
+
+    def _assign(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.int64()),
+                }
+            )
+        q = np.floor(m * scale + 0.5).astype(np.int64)
+        p = probe_matrix(n_probes, q.shape[1])
+        s = q @ p.T  # (B, n_probes) exact int64
+        cl = np.argmax(s, axis=1)  # FIRST maximum → lowest probe id
+        return pa.table(
+            {
+                "vec_id": t["vec_id"].cast(pa.int64()),
+                "cluster": pa.array(cl.astype(np.int64)),
+                "score": pa.array(s[np.arange(len(cl)), cl]),
+            }
+        )
+
+    return emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def kmeans(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 5,
+    id_col: str = "vec_id",
+) -> tuple[np.ndarray, ray.data.Dataset]:
+    """Distributed Lloyd's k-means over the embedding column →
+    (centroids ndarray, assignments Dataset ``(vec_id, cluster)``).
+
+    The iterative-algorithm pattern (SURVEY §2.2 CC family, applied to
+    floats): centroids BROADCAST via ``ray.put`` each round; each block
+    emits k partial rows (cluster, count, float64 coordinate sums) — the
+    corpus never shuffles and never leaves the object store; the driver
+    folds k×blocks tiny partials into new centroids (empty clusters keep
+    their previous centroid). Init is deterministic: the k vectors with
+    the smallest stable hash of ``vec_id`` (layout-independent seeding).
+    Centroid floats are reduction-order-dependent in the last ulps, so
+    queries over this op are rows-only; cluster RECOVERY on separated
+    data is the pytest-pinned contract."""
+    from ..schema import stable_hash64
+
+    def _seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = stable_hash64(ids)
+        top = np.argsort(h, kind="stable")[:k]
+        return pa.table(
+            {
+                "h": pa.array(h[top].astype(np.uint64), pa.uint64()),
+                "embedding": t["embedding"].take(
+                    pa.array(top, pa.int64())
+                ),
+            }
+        )
+
+    seeds = emb.select_columns([id_col, "embedding"]).map_batches(
+        _seed_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).to_pandas()  # ≤ k × blocks small rows — documented tiny collect
+    seeds = seeds.sort_values("h").head(k)
+    centroids = np.array(list(seeds["embedding"]), dtype=np.float64)
+
+    for _ in range(iters):
+        ref = (
+            ray.put(centroids) if ray.is_initialized() else centroids
+        )
+
+        def _partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            kk, d = c.shape
+            if m.size == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            # ||x-c||² argmin == argmax(c·x − ||c||²/2): one matmul
+            s = m @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)
+            a = np.argmin(-s, axis=1)
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            sums = np.zeros((kk, d))
+            np.add.at(sums, a, m)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "vsum": pa.array(sums.tolist(), pa.list_(pa.float64())),
+                }
+            )
+
+        parts = emb.select_columns(["embedding"]).map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        ).to_pandas()  # k × blocks tiny rows
+        new = centroids.copy()
+        for cl, grp in parts.groupby("cluster"):
+            n = int(grp["n"].sum())
+            if n:
+                new[cl] = np.sum(
+                    np.stack([np.asarray(v) for v in grp["vsum"]]), axis=0
+                ) / n
+        centroids = new
+
+    final_ref = ray.put(centroids) if ray.is_initialized() else centroids
+
+    def _assign(t: pa.Table) -> pa.Table:
+        c = (
+            ray.get(final_ref)
+            if isinstance(final_ref, ray.ObjectRef)
+            else final_ref
+        )
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        if m.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        s = m @ c.T - 0.5 * np.einsum("ij,ij->i", c, c)
+        return pa.table(
+            {
+                "vec_id": t[id_col].cast(pa.int64()),
+                "cluster": pa.array(np.argmax(s, axis=1).astype(np.int64)),
+            }
+        )
+
+    assigns = emb.select_columns([id_col, "embedding"]).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return centroids, assigns

@@ -558,3 +558,78 @@ def test_codec_injection_contract(ray_session):
     assert decode_audio(payloads[0], codec=shim_codec).shape == (8, 4)
     with pytest.raises(NotImplementedError):
         decode_image(payloads[0])
+
+
+def test_kmeans_recovers_planted_clusters(ray_session):
+    """Lloyd's over 4 well-separated planted blobs must recover the exact
+    partition (assignment-label permutation aside) and keep centroids
+    near blob means; init is deterministic across block layouts."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    centers = np.eye(4).repeat(4, axis=1) * 10.0  # 4 blobs in 16-dim
+    vecs, truth = [], []
+    for c in range(4):
+        for _ in range(40):
+            vecs.append(centers[c] + rng.normal(0, 0.1, 16))
+            truth.append(c)
+    ids = list(range(len(vecs)))
+    t = pa.table(
+        {
+            "vec_id": pa.array(ids, pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    cents, assigns = similarity.kmeans(
+        ray.data.from_arrow(t).repartition(8), k=4, iters=6
+    )
+    df = assigns.to_pandas().sort_values("vec_id")
+    got = list(df["cluster"])
+    # exact recovery: each planted blob maps to ONE distinct output label
+    mapping = {}
+    for g, tr in zip(got, truth):
+        mapping.setdefault(tr, set()).add(g)
+    assert all(len(v) == 1 for v in mapping.values())
+    assert len({next(iter(v)) for v in mapping.values()}) == 4
+    # centroids land on blob means (tolerance >> within-blob noise)
+    for c in range(4):
+        d = np.min(np.linalg.norm(cents - centers[c], axis=1))
+        assert d < 0.5
+
+    # layout-independent deterministic seeding: same init at 1 block
+    cents2, _ = similarity.kmeans(
+        ray.data.from_arrow(t).repartition(1), k=4, iters=6
+    )
+    assert np.allclose(np.sort(cents, axis=0), np.sort(cents2, axis=0), atol=1e-6)
+
+
+def test_fixed_probe_assign_matches_bruteforce(ray_session):
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.similarity import (
+        fixed_probe_assign,
+        probe_matrix,
+    )
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(0, 0.3, (50, 64))
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(50), pa.int64()),
+            "embedding": pa.array(
+                [v.tolist() for v in vecs.astype(np.float32)],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = (
+        fixed_probe_assign(ray.data.from_arrow(t).repartition(4))
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    q = np.floor(vecs.astype(np.float32).astype(np.float64) * 1000 + 0.5).astype(np.int64)
+    s = q @ probe_matrix(4, 64).T
+    assert list(out["cluster"]) == list(np.argmax(s, axis=1))
+    assert list(out["score"]) == list(s[np.arange(50), np.argmax(s, axis=1)])
