@@ -185,22 +185,34 @@ class TripleScorer:
 
     def __init__(
         self,
-        gazetteer_ref,
+        gazetteer_ref=None,
         max_unit_chars: int = MAX_UNIT_CHARS,
         encoder_factory=None,
+        checkpoint_path: str | None = None,
     ):
         """``encoder_factory`` is the model seam (SURVEY.md §7.6): any
         callable ``factory(gazetteer) -> encoder`` whose encoder exposes
         ``forward(text) -> (tokens_with_offsets, bio_tags, pair_scores)``
         drops in — a warm torch BERT replica in production, the
-        deterministic surrogate here. Constructed ONCE per actor."""
-        try:
-            import ray
+        deterministic surrogate here. Constructed ONCE per actor.
 
-            if isinstance(gazetteer_ref, ray.ObjectRef):
-                gazetteer_ref = ray.get(gazetteer_ref)
-        except ImportError:  # pure unit tests
-            pass
+        ``checkpoint_path`` (R12) loads the model state from a saved
+        checkpoint directory instead of a broadcast gazetteer — digest-
+        verified in :func:`load_model_checkpoint`, once per actor."""
+        if checkpoint_path is not None:
+            ck = load_model_checkpoint(checkpoint_path)
+            gazetteer_ref = ck["gazetteer"]
+            max_unit_chars = ck["config"].get(
+                "max_unit_chars", max_unit_chars
+            )
+        else:
+            try:
+                import ray
+
+                if isinstance(gazetteer_ref, ray.ObjectRef):
+                    gazetteer_ref = ray.get(gazetteer_ref)
+            except ImportError:  # pure unit tests
+                pass
         factory = encoder_factory or SurrogateEncoder
         self.encoder = factory(gazetteer_ref)
         self.max_unit_chars = max_unit_chars
@@ -300,6 +312,91 @@ def split_mentions(combined: pa.Table) -> pa.Table:
 def split_triples(combined: pa.Table) -> pa.Table:
     t = combined.filter(pc.equal(combined["kind"], "triple"))
     return t.select(TRIPLES.names).cast(TRIPLES)
+
+
+MODEL_FORMAT_VERSION = 1
+
+
+def save_model_checkpoint(
+    path,
+    gazetteer: list[tuple[str, str]],
+    *,
+    max_unit_chars: int = MAX_UNIT_CHARS,
+    extra_config: dict | None = None,
+) -> str:
+    """R12 model-checkpoint SAVE: persist the scorer's model state (the
+    gazetteer here; tokenizer + weight blobs for a real encoder) as a
+    directory — ``gazetteer.parquet`` + ``model.json`` with a content
+    digest. Returns the digest. The layout is the swap-in point for a
+    torch checkpoint: weights would sit beside the parquet as an opaque
+    blob named in ``model.json``."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    os.makedirs(path, exist_ok=True)
+    gaz = pa.table(
+        {
+            "surface": pa.array([g[0] for g in gazetteer], pa.string()),
+            "ent_type": pa.array([g[1] for g in gazetteer], pa.string()),
+        }
+    )
+    gpath = os.path.join(path, "gazetteer.parquet")
+    pq.write_table(gaz, gpath)
+    digest = hashlib.sha256()
+    with open(gpath, "rb") as f:
+        digest.update(f.read())
+    config = {
+        "format_version": MODEL_FORMAT_VERSION,
+        "max_unit_chars": max_unit_chars,
+        "encoder": "SurrogateEncoder",
+        **(extra_config or {}),
+    }
+    digest.update(json.dumps(config, sort_keys=True).encode())
+    config["digest"] = digest.hexdigest()
+    tmp = os.path.join(path, "model.json.tmp")
+    with open(tmp, "w") as f:
+        json.dump(config, f, sort_keys=True, indent=1)
+    os.replace(tmp, os.path.join(path, "model.json"))  # atomic publish
+    return config["digest"]
+
+
+def load_model_checkpoint(path) -> dict:
+    """R12 model-checkpoint LOAD: verify the content digest, return
+    ``{"gazetteer": [...], "config": {...}}``. Raises ``ValueError`` on a
+    corrupt or version-incompatible checkpoint — an actor must die loudly
+    rather than score with half a model. Each actor calls this ONCE in
+    ``__init__`` (model artifacts live on shared storage at scale)."""
+    import hashlib
+    import json
+    import os
+
+    import pyarrow.parquet as pq
+
+    with open(os.path.join(path, "model.json")) as f:
+        config = json.load(f)
+    if config.get("format_version") != MODEL_FORMAT_VERSION:
+        raise ValueError(
+            f"model checkpoint format {config.get('format_version')!r} "
+            f"!= supported {MODEL_FORMAT_VERSION}"
+        )
+    want = config.pop("digest", None)
+    digest = hashlib.sha256()
+    gpath = os.path.join(path, "gazetteer.parquet")
+    with open(gpath, "rb") as f:
+        digest.update(f.read())
+    digest.update(json.dumps(config, sort_keys=True).encode())
+    if digest.hexdigest() != want:
+        raise ValueError(f"model checkpoint digest mismatch under {path}")
+    gaz = pq.read_table(gpath)
+    return {
+        "gazetteer": list(
+            zip(gaz["surface"].to_pylist(), gaz["ent_type"].to_pylist())
+        ),
+        "config": config,
+    }
 
 
 def gazetteer_from_alias_table(aliases: pa.Table) -> list[tuple[str, str]]:

@@ -212,3 +212,70 @@ def test_encoder_seam_swaps_without_pipeline_changes(ray_session):
     kw2 = scorer_map_kwargs([], encoder_factory=_AllCapsEncoder)
     assert "num_gpus" not in kw2  # CPU default reserves no GPU
     assert kw2["fn_constructor_kwargs"]["encoder_factory"] is _AllCapsEncoder
+
+
+def test_model_checkpoint_roundtrip(ray_session, tmp_path):
+    """R12: save/load the scorer's model state as a digest-verified
+    checkpoint directory; an actor pool constructed from the checkpoint
+    scores identically to one built from the broadcast gazetteer; a
+    tampered checkpoint refuses to load."""
+    import json
+
+    from joint_entity_and_relation_extraction_ray.pipelines.kg import (
+        extract_combined,
+        mentions_of,
+        scorer_map_kwargs,
+        to_table,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.scorer import (
+        TripleScorer,
+        load_model_checkpoint,
+        save_model_checkpoint,
+    )
+
+    gaz = [("acme corp", "Org"), ("jane doe", "Peop")]
+    ck = tmp_path / "model_ck"
+    digest = save_model_checkpoint(str(ck), gaz, max_unit_chars=4096)
+    loaded = load_model_checkpoint(str(ck))
+    assert loaded["gazetteer"] == gaz
+    assert loaded["config"]["max_unit_chars"] == 4096
+    assert len(digest) == 64
+
+    # identical scoring through the actor pool, state loaded per actor
+    transcripts = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array(["c"], pa.string()),
+                "turn_idx": pa.array([0], pa.int32()),
+                "text": pa.array(
+                    ["jane doe works for acme corp"], pa.string()
+                ),
+                "ts": pa.array([0], pa.timestamp("us")),
+            }
+        )
+    )
+    kw = scorer_map_kwargs([], concurrency=1)
+    kw["fn_constructor_kwargs"] = {"checkpoint_path": str(ck)}
+    from_ck = to_table(
+        mentions_of(transcripts.map_batches(TripleScorer, **kw))
+    )
+    assert set(from_ck["surface"].to_pylist()) == {"jane doe", "acme corp"}
+    # unit cap came from the checkpoint config
+    assert TripleScorer(checkpoint_path=str(ck)).max_unit_chars == 4096
+
+    # corruption: flip a byte in the gazetteer -> loud refusal
+    g = ck / "gazetteer.parquet"
+    raw = bytearray(g.read_bytes())
+    raw[len(raw) // 2] ^= 0xFF
+    g.write_bytes(bytes(raw))
+    with pytest.raises(ValueError, match="digest mismatch"):
+        load_model_checkpoint(str(ck))
+
+    # version gate
+    ck2 = tmp_path / "model_ck2"
+    save_model_checkpoint(str(ck2), gaz)
+    meta = json.loads((ck2 / "model.json").read_text())
+    meta["format_version"] = 999
+    (ck2 / "model.json").write_text(json.dumps(meta))
+    with pytest.raises(ValueError, match="format"):
+        load_model_checkpoint(str(ck2))
