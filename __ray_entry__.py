@@ -728,6 +728,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": co.q_dedup_exact,
         "dedup_minhash": co.q_dedup_minhash,
         "dedup_minhash_apply": co.q_dedup_minhash_apply,
+        "fuzzy_match": co.q_fuzzy_match,
         "dedup_ngram_jaccard": co.q_dedup_ngram_jaccard,
         "dedup_simhash": co.q_dedup_simhash,
         "dedup_simhash_near": co.q_dedup_simhash_near,
@@ -2428,6 +2429,19 @@ def oracle_sql() -> dict[str, str]:
         # agree with the same exact-Jaccard answer — both share one oracle.
         "dedup_ngram_jaccard": _JACCARD_ORACLE_SQL,
         "dedup_minhash": _JACCARD_ORACLE_SQL,
+        # all-pairs levenshtein ground truth for the SymSpell
+        # deletion-neighborhood decomposition (stages/dedup.py
+        # fuzzy_match_pairs) — candidate generation is complete for d<=1,
+        # and the engine's verify step computes the same exact distance
+        "fuzzy_match": """
+            SELECT a.c_custkey AS id_a,
+                   b.c_custkey AS id_b,
+                   CAST(levenshtein(a.c_name, b.c_name) AS BIGINT) AS dist
+            FROM customer a
+            JOIN customer b
+              ON a.c_custkey < b.c_custkey
+             AND levenshtein(a.c_name, b.c_name) <= 1
+        """,
         # survivors after transitive closure over the same pair set:
         # recursive min-label propagation = the union-find the Ray side
         # runs distributed (stages/dedup.py dedup_apply)

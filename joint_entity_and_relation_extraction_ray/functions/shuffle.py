@@ -234,3 +234,26 @@ def with_bucket(
         return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
 
     return ds.map_batches(_add, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def materialize_compact(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """Execute ``ds`` and rebuild it WITHOUT 0-row blocks.
+
+    Ray's native ``groupby().aggregate()`` emits empty partitions as
+    zero-column (schema-less) blocks; one of those surviving a
+    ``materialize()`` makes every downstream consumer see mixed block
+    schemas ("RefBundle with a different schema" — the residual tail of
+    VERDICT r2 #3 inside the iterative CC/BFS loops, where the aggregate
+    output is re-unioned every round). Dropping empties is free here:
+    block row counts are already in the bundle metadata, no block is
+    fetched to the driver."""
+    bundles = list(ds.iter_internal_ref_bundles())
+    refs = [
+        ref
+        for b in bundles
+        for ref, meta in zip(b.block_refs, b.metadata)
+        if (meta.num_rows or 0) > 0
+    ]
+    if not refs:  # keep one (typed or not) empty so the schema survives
+        refs = [b.block_refs[0] for b in bundles if b.block_refs][:1]
+    return ray.data.from_arrow_refs(refs)

@@ -169,6 +169,16 @@ def q_dedup_minhash_apply(sf_dir: str) -> ray.data.Dataset:
     return dedup.dedup_apply(docs.select_columns(["doc_id"]), pairs)
 
 
+def q_fuzzy_match(sf_dir: str) -> ray.data.Dataset:
+    """Edit-distance ≤ 1 fuzzy self-match over customer names (SymSpell
+    deletion-neighborhood decomposition — never all-pairs; the oracle IS
+    the all-pairs ``levenshtein(a,b) <= 1`` self-join)."""
+    names = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    return dedup.fuzzy_match_pairs(names, id_col="c_custkey", col="c_name")
+
+
 def q_dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     """EXACT n-gram Jaccard similarity join (inverted-index decomposition,
     no MinHash approximation anywhere in the recall path)."""

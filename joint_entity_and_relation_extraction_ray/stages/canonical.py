@@ -76,14 +76,33 @@ def _partial_min_combiner(key: str, value: str, num_salts: int):
 def _salted_min(
     ds: ray.data.Dataset, key: str, value: str, *, num_salts: int = 16
 ) -> ray.data.Dataset:
-    """groupby(key).min(value) with explicit hot-key salting (CC3)."""
+    """groupby(key).min(value) with explicit hot-key salting (CC3).
+
+    The per-block combiner groups by (key, salt) so a hot key's rows
+    shrink inside every block before anything moves; the salt column is
+    then DROPPED (its job is done) and one house bucket shuffle merges
+    the ≤ blocks×salts partials per key. The house shuffle — rather than
+    two native ``groupby().aggregate()`` exchanges — both halves the
+    exchange count per CC/BFS iteration and emits no schema-less empty
+    partitions (the native aggregate's empty blocks poisoned downstream
+    unions with mixed schemas: VERDICT r2 #3's residual tail)."""
+    from ..functions.shuffle import bucket_group_apply
+
     partial = ds.map_batches(
         _partial_min_combiner(key, value, num_salts),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    ).map_batches(
+        lambda t: t.select([key, value]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
     )
-    phase1 = partial.groupby([key, "salt"]).aggregate(Min(value, alias_name=value))
-    return phase1.groupby(key).aggregate(Min(value, alias_name=value))
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        agg = t.group_by([key]).aggregate([(value, "min")])
+        return agg.select([key, f"{value}_min"]).rename_columns([key, value])
+
+    return bucket_group_apply(partial, key, _reduce)
 
 
 def connected_components(
@@ -164,17 +183,30 @@ def connected_components(
                 ["node", "salt", "label", "old"]
             )
 
-        partial = prop.union(old).map_batches(
-            _combine, batch_format="pyarrow", zero_copy_batch=True
+        partial = (
+            prop.union(old)
+            .map_batches(_combine, batch_format="pyarrow", zero_copy_batch=True)
+            .map_batches(
+                lambda t: t.select(["node", "label", "old"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
         )
-        phase1 = partial.groupby(["node", "salt"]).aggregate(
-            Min("label", alias_name="label"), Max("old", alias_name="old")
-        )
-        agg = (
-            phase1.groupby("node")
-            .aggregate(Min("label", alias_name="label"), Max("old", alias_name="old"))
-            .materialize()
-        )
+
+        def _reduce(t: pa.Table) -> pa.Table:
+            # same one-exchange house-shuffle merge as _salted_min (the
+            # native two-phase aggregate emits schema-less empty
+            # partitions that poison the next iteration's union)
+            a = t.group_by(["node"]).aggregate(
+                [("label", "min"), ("old", "max")]
+            )
+            return a.select(["node", "label_min", "old_max"]).rename_columns(
+                ["node", "label", "old"]
+            )
+
+        from ..functions.shuffle import bucket_group_apply as _bga
+
+        agg = _bga(partial, "node", _reduce).materialize()
 
         changed = agg.map_batches(
             lambda t: pa.table(

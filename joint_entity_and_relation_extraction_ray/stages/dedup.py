@@ -989,3 +989,163 @@ def dedup_apply(
         _anti,
         num_buckets=num_buckets,
     )
+
+
+# --- fuzzy (edit-distance) matching -----------------------------------------
+
+
+def _dist_le1(a: str, b: str) -> int | None:
+    """Exact Levenshtein distance IF ≤ 1 else None — O(len), no DP table
+    (the bounded-distance check a verify pass needs; SQL mirror is
+    ``levenshtein(a,b) <= 1``)."""
+    if a == b:
+        return 0
+    la, lb = len(a), len(b)
+    d = la - lb
+    if d > 1 or d < -1:
+        return None
+    if d == 0:  # one substitution?
+        seen = False
+        for x, y in zip(a, b):
+            if x != y:
+                if seen:
+                    return None
+                seen = True
+        return 1
+    if d > 0:  # make a the shorter
+        a, b, la = b, a, lb
+    i = 0
+    while i < la and a[i] == b[i]:
+        i += 1
+    return 1 if a[i:] == b[i + 1 :] else None
+
+
+def fuzzy_match_pairs(
+    ds: ray.data.Dataset,
+    *,
+    id_col: str,
+    col: str,
+    num_buckets: int = 32,
+    max_bucket: int | None = None,
+) -> ray.data.Dataset:
+    """Edit-distance ≤ 1 similarity SELF-join → (id_a, id_b, dist) with
+    id_a < id_b — the fuzzy alias/entity matcher (typo'd surface forms,
+    OCR slips) a KG-construction pipeline runs over its surface
+    dictionary. SQL mirror: ``levenshtein(a, b) <= 1`` over a self-join.
+
+    SymSpell deletion-neighborhood decomposition — never all-pairs:
+
+    1. each string emits itself + every 1-deletion variant as an int64
+       hash posting (key, id) — strings never enter the shuffle;
+    2. bucket by key; co-posted ids become candidate pairs (complete for
+       d ≤ 1: equal strings share themselves; ins/del pairs share the
+       shorter string; substitution pairs share the deletion at the
+       differing position);
+    3. pairs dedup on a second int-keyed shuffle (a pair can share
+       several variants);
+    4. names join back via ``join_auto`` (broadcast small / co-bucketed
+       big) and an exact O(len) bounded-distance check keeps true pairs —
+       a hash collision can only add a candidate, never a survivor.
+
+    Skew: a hub variant shared by g strings emits g²/2 candidates;
+    ``max_bucket`` bounds it with LOGGED truncation (default exact)."""
+    from ..schema import stable_hash64
+
+    names = ds.select_columns([id_col, col]).materialize()
+
+    def _postings(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        strs = t[col].to_pylist()
+        out_s, out_i = [], []
+        for i, s in zip(ids, strs):
+            vs = {s}
+            for j in range(len(s)):
+                vs.add(s[:j] + s[j + 1 :])
+            out_s.extend(vs)
+            out_i.extend([i] * len(vs))
+        keys = stable_hash64(np.asarray(out_s, dtype=object)).view(np.int64)
+        return pa.table(
+            {
+                "key": pa.array(keys, pa.int64()),
+                "doc_id": pa.array(np.asarray(out_i, dtype=np.int64)),
+            }
+        )
+
+    postings = names.map_batches(
+        _postings, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _pairs_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        grp = (
+            pl.from_arrow(t)
+            .group_by("key")
+            .agg(pl.col("doc_id").sort().alias("ids"), pl.len().alias("n"))
+            .filter(pl.col("n") >= 2)
+        )
+        a, b = [], []
+        for ids in grp["ids"].to_list():
+            arr = np.unique(np.asarray(ids, dtype=np.int64))
+            ai, bi = _upper_pairs(arr, max_bucket=max_bucket, label="fuzzy")
+            a.append(arr[ai])
+            b.append(arr[bi])
+        a = np.concatenate(a) if a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b) if b else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"id_a": pa.array(a, pa.int64()), "id_b": pa.array(b, pa.int64())}
+        )
+
+    cand = bucket_group_apply(
+        postings, "key", _pairs_bucket, num_buckets=num_buckets
+    )
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t).unique(["id_a", "id_b"]).to_arrow().cast(
+                pa.schema([("id_a", pa.int64()), ("id_b", pa.int64())])
+            )
+        )
+
+    cand = bucket_group_apply(cand, "id_a", _dedup, num_buckets=num_buckets)
+
+    # join_auto renames the right key onto the left key, so each join
+    # contributes exactly one extra column: the name
+    with_a = join_auto(
+        cand, names, on=("id_a",), right_on=(id_col,), num_partitions=num_buckets
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["name_a" if c == col else c for c in t.schema.names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    with_b = join_auto(
+        with_a, names, on=("id_b",), right_on=(id_col,), num_partitions=num_buckets
+    )
+
+    def _verify(t: pa.Table) -> pa.Table:
+        ida = t["id_a"].to_pylist()
+        idb = t["id_b"].to_pylist()
+        na = t["name_a"].to_pylist()
+        nb = t[col].to_pylist()
+        oa, ob, od = [], [], []
+        for i, j, x, y in zip(ida, idb, na, nb):
+            d = _dist_le1(x, y)
+            if d is not None:
+                oa.append(i)
+                ob.append(j)
+                od.append(d)
+        return pa.table(
+            {
+                "id_a": pa.array(oa, pa.int64()),
+                "id_b": pa.array(ob, pa.int64()),
+                "dist": pa.array(od, pa.int64()),
+            }
+        )
+
+    return with_b.map_batches(
+        _verify, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -633,3 +633,53 @@ def test_fixed_probe_assign_matches_bruteforce(ray_session):
     s = q @ probe_matrix(4, 64).T
     assert list(out["cluster"]) == list(np.argmax(s, axis=1))
     assert list(out["score"]) == list(s[np.arange(50), np.argmax(s, axis=1)])
+
+
+def test_fuzzy_match_pairs_matches_bruteforce(ray_session):
+    """SymSpell d<=1 decomposition must be COMPLETE: every pair the
+    all-pairs Levenshtein check finds, plus zero false survivors, incl.
+    exact duplicates (dist 0), ins/del (dist 1 length change) and
+    substitution pairs, with singleton strings producing no pairs."""
+    names = [
+        "alpha", "alpha",          # exact dup -> dist 0
+        "alpho",                   # substitution of alpha
+        "alph",                    # deletion of alpha
+        "alphax",                  # insertion on alpha
+        "beta", "betta",           # insertion
+        "gamma",                   # singleton: no partner
+        "delta", "celta",          # substitution at pos 0
+        "x", "",                   # 1-char vs empty -> dist 1
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(names)), pa.int64()),
+                "name": pa.array(names),
+            }
+        )
+    )
+    got = (
+        dedup.fuzzy_match_pairs(ds, id_col="doc_id", col="name", num_buckets=4)
+        .to_pandas()
+        .sort_values(["id_a", "id_b"])
+        .reset_index(drop=True)
+    )
+
+    def lev(a, b):
+        import itertools
+
+        d = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            nd = [i]
+            for j, cb in enumerate(b, 1):
+                nd.append(min(d[j] + 1, nd[-1] + 1, d[j - 1] + (ca != cb)))
+            d = nd
+        return d[-1]
+
+    want = [
+        (i, j, lev(names[i], names[j]))
+        for i in range(len(names))
+        for j in range(i + 1, len(names))
+        if lev(names[i], names[j]) <= 1
+    ]
+    assert [tuple(r) for r in got.itertuples(index=False)] == sorted(want)
