@@ -729,6 +729,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": co.q_dedup_minhash,
         "dedup_minhash_apply": co.q_dedup_minhash_apply,
         "fuzzy_match": co.q_fuzzy_match,
+        "order_global_rank": co.q_order_global_rank,
         "dedup_ngram_jaccard": co.q_dedup_ngram_jaccard,
         "dedup_simhash": co.q_dedup_simhash,
         "dedup_simhash_near": co.q_dedup_simhash_near,
@@ -2429,6 +2430,15 @@ def oracle_sql() -> dict[str, str]:
         # agree with the same exact-Jaccard answer — both share one oracle.
         "dedup_ngram_jaccard": _JACCARD_ORACLE_SQL,
         "dedup_minhash": _JACCARD_ORACLE_SQL,
+        # global window ground truth for the TeraSort-shaped distributed
+        # rank (stages/relational.py global_rank): range partition +
+        # prefix-sum offsets must equal the single-sort row_number/ntile
+        "order_global_rank": """
+            SELECT o_orderkey,
+                   row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS rnk,
+                   ntile(8)     OVER (ORDER BY o_totalprice, o_orderkey) AS tile
+            FROM orders
+        """,
         # all-pairs levenshtein ground truth for the SymSpell
         # deletion-neighborhood decomposition (stages/dedup.py
         # fuzzy_match_pairs) — candidate generation is complete for d<=1,

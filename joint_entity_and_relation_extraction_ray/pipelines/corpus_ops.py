@@ -1726,6 +1726,21 @@ def q_event_cooccurrence(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_order_global_rank(sf_dir: str) -> ray.data.Dataset:
+    """Exact GLOBAL row_number + ntile(8) of every order by total price —
+    the TeraSort shape (range-partition by sampled boundaries, per-range
+    counts → prefix-sum offsets, per-range local sort), no single-reducer
+    global sort anywhere. See `stages/relational.global_rank`."""
+    from ..stages.relational import global_rank
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return global_rank(
+        orders, order_col="o_totalprice", tie_col="o_orderkey", k=8
+    )
+
+
 def q_supplier_ranks(sf_dir: str) -> ray.data.Dataset:
     """Exact RANK / CUME_DIST integers of supplier account-balance cents
     within each nation — `stages/relational.group_ranks` over the

@@ -1741,3 +1741,132 @@ def ntile_window(
     return bucket_group_apply(
         ds.select_columns(cols), by, _nt, num_buckets=num_buckets
     )
+
+
+def global_rank(
+    ds: ray.data.Dataset,
+    *,
+    order_col: str,
+    tie_col: str,
+    k: int | None = None,
+    num_buckets: int = 64,
+    out_rank: str = "rnk",
+    out_tile: str = "tile",
+) -> ray.data.Dataset:
+    """Exact GLOBAL ``row_number() OVER (ORDER BY order_col, tie_col)``
+    (and, with ``k``, ``ntile(k)`` over the same order) — the TeraSort
+    shape, with no single-reducer global sort anywhere:
+
+    1. boundary candidates: per-block local quantiles of ``order_col``
+       (a pruned single-column scan) merge into ``num_buckets-1`` range
+       cut points on the driver (tiny, O(blocks × 33) floats).
+       Boundaries affect BALANCE only, never correctness: bucket
+       assignment uses ``order_col`` alone, so equal order values always
+       share a range and the tie column never straddles buckets.
+    2. per-block ``searchsorted`` range counts → driver prefix sum =
+       the global rank offset of each range (``num_buckets`` ints, also
+       a pruned one-column pass).
+    3. rows shuffle ONCE, carrying only (order, tie, bucket); each range
+       sorts locally and adds its offset — global rank without any
+       cross-range coordination.
+
+    ``tie_col`` must make (order, tie) a total order (same contract as
+    deterministic SQL window ordering). NTILE uses SQL's exact rule:
+    base = n//k rows per tile, the first n%k tiles get one extra."""
+    proj = ds.select_columns([order_col, tie_col])
+
+    def _cand(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        if not len(v):
+            return pa.table({"c": pa.array([], pa.float64())})
+        qs = np.quantile(v, np.linspace(0.0, 1.0, 33))
+        return pa.table({"c": pa.array(qs, pa.float64())})
+
+    cand_parts = (
+        ds.select_columns([order_col])
+        .map_batches(_cand, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # documented tiny driver reduction: O(blocks) candidate rows
+    cand = np.sort(np.asarray([r["c"] for r in cand_parts], dtype=np.float64))
+    if len(cand):
+        idx = np.linspace(0, len(cand) - 1, num_buckets + 1)[1:-1]
+        bnd = np.unique(cand[idx.astype(np.int64)])
+    else:
+        bnd = np.empty(0, dtype=np.float64)
+
+    def _counts(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(bnd, v, side="right")
+        n = np.bincount(b, minlength=len(bnd) + 1).astype(np.int64)
+        return pa.table(
+            {
+                "b": pa.array(np.arange(len(n), dtype=np.int64)),
+                "n": pa.array(n),
+            }
+        )
+
+    parts = (
+        ds.select_columns([order_col])
+        .map_batches(_counts, batch_format="pyarrow", zero_copy_batch=True)
+        .take_all()
+    )  # tiny: num_buckets rows per block
+    totals = np.zeros(len(bnd) + 1, dtype=np.int64)
+    for r in parts:
+        totals[r["b"]] += r["n"]
+    offsets = np.concatenate(([0], np.cumsum(totals)[:-1]))
+    n_total = int(totals.sum())
+
+    def _with_bkt(t: pa.Table) -> pa.Table:
+        v = t[order_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        b = np.searchsorted(bnd, v, side="right")
+        return t.append_column("_bkt", pa.array(b, pa.int64()))
+
+    def _rank_bucket(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out_schema = pa.schema(
+            [
+                (tie_col, t.schema.field(tie_col).type),
+                (out_rank, pa.int64()),
+            ]
+            + ([(out_tile, pa.int64())] if k else [])
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .sort(["_bkt", order_col, tie_col])
+            .with_columns(
+                (
+                    pl.int_range(1, pl.len() + 1).over("_bkt")
+                    + pl.col("_bkt").replace_strict(
+                        {int(b): int(o) for b, o in enumerate(offsets)},
+                        return_dtype=pl.Int64,
+                    )
+                ).alias(out_rank)
+            )
+        )
+        if k:
+            base, rem = divmod(n_total, k)
+            big = rem * (base + 1)
+            r = pl.col(out_rank)
+            tile = (
+                pl.when(r <= big)
+                .then((r - 1) // (base + 1) + 1)
+                .otherwise(rem + (r - 1 - big) // max(base, 1) + 1)
+                .cast(pl.Int64)
+                .alias(out_tile)
+            )
+            df = df.with_columns(tile)
+        return (
+            df.select([f.name for f in out_schema])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    with_bkt = proj.map_batches(
+        _with_bkt, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        with_bkt, "_bkt", _rank_bucket, num_buckets=num_buckets
+    )

@@ -1359,3 +1359,47 @@ def test_full_outer_join_matches_duckdb(ray_session):
     # orphans exist on both sides
     assert any(v is None for _, v, _ in got)
     assert any(v is None for _, _, v in got)
+
+
+def test_global_rank_matches_duckdb_window(ray_session):
+    """TeraSort-shaped global rank vs the single-sort window oracle,
+    on a distribution built to stress the decomposition: heavy value
+    duplication (equal order values MUST share a range bucket), values
+    equal to likely boundary candidates, n % k != 0, and more range
+    buckets than distinct values (guaranteed empty buckets)."""
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        global_rank,
+    )
+
+    rng = np.random.RandomState(7)
+    vals = np.concatenate(
+        [
+            np.full(40, 5.0),              # one hot duplicate value
+            rng.randint(0, 10, 60).astype(np.float64),  # few distinct
+            rng.uniform(0, 10, 23),        # continuous tail; n=123, k=7
+        ]
+    )
+    ids = np.arange(len(vals), dtype=np.int64)
+    t = pa.table({"v": pa.array(vals), "id": pa.array(ids)})
+    # many small input blocks so per-block candidate quantiles disagree
+    blocks = [t.slice(i, 9) for i in range(0, len(vals), 9)]
+    ds = ray.data.from_arrow(blocks)
+    got = (
+        global_rank(ds, order_col="v", tie_col="id", k=7, num_buckets=32)
+        .to_pandas()
+        .sort_values("id")
+        .reset_index(drop=True)
+    )
+    want = duckdb.connect().execute(
+        """
+        SELECT id,
+               row_number() OVER (ORDER BY v, id) AS rnk,
+               ntile(7)     OVER (ORDER BY v, id) AS tile
+        FROM t ORDER BY id
+        """
+    ).df()
+    assert list(got["rnk"]) == list(want["rnk"])
+    assert list(got["tile"]) == list(want["tile"])
+    assert list(got.columns) == ["id", "rnk", "tile"]
