@@ -117,6 +117,19 @@ def _q_top_entities(sf_dir: str):
     )
 
 
+def _q_kg_latest_assertion(sf_dir: str):
+    """Temporal-KG compaction: newest object per (subj, pred) — the
+    'current belief' view next to the full edge history (SCD-1 keep-
+    latest on the rewritten triple stream; stages/graph.py
+    latest_assertion)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        latest_assertion,
+    )
+
+    return latest_assertion(kg.stage(sf_dir, "rewritten"))
+
+
 def _q_kg_eval_triples(sf_dir: str):
     """J4/R10: distributed exact-match eval of extracted triples vs the
     golden set → one row (n_pred, n_gold, tp); P/R≥0.95 contract derives
@@ -710,6 +723,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "conv_windows": _q_conv_windows,
         "conv_response_time": _q_conv_response_time,
         "kg_nodes": _q_kg_nodes,
+        "kg_latest_assertion": _q_kg_latest_assertion,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
         "kg_eval_mentions": _q_kg_eval_mentions,
@@ -942,6 +956,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN lm s ON t.subj_mention_id = s.mention_id
             JOIN lm o ON t.obj_mention_id = o.mention_id
             GROUP BY 1, 2, 3
+        """,
+        # SCD-1 keep-latest over the same rewritten stream as kg_edges:
+        # newest object per (subj, pred), ties to min obj (graph.py
+        # latest_assertion)
+        "kg_latest_assertion": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            )
+            SELECT subj_id, pred, obj_id, ts
+            FROM (
+                SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY subj_id, pred
+                    ORDER BY ts DESC, obj_id
+                ) AS rn FROM rt
+            ) WHERE rn = 1
         """,
         "kg_two_hop": f"""
             WITH best AS (

@@ -178,7 +178,7 @@ def stage(sf_dir: str, name: str, **kw) -> ray.data.Dataset:
     """Materialized stage output for `sf_dir`, computed once per process.
 
     Stages: combined | mentions | triples | linked | tagged | canon |
-    edges | nodes. The flagship flow is the FUSED dataflow
+    edges | nodes | rewritten. The flagship flow is the FUSED dataflow
     (stages/fused.py): `tagged` is the single conv-bucketed shuffle that
     canon/edges/nodes all derive from; the modular join-based stages
     (stages/graph.py rewrite_triples/build_nodes) remain for the
@@ -215,6 +215,10 @@ def stage(sf_dir: str, name: str, **kw) -> ray.data.Dataset:
             stage(sf_dir, "tagged"), _labels(sf_dir)
         )
         ds = build_edges(rewritten, **kw).materialize()
+    elif name == "rewritten":
+        ds = fused.rewritten_from_tagged(
+            stage(sf_dir, "tagged"), _labels(sf_dir)
+        ).materialize()
     elif name == "nodes":
         ds = node_rollup(
             fused.node_rows_from_tagged(stage(sf_dir, "tagged"), _labels(sf_dir)),

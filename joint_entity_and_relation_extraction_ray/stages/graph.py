@@ -1388,3 +1388,43 @@ def merge_edges(
     return bucket_group_apply(
         combined, "subj_id", _reduce, num_buckets=num_buckets
     )
+
+
+def latest_assertion(
+    rewritten: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Temporal-KG compaction (SCD-1 over assertions): for every
+    (subj_id, pred) the object of the NEWEST assertion — max ``ts``,
+    ties broken by min ``obj_id`` — rows (subj_id, pred, obj_id, ts).
+    The "current belief" view a KG serves next to the full edge history
+    (SQL mirror: ``row_number() OVER (PARTITION BY subj, pred ORDER BY
+    ts DESC, obj) = 1``).
+
+    keep-latest is associative, so the same shape as
+    ``relational.latest_by_key``: a per-block combiner keeps ≤ one row
+    per (subj, pred) per block BEFORE the shuffle, then one
+    subj-bucketed merge re-applies it — only per-block winners move."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    def _keep(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by(["subj_id", "pred"])
+            .agg(
+                pl.col("obj_id", "ts")
+                .sort_by(["ts", "obj_id"], descending=[True, False])
+                .first()
+            )
+            .select(["subj_id", "pred", "obj_id", "ts"])
+            .to_arrow()
+        )
+        return out.cast(
+            pa.schema([(n, t.schema.field(n).type) for n in out.schema.names])
+        )
+
+    partial = rewritten.map_batches(
+        _keep, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partial, "subj_id", _keep, num_buckets=num_buckets)

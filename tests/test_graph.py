@@ -457,3 +457,46 @@ def test_merge_edges_equals_full_rebuild(ray_session):
     full = _key(build_edges(_rewritten(day1 + day2), num_buckets=4).take_all())
     assert merged == full
     assert merged[("a", "p", "b")][0] == 3  # weights added across days
+
+
+def test_latest_assertion_keep_latest_semantics(ray_session):
+    """SCD-1 compaction: newest ts wins per (subj, pred); equal-ts ties
+    go to the MIN obj_id; groups split across blocks still merge to one
+    survivor (associativity of keep-latest)."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        latest_assertion,
+    )
+
+    rows = [
+        # (subj, pred, obj, ts)
+        ("a", "p", "x", 10),
+        ("a", "p", "y", 20),   # newest -> survives
+        ("a", "p", "z", 20),   # same ts, 'y' < 'z' -> loses
+        ("a", "q", "x", 5),    # different pred: own survivor
+        ("b", "p", "w", 1),
+    ]
+
+    def tbl(rs):
+        return pa.table(
+            {
+                "subj_id": [r[0] for r in rs],
+                "pred": [r[1] for r in rs],
+                "obj_id": [r[2] for r in rs],
+                "ts": pa.array([r[3] for r in rs], pa.timestamp("us")),
+            }
+        )
+
+    # split the hot (a, p) group across blocks on purpose
+    ds = ray.data.from_arrow([tbl(rows[:2]), tbl(rows[2:])])
+    got = sorted(
+        (r["subj_id"], r["pred"], r["obj_id"], r["ts"].timestamp() * 1e6)
+        for r in latest_assertion(ds, num_buckets=4).take_all()
+    )
+    assert [(s, p, o, int(t)) for s, p, o, t in got] == [
+        ("a", "p", "y", 20),
+        ("a", "q", "x", 5),
+        ("b", "p", "w", 1),
+    ]
