@@ -784,6 +784,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "set_except": co.q_set_except,
         "user_gaps": co.q_user_gaps,
         "pricing_rollup": co.q_pricing_rollup,
+        "pricing_cube": co.q_pricing_cube,
         "running_total": co.q_running_total,
         "value_histogram": co.q_value_histogram,
         "customer_order_counts": co.q_customer_order_counts,
@@ -1654,6 +1655,18 @@ def oracle_sql() -> dict[str, str]:
                         AS BIGINT) AS sum_price_cents
             FROM lineitem
             GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        """,
+        # full CUBE with the SQL GROUPING bitmask (relational.py
+        # grouped_cube: detail once, coarser sets re-merge the detail)
+        "pricing_cube": """
+            SELECT l_returnflag, l_linestatus,
+                   CAST(grouping(l_returnflag) * 2 + grouping(l_linestatus)
+                        AS BIGINT) AS gid,
+                   count(*) AS n_rows,
+                   CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_price_cents
+            FROM lineitem
+            GROUP BY CUBE (l_returnflag, l_linestatus)
         """,
         "running_total": """
             SELECT user_id, event_id,

@@ -979,6 +979,40 @@ def q_pricing_rollup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_pricing_cube(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY CUBE (l_returnflag, l_linestatus): all four grouping sets
+    with a SQL GROUPING() bitmask, one corpus scan — see
+    `stages/relational.grouped_cube`."""
+    from ..stages.relational import grouped_cube
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_linestatus", "l_extendedprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        return pa.table(
+            {
+                "l_returnflag": t["l_returnflag"],
+                "l_linestatus": t["l_linestatus"],
+                "cents": pc_.cast(
+                    pc_.round(pc_.multiply(t["l_extendedprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_cube(
+        li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        by=["l_returnflag", "l_linestatus"],
+        aggs={
+            "n_rows": ("cents", "count"),
+            "sum_price_cents": ("cents", "sum"),
+        },
+    )
+
+
 def q_running_total(sf_dir: str) -> ray.data.Dataset:
     """Per-event running total of `value` per user (the cumulative-sum
     window shape) — see `stages/events.running_total`."""

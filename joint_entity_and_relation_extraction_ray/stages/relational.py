@@ -465,6 +465,78 @@ def grouped_rollup(
     return out
 
 
+def grouped_cube(
+    ds: ray.data.Dataset,
+    *,
+    by: list[str],
+    aggs: "dict[str, tuple[str, str]]",
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY CUBE (a, b, ...)``: every subset of ``by``
+    (2^n grouping sets — ROLLUP's prefixes plus the cross cuts), with a
+    ``gid`` bitmask exactly like SQL ``GROUPING(a, b, ...)``: bit set =
+    that dim rolled up, ``by[0]`` the most significant bit.
+
+    Same one-scan decomposition as :func:`grouped_rollup`: the corpus is
+    aggregated once to the finest grain (per-block combiner → merge
+    shuffle), then every coarser set re-aggregates the already-tiny
+    detail RESULT (counts re-merge by sum). 2^n stays sane because CUBE
+    is only ever asked over a handful of dims — the detail grain bounds
+    all further work at G rows per set."""
+    n = len(by)
+    detail = grouped_summary(
+        ds, by=by, aggs=aggs, num_buckets=num_buckets
+    ).materialize()
+    remerge = {
+        out: (out, "sum" if fn == "count" else fn)
+        for out, (_, fn) in aggs.items()
+    }
+    agg_names = list(aggs.keys())
+    schema = detail.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    def _with_gid(gid: int, keep: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            cols: dict = {}
+            for c in by:
+                cols[c] = (
+                    t[c] if c in keep else pa.nulls(t.num_rows, types[c])
+                )
+            cols["gid"] = pa.array([gid] * t.num_rows, pa.int64())
+            for a in agg_names:
+                cols[a] = t[a]
+            return pa.table(cols)
+
+        return _f
+
+    out = detail.map_batches(
+        _with_gid(0, by), batch_format="pyarrow", zero_copy_batch=True
+    )
+    for gid in range(1, 2**n):
+        keep = [c for i, c in enumerate(by) if not (gid >> (n - 1 - i)) & 1]
+        if keep:
+            lvl = grouped_summary(detail, by=keep, aggs=remerge, num_buckets=1)
+        else:
+            const = detail.map_batches(
+                lambda t: t.append_column(
+                    "_all", pa.array([0] * t.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            lvl = grouped_summary(
+                const, by=["_all"], aggs=remerge, num_buckets=1
+            ).drop_columns(["_all"])
+        out = out.union(
+            lvl.map_batches(
+                _with_gid(gid, keep),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+    return out
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,

@@ -1403,3 +1403,58 @@ def test_global_rank_matches_duckdb_window(ray_session):
     assert list(got["rnk"]) == list(want["rnk"])
     assert list(got["tile"]) == list(want["tile"])
     assert list(got.columns) == ["id", "rnk", "tile"]
+
+
+def test_grouped_cube_all_subsets_vs_duckdb(ray_session):
+    """CUBE over 3 dims = 8 grouping sets, incl. the cross cuts ROLLUP
+    misses (e.g. keep only the middle dim); gid must equal SQL
+    GROUPING(a, b, c) with a as the most significant bit."""
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        grouped_cube,
+    )
+
+    rng = np.random.RandomState(3)
+    n = 500
+    t = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y"], n)),
+            "b": pa.array(rng.choice(["u", "v", "w"], n)),
+            "c": pa.array(rng.randint(0, 2, n), pa.int64()),
+            "val": pa.array(rng.randint(0, 100, n), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 50) for i in range(0, n, 50)])
+    got = (
+        grouped_cube(
+            ds,
+            by=["a", "b", "c"],
+            aggs={"n_rows": ("val", "count"), "s": ("val", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .fillna({"a": "~", "b": "~", "c": -1})
+        .sort_values(["gid", "a", "b", "c"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.connect()
+        .execute(
+            """
+            SELECT a, b, c,
+                   CAST(grouping(a)*4 + grouping(b)*2 + grouping(c)
+                        AS BIGINT) AS gid,
+                   count(*) AS n_rows, CAST(sum(val) AS BIGINT) AS s
+            FROM t GROUP BY CUBE (a, b, c)
+            """
+        )
+        .df()
+        .fillna({"a": "~", "b": "~", "c": -1})
+        .sort_values(["gid", "a", "b", "c"])
+        .reset_index(drop=True)
+    )
+    assert len(got) == len(want)
+    for col in ["a", "b", "gid", "n_rows", "s"]:
+        assert list(got[col]) == list(want[col]), col
+    assert [int(x) for x in got["c"]] == [int(x) for x in want["c"]]
