@@ -130,6 +130,16 @@ def _q_kg_latest_assertion(sf_dir: str):
     return latest_assertion(kg.stage(sf_dir, "rewritten"))
 
 
+def _q_kg_kcore(sf_dir: str):
+    """2-core of the KG (iterative peel; stages/graph.py kcore). Rows-only:
+    a deletion fixpoint has no monotone recursive SQL form — the pytest
+    brute-force peel is the correctness contract."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import kcore
+
+    return kcore(kg.stage(sf_dir, "edges"), k=2)
+
+
 def _q_kg_eval_triples(sf_dir: str):
     """J4/R10: distributed exact-match eval of extracted triples vs the
     golden set → one row (n_pred, n_gold, tp); P/R≥0.95 contract derives
@@ -724,6 +734,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "conv_response_time": _q_conv_response_time,
         "kg_nodes": _q_kg_nodes,
         "kg_latest_assertion": _q_kg_latest_assertion,
+        "kg_kcore": _q_kg_kcore,  # rows-only (deletion fixpoint, no SQL form)
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
         "kg_eval_mentions": _q_kg_eval_mentions,

@@ -1428,3 +1428,91 @@ def latest_assertion(
         _keep, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partial, "subj_id", _keep, num_buckets=num_buckets)
+
+
+def kcore(
+    edges: ray.data.Dataset,
+    *,
+    k: int = 2,
+    max_iters: int = 50,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """k-core of the UNDIRECTED KG: iteratively peel nodes whose degree
+    (distinct-neighbor count, self-loops ignored) is < k until fixpoint
+    — rows ``(node, deg)`` for survivors, deg = degree INSIDE the core.
+    The standard densest-substructure filter KGs run before community
+    detection (peeling converges in O(peel depth) rounds).
+
+    Iterative like CC: per round one degree count (per-block distinct-
+    neighbor combiner → bucket merge) and one survivor semi-join on BOTH
+    endpoints (``relational.membership_join``: survivor set broadcasts
+    under the guard, co-bucketed above it). The edge set only ever
+    shrinks; each round's work is one scan of the current edges. No SQL
+    oracle (a deletion fixpoint has no monotone recursive form) — the
+    pytest brute-force peel is the contract."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from .relational import membership_join
+
+    def _sym(t: pa.Table) -> pa.Table:
+        out = pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t["subj_id"].combine_chunks(),
+                        t["obj_id"].combine_chunks(),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t["obj_id"].combine_chunks(),
+                        t["subj_id"].combine_chunks(),
+                    ]
+                ),
+            }
+        )
+        return out.filter(pc.invert(pc.equal(out["src"], out["dst"])))
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .unique(["src", "dst"])
+            .to_arrow()
+            .cast(pa.schema([("src", pa.string()), ("dst", pa.string())]))
+        )
+
+    sym = bucket_group_apply(
+        edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True),
+        "src",
+        _dedup,
+        num_buckets=num_buckets,
+    )
+    n_edges = sym.count()
+
+    def _deg(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("src")
+            .agg(pl.len().cast(pl.Int64).alias("deg"))
+            .rename({"src": "node"})
+            .to_arrow()
+            .cast(pa.schema([("node", pa.string()), ("deg", pa.int64())]))
+        )
+
+    deg = None
+    for _ in range(max_iters):
+        # distinct (src, dst) pairs per bucket: degree = row count per src
+        deg = bucket_group_apply(sym, "src", _deg, num_buckets=num_buckets)
+        survivors = deg.filter(expr=f"deg >= {k}")
+        sym = membership_join(
+            membership_join(sym, survivors, on="src", right_on="node"),
+            survivors,
+            on="dst",
+            right_on="node",
+        ).materialize()
+        n = sym.count()
+        if n == n_edges:
+            break
+        n_edges = n
+    return bucket_group_apply(sym, "src", _deg, num_buckets=num_buckets)

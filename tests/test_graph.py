@@ -500,3 +500,54 @@ def test_latest_assertion_keep_latest_semantics(ray_session):
         ("a", "q", "x", 5),
         ("b", "p", "w", 1),
     ]
+
+
+def test_kcore_matches_bruteforce_peel(ray_session):
+    """Iterative distributed peel vs the sequential peel oracle on a
+    graph with a known core structure: a 4-clique (3-core), a triangle
+    hanging off it (2-core), a path tail and an isolated star (peel to
+    nothing for k=2), plus a self-loop that must NOT count as degree."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import kcore
+
+    und = [
+        # 4-clique a-b-c-d
+        ("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"),
+        # triangle d-e-f
+        ("d", "e"), ("e", "f"), ("f", "d"),
+        # tail f-g-h
+        ("f", "g"), ("g", "h"),
+        # star i-(j,k,l)
+        ("i", "j"), ("i", "k"), ("i", "l"),
+        ("h", "h"),  # self-loop: ignored
+    ]
+
+    def brute(k):
+        import collections
+
+        edges = {frozenset(e) for e in und if e[0] != e[1]}
+        while True:
+            deg = collections.Counter()
+            for e in edges:
+                for v in e:
+                    deg[v] += 1
+            drop = {v for v in deg if deg[v] < k}
+            if not drop:
+                return {v: d for v, d in deg.items()}
+            edges = {e for e in edges if not (e & drop)}
+
+    t = pa.table(
+        {
+            "subj_id": [e[0] for e in und],
+            "obj_id": [e[1] for e in und],
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 4) for i in range(0, len(und), 4)])
+    for k in (2, 3):
+        got = {
+            r["node"]: r["deg"]
+            for r in kcore(ds, k=k, num_buckets=4).take_all()
+        }
+        assert got == brute(k), k
