@@ -764,6 +764,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": co.q_ann_topk_ivf,  # rows-only (approx)
         "knn_label": co.q_knn_label,
         "embed_probe_assign": co.q_embed_probe_assign,
+        "embed_cov_stats": co.q_embed_cov_stats,
         # rows-only: float centroid sums are reduction-order-dependent;
         # cluster-recovery contract is pytest-pinned
         "embed_kmeans": co.q_embed_kmeans,
@@ -2608,6 +2609,26 @@ def oracle_sql() -> dict[str, str]:
         # floor(x*1000 + 0.5) int64 (both engines compute this in IEEE
         # double, identically), then ±1 probe dot products are exact
         # integer sums in any order — argmax with lowest-probe tie-break
+        # one-pass decomposable covariance sufficient stats (similarity.py
+        # embedding_cov_stats); same floor(x*1000+0.5) int quantization as
+        # embed_probe_assign so sums are reduction-order-free
+        "embed_cov_stats": """
+            WITH idx AS (SELECT * FROM (VALUES (1),(2),(3),(4)) t(d)),
+            q AS (SELECT embedding AS e FROM embeddings)
+            SELECT CAST(a.d AS BIGINT) AS i, CAST(b.d AS BIGINT) AS j,
+                   count(*) AS n,
+                   CAST(SUM(CAST(floor(CAST(q.e[a.d] AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS sum_i,
+                   CAST(SUM(CAST(floor(CAST(q.e[b.d] AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT)) AS BIGINT) AS sum_j,
+                   CAST(SUM(CAST(floor(CAST(q.e[a.d] AS DOUBLE) * 1000 + 0.5)
+                            AS BIGINT)
+                       * CAST(floor(CAST(q.e[b.d] AS DOUBLE) * 1000 + 0.5)
+                              AS BIGINT)) AS BIGINT) AS sum_ij
+            FROM q, idx a, idx b
+            WHERE a.d <= b.d
+            GROUP BY 1, 2
+        """,
         "embed_probe_assign": """
             WITH x AS (
                 SELECT vec_id,

@@ -124,6 +124,13 @@ def q_embedding_dim_stats(sf_dir: str) -> ray.data.Dataset:
     return similarity.embedding_dim_stats(read_embeddings(sf_dir))
 
 
+def q_embed_cov_stats(sf_dir: str) -> ray.data.Dataset:
+    """Exact int64 covariance sufficient statistics of the first 4
+    embedding dims (one pass, dims² partials per block — the PCA scale
+    path) — see `stages/similarity.embedding_cov_stats`."""
+    return similarity.embedding_cov_stats(read_embeddings(sf_dir), dims=4)
+
+
 def q_quality_filter(sf_dir: str) -> ray.data.Dataset:
     """Quality gate over integer doc statistics: keep docs with ≥5 tokens,
     max token length ≤40 and punctuation ≤10% of chars — the standard

@@ -504,3 +504,84 @@ def kmeans(
         _assign, batch_format="pyarrow", zero_copy_batch=True
     )
     return centroids, assigns
+
+
+def embedding_cov_stats(
+    emb: ray.data.Dataset,
+    *,
+    dims: int = 4,
+    scale: int = 1000,
+    num_buckets: int = 4,
+) -> ray.data.Dataset:
+    """Exact integer covariance SUFFICIENT STATISTICS over the first
+    ``dims`` embedding coordinates — rows ``(i, j, n, sum_i, sum_j,
+    sum_ij)`` for 1-based i ≤ j. The one-pass decomposable-moments
+    pattern behind covariance/PCA at corpus scale: each block reduces
+    its stacked matrix to one dims×dims int64 partial (a matmul), so
+    ~dims² ints move per block and the corpus never shuffles; the
+    eigensolve over the final dims×dims matrix is driver arithmetic.
+
+    Coordinates quantize to ``floor(x·scale + 0.5)`` int64 (the
+    fixed_probe_assign convention) so every sum is reduction-order-free
+    and the SQL mirror compares bit-exact. Overflow headroom: |q| ≤
+    scale·|x|, so Σ q_i·q_j fits int64 for corpora under ~10¹² rows at
+    unit-norm embeddings."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    iu = np.triu_indices(dims)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float32).astype(
+            np.float64
+        )
+        if m.size == 0:
+            z = np.empty(0, dtype=np.int64)
+            return pa.table(
+                {"i": z, "j": z, "n": z, "sum_i": z, "sum_j": z, "sum_ij": z}
+            )
+        q = np.floor(m[:, :dims] * scale + 0.5).astype(np.int64)
+        s = q.sum(axis=0)  # per-dim sums
+        prod = q.T @ q  # dims×dims int64 cross-products
+        return pa.table(
+            {
+                "i": pa.array(iu[0] + 1, pa.int64()),
+                "j": pa.array(iu[1] + 1, pa.int64()),
+                "n": pa.array(np.full(len(iu[0]), len(q)), pa.int64()),
+                "sum_i": pa.array(s[iu[0]], pa.int64()),
+                "sum_j": pa.array(s[iu[1]], pa.int64()),
+                "sum_ij": pa.array(prod[iu], pa.int64()),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["i", "j"])
+            .agg(
+                pl.col("n").sum(),
+                pl.col("sum_i").sum(),
+                pl.col("sum_j").sum(),
+                pl.col("sum_ij").sum(),
+            )
+            .select(["i", "j", "n", "sum_i", "sum_j", "sum_ij"])
+            .to_arrow()
+            .cast(
+                pa.schema(
+                    [
+                        ("i", pa.int64()),
+                        ("j", pa.int64()),
+                        ("n", pa.int64()),
+                        ("sum_i", pa.int64()),
+                        ("sum_j", pa.int64()),
+                        ("sum_ij", pa.int64()),
+                    ]
+                )
+            )
+        )
+
+    partials = emb.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "i", _merge, num_buckets=num_buckets)

@@ -683,3 +683,31 @@ def test_fuzzy_match_pairs_matches_bruteforce(ray_session):
         if lev(names[i], names[j]) <= 1
     ]
     assert [tuple(r) for r in got.itertuples(index=False)] == sorted(want)
+
+
+def test_embedding_cov_stats_sufficient_for_numpy_cov(ray_session):
+    """The (n, Σi, Σj, Σij) partials must reconstruct the exact numpy
+    covariance of the quantized matrix — the whole point of shipping
+    sufficient statistics instead of rows. Multi-block layout so the
+    per-block matmul partials actually merge."""
+    rng = np.random.RandomState(11)
+    vecs = rng.uniform(-1, 1, (300, 8)).astype(np.float32)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(300), pa.int64()),
+            "embedding": pa.array(list(map(list, vecs))),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 37) for i in range(0, 300, 37)])
+    rows = similarity.embedding_cov_stats(ds, dims=4, num_buckets=2).take_all()
+    q = np.floor(vecs.astype(np.float64)[:, :4] * 1000 + 0.5).astype(np.int64)
+    n = len(q)
+    for r in rows:
+        i, j = r["i"] - 1, r["j"] - 1
+        assert r["n"] == n
+        assert r["sum_i"] == q[:, i].sum()
+        assert r["sum_ij"] == int(q[:, i] @ q[:, j])
+        # reconstructed covariance == numpy's (ddof=0), bit-exact ints in
+        cov = (r["sum_ij"] - r["sum_i"] * r["sum_j"] / n) / n
+        assert abs(cov - np.cov(q[:, i], q[:, j], ddof=0)[0, 1]) < 1e-6
+    assert len(rows) == 10  # upper triangle of 4x4
