@@ -18,7 +18,6 @@ from __future__ import annotations
 import pyarrow as pa
 import ray
 
-from ..functions.text import normalize_surface
 from ..schema import LINKED
 
 
@@ -112,6 +111,9 @@ class EntityLinker:
     """Actor-pool stage: T1 MENTIONS batch → T3 LINKED batch."""
 
     def __init__(self, alias_index_ref):
+        import numpy as np
+        import pandas as pd
+
         try:
             if isinstance(alias_index_ref, ray.ObjectRef):
                 alias_index_ref = ray.get(alias_index_ref)
@@ -120,29 +122,45 @@ class EntityLinker:
         if isinstance(alias_index_ref, pa.Table):  # convenience for tests
             alias_index_ref = build_alias_index(alias_index_ref)
         self.index = alias_index_ref
-        # per-actor memo of normalized surfaces (hot surfaces repeat a lot)
-        self._norm_cache: dict[str, str] = {}
+        # vectorized lookup structures, built ONCE per actor: pandas
+        # hash-Index over "alias\x1ftype" composite keys + positional
+        # payload arrays — get_indexer is the same C-speed path the
+        # broadcast _IndexJoiner uses (the per-row dict loop was ~40% of
+        # the link stage wall at 10^6 mentions)
+        self._pidx = pd.Index(
+            [f"{a}\x1f{t}" for (a, t) in alias_index_ref.keys()]
+        )
+        self._ids = np.array(
+            [v[0] for v in alias_index_ref.values()], dtype=object
+        )
+        self._scores = np.array(
+            [v[1] for v in alias_index_ref.values()], dtype=np.float32
+        )
 
     def __call__(self, batch: pa.Table) -> pa.Table:
-        surfaces = batch["surface"].to_pylist()
-        etypes = batch["ent_type"].to_pylist()
-        cache = self._norm_cache
-        ids: list[str | None] = []
-        scores: list[float] = []
-        for s, t in zip(surfaces, etypes):
-            key = cache.get(s)
-            if key is None:
-                key = cache[s] = normalize_surface(s)
-            hit = self.index.get((key, t))
-            if hit is None:
-                ids.append(None)
-                scores.append(0.0)
-            else:
-                ids.append(hit[0])
-                scores.append(hit[1])
+        import numpy as np
+        import pyarrow.compute as pc
+
+        from ..functions.text import normalize_surface_array
+
+        # vectorized normalize (NFC + lower — identical to the per-row
+        # casefold for simple-case scripts AND what the DuckDB oracle's
+        # lower() computes; functions/text.py normalize_surface_array)
+        comp = pc.binary_join_element_wise(
+            normalize_surface_array(batch["surface"]),
+            batch["ent_type"],
+            "\x1f",
+        )
+        pos = self._pidx.get_indexer(comp.to_numpy(zero_copy_only=False))
+        found = pos >= 0
+        safe = np.where(found, pos, 0)
+        ids = np.where(found, self._ids[safe], None)
+        scores = np.where(found, self._scores[safe], np.float32(0.0))
         out = batch.append_column(
             "cand_entity_id", pa.array(ids, pa.string())
-        ).append_column("link_score", pa.array(scores, pa.float32()))
+        ).append_column(
+            "link_score", pa.array(scores.astype(np.float32), pa.float32())
+        )
         return out.select(LINKED.names).cast(LINKED)
 
 
