@@ -130,6 +130,17 @@ def _q_kg_latest_assertion(sf_dir: str):
     return latest_assertion(kg.stage(sf_dir, "rewritten"))
 
 
+def _q_kg_jaccard(sf_dir: str):
+    """Neighbor-Jaccard link prediction in exact integers (stages/graph.py
+    jaccard_similarity): (u, v, n_common, deg_u, deg_v)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        jaccard_similarity,
+    )
+
+    return jaccard_similarity(kg.stage(sf_dir, "edges"), min_common=2)
+
+
 def _q_kg_kcore(sf_dir: str):
     """2-core of the KG (iterative peel; stages/graph.py kcore). Rows-only:
     a deletion fixpoint has no monotone recursive SQL form — the pytest
@@ -735,6 +746,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_nodes": _q_kg_nodes,
         "kg_latest_assertion": _q_kg_latest_assertion,
         "kg_kcore": _q_kg_kcore,  # rows-only (deletion fixpoint, no SQL form)
+        "kg_jaccard": _q_kg_jaccard,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
         "kg_eval_mentions": _q_kg_eval_mentions,
@@ -1362,6 +1374,57 @@ def oracle_sql() -> dict[str, str]:
             FROM sym x JOIN sym y
               ON x.dst = y.dst AND x.src < y.src
             GROUP BY 1, 2 HAVING count(*) >= 2
+        """,
+        # common-neighbor pairs + integer degrees of the same deduped
+        # symmetric edge set (graph.py jaccard_similarity): Jaccard =
+        # n_common / (deg_u + deg_v - n_common) is consumer arithmetic
+        "kg_jaccard": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM edges WHERE subj_id <> obj_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und
+            ),
+            deg AS MATERIALIZED (
+                SELECT src AS node, count(*) AS deg FROM sym GROUP BY 1
+            ),
+            pairs AS (
+                SELECT x.src AS u, y.src AS v, count(*) AS n_common
+                FROM sym x JOIN sym y
+                  ON x.dst = y.dst AND x.src < y.src
+                GROUP BY 1, 2 HAVING count(*) >= 2
+            )
+            SELECT p.u, p.v, p.n_common,
+                   du.deg AS deg_u, dv.deg AS deg_v
+            FROM pairs p
+            JOIN deg du ON p.u = du.node
+            JOIN deg dv ON p.v = dv.node
         """,
         "kg_comention": f"""
             WITH best AS MATERIALIZED (

@@ -1516,3 +1516,84 @@ def kcore(
             break
         n_edges = n
     return bucket_group_apply(sym, "src", _deg, num_buckets=num_buckets)
+
+
+def jaccard_similarity(
+    edges: ray.data.Dataset,
+    *,
+    min_common: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Neighbor-Jaccard link prediction in EXACT integers: for every
+    unordered node pair sharing ≥ ``min_common`` undirected neighbors,
+    rows ``(u, v, n_common, deg_u, deg_v)`` — Jaccard =
+    n_common / (deg_u + deg_v − n_common) is driver/consumer arithmetic,
+    so no float ever enters the dataflow (the daily_rollup rule).
+
+    Composition, no new shuffle shapes: ``common_neighbor_counts`` wedge
+    pairs + per-node degrees of the same deduped symmetric edge set,
+    attached with two broadcast-or-bucketed ``join_auto`` lookups (the
+    degree table is O(nodes) — the small side by construction)."""
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+
+    pairs = common_neighbor_counts(
+        edges, min_common=min_common, num_buckets=num_buckets
+    )
+
+    def _sym(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        und = (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                a=pl.min_horizontal("subj_id", "obj_id"),
+                b=pl.max_horizontal("subj_id", "obj_id"),
+            )
+            .unique()
+        )
+        return pl.concat(
+            [
+                und.select(src=pl.col("a"), dst=pl.col("b")),
+                und.select(src=pl.col("b"), dst=pl.col("a")),
+            ]
+        ).to_arrow()
+
+    def _deg(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .unique()
+            .group_by("src")
+            .agg(pl.len().cast(pl.Int64).alias("deg"))
+            .rename({"src": "node"})
+            .to_arrow()
+            .cast(pa.schema([("node", pa.string()), ("deg", pa.int64())]))
+        )
+
+    deg = bucket_group_apply(
+        edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True),
+        "src",
+        _deg,
+        num_buckets=num_buckets,
+    )
+
+    with_u = join_auto(
+        pairs, deg, on=("u",), right_on=("node",), num_partitions=num_buckets
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["deg_u" if c == "deg" else c for c in t.schema.names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    with_v = join_auto(
+        with_u, deg, on=("v",), right_on=("node",), num_partitions=num_buckets
+    ).map_batches(
+        lambda t: t.select(["u", "v", "n_common", "deg_u"]).append_column(
+            "deg_v", t["deg"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return with_v

@@ -551,3 +551,36 @@ def test_kcore_matches_bruteforce_peel(ray_session):
             for r in kcore(ds, k=k, num_buckets=4).take_all()
         }
         assert got == brute(k), k
+
+
+def test_jaccard_similarity_closed_form(ray_session):
+    """(u, v, n_common, deg_u, deg_v) on a known graph: star + triangle.
+    Degrees are of the deduped UNDIRECTED simple graph (duplicate and
+    reversed input edges collapse; self-loops ignored)."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        jaccard_similarity,
+    )
+
+    und = [
+        ("h", "a"), ("h", "b"), ("h", "c"),      # hub h
+        ("a", "b"),                               # a-b edge
+        ("a", "h"),                               # reverse dup of h-a
+        ("b", "b"),                               # self-loop: ignored
+        ("x", "a"), ("x", "b"),                   # x shares {a,b} with h
+    ]
+    t = pa.table(
+        {"subj_id": [e[0] for e in und], "obj_id": [e[1] for e in und]}
+    )
+    ds = ray.data.from_arrow([t.slice(i, 3) for i in range(0, len(und), 3)])
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["deg_u"], r["deg_v"])
+        for r in jaccard_similarity(ds, min_common=2, num_buckets=4).take_all()
+    }
+    # neighbors: h:{a,b,c}, a:{h,b,x}, b:{h,a,x}, c:{h}, x:{a,b}
+    assert got == {
+        ("a", "b"): (2, 3, 3),   # share {h, x}
+        ("h", "x"): (2, 3, 2),   # share {a, b}
+    }
