@@ -766,6 +766,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "dedup_minhash": co.q_dedup_minhash,
         "dedup_minhash_apply": co.q_dedup_minhash_apply,
         "fuzzy_match": co.q_fuzzy_match,
+        "dedup_incremental": co.q_dedup_incremental,
         "order_global_rank": co.q_order_global_rank,
         "dedup_ngram_jaccard": co.q_dedup_ngram_jaccard,
         "dedup_simhash": co.q_dedup_simhash,
@@ -2568,6 +2569,34 @@ def oracle_sql() -> dict[str, str]:
         # agree with the same exact-Jaccard answer — both share one oracle.
         "dedup_ngram_jaccard": _JACCARD_ORACLE_SQL,
         "dedup_minhash": _JACCARD_ORACLE_SQL,
+        # cross-corpus (incremental-ingest) variant: exact all-pairs
+        # Jaccard restricted to (even=standing, odd=arriving) pairs —
+        # stages/dedup.py minhash_cross_pairs
+        "dedup_incremental": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                FROM sh a JOIN sh b
+                  ON a.s = b.s AND a.doc_id % 2 = 0 AND b.doc_id % 2 = 1
+                GROUP BY 1, 2)
+            SELECT i AS doc_a, j AS doc_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = i
+            JOIN sizes sb ON sb.doc_id = j
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5
+        """,
         # global window ground truth for the TeraSort-shaped distributed
         # rank (stages/relational.py global_rank): range partition +
         # prefix-sum offsets must equal the single-sort row_number/ntile

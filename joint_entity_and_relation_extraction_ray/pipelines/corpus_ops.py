@@ -176,6 +176,30 @@ def q_dedup_minhash_apply(sf_dir: str) -> ray.data.Dataset:
     return dedup.dedup_apply(docs.select_columns(["doc_id"]), pairs)
 
 
+def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
+    """Incremental near-dup join: near-dups of the 'arriving' shard (odd
+    doc_ids) against the 'standing' corpus (even doc_ids) — old-old and
+    new-new pairs never generated. See `stages/dedup.minhash_cross_pairs`."""
+    docs = read_documents(sf_dir)
+
+    def _parity(want: int):
+        def _f(t: pa.Table) -> pa.Table:
+            pc_ = pa.compute
+            return t.filter(
+                pc_.equal(pc_.bit_wise_and(t["doc_id"], 1), want)
+            )
+
+        return _f
+
+    old = docs.map_batches(
+        _parity(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    new = docs.map_batches(
+        _parity(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return dedup.minhash_cross_pairs(old, new, threshold=JACCARD_THRESHOLD)
+
+
 def q_fuzzy_match(sf_dir: str) -> ray.data.Dataset:
     """Edit-distance ≤ 1 fuzzy self-match over customer names (SymSpell
     deletion-neighborhood decomposition — never all-pairs; the oracle IS

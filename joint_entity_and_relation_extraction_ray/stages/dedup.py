@@ -1149,3 +1149,102 @@ def fuzzy_match_pairs(
     return with_b.map_batches(
         _verify, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental (cross-corpus) near-dup join
+# ---------------------------------------------------------------------------
+
+
+def minhash_cross_pairs(
+    old_docs: ray.data.Dataset,
+    new_docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> ray.data.Dataset:
+    """Incremental dedup: near-dups of NEW docs against the OLD corpus —
+    ``(doc_a, doc_b)`` with ``doc_a`` old, ``doc_b`` new, exact-Jaccard
+    verified at ``threshold``. Old–old and new–new pairs are NEVER
+    generated: the per-band pair space is g_old × g_new, not C(g, 2) —
+    the production shape of continuous ingestion, where the old corpus'
+    band keys are the standing index and each arriving shard only joins
+    buckets against it (never re-pairs history with itself).
+
+    Doc ids must be globally unique across the two sides (same contract
+    as any cross-corpus key join)."""
+    import polars as pl
+
+    from ..functions import textstats
+
+    sh_old = shingle_docs(old_docs, k=k).materialize()
+    sh_new = shingle_docs(new_docs, k=k).materialize()
+
+    def _bands_side(side: int):
+        def _f(t: pa.Table) -> pa.Table:
+            sh = t["shingles"].to_pylist()
+            ids = t["doc_id"].to_pylist()
+            keep = [i for i, s in enumerate(sh) if s]
+            sh = [sh[i] for i in keep]
+            ids = [ids[i] for i in keep]
+            sigs = textstats.minhash_signatures(
+                sh, num_perm=num_perm, seed=7
+            )
+            b = _band_keys(sigs, ids, rows_per_band)
+            return b.append_column(
+                "side", pa.array([side] * b.num_rows, pa.int64())
+            )
+
+        return _f
+
+    bands = sh_old.map_batches(
+        _bands_side(0), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        sh_new.map_batches(
+            _bands_side(1), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def _cross_bucket(t: pa.Table) -> pa.Table:
+        grp = (
+            pl.from_arrow(t)
+            .unique()
+            .group_by("band_key")
+            .agg(
+                pl.col("doc_id").filter(pl.col("side") == 0).alias("old"),
+                pl.col("doc_id").filter(pl.col("side") == 1).alias("new"),
+            )
+            .filter((pl.col("old").list.len() > 0) & (pl.col("new").list.len() > 0))
+        )
+        a, b = [], []
+        for olds, news in zip(grp["old"].to_list(), grp["new"].to_list()):
+            o = np.unique(np.asarray(olds, dtype=np.int64))
+            n = np.unique(np.asarray(news, dtype=np.int64))
+            if max_bucket and len(o) * len(n) > max_bucket:
+                log.warning(
+                    "cross bucket truncated: %d x %d > max_bucket=%d",
+                    len(o), len(n), max_bucket,
+                )
+                o = o[: max(1, max_bucket // max(len(n), 1))]
+            a.append(np.repeat(o, len(n)))
+            b.append(np.tile(n, len(o)))
+        a = np.concatenate(a) if a else np.empty(0, dtype=np.int64)
+        b = np.concatenate(b) if b else np.empty(0, dtype=np.int64)
+        return pa.table(
+            {"doc_a": pa.array(a, pa.int64()), "doc_b": pa.array(b, pa.int64())}
+        )
+
+    cand = bucket_group_apply(bands, "band_key", _cross_bucket)
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique().to_arrow().cast(
+            pa.schema([("doc_a", pa.int64()), ("doc_b", pa.int64())])
+        )
+
+    cand = bucket_group_apply(cand, "doc_a", _distinct)
+    return verify_jaccard_pairs(
+        cand, sh_old.union(sh_new), threshold=threshold
+    )

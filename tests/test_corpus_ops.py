@@ -711,3 +711,38 @@ def test_embedding_cov_stats_sufficient_for_numpy_cov(ray_session):
         cov = (r["sum_ij"] - r["sum_i"] * r["sum_j"] / n) / n
         assert abs(cov - np.cov(q[:, i], q[:, j], ddof=0)[0, 1]) < 1e-6
     assert len(rows) == 10  # upper triangle of 4x4
+
+
+def test_minhash_cross_pairs_only_cross_side(ray_session):
+    """Incremental near-dup join: finds exactly the cross-side near-dup
+    pairs (old doc_a, new doc_b) and NEVER an old-old or new-new pair,
+    even when both sides contain internal near-dups."""
+    base = "the quick brown fox jumps over the lazy dog again and again "
+    old_texts = {
+        0: base * 4,
+        2: base * 4 + "tail one",     # old-old near-dup of 0 (must NOT pair)
+        4: "completely different words entirely " * 6,
+    }
+    new_texts = {
+        1: base * 4 + "tail two",     # cross dup of 0 and 2
+        3: "unrelated new content nothing shared here " * 6,
+        5: "unrelated new content nothing shared here also " * 6,  # ~new-new
+    }
+
+    def mk(d):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "doc_id": pa.array(list(d), pa.int64()),
+                    "text": pa.array(list(d.values())),
+                }
+            )
+        )
+
+    got = sorted(
+        (r["doc_a"], r["doc_b"])
+        for r in dedup.minhash_cross_pairs(
+            mk(old_texts), mk(new_texts), threshold=0.5
+        ).take_all()
+    )
+    assert got == [(0, 1), (2, 1)]
