@@ -130,6 +130,31 @@ def _q_kg_latest_assertion(sf_dir: str):
     return latest_assertion(kg.stage(sf_dir, "rewritten"))
 
 
+def _q_kg_negatives(sf_dir: str):
+    """Corrupt-tail training negatives for link prediction
+    (stages/graph.py negative_samples). Rows-only: hash-chosen corrupted
+    objects have no SQL mirror — the contract pytest pins determinism,
+    layout-independence and never-a-true-edge."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        negative_samples,
+    )
+
+    return negative_samples(kg.stage(sf_dir, "edges"), k=2)
+
+
+def _q_kg_labelprop(sf_dir: str):
+    """Deterministic synchronous label-propagation communities
+    (stages/graph.py label_propagation). Rows-only: iterative mode
+    fixpoints have no SQL form — the two-clique pytest is the contract."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        label_propagation,
+    )
+
+    return label_propagation(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_jaccard(sf_dir: str):
     """Neighbor-Jaccard link prediction in exact integers (stages/graph.py
     jaccard_similarity): (u, v, n_common, deg_u, deg_v)."""
@@ -747,6 +772,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_latest_assertion": _q_kg_latest_assertion,
         "kg_kcore": _q_kg_kcore,  # rows-only (deletion fixpoint, no SQL form)
         "kg_jaccard": _q_kg_jaccard,
+        "kg_labelprop": _q_kg_labelprop,  # rows-only (iterative mode fixpoint)
+        "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
         "kg_eval_mentions": _q_kg_eval_mentions,

@@ -1597,3 +1597,290 @@ def jaccard_similarity(
         zero_copy_batch=True,
     )
     return with_v
+
+
+def label_propagation(
+    edges: ray.data.Dataset,
+    *,
+    max_iters: int = 10,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Synchronous label-propagation communities over the UNDIRECTED KG —
+    rows ``(node, label)``. Each round every node adopts the most
+    frequent label among its neighbors (ties → smallest label; seeds =
+    own id), so the result is DETERMINISTIC — no random visit order, the
+    classic LPA nondeterminism — at the cost of possible 2-cycles, which
+    ``max_iters`` caps (rows-only contract: iterative mode fixpoints
+    have no SQL form; the pytest two-clique oracle is the contract).
+
+    Per round: one ``join_auto`` of the reused symmetrized edge set
+    against the label table (only (node, label) pairs move) and one
+    node-bucketed count+argmax — the same iterative dataflow budget as
+    ``canonical.connected_components``."""
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+    from .canonical import default_partitions
+
+    num_partitions = default_partitions()
+
+    def _sym(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        und = (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                a=pl.min_horizontal("subj_id", "obj_id"),
+                b=pl.max_horizontal("subj_id", "obj_id"),
+            )
+            .unique()
+        )
+        return pl.concat(
+            [
+                und.select(src=pl.col("a"), dst=pl.col("b")),
+                und.select(src=pl.col("b"), dst=pl.col("a")),
+            ]
+        ).to_arrow()
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique().to_arrow().cast(
+            pa.schema([("src", pa.string()), ("dst", pa.string())])
+        )
+
+    sym = bucket_group_apply(
+        edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True),
+        "src",
+        _dedup,
+        num_buckets=num_buckets,
+    )
+
+    labels = bucket_group_apply(
+        sym,
+        "src",
+        lambda t: pl.from_arrow(t)
+        .select(node=pl.col("src"), label=pl.col("src"))
+        .unique()
+        .to_arrow()
+        .cast(pa.schema([("node", pa.string()), ("label", pa.string())])),
+        num_buckets=num_buckets,
+    )
+
+    def _argmax_mode(t: pa.Table) -> pa.Table:
+        # most frequent neighbor label per node; ties -> smallest label
+        return (
+            pl.from_arrow(t)
+            .group_by(["node", "label"])
+            .agg(pl.len().alias("n"))
+            .sort(["node", "n", "label"], descending=[False, True, False])
+            .unique(subset=["node"], keep="first", maintain_order=True)
+            .select(["node", "label"])
+            .to_arrow()
+            .cast(pa.schema([("node", pa.string()), ("label", pa.string())]))
+        )
+
+    for _ in range(max_iters):
+        prop = join_auto(
+            sym,
+            labels,
+            on=("src",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "label": t["label"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        new_labels = bucket_group_apply(
+            prop, "node", _argmax_mode, num_buckets=num_buckets
+        ).materialize()
+        # fixpoint check: count of (node, label) disagreements, computed
+        # with one more tiny bucketed merge over the two label tables
+        tagged = labels.map_batches(
+            lambda t: t.append_column(
+                "gen", pa.array([0] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).union(
+            new_labels.map_batches(
+                lambda t: t.append_column(
+                    "gen", pa.array([1] * t.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+        )
+
+        def _changed(t: pa.Table) -> pa.Table:
+            n = (
+                pl.from_arrow(t)
+                .group_by("node")
+                .agg(pl.col("label").n_unique().alias("u"))
+                .filter(pl.col("u") > 1)
+                .height
+            )
+            return pa.table({"c": pa.array([n], pa.int64())})
+
+        changed = sum(
+            r["c"]
+            for r in bucket_group_apply(
+                tagged, "node", _changed, num_buckets=num_buckets
+            ).take_all()
+        )
+        labels = new_labels
+        if not changed:
+            break
+    return labels
+
+
+def negative_samples(
+    edges: ray.data.Dataset,
+    *,
+    k: int = 2,
+    seed: int = 13,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """KG-embedding training negatives: for every distinct positive
+    (subj, pred, obj) edge, up to ``k`` corrupted-object triples
+    ``(subj_id, pred, neg_obj_id)`` — objects drawn DETERMINISTICALLY
+    from the entity universe by stable hash (layout-independent,
+    engine-reproducible; no RNG state anywhere), then true edges and
+    self-corruptions are removed by one composite-key anti-join
+    (``relational.membership_join``), so a sample can yield < k
+    negatives but never a false one. The standard corrupt-tail
+    generator for TransE-style link-prediction training.
+
+    The node universe broadcasts under membership_join's guard (it is
+    O(entities) — the KG's small table by construction); raw edges
+    shuffle once for the distinct pass."""
+    import numpy as np
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from ..schema import stable_hash64
+    from .relational import membership_join
+
+    pos = bucket_group_apply(
+        edges.map_batches(
+            lambda t: t.select(["subj_id", "pred", "obj_id"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "subj_id",
+        lambda t: pl.from_arrow(t).unique().to_arrow().cast(
+            pa.schema(
+                [
+                    ("subj_id", pa.string()),
+                    ("pred", pa.string()),
+                    ("obj_id", pa.string()),
+                ]
+            )
+        ),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _nodes(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        u = np.unique(
+            np.concatenate(
+                [
+                    t["subj_id"].to_numpy(zero_copy_only=False),
+                    t["obj_id"].to_numpy(zero_copy_only=False),
+                ]
+            )
+        )
+        return pa.table({"node": pa.array(u, pa.string())})
+
+    universe = np.sort(
+        np.unique(
+            np.concatenate(
+                [
+                    t["node"].to_numpy(zero_copy_only=False)
+                    for t in ray.get(
+                        pos.map_batches(
+                            _nodes,
+                            batch_format="pyarrow",
+                            zero_copy_batch=True,
+                        ).to_arrow_refs()
+                    )
+                    if t.num_rows
+                ]
+            )
+            if pos.count()
+            else [np.empty(0, dtype=object)]
+        )
+    )  # documented broadcast: O(entities), the KG's small table
+    uni_ref = ray.put(universe) if ray.is_initialized() else universe
+
+    def _candidates(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        uni = ray.get(uni_ref) if isinstance(uni_ref, ray.ObjectRef) else uni_ref
+        if not t.num_rows or not len(uni):
+            return pa.table(
+                {
+                    "subj_id": pa.array([], pa.string()),
+                    "pred": pa.array([], pa.string()),
+                    "obj_id": pa.array([], pa.string()),
+                }
+            )
+        s = t["subj_id"].to_numpy(zero_copy_only=False)
+        p = t["pred"].to_numpy(zero_copy_only=False)
+        o = t["obj_id"].to_numpy(zero_copy_only=False)
+        subs, preds, negs = [], [], []
+        for i in range(k):
+            key = np.char.add(
+                np.char.add(s.astype(str), f"\x1f{seed}\x1f{i}\x1f"),
+                np.char.add(p.astype(str), o.astype(str)),
+            )
+            idx = stable_hash64(key).astype(np.uint64) % np.uint64(len(uni))
+            cand = uni[idx.astype(np.int64)]
+            keep = cand != s  # self-corruption out immediately
+            subs.append(s[keep])
+            preds.append(p[keep])
+            negs.append(cand[keep])
+        return pa.table(
+            {
+                "subj_id": pa.array(np.concatenate(subs), pa.string()),
+                "pred": pa.array(np.concatenate(preds), pa.string()),
+                "obj_id": pa.array(np.concatenate(negs), pa.string()),
+            }
+        )
+
+    cand = pos.map_batches(
+        _candidates, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _with_key(ds):
+        return ds.map_batches(
+            lambda t: t.append_column(
+                "_k",
+                pc.binary_join_element_wise(
+                    t["subj_id"], t["pred"], t["obj_id"], "\x1f"
+                ),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    neg = membership_join(_with_key(cand), _with_key(pos), on="_k", anti=True)
+    # distinct triples need co-location (two positives can corrupt to the
+    # same negative from different blocks) — one subj-bucketed dedup
+    return bucket_group_apply(
+        neg,
+        "subj_id",
+        lambda t: pl.from_arrow(t.drop_columns(["_k"]))
+        .unique()
+        .to_arrow()
+        .cast(
+            pa.schema(
+                [
+                    ("subj_id", pa.string()),
+                    ("pred", pa.string()),
+                    ("obj_id", pa.string()),
+                ]
+            )
+        ),
+        num_buckets=num_buckets,
+    )

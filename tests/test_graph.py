@@ -584,3 +584,75 @@ def test_jaccard_similarity_closed_form(ray_session):
         ("a", "b"): (2, 3, 3),   # share {h, x}
         ("h", "x"): (2, 3, 2),   # share {a, b}
     }
+
+
+def test_label_propagation_two_cliques(ray_session):
+    """Deterministic sync LPA: two 4-cliques joined by one bridge edge
+    settle into two communities labeled by each clique's min node; the
+    bridge endpoints stay with their own cliques (3 internal neighbors
+    vs 1 bridge neighbor)."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        label_propagation,
+    )
+
+    c1 = ["a", "b", "c", "d"]
+    c2 = ["w", "x", "y", "z"]
+    und = [(u, v) for i, u in enumerate(c1) for v in c1[i + 1 :]]
+    und += [(u, v) for i, u in enumerate(c2) for v in c2[i + 1 :]]
+    und.append(("d", "w"))  # bridge
+    t = pa.table(
+        {"subj_id": [e[0] for e in und], "obj_id": [e[1] for e in und]}
+    )
+    ds = ray.data.from_arrow([t.slice(i, 5) for i in range(0, len(und), 5)])
+    got = {
+        r["node"]: r["label"]
+        for r in label_propagation(ds, num_buckets=4).take_all()
+    }
+    assert {n: got[n] for n in c1} == {n: "a" for n in c1}
+    assert {n: got[n] for n in c2} == {n: "w" for n in c2}
+
+
+def test_negative_samples_contract(ray_session):
+    """Corrupt-tail negatives: never a true edge or a self-corruption,
+    objects drawn from the node universe, deterministic and
+    layout-independent (1-block vs 3-block inputs agree exactly)."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        negative_samples,
+    )
+
+    und = [
+        ("a", "p", "b"), ("a", "p", "c"), ("b", "q", "c"),
+        ("c", "p", "d"), ("d", "q", "a"), ("e", "p", "a"),
+    ]
+    t = pa.table(
+        {
+            "subj_id": [e[0] for e in und],
+            "pred": [e[1] for e in und],
+            "obj_id": [e[2] for e in und],
+        }
+    )
+    one = ray.data.from_arrow(t)
+    three = ray.data.from_arrow([t.slice(0, 2), t.slice(2, 2), t.slice(4, 2)])
+    got1 = sorted(
+        (r["subj_id"], r["pred"], r["obj_id"])
+        for r in negative_samples(one, k=3, num_buckets=4).take_all()
+    )
+    got3 = sorted(
+        (r["subj_id"], r["pred"], r["obj_id"])
+        for r in negative_samples(three, k=3, num_buckets=4).take_all()
+    )
+    assert got1 == got3                     # layout-independent
+    assert got1                             # produced something
+    pos = set(und)
+    nodes = {x for e in und for x in (e[0], e[2])}
+    for s, p, o in got1:
+        assert (s, p, o) not in pos         # never a true edge
+        assert o != s                       # never a self-corruption
+        assert o in nodes                   # drawn from the universe
+    assert len(set(got1)) == len(got1)      # distinct
