@@ -136,6 +136,9 @@ class EntityLinker:
         self._scores = np.array(
             [v[1] for v in alias_index_ref.values()], dtype=np.float32
         )
+        # warm the Index hash engine + uniqueness check once per actor
+        # (pandas otherwise pays them on the first batch)
+        self._pidx.get_indexer(np.array(["\x00"], dtype=object))
 
     def __call__(self, batch: pa.Table) -> pa.Table:
         import numpy as np
