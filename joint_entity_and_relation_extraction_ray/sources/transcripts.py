@@ -197,3 +197,23 @@ def write_transcripts_jsonl(ds: ray.data.Dataset, path: str) -> None:
     ds.map_batches(
         _iso, batch_format="pyarrow", zero_copy_batch=True
     ).write_json(path)
+
+
+def write_transcripts_csv(ds: ray.data.Dataset, path: str) -> None:
+    """T0 sink: CSV shards (one file per block) closing the third
+    interchange format's round trip with `read_transcripts_csv` —
+    pytest-pinned. Timestamps serialize as ISO-8601; nullable string
+    columns write empty strings (CSV's null), which the reader repairs
+    back to true nulls."""
+    import pyarrow.compute as _pc
+
+    def _iso(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("ts"),
+            "ts",
+            _pc.strftime(t["ts"], format="%Y-%m-%dT%H:%M:%S"),
+        )
+
+    ds.map_batches(
+        _iso, batch_format="pyarrow", zero_copy_batch=True
+    ).write_csv(path)

@@ -297,3 +297,34 @@ def test_transcripts_jsonl_roundtrip(ray_session, tmp_path):
     a = sorted(src.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
     b = sorted(back.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
     assert a == b
+
+
+def test_transcripts_csv_roundtrip(ray_session, tmp_path):
+    """CSV sink ∘ CSV source == identity on T0 (incl. the null `tool`
+    column surviving the empty-string repair and µs timestamps)."""
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts_csv,
+        write_transcripts_csv,
+    )
+
+    src = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c1", "c1", "c2"],
+                "turn_idx": pa.array([0, 1, 0], pa.int32()),
+                "role": ["user", "assistant", "tool"],
+                "text": ["hello", "world", "ok"],
+                "tool": pa.array([None, None, "search"], pa.string()),
+                "ts": pa.array(
+                    [1_700_000_000_000_000 + i for i in range(3)],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    )
+    out = tmp_path / "shards"
+    write_transcripts_csv(src, str(out))
+    back = read_transcripts_csv([str(p) for p in sorted(out.glob("*.csv"))])
+    a = sorted(src.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+    b = sorted(back.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
+    assert a == b
