@@ -130,6 +130,22 @@ def _q_kg_latest_assertion(sf_dir: str):
     return latest_assertion(kg.stage(sf_dir, "rewritten"))
 
 
+def _q_mention_contexts(sf_dir: str):
+    """±20-char context snippets around every extracted mention — the
+    disambiguation/training-example view (stages/linker.py
+    mention_contexts: one (conv, turn) join + vectorized str.slice)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.linker import (
+        mention_contexts,
+    )
+
+    turns = read_transcripts(str(kg.corpus_for_sf_dir(sf_dir) / "transcripts"))
+    return mention_contexts(kg.stage(sf_dir, "mentions"), turns, ctx_chars=20)
+
+
 def _q_kg_negatives(sf_dir: str):
     """Corrupt-tail training negatives for link prediction
     (stages/graph.py negative_samples). Rows-only: hash-chosen corrupted
@@ -774,6 +790,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_jaccard": _q_kg_jaccard,
         "kg_labelprop": _q_kg_labelprop,  # rows-only (iterative mode fixpoint)
         "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
+        "mention_contexts": _q_mention_contexts,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
         "kg_eval_mentions": _q_kg_eval_mentions,
@@ -1009,6 +1026,18 @@ def oracle_sql() -> dict[str, str]:
             JOIN lm s ON t.subj_mention_id = s.mention_id
             JOIN lm o ON t.obj_mention_id = o.mention_id
             GROUP BY 1, 2, 3
+        """,
+        # ±20-char context windows around each golden mention span
+        # (stages/linker.py mention_contexts; spans are 0-based [start,
+        # end) chars, substr is 1-based → off = greatest(start-20, 0)+1)
+        "mention_contexts": f"""
+            SELECT m.conv_id, m.turn_idx, m.mention_id,
+                   substr(t.text,
+                          greatest(m."start" - 20, 0) + 1,
+                          m."end" + 20 - greatest(m."start" - 20, 0)) AS ctx
+            FROM read_parquet('{g}/golden_mentions/*.parquet') m
+            JOIN read_parquet('{g}/transcripts/*.parquet') t
+              USING (conv_id, turn_idx)
         """,
         # SCD-1 keep-latest over the same rewritten stream as kg_edges:
         # newest object per (subj, pred), ties to min obj (graph.py

@@ -207,3 +207,58 @@ def link_mentions(
         batch_size=batch_size,
         concurrency=concurrency or default_pool_size(),
     )
+
+
+def mention_contexts(
+    mentions: "ray.data.Dataset",
+    turns: "ray.data.Dataset",
+    *,
+    ctx_chars: int = 20,
+    num_partitions: int = 16,
+) -> "ray.data.Dataset":
+    """Per-mention context windows: the turn text ± ``ctx_chars``
+    characters around each mention span — the snippet a disambiguation
+    reranker or a training-example builder consumes next to the surface
+    form. Rows (conv_id, turn_idx, mention_id, ctx).
+
+    One (conv, turn)-keyed join of mention spans against turn text
+    (``join_auto``: broadcast when the turn table fits, co-partitioned
+    hash above it — text rides the join exactly once), then a fully
+    vectorized polars ``str.slice`` with per-row offsets. Span offsets
+    are 0-based [start, end) characters, same as the extractor's."""
+    import polars as pl
+    import pyarrow as _pa
+
+    from ..functions.joins import join_auto
+
+    m = mentions.select_columns(
+        ["conv_id", "turn_idx", "mention_id", "start", "end"]
+    )
+    t = turns.select_columns(["conv_id", "turn_idx", "text"])
+    j = join_auto(
+        m, t, on=("conv_id", "turn_idx"), num_partitions=num_partitions
+    )
+
+    def _ctx(tb: _pa.Table) -> _pa.Table:
+        df = pl.from_arrow(tb)
+        off = (pl.col("start") - ctx_chars).clip(lower_bound=0)
+        out = df.select(
+            pl.col("conv_id"),
+            pl.col("turn_idx"),
+            pl.col("mention_id"),
+            pl.col("text")
+            .str.slice(off, pl.col("end") + ctx_chars - off)
+            .alias("ctx"),
+        ).to_arrow()
+        return out.cast(
+            _pa.schema(
+                [
+                    ("conv_id", tb.schema.field("conv_id").type),
+                    ("turn_idx", tb.schema.field("turn_idx").type),
+                    ("mention_id", tb.schema.field("mention_id").type),
+                    ("ctx", _pa.string()),
+                ]
+            )
+        )
+
+    return j.map_batches(_ctx, batch_format="pyarrow", zero_copy_batch=True)

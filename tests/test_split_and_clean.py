@@ -328,3 +328,40 @@ def test_transcripts_csv_roundtrip(ray_session, tmp_path):
     a = sorted(src.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
     b = sorted(back.take_all(), key=lambda r: (r["conv_id"], r["turn_idx"]))
     assert a == b
+
+
+def test_mention_contexts_window_clipping(ray_session):
+    """Context windows clip at both text boundaries and keep exact
+    [start-20, end+20) otherwise."""
+    from joint_entity_and_relation_extraction_ray.stages.linker import (
+        mention_contexts,
+    )
+
+    text = "0123456789" * 6  # 60 chars
+    turns = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c"],
+                "turn_idx": pa.array([0], pa.int32()),
+                "text": [text],
+            }
+        )
+    )
+    mentions = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": ["c", "c", "c"],
+                "turn_idx": pa.array([0, 0, 0], pa.int32()),
+                "mention_id": ["m0", "m1", "m2"],
+                "start": pa.array([0, 30, 55], pa.int32()),
+                "end": pa.array([5, 35, 60], pa.int32()),
+            }
+        )
+    )
+    got = {
+        r["mention_id"]: r["ctx"]
+        for r in mention_contexts(mentions, turns, ctx_chars=20).take_all()
+    }
+    assert got["m0"] == text[0:25]    # left-clipped
+    assert got["m1"] == text[10:55]   # full window
+    assert got["m2"] == text[35:60]   # right-clipped
