@@ -130,6 +130,52 @@ def _q_kg_latest_assertion(sf_dir: str):
     return latest_assertion(kg.stage(sf_dir, "rewritten"))
 
 
+def _q_kg_pred_signatures(sf_dir: str):
+    """Ontology profiling: triple counts per (pred, subj ent_type, obj
+    ent_type) — the type-signature audit run before committing a KG
+    schema (a signature with tiny support flags extraction noise). Two
+    mention_id joins (join_auto) attach endpoint types, then one
+    combiner-first grouped count."""
+    from joint_entity_and_relation_extraction_ray.functions.joins import (
+        join_auto,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        grouped_summary,
+    )
+
+    triples = kg.stage(sf_dir, "triples").select_columns(
+        ["subj_mention_id", "obj_mention_id", "pred"]
+    )
+    types = kg.stage(sf_dir, "mentions").select_columns(
+        ["mention_id", "ent_type"]
+    )
+    j = join_auto(
+        triples, types, on=("subj_mention_id",), right_on=("mention_id",)
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["subj_type" if c == "ent_type" else c for c in t.schema.names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = join_auto(
+        j, types, on=("obj_mention_id",), right_on=("mention_id",)
+    ).map_batches(
+        lambda t: t.rename_columns(
+            ["obj_type" if c == "ent_type" else c for c in t.schema.names]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return grouped_summary(
+        j,
+        by=["pred", "subj_type", "obj_type"],
+        aggs={"n": ("pred", "count")},
+        num_buckets=4,
+    )
+
+
 def _q_mention_contexts(sf_dir: str):
     """±20-char context snippets around every extracted mention — the
     disambiguation/training-example view (stages/linker.py
@@ -791,6 +837,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_labelprop": _q_kg_labelprop,  # rows-only (iterative mode fixpoint)
         "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
         "mention_contexts": _q_mention_contexts,
+        "kg_pred_signatures": _q_kg_pred_signatures,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
         "kg_eval_mentions": _q_kg_eval_mentions,
@@ -1025,6 +1072,21 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{g}/golden_triples/*.parquet') t
             JOIN lm s ON t.subj_mention_id = s.mention_id
             JOIN lm o ON t.obj_mention_id = o.mention_id
+            GROUP BY 1, 2, 3
+        """,
+        # predicate type signatures: counts per (pred, subj_type,
+        # obj_type) — the ontology audit (__ray_entry__
+        # _q_kg_pred_signatures: two mention joins + combiner count)
+        "kg_pred_signatures": f"""
+            SELECT t.pred,
+                   ms.ent_type AS subj_type,
+                   mo.ent_type AS obj_type,
+                   count(*) AS n
+            FROM read_parquet('{g}/golden_triples/*.parquet') t
+            JOIN read_parquet('{g}/golden_mentions/*.parquet') ms
+              ON t.subj_mention_id = ms.mention_id
+            JOIN read_parquet('{g}/golden_mentions/*.parquet') mo
+              ON t.obj_mention_id = mo.mention_id
             GROUP BY 1, 2, 3
         """,
         # ±20-char context windows around each golden mention span
