@@ -130,6 +130,61 @@ def _q_kg_latest_assertion(sf_dir: str):
     return latest_assertion(kg.stage(sf_dir, "rewritten"))
 
 
+def _q_kg_pred_profile(sf_dir: str):
+    """Per-predicate graph profile: distinct edge count, total assertion
+    weight, distinct subjects and distinct objects — the relation-level
+    statistics a KG publishes next to its ontology. Exact distincts by
+    decomposition: per-block distinct (pred, endpoint) pairs → one
+    pred-bucketed merge — endpoint ids shuffle once as distinct pairs,
+    never per assertion."""
+    import polars as pl
+    import pyarrow as _pa
+
+    from joint_entity_and_relation_extraction_ray.functions.joins import (
+        join_auto,
+    )
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        grouped_summary,
+    )
+
+    edges = kg.stage(sf_dir, "edges")
+    base = grouped_summary(
+        edges.select_columns(["pred", "weight"]),
+        by=["pred"],
+        aggs={"n_edges": ("weight", "count"), "total_weight": ("weight", "sum")},
+        num_buckets=2,
+    )
+
+    def _distinct_count(col: str, out: str):
+        pairs = bucket_group_apply(
+            edges.select_columns(["pred", col]),
+            "pred",
+            lambda t: pl.from_arrow(t).unique().to_arrow().cast(
+                _pa.schema([("pred", _pa.string()), (col, _pa.string())])
+            ),
+            num_buckets=2,
+        )
+        return grouped_summary(
+            pairs, by=["pred"], aggs={out: (col, "count")}, num_buckets=2
+        )
+
+    prof = join_auto(
+        base, _distinct_count("subj_id", "n_subj"), on=("pred",)
+    )
+    prof = join_auto(prof, _distinct_count("obj_id", "n_obj"), on=("pred",))
+    return prof.map_batches(
+        lambda t: t.select(
+            ["pred", "n_edges", "total_weight", "n_subj", "n_obj"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _q_kg_pred_signatures(sf_dir: str):
     """Ontology profiling: triple counts per (pred, subj ent_type, obj
     ent_type) — the type-signature audit run before committing a KG
@@ -838,6 +893,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
         "mention_contexts": _q_mention_contexts,
         "kg_pred_signatures": _q_kg_pred_signatures,
+        "kg_pred_profile": _q_kg_pred_profile,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
         "kg_eval_mentions": _q_kg_eval_mentions,
@@ -1073,6 +1129,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN lm s ON t.subj_mention_id = s.mention_id
             JOIN lm o ON t.obj_mention_id = o.mention_id
             GROUP BY 1, 2, 3
+        """,
+        # per-predicate profile over the SAME canonical edge set as
+        # kg_edges (exact distinct endpoints; __ray_entry__
+        # _q_kg_pred_profile)
+        "kg_pred_profile": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e AS (
+                SELECT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id,
+                       COUNT(*) AS weight
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            )
+            SELECT pred,
+                   count(*) AS n_edges,
+                   CAST(sum(weight) AS BIGINT) AS total_weight,
+                   count(DISTINCT subj_id) AS n_subj,
+                   count(DISTINCT obj_id) AS n_obj
+            FROM e GROUP BY 1
         """,
         # predicate type signatures: counts per (pred, subj_type,
         # obj_type) — the ontology audit (__ray_entry__
