@@ -680,6 +680,61 @@ def _q_conv_response_time(sf_dir: str):
     return bucket_group_apply(partials, "conv_id", _merge, num_buckets=8)
 
 
+def _q_conv_qa_pairs(sf_dir: str):
+    """Instruction-pair extraction: every user turn immediately followed
+    by an assistant turn becomes one (prompt, response) training example
+    — rows (conv_id, turn_idx, prompt, response). One conv-bucketed
+    shuffle; the pairing is a vectorized per-conversation shift."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(
+            t.select(["conv_id", "turn_idx", "role", "text"])
+        ).sort(["conv_id", "turn_idx"])
+        out = (
+            df.with_columns(
+                nrole=pl.col("role").shift(-1).over("conv_id"),
+                ntext=pl.col("text").shift(-1).over("conv_id"),
+            )
+            .filter(
+                (pl.col("role") == "user") & (pl.col("nrole") == "assistant")
+            )
+            .select(
+                pl.col("conv_id"),
+                pl.col("turn_idx").cast(pl.Int64),
+                pl.col("text").alias("prompt"),
+                pl.col("ntext").alias("response"),
+            )
+            .to_arrow()
+        )
+        return out.cast(
+            pa.schema(
+                [
+                    ("conv_id", pa.string()),
+                    ("turn_idx", pa.int64()),
+                    ("prompt", pa.string()),
+                    ("response", pa.string()),
+                ]
+            )
+        )
+
+    return bucket_group_apply(ds, "conv_id", _pairs, num_buckets=32)
+
+
 def _q_conv_windows(sf_dir: str):
     """RAG-style dialog windowing: every 3 consecutive turns of a
     conversation concatenated into one retrieval unit — rows (conv_id,
@@ -884,6 +939,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": _q_kg_reciprocity,
         "conv_role_patterns": _q_conv_role_patterns,
         "conv_windows": _q_conv_windows,
+        "conv_qa_pairs": _q_conv_qa_pairs,
         "conv_response_time": _q_conv_response_time,
         "kg_nodes": _q_kg_nodes,
         "kg_latest_assertion": _q_kg_latest_assertion,
@@ -1472,6 +1528,22 @@ def oracle_sql() -> dict[str, str]:
             FROM firsts
             WHERE fu IS NOT NULL AND fa IS NOT NULL
               AND fa >= fu
+        """,
+        # user→assistant adjacent-turn training pairs over the SAME
+        # validated/filtered turn sequence as conv_windows
+        "conv_qa_pairs": f"""
+            WITH t0 AS (
+                SELECT conv_id, turn_idx, role, text
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            )
+            SELECT conv_id, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   text AS prompt,
+                   lead(text, 1) OVER w AS response
+            FROM t0
+            WINDOW w AS (PARTITION BY conv_id ORDER BY turn_idx)
+            QUALIFY role = 'user' AND lead(role, 1) OVER w = 'assistant'
         """,
         "conv_windows": f"""
             WITH t0 AS (
