@@ -780,6 +780,41 @@ def _q_conv_windows(sf_dir: str):
     return bucket_group_apply(ds, "conv_id", _win, num_buckets=8)
 
 
+def _q_tool_transitions(sf_dir: str):
+    """Tool-call bigram transition counts over assistant transcripts
+    (agent-trajectory mining) — see `stages/dialog.tool_transitions`."""
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.dialog import (
+        tool_transitions,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+    return tool_transitions(ds, num_buckets=8)
+
+
+def _q_tool_stats(sf_dir: str):
+    """Per-tool usage profile (calls, EXACT distinct conversations via
+    conv-disjoint partials, turn-position range) — see
+    `stages/dialog.tool_stats`."""
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.dialog import (
+        tool_stats,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+    return tool_stats(ds, num_buckets=8)
+
+
 def _q_kg_clustering(sf_dir: str):
     """Per-node triangle participation and degree (local clustering
     coefficient as exact integers) — see `stages/graph.node_clustering`."""
@@ -939,6 +974,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity": _q_kg_reciprocity,
         "conv_role_patterns": _q_conv_role_patterns,
         "conv_windows": _q_conv_windows,
+        "tool_transitions": _q_tool_transitions,
+        "tool_stats": _q_tool_stats,
         "conv_qa_pairs": _q_conv_qa_pairs,
         "conv_response_time": _q_conv_response_time,
         "kg_nodes": _q_kg_nodes,
@@ -1572,6 +1609,40 @@ def oracle_sql() -> dict[str, str]:
                                AS pattern
                     FROM t0 GROUP BY conv_id)
             SELECT pattern, count(*) AS n_convs FROM sig GROUP BY pattern
+        """,
+        # tool-call bigrams: LAG over tool-bearing turns per conversation
+        # (stages/dialog.tool_transitions; same T0 validate filter)
+        "tool_transitions": f"""
+            WITH t0 AS (
+                SELECT conv_id, turn_idx, tool
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+                  AND tool IS NOT NULL
+            ),
+            s AS (
+                SELECT tool,
+                       LAG(tool) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                       ) AS prev
+                FROM t0
+            )
+            SELECT prev AS tool_a, tool AS tool_b, count(*) AS n
+            FROM s WHERE prev IS NOT NULL GROUP BY 1, 2
+        """,
+        # per-tool usage profile (stages/dialog.tool_stats; n_convs is
+        # exact DISTINCT — conv-disjoint bucket partials sum)
+        "tool_stats": f"""
+            SELECT tool,
+                   count(*) AS n_calls,
+                   count(DISTINCT conv_id) AS n_convs,
+                   CAST(min(turn_idx) AS BIGINT) AS min_turn,
+                   CAST(max(turn_idx) AS BIGINT) AS max_turn
+            FROM read_parquet('{g}/transcripts/*.parquet')
+            WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+              AND length(trim(coalesce(text, ''))) > 0
+              AND tool IS NOT NULL
+            GROUP BY tool
         """,
         "kg_clustering": f"""
             WITH best AS MATERIALIZED (

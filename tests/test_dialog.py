@@ -1,0 +1,100 @@
+"""Dialog-structure ops: tool-call bigrams and per-tool usage profiles."""
+
+import pyarrow as pa
+import ray.data
+
+from joint_entity_and_relation_extraction_ray.stages import dialog
+
+
+def _turns(rows):
+    """rows: (conv_id, turn_idx, tool-or-None)."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array(["assistant"] * len(rows), pa.string()),
+                "tool": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_tool_transitions_skips_non_tool_turns(ray_session):
+    rows = [
+        ("c1", 0, "search"),
+        ("c1", 1, None),       # intervening non-tool turn is skipped
+        ("c1", 2, "fetch"),
+        ("c1", 3, "fetch"),
+        ("c2", 0, "fetch"),    # conversation boundary: no bigram across convs
+        ("c2", 1, "search"),
+        ("c3", 0, "search"),   # single tool turn: contributes nothing
+    ]
+    out = (
+        dialog.tool_transitions(_turns(rows), num_buckets=4)
+        .to_pandas()
+        .sort_values(["tool_a", "tool_b"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("fetch", "fetch", 1),
+        ("fetch", "search", 1),
+        ("search", "fetch", 1),
+    ]
+
+
+def test_tool_transitions_unordered_input(ray_session):
+    # bigrams follow turn_idx order even when rows arrive shuffled
+    rows = [
+        ("c1", 2, "c"),
+        ("c1", 0, "a"),
+        ("c1", 4, "b"),
+    ]
+    out = (
+        dialog.tool_transitions(_turns(rows), num_buckets=2)
+        .to_pandas()
+        .sort_values(["tool_a", "tool_b"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("a", "c", 1),
+        ("c", "b", 1),
+    ]
+
+
+def test_tool_stats_exact_distinct_convs(ray_session):
+    rows = [
+        ("c1", 0, "search"),
+        ("c1", 5, "search"),   # same conv twice: n_convs counts once
+        ("c1", 2, "fetch"),
+        ("c2", 1, "search"),
+        ("c2", 9, None),       # non-tool turn excluded entirely
+    ]
+    out = (
+        dialog.tool_stats(_turns(rows), num_buckets=4)
+        .to_pandas()
+        .sort_values("tool")
+        .reset_index(drop=True)
+    )
+    assert list(out["tool"]) == ["fetch", "search"]
+    assert list(out["n_calls"]) == [1, 3]
+    assert list(out["n_convs"]) == [1, 2]
+    assert list(out["min_turn"]) == [2, 0]
+    assert list(out["max_turn"]) == [2, 5]
+
+
+def test_tool_stats_distinct_survives_block_splits(ray_session):
+    # the same (conv, tool) pair appearing in different input blocks must
+    # still count one conversation — the conv-bucketed merge collapses it
+    a = _turns([("c1", 0, "x"), ("c1", 1, "x")])
+    b = _turns([("c1", 7, "x"), ("c2", 0, "x")])
+    out = (
+        dialog.tool_stats(a.union(b), num_buckets=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert list(out["tool"]) == ["x"]
+    assert list(out["n_calls"]) == [4]
+    assert list(out["n_convs"]) == [2]
+    assert list(out["min_turn"]) == [0]
+    assert list(out["max_turn"]) == [7]
