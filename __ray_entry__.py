@@ -815,6 +815,55 @@ def _q_tool_stats(sf_dir: str):
     return tool_stats(ds, num_buckets=8)
 
 
+def _q_conv_dedup(sf_dir: str):
+    """Conversation-level exact dedup (keep-first by (role, text)-sequence
+    signature) — see `stages/dialog.conv_dedup`."""
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.dialog import (
+        conv_dedup,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+    return conv_dedup(ds, num_buckets=8)
+
+
+def _q_boilerplate_turns(sf_dir: str):
+    """Template/boilerplate turn texts recurring across ≥2 distinct
+    conversations — see `stages/dialog.boilerplate_turns`."""
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.dialog import (
+        boilerplate_turns,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+    return boilerplate_turns(ds, min_convs=2, num_buckets=8)
+
+
+def _q_mixture_weights(sf_dir: str):
+    """Training-mixture profile over (lang, source): exact token totals,
+    corpus shares and uniform-target resampling weights — see
+    `stages/curation.mixture_weights`."""
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        read_documents,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.curation import (
+        mixture_weights,
+    )
+
+    docs = read_documents(sf_dir, columns=["lang", "source", "text"])
+    return mixture_weights(docs)
+
+
 def _q_kg_clustering(sf_dir: str):
     """Per-node triangle participation and degree (local clustering
     coefficient as exact integers) — see `stages/graph.node_clustering`."""
@@ -976,6 +1025,9 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "conv_windows": _q_conv_windows,
         "tool_transitions": _q_tool_transitions,
         "tool_stats": _q_tool_stats,
+        "conv_dedup": _q_conv_dedup,
+        "boilerplate_turns": _q_boilerplate_turns,
+        "mixture_weights": _q_mixture_weights,
         "conv_qa_pairs": _q_conv_qa_pairs,
         "conv_response_time": _q_conv_response_time,
         "kg_nodes": _q_kg_nodes,
@@ -1643,6 +1695,69 @@ def oracle_sql() -> dict[str, str]:
               AND length(trim(coalesce(text, ''))) > 0
               AND tool IS NOT NULL
             GROUP BY tool
+        """,
+        # conversation-level exact dedup: keep-first per ordered
+        # (role, text)-sequence signature (stages/dialog.conv_dedup;
+        # separators chr(30)/chr(31) match the Ray-side signature bytes)
+        "conv_dedup": f"""
+            WITH t0 AS (
+                SELECT conv_id, turn_idx, role, text
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            ),
+            sig AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_turns,
+                       string_agg(role || chr(30) || text, chr(31)
+                           ORDER BY turn_idx, text, role) AS s
+                FROM t0 GROUP BY conv_id
+            )
+            SELECT min(conv_id) AS conv_id,
+                   count(*) AS n_dups,
+                   min(n_turns) AS n_turns
+            FROM sig GROUP BY s
+        """,
+        # boilerplate detection: turn texts recurring across >= 2 distinct
+        # conversations (stages/dialog.boilerplate_turns)
+        "boilerplate_turns": f"""
+            WITH t0 AS (
+                SELECT conv_id, text
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            )
+            SELECT text,
+                   count(*) AS n_turns,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM t0 GROUP BY text
+            HAVING count(DISTINCT conv_id) >= 2
+        """,
+        # training-mixture profile (stages/curation.mixture_weights):
+        # share/weight are the same two IEEE double divisions in the same
+        # order as the Ray side — bit-exact, no tolerance
+        "mixture_weights": """
+            WITH toks AS (
+                SELECT lang, source,
+                       CASE WHEN trim(text) = '' THEN 0
+                            ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+                       END AS n_tok
+                FROM documents),
+            grp AS (
+                SELECT lang, source,
+                       CAST(count(*) AS BIGINT) AS n_docs,
+                       CAST(sum(n_tok) AS BIGINT) AS total_tokens
+                FROM toks GROUP BY 1, 2),
+            shared AS (
+                SELECT *,
+                       CAST(total_tokens AS DOUBLE)
+                           / (SELECT CAST(sum(total_tokens) AS DOUBLE)
+                              FROM grp) AS token_share
+                FROM grp)
+            SELECT lang, source, n_docs, total_tokens, token_share,
+                   (1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM grp))
+                       / token_share AS weight
+            FROM shared
         """,
         "kg_clustering": f"""
             WITH best AS MATERIALIZED (

@@ -655,3 +655,102 @@ def term_postings(
         )
 
     return bucket_group_apply(hits, "token", _merge, num_buckets=num_buckets)
+
+
+def mixture_weights(
+    docs: ray.data.Dataset,
+    *,
+    group_cols: tuple[str, str] = ("lang", "source"),
+    num_buckets: int = 4,
+) -> ray.data.Dataset:
+    """Training-mixture profile: per (lang, source) bucket — doc count,
+    EXACT total whitespace-token count, the bucket's share of all corpus
+    tokens, and the uniform-target resampling weight ``(1/G) / share``
+    (the factor a sampler multiplies each bucket's draw probability by
+    to flatten the mixture across the G observed buckets). Output
+    ``(lang, source, n_docs, total_tokens, token_share, weight)`` — the
+    "what is my corpus made of and how do I rebalance it" step that
+    precedes any data-mixing run.
+
+    All float arithmetic is two IEEE double divisions in a fixed order
+    (share = tokens/total, weight = (1/G)/share), so the DuckDB oracle
+    reproduces it bit-for-bit — no tolerance needed.
+
+    Dataflow: per-block combiner counts ``\\S+`` tokens vectorized and
+    collapses to G rows per block; one tiny shuffle merges partials; the
+    G-row result is a single block where shares/weights are computed.
+    The corpus text never moves — only G-row partials shuffle."""
+    import polars as pl
+    import pyarrow.compute as pc
+
+    from ..functions.shuffle import bucket_group_apply
+
+    c0, c1 = group_cols
+    part_schema = pa.schema(
+        [
+            (c0, pa.string()),
+            (c1, pa.string()),
+            ("n_docs", pa.int64()),
+            ("total_tokens", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return part_schema.empty_table()
+        return (
+            pl.from_arrow(t.select([c0, c1, "text"]))
+            .with_columns(
+                pl.col("text")
+                .str.count_matches(textstats._TOKEN_RE)
+                .cast(pl.Int64)
+                .alias("n_tok")
+            )
+            .group_by([c0, c1])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                pl.col("n_tok").sum().alias("total_tokens"),
+            )
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return part_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by([c0, c1])
+            .agg(
+                pl.col("n_docs").sum(),
+                pl.col("total_tokens").sum(),
+            )
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    def _weights(t: pa.Table) -> pa.Table:
+        # single tiny block: G rows after the merge
+        import numpy as np
+
+        if not t.num_rows:
+            return pa.schema(
+                list(part_schema)
+                + [("token_share", pa.float64()), ("weight", pa.float64())]
+            ).empty_table()
+        tok = t["total_tokens"].to_numpy(zero_copy_only=False)
+        grand = np.int64(tok.sum())
+        g = np.float64(t.num_rows)
+        share = tok.astype(np.float64) / np.float64(grand)
+        weight = (np.float64(1.0) / g) / share
+        return t.append_column(
+            "token_share", pa.array(share, pa.float64())
+        ).append_column("weight", pa.array(weight, pa.float64()))
+
+    partials = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = bucket_group_apply(partials, c0, _merge, num_buckets=num_buckets)
+    return merged.repartition(1).map_batches(
+        _weights, batch_format="pyarrow", zero_copy_batch=True
+    )

@@ -205,3 +205,163 @@ def tool_stats(
         partials, "conv_id", _bucket_merge, num_buckets=num_buckets
     )
     return bucket_group_apply(per_bucket, "tool", _final, num_buckets=2)
+
+
+def conv_dedup(
+    ds: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Conversation-level exact dedup: two transcripts are duplicates when
+    their (role, text) sequences ordered by turn position are identical,
+    regardless of conv_id / timestamps / tool annotations. Keep-first
+    (min conv_id) per signature → ``(conv_id, n_dups:int64,
+    n_turns:int64)`` — the corpus-hygiene pass that collapses re-ingested
+    or mirrored conversations before any extraction work is spent on
+    them. SQL mirror: ``GROUP BY string_agg(role || chr(30) || text,
+    chr(31) ORDER BY turn_idx, text, role)`` per conv.
+
+    Dataflow: one conv-bucketed shuffle moves the raw turns (the only
+    pass that touches text), each bucket collapses its conversations to a
+    16-byte md5 signature row, and the second shuffle — keyed on the
+    digest — moves ONE short row per conversation, never the text. The
+    per-conv md5 is a Python call per CONVERSATION (same idiom as
+    `functions/textstats.fingerprint`), not per turn."""
+    import hashlib
+
+    slim = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role", "text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    sig_schema = pa.schema(
+        [
+            ("digest", pa.string()),
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+        ]
+    )
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_dups", pa.int64()),
+            ("n_turns", pa.int64()),
+        ]
+    )
+
+    def _sign(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return sig_schema.empty_table()
+        sigs = (
+            pl.from_arrow(t)
+            # deterministic under duplicate turn_idx: same tie-break as
+            # the SQL ORDER BY (turn_idx, text, role)
+            .sort(["conv_id", "turn_idx", "text", "role"])
+            .group_by("conv_id", maintain_order=True)
+            .agg(
+                (pl.col("role") + "\x1e" + pl.col("text"))
+                .str.join("\x1f")
+                .alias("sig"),
+                pl.len().cast(pl.Int64).alias("n_turns"),
+            )
+        )
+        digests = [
+            hashlib.md5(s.encode("utf-8")).hexdigest()
+            for s in sigs["sig"].to_list()
+        ]
+        return pa.table(
+            {
+                "digest": pa.array(digests, pa.string()),
+                "conv_id": sigs["conv_id"].to_arrow().cast(pa.string()),
+                "n_turns": sigs["n_turns"].to_arrow(),
+            }
+        ).cast(sig_schema)
+
+    def _keep_first(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("digest")
+            .agg(
+                pl.col("conv_id").min(),
+                pl.len().cast(pl.Int64).alias("n_dups"),
+                # identical signature => identical turn count
+                pl.col("n_turns").min(),
+            )
+            .select(["conv_id", "n_dups", "n_turns"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    sigs = bucket_group_apply(slim, "conv_id", _sign, num_buckets=num_buckets)
+    return bucket_group_apply(sigs, "digest", _keep_first, num_buckets=8)
+
+
+def boilerplate_turns(
+    ds: ray.data.Dataset, *, min_convs: int = 2, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Template/boilerplate detection: turn texts that recur across
+    ``min_convs`` or more DISTINCT conversations → ``(text,
+    n_turns:int64, n_convs:int64)``. System prompts, canned greetings
+    and injected instructions surface here; the output is the strip-list
+    a curation pass subtracts before near-dup or quality scoring.
+
+    Dataflow: a per-block combiner first collapses to distinct
+    (text, conv_id) pairs with a local count — boilerplate is by
+    definition high-repeat, so this is a large reduction — then ONE
+    text-bucketed shuffle makes the per-text conversation sets disjoint
+    by bucket, so ``n_unique(conv_id)`` per bucket is the EXACT global
+    distinct count (same decomposition as `tool_stats`)."""
+
+    out_schema = pa.schema(
+        [
+            ("text", pa.string()),
+            ("n_turns", pa.int64()),
+            ("n_convs", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return pa.schema(
+                [
+                    ("text", pa.string()),
+                    ("conv_id", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            ).empty_table()
+        return (
+            pl.from_arrow(t.select(["conv_id", "text"]))
+            .group_by(["text", "conv_id"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("text")
+            .agg(
+                pl.col("n").sum().alias("n_turns"),
+                pl.col("conv_id").n_unique().cast(pl.Int64).alias("n_convs"),
+            )
+            .filter(pl.col("n_convs") >= min_convs)
+            .select(["text", "n_turns", "n_convs"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "text", _merge, num_buckets=num_buckets)

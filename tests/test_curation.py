@@ -209,3 +209,53 @@ def test_token_topk_approx_vs_exact(ray_session):
     # layout independence of the estimates
     approx2 = token_topk_approx(ds.repartition(3), k=10).take_all()
     assert [(r["token"], r["est_count"]) for r in approx2] == top_exact
+
+
+def test_mixture_weights_closed_form(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": ["en", "en", "en", "de"],
+                "source": ["web", "web", "chat", "web"],
+                "text": [
+                    "one two three four",  # 4 tokens
+                    "five six",            # 2 tokens
+                    "a b c d e f g h",     # 8 tokens (en/chat)
+                    "ein zwei",            # 2 tokens (de/web)
+                    ],
+            }
+        )
+    )
+    out = (
+        curation.mixture_weights(ds, num_buckets=2)
+        .to_pandas()
+        .sort_values(["lang", "source"])
+        .reset_index(drop=True)
+    )
+    # groups: de/web 2 toks, en/chat 8 toks, en/web 6 toks; total 16, G=3
+    assert list(out["lang"]) == ["de", "en", "en"]
+    assert list(out["source"]) == ["web", "chat", "web"]
+    assert list(out["n_docs"]) == [1, 1, 2]
+    assert list(out["total_tokens"]) == [2, 8, 6]
+    assert list(out["token_share"]) == [2 / 16, 8 / 16, 6 / 16]
+    assert list(out["weight"]) == [
+        (1.0 / 3) / (2 / 16),
+        (1.0 / 3) / (8 / 16),
+        (1.0 / 3) / (6 / 16),
+    ]
+
+
+def test_mixture_weights_empty_text_counts_zero(ray_session):
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "lang": ["en", "en"],
+                "source": ["web", "web"],
+                "text": ["   ", "x y"],
+            }
+        )
+    )
+    out = curation.mixture_weights(ds, num_buckets=2).to_pandas()
+    assert list(out["n_docs"]) == [2]
+    assert list(out["total_tokens"]) == [2]
+    assert list(out["token_share"]) == [1.0]

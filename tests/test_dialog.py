@@ -98,3 +98,78 @@ def test_tool_stats_distinct_survives_block_splits(ray_session):
     assert list(out["n_convs"]) == [2]
     assert list(out["min_turn"]) == [0]
     assert list(out["max_turn"]) == [7]
+
+
+def _conv(rows):
+    """rows: (conv_id, turn_idx, role, text)."""
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "role": pa.array([r[2] for r in rows], pa.string()),
+                "text": pa.array([r[3] for r in rows], pa.string()),
+            }
+        )
+    )
+
+
+def test_conv_dedup_keep_first_by_signature(ray_session):
+    rows = [
+        # c1 and c3 are the same (role, text) sequence -> dups, keep c1
+        ("c1", 0, "user", "hi"),
+        ("c1", 1, "assistant", "hello"),
+        ("c3", 0, "user", "hi"),
+        ("c3", 1, "assistant", "hello"),
+        # c2: same texts, different role on turn 1 -> distinct signature
+        ("c2", 0, "user", "hi"),
+        ("c2", 1, "user", "hello"),
+        # c4: same content, different ORDER -> distinct signature
+        ("c4", 0, "assistant", "hello"),
+        ("c4", 1, "user", "hi"),
+    ]
+    out = (
+        dialog.conv_dedup(_conv(rows), num_buckets=4)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("c1", 2, 2),
+        ("c2", 1, 2),
+        ("c4", 1, 2),
+    ]
+
+
+def test_conv_dedup_order_and_block_layout_invariant(ray_session):
+    # shuffled rows + duplicate conv split across two input blocks give
+    # the same signature as the contiguous ordered one
+    a = _conv([("c9", 1, "assistant", "b"), ("c9", 0, "user", "a")])
+    b = _conv([("c8", 0, "user", "a")])
+    c = _conv([("c8", 1, "assistant", "b")])
+    out = (
+        dialog.conv_dedup(a.union(b).union(c), num_buckets=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [("c8", 2, 2)]
+
+
+def test_boilerplate_turns_exact_distinct_and_threshold(ray_session):
+    rows = [
+        ("c1", 0, "system", "You are helpful."),
+        ("c2", 0, "system", "You are helpful."),
+        ("c2", 3, "system", "You are helpful."),  # repeat inside one conv
+        ("c3", 0, "system", "You are helpful."),
+        ("c1", 1, "user", "only once"),
+        ("c1", 2, "user", "twice same conv"),
+        ("c1", 3, "user", "twice same conv"),  # 2 turns but 1 conv -> out
+    ]
+    out = (
+        dialog.boilerplate_turns(_conv(rows), min_convs=2, num_buckets=4)
+        .to_pandas()
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("You are helpful.", 4, 3)
+    ]
