@@ -130,6 +130,33 @@ def _q_kg_latest_assertion(sf_dir: str):
     return latest_assertion(kg.stage(sf_dir, "rewritten"))
 
 
+def _q_lexical_topk(sf_dir: str):
+    """Keyword-search top-k over documents (integer term-frequency
+    scoring, per-block partial top-k) — see
+    `stages/similarity.lexical_topk`."""
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        read_documents,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.similarity import (
+        lexical_topk,
+    )
+
+    return lexical_topk(
+        read_documents(sf_dir), ("hash", "join", "merge"), k=20
+    )
+
+
+def _q_kg_pred_daily(sf_dir: str):
+    """KG-construction observability: per (pred, day) assertion counts
+    with exact distinct conversations — see `stages/graph.pred_daily`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        pred_daily,
+    )
+
+    return pred_daily(kg.stage(sf_dir, "triples"))
+
+
 def _q_kg_pred_profile(sf_dir: str):
     """Per-predicate graph profile: distinct edge count, total assertion
     weight, distinct subjects and distinct objects — the relation-level
@@ -1038,6 +1065,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
         "mention_contexts": _q_mention_contexts,
         "kg_pred_signatures": _q_kg_pred_signatures,
+        "lexical_topk": _q_lexical_topk,
+        "kg_pred_daily": _q_kg_pred_daily,
         "kg_pred_profile": _q_kg_pred_profile,
         "top_entities": _q_top_entities,
         "kg_eval_triples": _q_kg_eval_triples,
@@ -1278,6 +1307,34 @@ def oracle_sql() -> dict[str, str]:
         # per-predicate profile over the SAME canonical edge set as
         # kg_edges (exact distinct endpoints; __ray_entry__
         # _q_kg_pred_profile)
+        # lexical retrieval top-20 for query {hash, join, merge}: exact
+        # integer tf scoring, deterministic (score DESC, n_terms DESC,
+        # doc_id) order (stages/similarity.lexical_topk)
+        "lexical_topk": """
+            WITH toks AS (
+                SELECT doc_id,
+                       unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+                FROM documents WHERE trim(text) <> ''),
+            m AS (
+                SELECT doc_id,
+                       count(*) AS score,
+                       count(DISTINCT tok) AS n_terms
+                FROM toks WHERE tok IN ('hash', 'join', 'merge')
+                GROUP BY 1)
+            SELECT doc_id, score, n_terms FROM m
+            ORDER BY score DESC, n_terms DESC, doc_id
+            LIMIT 20
+        """,
+        # per (pred, day) assertion throughput with exact distinct convs
+        # (stages/graph.pred_daily; pipeline triples == seeded goldens by
+        # the P/R = 1.0 contract, same convention as kg_pred_profile)
+        "kg_pred_daily": f"""
+            SELECT pred, CAST(ts AS DATE) AS day,
+                   count(*) AS n_assertions,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM read_parquet('{g}/golden_triples/*.parquet')
+            GROUP BY 1, 2
+        """,
         "kg_pred_profile": f"""
             WITH best AS (
                 SELECT alias, ent_type, entity_id

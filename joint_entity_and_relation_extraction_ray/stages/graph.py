@@ -1884,3 +1884,75 @@ def negative_samples(
         ),
         num_buckets=num_buckets,
     )
+
+
+def pred_daily(
+    triples: ray.data.Dataset, *, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """KG-construction observability: per (pred, day) — assertion count
+    and the EXACT number of distinct conversations asserting it — rows
+    ``(pred, day:date32, n_assertions:int64, n_convs:int64)``. The
+    time-series a continuous-ingest KG build publishes to catch
+    extraction drift (a predicate's daily volume collapsing or a single
+    conversation flooding a relation).
+
+    Dataflow: a per-block combiner collapses to distinct
+    (pred, day, conv_id) rows with a local count, then ONE pred-bucketed
+    shuffle makes each predicate's rows co-resident so ``n_unique(conv)``
+    per (pred, day) is exact — the text/surfaces never move, only
+    (pred, day, conv_id, n) partials."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    out_schema = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("day", pa.date32()),
+            ("n_assertions", pa.int64()),
+            ("n_convs", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [
+                    ("pred", pa.string()),
+                    ("day", pa.date32()),
+                    ("conv_id", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            ).empty_table()
+        return (
+            pl.from_arrow(t.select(["pred", "ts", "conv_id"]))
+            .with_columns(pl.col("ts").dt.date().alias("day"))
+            .group_by(["pred", "day", "conv_id"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(["pred", "day", "conv_id", "n"])
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            # collapse same (pred, day, conv) partials from different
+            # blocks first, then count conversations exactly
+            .group_by(["pred", "day", "conv_id"])
+            .agg(pl.col("n").sum())
+            .group_by(["pred", "day"])
+            .agg(
+                pl.col("n").sum().alias("n_assertions"),
+                pl.len().cast(pl.Int64).alias("n_convs"),
+            )
+            .select(["pred", "day", "n_assertions", "n_convs"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partials = triples.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "pred", _merge, num_buckets=num_buckets)

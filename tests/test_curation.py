@@ -259,3 +259,39 @@ def test_mixture_weights_empty_text_counts_zero(ray_session):
     assert list(out["n_docs"]) == [2]
     assert list(out["total_tokens"]) == [2]
     assert list(out["token_share"]) == [1.0]
+
+
+def test_lexical_topk_boundary_ties_across_blocks(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.similarity import (
+        lexical_topk,
+    )
+
+    a = _docs(["q q q", "q w", "nothing here"], ids=[5, 1, 9])
+    b = _docs(["q q", "w q", "zz"], ids=[2, 3, 7])
+    out = lexical_topk(
+        a.union(b), ("q", "w"), k=3
+    ).to_pandas().reset_index(drop=True)
+    # scores: 5->(3,1) 1->(2,2) 2->(2,1) 3->(2,2); top-3 by
+    # (score desc, n_terms desc, doc_id asc) = 5, then 1, 3 (tie on
+    # score+n_terms broken by doc_id) — doc 2 loses the boundary tie
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        (5, 3, 1),
+        (1, 2, 2),
+        (3, 2, 2),
+    ]
+
+
+def test_lexical_topk_no_matches(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.similarity import (
+        lexical_topk,
+    )
+
+    import ray as _ray
+
+    out = lexical_topk(_docs(["a b", "c"]), ("zzz",), k=5)
+    assert out.count() == 0
+    # schema survives an all-empty result at the BLOCK level (Ray's
+    # to_pandas drops columns on 0-row datasets; the driver hash and
+    # Arrow consumers read blocks)
+    schemas = {tuple(_ray.get(r).schema.names) for r in out.to_arrow_refs()}
+    assert schemas == {("doc_id", "score", "n_terms")}

@@ -656,3 +656,49 @@ def test_negative_samples_contract(ray_session):
         assert o != s                       # never a self-corruption
         assert o in nodes                   # drawn from the universe
     assert len(set(got1)) == len(got1)      # distinct
+
+
+def test_pred_daily_exact_distinct_convs(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        pred_daily,
+    )
+
+    def ts(day, hour):
+        return dt.datetime(2026, 1, day, hour)
+
+    rows = [
+        # (conv_id, pred, ts)
+        ("c1", "works_at", ts(1, 9)),
+        ("c1", "works_at", ts(1, 10)),  # same conv, same day
+        ("c2", "works_at", ts(1, 23)),
+        ("c2", "works_at", ts(2, 0)),   # day boundary -> new day row
+        ("c3", "located_in", ts(1, 5)),
+    ]
+    triples = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array([r[1] for r in rows], pa.string()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+    )
+    out = (
+        pred_daily(triples, num_buckets=4)
+        .to_pandas()
+        .sort_values(["pred", "day"])
+        .reset_index(drop=True)
+    )
+    assert list(out["pred"]) == ["located_in", "works_at", "works_at"]
+    assert [d.isoformat() for d in out["day"]] == [
+        "2026-01-01",
+        "2026-01-01",
+        "2026-01-02",
+    ]
+    assert list(out["n_assertions"]) == [1, 3, 1]
+    assert list(out["n_convs"]) == [1, 2, 1]
