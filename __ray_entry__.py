@@ -842,6 +842,23 @@ def _q_tool_stats(sf_dir: str):
     return tool_stats(ds, num_buckets=8)
 
 
+def _q_turn_runs(sf_dir: str):
+    """Turn-taking run-length profile per conversation (gaps-and-islands)
+    — see `stages/dialog.turn_runs`."""
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.dialog import (
+        turn_runs,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+    return turn_runs(ds, num_buckets=8)
+
+
 def _q_conv_dedup(sf_dir: str):
     """Conversation-level exact dedup (keep-first by (role, text)-sequence
     signature) — see `stages/dialog.conv_dedup`."""
@@ -1052,6 +1069,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "conv_windows": _q_conv_windows,
         "tool_transitions": _q_tool_transitions,
         "tool_stats": _q_tool_stats,
+        "turn_runs": _q_turn_runs,
         "conv_dedup": _q_conv_dedup,
         "boilerplate_turns": _q_boilerplate_turns,
         "mixture_weights": _q_mixture_weights,
@@ -1752,6 +1770,54 @@ def oracle_sql() -> dict[str, str]:
               AND length(trim(coalesce(text, ''))) > 0
               AND tool IS NOT NULL
             GROUP BY tool
+        """,
+        # turn-taking run lengths per conversation: gaps-and-islands over
+        # the role sequence (stages/dialog.turn_runs)
+        "turn_runs": f"""
+            WITH t0 AS (
+                SELECT conv_id, turn_idx, role
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            ),
+            s AS (
+                SELECT conv_id, role, turn_idx,
+                       CASE WHEN LAG(role) OVER (
+                                PARTITION BY conv_id ORDER BY turn_idx
+                            ) IS DISTINCT FROM role THEN 1 ELSE 0 END AS brk
+                FROM t0
+            ),
+            r AS (
+                SELECT conv_id, role,
+                       SUM(brk) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS run_id
+                FROM s
+            ),
+            runs AS (
+                SELECT conv_id, run_id,
+                       CAST(count(*) AS BIGINT) AS run_len
+                FROM r GROUP BY 1, 2
+            ),
+            per_run AS (
+                SELECT conv_id,
+                       CAST(count(*) AS BIGINT) AS n_runs,
+                       max(run_len) AS max_run,
+                       CAST(sum(run_len) AS BIGINT) AS n_turns
+                FROM runs GROUP BY 1
+            ),
+            per_role AS (
+                SELECT conv_id,
+                       CAST(count(*) FILTER (role = 'user') AS BIGINT)
+                           AS n_user,
+                       CAST(count(*) FILTER (role = 'assistant') AS BIGINT)
+                           AS n_assistant
+                FROM t0 GROUP BY 1
+            )
+            SELECT p.conv_id, p.n_turns, p.n_runs, p.max_run,
+                   q.n_user, q.n_assistant
+            FROM per_run p JOIN per_role q ON p.conv_id = q.conv_id
         """,
         # conversation-level exact dedup: keep-first per ordered
         # (role, text)-sequence signature (stages/dialog.conv_dedup;

@@ -365,3 +365,86 @@ def boilerplate_turns(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, "text", _merge, num_buckets=num_buckets)
+
+
+def turn_runs(
+    ds: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Turn-taking structure per conversation (gaps-and-islands): the
+    number of maximal same-role runs, the longest run length, and the
+    per-role turn totals — rows ``(conv_id, n_turns, n_runs, max_run,
+    n_user, n_assistant)``. Long single-role runs flag degenerate
+    transcripts (stuck agent loops, concatenation artifacts) before they
+    enter a training mix; n_runs/n_turns is the turn-taking ratio
+    dialogue-quality filters threshold on. SQL mirror: LAG-based run
+    breaks summed into run ids, two GROUP BYs.
+
+    Dataflow: one conv-bucketed shuffle of (conv_id, turn_idx, role)
+    triples — a few bytes per turn, text never moves — then a vectorized
+    polars run-length kernel per bucket. Output is one row per
+    conversation produced in the same pass."""
+
+    slim = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "role"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    out_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("n_turns", pa.int64()),
+            ("n_runs", pa.int64()),
+            ("max_run", pa.int64()),
+            ("n_user", pa.int64()),
+            ("n_assistant", pa.int64()),
+        ]
+    )
+
+    def _runs(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .sort(["conv_id", "turn_idx"])
+            .with_columns(
+                (pl.col("role") != pl.col("role").shift(1))
+                .fill_null(True)
+                .over("conv_id")
+                .alias("brk")
+            )
+            .with_columns(
+                pl.col("brk").cum_sum().over("conv_id").alias("run_id")
+            )
+        )
+        runs = df.group_by(["conv_id", "run_id"]).agg(
+            pl.len().cast(pl.Int64).alias("run_len")
+        )
+        per_run = runs.group_by("conv_id").agg(
+            pl.len().cast(pl.Int64).alias("n_runs"),
+            pl.col("run_len").max().alias("max_run"),
+            pl.col("run_len").sum().alias("n_turns"),
+        )
+        per_role = df.group_by("conv_id").agg(
+            (pl.col("role") == "user")
+            .sum()
+            .cast(pl.Int64)
+            .alias("n_user"),
+            (pl.col("role") == "assistant")
+            .sum()
+            .cast(pl.Int64)
+            .alias("n_assistant"),
+        )
+        return (
+            per_run.join(per_role, on="conv_id")
+            .select(
+                ["conv_id", "n_turns", "n_runs", "max_run",
+                 "n_user", "n_assistant"]
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return bucket_group_apply(slim, "conv_id", _runs, num_buckets=num_buckets)

@@ -173,3 +173,42 @@ def test_boilerplate_turns_exact_distinct_and_threshold(ray_session):
     assert list(map(tuple, out.itertuples(index=False))) == [
         ("You are helpful.", 4, 3)
     ]
+
+
+def test_turn_runs_closed_form(ray_session):
+    rows = [
+        # c1: user,user,assistant,user -> runs [2,1,1], max 2
+        ("c1", 0, "user", "a"),
+        ("c1", 1, "user", "b"),
+        ("c1", 2, "assistant", "c"),
+        ("c1", 3, "user", "d"),
+        # c2: tool,tool,tool -> one run of 3, no user/assistant turns
+        ("c2", 0, "tool", "x"),
+        ("c2", 1, "tool", "y"),
+        ("c2", 2, "tool", "z"),
+    ]
+    out = (
+        dialog.turn_runs(_conv_roles(rows), num_buckets=4)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("c1", 4, 3, 2, 3, 1),
+        ("c2", 3, 1, 3, 0, 0),
+    ]
+
+
+def test_turn_runs_block_split_and_order_invariant(ray_session):
+    # one conversation split across blocks, rows arriving out of order
+    a = _conv_roles([("c1", 2, "user", "c"), ("c1", 0, "user", "a")])
+    b = _conv_roles([("c1", 1, "user", "b"), ("c1", 3, "assistant", "d")])
+    out = dialog.turn_runs(a.union(b), num_buckets=4).to_pandas()
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("c1", 4, 2, 3, 3, 1)
+    ]
+
+
+def _conv_roles(rows):
+    """rows: (conv_id, turn_idx, role, text) — alias of _conv for run tests."""
+    return _conv(rows)
