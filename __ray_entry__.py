@@ -893,6 +893,24 @@ def _q_boilerplate_turns(sf_dir: str):
     return boilerplate_turns(ds, min_convs=2, num_buckets=8)
 
 
+def _q_conv_near_dup(sf_dir: str):
+    """Conversation-level near-duplicate pairs (exact word-3-gram Jaccard
+    ≥ 0.25 over turn-joined conv docs) — see
+    `stages/dialog.conv_near_dup`."""
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.dialog import (
+        conv_near_dup,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+    return conv_near_dup(ds, threshold=0.25, num_buckets=8)
+
+
 def _q_mixture_weights(sf_dir: str):
     """Training-mixture profile over (lang, source): exact token totals,
     corpus shares and uniform-target resampling weights — see
@@ -1072,6 +1090,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "turn_runs": _q_turn_runs,
         "conv_dedup": _q_conv_dedup,
         "boilerplate_turns": _q_boilerplate_turns,
+        "conv_near_dup": _q_conv_near_dup,
         "mixture_weights": _q_mixture_weights,
         "conv_qa_pairs": _q_conv_qa_pairs,
         "conv_response_time": _q_conv_response_time,
@@ -1855,6 +1874,43 @@ def oracle_sql() -> dict[str, str]:
                    count(DISTINCT conv_id) AS n_convs
             FROM t0 GROUP BY text
             HAVING count(DISTINCT conv_id) >= 2
+        """,
+        # conversation-level near-dup: exact all-pairs word-3-gram Jaccard
+        # >= 0.25 over turn-joined conv docs (stages/dialog.conv_near_dup;
+        # conv keys are the digits of conv-%d ids)
+        "conv_near_dup": f"""
+            WITH t0 AS (
+                SELECT conv_id, turn_idx, text
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            ),
+            cdoc AS (
+                SELECT CAST(regexp_extract(conv_id, '[0-9]+') AS BIGINT)
+                           AS doc_id,
+                       string_agg(text, ' ' ORDER BY turn_idx, text) AS text
+                FROM t0 GROUP BY conv_id
+            ),
+            toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM cdoc),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT i AS conv_a, j AS conv_b
+            FROM inter
+            JOIN sizes sa ON sa.doc_id = i
+            JOIN sizes sb ON sb.doc_id = j
+            WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.25
         """,
         # training-mixture profile (stages/curation.mixture_weights):
         # share/weight are the same two IEEE double divisions in the same

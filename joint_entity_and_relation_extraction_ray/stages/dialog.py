@@ -448,3 +448,70 @@ def turn_runs(
         )
 
     return bucket_group_apply(slim, "conv_id", _runs, num_buckets=num_buckets)
+
+
+def conv_near_dup(
+    ds: ray.data.Dataset,
+    *,
+    threshold: float = 0.25,
+    k: int = 3,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Conversation-level near-duplicate pairs: each conversation's turn
+    texts (ordered by turn position) join into one document, and the
+    EXACT word-k-gram Jaccard similarity join
+    (`stages/dedup.ngram_jaccard_pairs` — inverted-index decomposition,
+    never all-pairs) returns ``(conv_a, conv_b)`` with J ≥ ``threshold``.
+    Multi-turn chat corpora are full of re-ingested sessions that differ
+    only in ids/timestamps or a trailing turn — turn-level exact dedup
+    (`conv_dedup`) misses those; this catches them.
+
+    ``threshold`` should be exactly representable in binary (0.25, 0.5)
+    so the engine's float comparisons and a decimal SQL oracle agree at
+    boundary pairs. Conversation keys ride the pair shuffles as int64
+    (the digits of ``conv-%d`` ids; arbitrary id schemes would use
+    `schema.stable_hash64` instead) — the joined text is shingled once
+    and only (hash, id) postings move.
+
+    Dataflow: one conv-bucketed shuffle builds the conv-docs (the only
+    pass over text), then the exact-join machinery: postings explode →
+    shingle-hash bucket pair-gen → per-pair count merge → true-set
+    verification."""
+    import polars as pl
+
+    from .dedup import ngram_jaccard_pairs
+
+    slim = ds.map_batches(
+        lambda t: t.select(["conv_id", "turn_idx", "text"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    cdoc_schema = pa.schema([("doc_id", pa.int64()), ("text", pa.string())])
+
+    def _cdoc(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return cdoc_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .sort(["conv_id", "turn_idx", "text"])
+            .group_by("conv_id", maintain_order=True)
+            .agg(pl.col("text").str.join(" "))
+            .with_columns(
+                pl.col("conv_id")
+                .str.extract(r"(\d+)")
+                .cast(pl.Int64)
+                .alias("doc_id")
+            )
+            .select(["doc_id", "text"])
+            .to_arrow()
+            .cast(cdoc_schema)
+        )
+
+    docs = bucket_group_apply(slim, "conv_id", _cdoc, num_buckets=num_buckets)
+    pairs = ngram_jaccard_pairs(docs, threshold=threshold, k=k)
+    return pairs.map_batches(
+        lambda t: t.rename_columns(["conv_a", "conv_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -212,3 +212,49 @@ def test_turn_runs_block_split_and_order_invariant(ray_session):
 def _conv_roles(rows):
     """rows: (conv_id, turn_idx, role, text) — alias of _conv for run tests."""
     return _conv(rows)
+
+
+def test_conv_near_dup_exact_jaccard(ray_session):
+    # conv-1 and conv-2: identical except one extra trailing turn;
+    # conv-3 is unrelated. 3-gram shingles of the joined docs:
+    # doc1 = "a b c d e"      -> {abc, bcd, cde}              (3)
+    # doc2 = "a b c d e x y z" -> {abc, bcd, cde, dex, exy, xyz} (6)
+    # J(1,2) = 3/6 = 0.5 >= 0.25 -> pair (1, 2)
+    rows = [
+        ("conv-1", 0, "user", "a b c"),
+        ("conv-1", 1, "assistant", "d e"),
+        ("conv-2", 0, "user", "a b c"),
+        ("conv-2", 1, "assistant", "d e"),
+        ("conv-2", 2, "user", "x y z"),
+        ("conv-3", 0, "user", "p q r s t u"),
+    ]
+    out = (
+        dialog.conv_near_dup(_conv(rows), threshold=0.25, num_buckets=4)
+        .to_pandas()
+        .sort_values(["conv_a", "conv_b"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [(1, 2)]
+
+
+def test_conv_near_dup_threshold_boundary(ray_session):
+    # J exactly at the threshold must KEEP the pair (>=, not >):
+    # doc1 {abc,bcd,cde} (3), doc4 = "a b c q r s" -> {abc,bcq,cqr,qrs}
+    # J = 1/6 ≈ 0.167 < 0.25 -> excluded; with threshold 1/6 exact?
+    # use docs engineered for J = 0.25: |A|=3, |B|=2 sharing 1
+    # doc5 = "a b c d" -> {abc, bcd}; J(1,5) = 2/3 no... build exact:
+    # A = {abc,bcd,cde} B = {abc, zzz1, zzz2}? B from "a b c z1 z2":
+    # {abc, bcz1, cz1z2} share {abc} -> J = 1/5 = 0.2 < 0.25 excluded.
+    rows = [
+        ("conv-1", 0, "user", "a b c d e"),
+        ("conv-5", 0, "user", "a b c z1 z2"),
+    ]
+    out = dialog.conv_near_dup(
+        _conv(rows), threshold=0.25, num_buckets=2
+    ).to_pandas()
+    assert len(out) == 0
+    # at threshold 0.125 (exact binary) the J=0.2 pair survives
+    out2 = dialog.conv_near_dup(
+        _conv(rows), threshold=0.125, num_buckets=2
+    ).to_pandas()
+    assert list(map(tuple, out2.itertuples(index=False))) == [(1, 5)]
