@@ -911,6 +911,24 @@ def _q_conv_near_dup(sf_dir: str):
     return conv_near_dup(ds, threshold=0.25, num_buckets=8)
 
 
+def _q_curate_transcripts(sf_dir: str):
+    """COMPOSITE chat-corpus curation: structural gate → exact conv dedup
+    → near-dup CC collapse → split assignment — see
+    `stages/dialog.curate_transcripts`."""
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.dialog import (
+        curate_transcripts,
+    )
+
+    ds = read_transcripts(str(corpus_for_sf_dir(sf_dir) / "transcripts"))
+    return curate_transcripts(ds, num_buckets=8)
+
+
 def _q_mixture_weights(sf_dir: str):
     """Training-mixture profile over (lang, source): exact token totals,
     corpus shares and uniform-target resampling weights — see
@@ -1091,6 +1109,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "conv_dedup": _q_conv_dedup,
         "boilerplate_turns": _q_boilerplate_turns,
         "conv_near_dup": _q_conv_near_dup,
+        "curate_transcripts": _q_curate_transcripts,
         "mixture_weights": _q_mixture_weights,
         "conv_qa_pairs": _q_conv_qa_pairs,
         "conv_response_time": _q_conv_response_time,
@@ -1911,6 +1930,100 @@ def oracle_sql() -> dict[str, str]:
             JOIN sizes sa ON sa.doc_id = i
             JOIN sizes sb ON sb.doc_id = j
             WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.25
+        """,
+        # COMPOSITE chat-corpus curation (stages/dialog.curate_transcripts):
+        # turn_runs gate -> exact signature dedup -> ngram-Jaccard pairs ->
+        # recursive-CTE CC closure -> md5 split rule — each fragment is the
+        # verified oracle of its standalone query
+        "curate_transcripts": f"""
+            WITH RECURSIVE t0 AS (
+                SELECT conv_id, turn_idx, role, text
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                WHERE conv_id IS NOT NULL AND turn_idx IS NOT NULL
+                  AND length(trim(coalesce(text, ''))) > 0
+            ),
+            sb AS (
+                SELECT conv_id, role, turn_idx,
+                       CASE WHEN LAG(role) OVER (
+                                PARTITION BY conv_id ORDER BY turn_idx
+                            ) IS DISTINCT FROM role THEN 1 ELSE 0 END AS brk
+                FROM t0
+            ),
+            rr AS (
+                SELECT conv_id, role,
+                       SUM(brk) OVER (
+                           PARTITION BY conv_id ORDER BY turn_idx
+                           ROWS UNBOUNDED PRECEDING
+                       ) AS run_id
+                FROM sb
+            ),
+            runs AS (
+                SELECT conv_id, run_id, count(*) AS run_len
+                FROM rr GROUP BY 1, 2
+            ),
+            ok AS (
+                SELECT p.conv_id
+                FROM (SELECT conv_id, sum(run_len) AS n_turns,
+                             max(run_len) AS max_run
+                      FROM runs GROUP BY 1) p
+                JOIN (SELECT conv_id,
+                             count(*) FILTER (role = 'user') AS n_user,
+                             count(*) FILTER (role = 'assistant')
+                                 AS n_assistant
+                      FROM t0 GROUP BY 1) q USING (conv_id)
+                WHERE p.n_turns >= 4 AND p.max_run <= 4
+                  AND q.n_user >= 1 AND q.n_assistant >= 1
+            ),
+            g1 AS (SELECT t0.* FROM t0 JOIN ok USING (conv_id)),
+            sig AS (
+                SELECT conv_id,
+                       string_agg(role || chr(30) || text, chr(31)
+                           ORDER BY turn_idx, text, role) AS s
+                FROM g1 GROUP BY conv_id
+            ),
+            keep1 AS (SELECT min(conv_id) AS conv_id FROM sig GROUP BY s),
+            g2 AS (SELECT g1.* FROM g1 JOIN keep1 USING (conv_id)),
+            cdoc AS (
+                SELECT CAST(regexp_extract(conv_id, '[0-9]+') AS BIGINT)
+                           AS doc_id,
+                       conv_id,
+                       string_agg(text, ' ' ORDER BY turn_idx, text) AS text
+                FROM g2 GROUP BY conv_id
+            ),
+            toks AS (
+                SELECT doc_id,
+                       regexp_split_to_array(trim(text), '\\s+') AS t
+                FROM cdoc),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            prs AS (
+                SELECT i AS a, j AS b FROM inter
+                JOIN sizes sa ON sa.doc_id = i
+                JOIN sizes sb2 ON sb2.doc_id = j
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb2.n - c) >= 0.25),
+            sym AS (SELECT a, b FROM prs UNION ALL SELECT b, a FROM prs),
+            reach(v, r) AS (
+                SELECT a AS v, a AS r FROM sym
+                UNION
+                SELECT reach.v, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+            lbl AS (SELECT v, min(r) AS l FROM reach GROUP BY v)
+            SELECT conv_id,
+                   CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                            < 'e6' THEN 'train'
+                        WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                            < 'f3' THEN 'val'
+                        ELSE 'test' END AS split
+            FROM cdoc
+            WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
         """,
         # training-mixture profile (stages/curation.mixture_weights):
         # share/weight are the same two IEEE double divisions in the same

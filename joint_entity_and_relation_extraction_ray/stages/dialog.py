@@ -515,3 +515,129 @@ def conv_near_dup(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def curate_transcripts(
+    ds: ray.data.Dataset,
+    *,
+    min_turns: int = 4,
+    max_run_cap: int = 4,
+    jaccard: float = 0.25,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """The COMPOSITE chat-corpus curation pipeline — the transcript
+    analogue of `pipelines/corpus_ops.q_curate_corpus`, every stage of
+    which is individually driver-verified:
+
+    1. structural quality gate (`turn_runs`): keep conversations with
+       ≥ ``min_turns`` validated turns, at least one user AND one
+       assistant turn, and no same-role run longer than ``max_run_cap``
+       (stuck-loop artifacts);
+    2. conversation-level EXACT dedup (`conv_dedup` semantics): drop any
+       conversation whose (role, text) sequence duplicates a
+       smaller-conv_id keeper;
+    3. near-dup collapse (`conv_near_dup` → `stages/dedup.dedup_apply`):
+       exact word-3-gram Jaccard ≥ ``jaccard`` pairs → connected
+       components → min conv number survives per cluster;
+    4. deterministic split assignment: md5(conv number) hex-prefix
+       (< 'e6' train, < 'f3' val, else test — the split_assign rule).
+
+    Output ``(conv_id, split)`` — one row per surviving conversation.
+
+    Scale shape: the turn stream shuffles ONCE per conv-keyed stage and
+    each filter between stages is a `membership_join` (broadcast id set
+    under guard, co-bucketed hash semi-join above it) — the corpus text
+    itself moves only into the conv buckets that build signatures and
+    conv docs; CC runs on the pair graph only."""
+    import hashlib
+
+    from .dedup import dedup_apply
+    from .relational import membership_join
+
+    # 1 — structural gate
+    stats = turn_runs(ds, num_buckets=num_buckets)
+
+    def _gate(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        keep = pc.and_(
+            pc.and_(
+                pc.greater_equal(t["n_turns"], min_turns),
+                pc.less_equal(t["max_run"], max_run_cap),
+            ),
+            pc.and_(
+                pc.greater_equal(t["n_user"], 1),
+                pc.greater_equal(t["n_assistant"], 1),
+            ),
+        )
+        return t.filter(keep).select(["conv_id"])
+
+    out_schema = pa.schema([("conv_id", pa.string()), ("split", pa.string())])
+
+    # per-conv stats rows (one per conversation — far smaller than the
+    # turn stream) are consumed twice below; materialize once and guard
+    # the everything-gated-out corpus, whose empty blocks would otherwise
+    # reach the shuffle machinery schema-less
+    ok = stats.map_batches(
+        _gate, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    if ok.count() == 0:
+        return ray.data.from_arrow(out_schema.empty_table())
+    gated = membership_join(ds, ok, on="conv_id")
+
+    # 2 — exact dedup survivors (keep-first per signature)
+    keep1 = conv_dedup(gated, num_buckets=num_buckets).map_batches(
+        lambda t: t.select(["conv_id"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    t2 = membership_join(gated, keep1, on="conv_id")
+
+    # 3 — near-dup CC survivor filter on conv numbers
+    pairs = conv_near_dup(
+        t2, threshold=jaccard, num_buckets=num_buckets
+    ).map_batches(
+        lambda t: t.rename_columns(["doc_a", "doc_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _ids(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return pa.schema(
+                [("doc_id", pa.int64()), ("conv_id", pa.string())]
+            ).empty_table()
+        return (
+            pl.from_arrow(t.select(["conv_id"]))
+            .unique()
+            .with_columns(
+                pl.col("conv_id")
+                .str.extract(r"(\d+)")
+                .cast(pl.Int64)
+                .alias("doc_id")
+            )
+            .select(["doc_id", "conv_id"])
+            .to_arrow()
+        )
+
+    # distinct (conv number, conv_id) rows: keep1 already has one row
+    # per surviving conversation
+    ids = keep1.map_batches(_ids, batch_format="pyarrow", zero_copy_batch=True)
+    survivors = dedup_apply(ids, pairs)
+
+    # 4 — split assignment on the conv number (mirrors split_assign)
+    def _assign(t: pa.Table) -> pa.Table:
+        nums = t["doc_id"].to_pylist()
+        h = [hashlib.md5(str(n).encode()).hexdigest()[:2] for n in nums]
+        split = [
+            "train" if x < "e6" else "val" if x < "f3" else "test" for x in h
+        ]
+        return pa.table(
+            {"conv_id": t["conv_id"], "split": pa.array(split, pa.string())}
+        )
+
+    return survivors.map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )

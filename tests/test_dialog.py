@@ -258,3 +258,58 @@ def test_conv_near_dup_threshold_boundary(ray_session):
         _conv(rows), threshold=0.125, num_buckets=2
     ).to_pandas()
     assert list(map(tuple, out2.itertuples(index=False))) == [(1, 5)]
+
+
+def test_curate_transcripts_all_stages(ray_session):
+    long = "w1 w2 w3 w4 w5 w6 w7 w8"
+    rows = [
+        # conv-1: clean 4-turn dialog -> survives; md5("1")=c4.. -> train
+        ("conv-1", 0, "user", long),
+        ("conv-1", 1, "assistant", "ok fine then"),
+        ("conv-1", 2, "user", "more words here"),
+        ("conv-1", 3, "assistant", "done now bye"),
+        # conv-2: EXACT duplicate of conv-1 -> dropped at stage 2
+        ("conv-2", 0, "user", long),
+        ("conv-2", 1, "assistant", "ok fine then"),
+        ("conv-2", 2, "user", "more words here"),
+        ("conv-2", 3, "assistant", "done now bye"),
+        # conv-3: near-dup of conv-1 (same long turn, one change) ->
+        # J(1,3) well above 0.25 -> CC cluster {1,3}, 3 dropped
+        ("conv-3", 0, "user", long),
+        ("conv-3", 1, "assistant", "ok fine then"),
+        ("conv-3", 2, "user", "more words here"),
+        ("conv-3", 3, "assistant", "done now byee"),
+        # conv-7: too short (2 turns) -> gated out at stage 1
+        ("conv-7", 0, "user", "hi"),
+        ("conv-7", 1, "assistant", "yo"),
+        # conv-8: no assistant turn -> gated out
+        ("conv-8", 0, "user", "a a a a"),
+        ("conv-8", 1, "user", "b b b b"),
+        ("conv-8", 2, "user", "c c c c"),
+        ("conv-8", 3, "user", "d d d d"),
+        # conv-9: distinct clean dialog -> survives; md5("9")=45.. -> train
+        ("conv-9", 0, "user", "p q r s t u v"),
+        ("conv-9", 1, "assistant", "x y z x y z"),
+        ("conv-9", 2, "user", "q r s t"),
+        ("conv-9", 3, "assistant", "final words go here"),
+    ]
+    out = (
+        dialog.curate_transcripts(_conv(rows), num_buckets=4)
+        .to_pandas()
+        .sort_values("conv_id")
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("conv-1", "train"),
+        ("conv-9", "train"),
+    ]
+
+
+def test_curate_transcripts_max_run_gate(ray_session):
+    # 5 consecutive assistant turns (> max_run_cap=4) -> gated out even
+    # though long enough and both roles present
+    rows = [("conv-4", 0, "user", "start here")] + [
+        ("conv-4", i, "assistant", f"spam {i} spam") for i in range(1, 6)
+    ]
+    out = dialog.curate_transcripts(_conv(rows), num_buckets=2).to_pandas()
+    assert len(out) == 0
