@@ -146,6 +146,56 @@ def _q_lexical_topk(sf_dir: str):
     )
 
 
+def _q_kg_edges_incremental(sf_dir: str):
+    """Incremental KG maintenance invariant: the rewritten assertion
+    stream splits into two deterministic ingest batches (ts-microsecond
+    parity), each builds edges independently, and `stages/graph.py
+    merge_edges` folds them — the result must equal the full-corpus
+    kg_edges oracle EXACTLY (edge aggregation is a commutative monoid)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        build_edges,
+        merge_edges,
+    )
+
+    from joint_entity_and_relation_extraction_ray.schema import stable_bucket
+
+    rewritten = kg.stage(sf_dir, "rewritten")
+
+    def _half(parity: int):
+        # deterministic, layout-independent batch assignment over the
+        # full assertion content: the same edge's assertions land in BOTH
+        # batches (different ts), so the merge exercises cross-batch
+        # weight summation, not just disjoint union
+        def _f(t):
+            key = _pc.binary_join_element_wise(
+                t["subj_id"],
+                t["pred"],
+                t["obj_id"],
+                _pc.cast(_pc.cast(t["ts"], pa.int64()), pa.string()),
+                "\x1f",
+            )
+            b = stable_bucket(key.to_numpy(zero_copy_only=False), 2)
+            return t.filter(_pc.equal(pa.array(b), parity))
+
+        return _f
+
+    a = rewritten.map_batches(
+        _half(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    b = rewritten.map_batches(
+        _half(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    merged = merge_edges(build_edges(a, num_buckets=8),
+                         build_edges(b, num_buckets=8))
+    return merged.select_columns(
+        ["subj_id", "pred", "obj_id", "weight", "first_ts", "last_ts"]
+    )
+
+
 def _q_kg_pred_daily(sf_dir: str):
     """KG-construction observability: per (pred, day) assertion counts
     with exact distinct conversations — see `stages/graph.pred_daily`."""
@@ -1121,6 +1171,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
         "mention_contexts": _q_mention_contexts,
         "kg_pred_signatures": _q_kg_pred_signatures,
+        "kg_edges_incremental": _q_kg_edges_incremental,
         "lexical_topk": _q_lexical_topk,
         "kg_pred_daily": _q_kg_pred_daily,
         "kg_pred_profile": _q_kg_pred_profile,
@@ -1335,6 +1386,35 @@ def oracle_sql() -> dict[str, str]:
               ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
         """,
         "kg_edges": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            )
+            SELECT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id,
+                   COUNT(*) AS weight,
+                   MIN(t.ts) AS first_ts, MAX(t.ts) AS last_ts
+            FROM read_parquet('{g}/golden_triples/*.parquet') t
+            JOIN lm s ON t.subj_mention_id = s.mention_id
+            JOIN lm o ON t.obj_mention_id = o.mention_id
+            GROUP BY 1, 2, 3
+        """,
+        # incremental-maintenance invariant: per-batch edges folded by
+        # merge_edges must equal the FULL-corpus edge set — same oracle
+        # text as kg_edges on purpose (stages/graph.merge_edges)
+        "kg_edges_incremental": f"""
             WITH best AS (
                 SELECT alias, ent_type, entity_id
                 FROM (

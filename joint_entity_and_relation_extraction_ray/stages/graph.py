@@ -1956,3 +1956,80 @@ def pred_daily(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, "pred", _merge, num_buckets=num_buckets)
+
+
+def merge_edges(
+    *edge_sets: ray.data.Dataset,
+    num_buckets: int = DEFAULT_WRITE_PARTS,
+) -> ray.data.Dataset:
+    """Incremental KG maintenance: merge EDGE tables from separate ingest
+    batches into one — per (subj_id, pred, obj_id): weight sums,
+    first_ts min, last_ts max, ``part`` recomputed from the merged
+    subject. The edge aggregate is a commutative monoid, so
+    ``merge_edges(build_edges(A), build_edges(B)) == build_edges(A ∪ B)``
+    EXACTLY — the invariant that lets a continuous-ingest deployment
+    build edges per arriving batch and fold them into the standing graph
+    without ever reprocessing history (pinned end-to-end by the
+    kg_edges_incremental driver query against the full-corpus oracle).
+
+    Same shape as `build_edges`: per-block combiner (≤ one row per
+    distinct edge per block) → one subj-bucketed merge."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    ds = edge_sets[0]
+    for other in edge_sets[1:]:
+        ds = ds.union(other)
+
+    def _combine(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(
+                t.select(
+                    ["subj_id", "pred", "obj_id", "weight",
+                     "first_ts", "last_ts"]
+                )
+            )
+            .group_by(["subj_id", "pred", "obj_id"])
+            .agg(
+                pl.col("weight").sum(),
+                pl.col("first_ts").min(),
+                pl.col("last_ts").max(),
+            )
+            .to_arrow()
+        )
+
+    partial = ds.map_batches(
+        _combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _reduce(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .group_by(["subj_id", "pred", "obj_id"])
+            .agg(
+                pl.col("weight").sum(),
+                pl.col("first_ts").min(),
+                pl.col("last_ts").max(),
+            )
+            .to_arrow()
+        )
+        part = pa.array(
+            stable_bucket(
+                out["subj_id"].to_numpy(zero_copy_only=False), num_buckets
+            ),
+            pa.int32(),
+        )
+        return pa.table(
+            {
+                "subj_id": out["subj_id"],
+                "pred": out["pred"],
+                "obj_id": out["obj_id"],
+                "weight": pc.cast(out["weight"], pa.int64()),
+                "first_ts": out["first_ts"],
+                "last_ts": out["last_ts"],
+                "part": part,
+            }
+        ).cast(EDGES)
+
+    return bucket_group_apply(partial, "subj_id", _reduce, num_buckets=num_buckets)

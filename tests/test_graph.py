@@ -702,3 +702,56 @@ def test_pred_daily_exact_distinct_convs(ray_session):
     ]
     assert list(out["n_assertions"]) == [1, 3, 1]
     assert list(out["n_convs"]) == [1, 2, 1]
+
+
+def test_merge_edges_monoid(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.schema import EDGES
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        merge_edges,
+    )
+
+    def edges(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj_id": pa.array([r[0] for r in rows], pa.string()),
+                    "pred": pa.array([r[1] for r in rows], pa.string()),
+                    "obj_id": pa.array([r[2] for r in rows], pa.string()),
+                    "weight": pa.array([r[3] for r in rows], pa.int64()),
+                    "first_ts": pa.array(
+                        [dt.datetime(2026, 1, r[4]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "last_ts": pa.array(
+                        [dt.datetime(2026, 1, r[5]) for r in rows],
+                        pa.timestamp("us"),
+                    ),
+                    "part": pa.array([0] * len(rows), pa.int32()),
+                }
+            ).cast(EDGES)
+        )
+
+    a = edges([("e1", "p", "e2", 3, 5, 9), ("e3", "p", "e4", 1, 2, 2)])
+    b = edges([("e1", "p", "e2", 2, 1, 7)])  # same edge, earlier first_ts
+    out = (
+        merge_edges(a, b, num_buckets=4)
+        .to_pandas()
+        .sort_values(["subj_id", "obj_id"])
+        .reset_index(drop=True)
+    )
+    assert list(out["subj_id"]) == ["e1", "e3"]
+    assert list(out["weight"]) == [5, 1]
+    assert [t.day for t in out["first_ts"]] == [1, 2]
+    assert [t.day for t in out["last_ts"]] == [9, 2]
+    # part recomputed from the merged subject, same rule as build_edges
+    from joint_entity_and_relation_extraction_ray.schema import stable_bucket
+
+    import numpy as np
+
+    expect = stable_bucket(np.array(["e1", "e3"], dtype=object), 4)
+    assert list(out["part"]) == list(expect)
