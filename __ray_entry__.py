@@ -146,6 +146,17 @@ def _q_lexical_topk(sf_dir: str):
     )
 
 
+def _q_kg_ego(sf_dir: str):
+    """Induced 1-hop ego network around the deterministic seed (min node
+    id) — see `stages/graph.ego_subgraph`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        ego_subgraph,
+    )
+
+    return ego_subgraph(kg.stage(sf_dir, "edges"), hops=1)
+
+
 def _q_kg_edges_incremental(sf_dir: str):
     """Incremental KG maintenance invariant: the rewritten assertion
     stream splits into two deterministic ingest batches (ts-microsecond
@@ -1171,6 +1182,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
         "mention_contexts": _q_mention_contexts,
         "kg_pred_signatures": _q_kg_pred_signatures,
+        "kg_ego": _q_kg_ego,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "lexical_topk": _q_lexical_topk,
         "kg_pred_daily": _q_kg_pred_daily,
@@ -1673,6 +1685,53 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(d) AS BIGINT) AS dist
             FROM reach GROUP BY node
+        """,
+        # induced 1-hop ego network of the min node id: recursive
+        # reachability bounds the node set, then the weighted edge CTE
+        # (same as kg_edges) keeps edges with BOTH endpoints inside
+        # (stages/graph.ego_subgraph)
+        "kg_ego": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            wedges AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, COUNT(*) AS weight
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            ),
+            sym AS MATERIALIZED (
+                SELECT subj_id AS src, obj_id AS dst FROM wedges
+                UNION SELECT obj_id, subj_id FROM wedges
+            ),
+            reach(node, d) AS (
+                SELECT (SELECT min(src) FROM sym), 0
+                UNION
+                SELECT s.dst, r.d + 1
+                FROM reach r JOIN sym s ON s.src = r.node
+                WHERE r.d < 1
+            ),
+            nodes AS (SELECT DISTINCT node FROM reach)
+            SELECT subj_id, pred, obj_id, weight
+            FROM wedges
+            WHERE subj_id IN (SELECT node FROM nodes)
+              AND obj_id IN (SELECT node FROM nodes)
         """,
         # mirrors the T0 validate/filter: non-null keys, non-blank text
         "conv_stats": f"""

@@ -2033,3 +2033,39 @@ def merge_edges(
         ).cast(EDGES)
 
     return bucket_group_apply(partial, "subj_id", _reduce, num_buckets=num_buckets)
+
+
+def ego_subgraph(
+    edges: ray.data.Dataset,
+    *,
+    source: str | None = None,
+    hops: int = 2,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Induced k-hop ego network: the weighted edges whose BOTH endpoints
+    lie within ``hops`` undirected hops of ``source`` (default: the
+    lexicographic min node id, the same deterministic convention as
+    `bfs_distances`) — rows ``(subj_id, pred, obj_id, weight)``. The
+    subgraph a KG serves for an entity page / local-context retrieval.
+
+    Dataflow: `bfs_distances` bounds the frontier iterations (per hop
+    only (node, dist) pairs move), then the node set semi-filters the
+    edge table twice via `relational.membership_join` (broadcast under
+    guard, co-bucketed above) — the edge table itself never shuffles in
+    the broadcast regime."""
+    from ..stages.relational import membership_join
+
+    nodes = bfs_distances(
+        edges, source=source, max_hops=hops, num_partitions=num_partitions
+    ).map_batches(
+        lambda t: t.select(["node"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    e1 = membership_join(edges, nodes, on="subj_id", right_on="node")
+    e2 = membership_join(e1, nodes, on="obj_id", right_on="node")
+    return e2.map_batches(
+        lambda t: t.select(["subj_id", "pred", "obj_id", "weight"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

@@ -755,3 +755,54 @@ def test_merge_edges_monoid(ray_session):
 
     expect = stable_bucket(np.array(["e1", "e3"], dtype=object), 4)
     assert list(out["part"]) == list(expect)
+
+
+def test_ego_subgraph_induced_semantics(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.schema import EDGES
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        ego_subgraph,
+    )
+
+    # graph: a-b, b-c, a-d, c-e  (min node 'a'; 1-hop set {a, b, d})
+    rows = [("a", "b"), ("b", "c"), ("a", "d"), ("c", "e")]
+    ts = dt.datetime(2026, 1, 1)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([r[0] for r in rows], pa.string()),
+                "pred": pa.array(["p"] * len(rows), pa.string()),
+                "obj_id": pa.array([r[1] for r in rows], pa.string()),
+                "weight": pa.array([1] * len(rows), pa.int64()),
+                "first_ts": pa.array([ts] * len(rows), pa.timestamp("us")),
+                "last_ts": pa.array([ts] * len(rows), pa.timestamp("us")),
+                "part": pa.array([0] * len(rows), pa.int32()),
+            }
+        ).cast(EDGES)
+    )
+    out = (
+        ego_subgraph(edges, hops=1)
+        .to_pandas()
+        .sort_values(["subj_id", "obj_id"])
+        .reset_index(drop=True)
+    )
+    # induced on {a,b,d}: a-b and a-d stay; b-c (c outside) and c-e drop
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("a", "p", "b", 1),
+        ("a", "p", "d", 1),
+    ]
+    # explicit seed: 1 hop around 'c' -> nodes {b, c, e} -> b-c, c-e
+    out2 = (
+        ego_subgraph(edges, source="c", hops=1)
+        .to_pandas()
+        .sort_values(["subj_id", "obj_id"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out2.itertuples(index=False))) == [
+        ("b", "p", "c", 1),
+        ("c", "p", "e", 1),
+    ]
