@@ -455,6 +455,7 @@ def conv_near_dup(
     *,
     threshold: float = 0.25,
     k: int = 3,
+    max_posting: int | None = None,
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """Conversation-level near-duplicate pairs: each conversation's turn
@@ -476,7 +477,19 @@ def conv_near_dup(
     Dataflow: one conv-bucketed shuffle builds the conv-docs (the only
     pass over text), then the exact-join machinery: postings explode →
     shingle-hash bucket pair-gen → per-pair count merge → true-set
-    verification."""
+    verification.
+
+    LOW-ENTROPY CORPORA: when conversations draw from a small shared
+    vocabulary (templated agents, the synthetic grammar at sf0.1), a
+    stop-shingle's posting list can approach the conversation count and
+    the TRUE pair set itself goes quadratic (measured on the sf0.1
+    fixture: one 3-gram shared by 44,860 of ~60k convs, 3.7×10¹⁰
+    candidate pairs — no shingle size fixes an answer that is itself
+    O(n²)). Production settings there: bound ``max_posting`` (LOGGED
+    truncation, same convention as dedup's ``max_bucket``), raise ``k``
+    or ``threshold``, and consume the CLUSTERS via
+    `curate_transcripts` / `dedup_apply` rather than the raw pair list.
+    Exact by default: ``max_posting=None``."""
     import polars as pl
 
     from .dedup import ngram_jaccard_pairs
@@ -509,7 +522,9 @@ def conv_near_dup(
         )
 
     docs = bucket_group_apply(slim, "conv_id", _cdoc, num_buckets=num_buckets)
-    pairs = ngram_jaccard_pairs(docs, threshold=threshold, k=k)
+    pairs = ngram_jaccard_pairs(
+        docs, threshold=threshold, k=k, max_posting=max_posting
+    )
     return pairs.map_batches(
         lambda t: t.rename_columns(["conv_a", "conv_b"]),
         batch_format="pyarrow",
@@ -523,6 +538,7 @@ def curate_transcripts(
     min_turns: int = 4,
     max_run_cap: int = 4,
     jaccard: float = 0.25,
+    max_posting: int | None = None,
     num_buckets: int = 32,
 ) -> ray.data.Dataset:
     """The COMPOSITE chat-corpus curation pipeline — the transcript
@@ -548,7 +564,11 @@ def curate_transcripts(
     each filter between stages is a `membership_join` (broadcast id set
     under guard, co-bucketed hash semi-join above it) — the corpus text
     itself moves only into the conv buckets that build signatures and
-    conv docs; CC runs on the pair graph only."""
+    conv docs; CC runs on the pair graph only. On low-entropy corpora
+    where the true near-dup graph goes quadratic, bound ``max_posting``
+    (logged truncation; see `conv_near_dup`) — the CC survivor set is
+    barely affected because giant clusters stay connected through the
+    surviving pairs."""
     import hashlib
 
     from .dedup import dedup_apply
@@ -595,7 +615,10 @@ def curate_transcripts(
 
     # 3 — near-dup CC survivor filter on conv numbers
     pairs = conv_near_dup(
-        t2, threshold=jaccard, num_buckets=num_buckets
+        t2,
+        threshold=jaccard,
+        max_posting=max_posting,
+        num_buckets=num_buckets,
     ).map_batches(
         lambda t: t.rename_columns(["doc_a", "doc_b"]),
         batch_format="pyarrow",
