@@ -146,6 +146,17 @@ def _q_lexical_topk(sf_dir: str):
     )
 
 
+def _q_mention_positions(sf_dir: str):
+    """Positional profile of extracted mentions per entity type (exact
+    distinct conversations) — see `stages/linker.mention_positions`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.linker import (
+        mention_positions,
+    )
+
+    return mention_positions(kg.stage(sf_dir, "mentions"))
+
+
 def _q_kg_ego(sf_dir: str):
     """Induced 1-hop ego network around the deterministic seed (min node
     id) — see `stages/graph.ego_subgraph`."""
@@ -1182,6 +1193,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
         "mention_contexts": _q_mention_contexts,
         "kg_pred_signatures": _q_kg_pred_signatures,
+        "mention_positions": _q_mention_positions,
         "kg_ego": _q_kg_ego,
         "kg_edges_incremental": _q_kg_edges_incremental,
         "lexical_topk": _q_lexical_topk,
@@ -1685,6 +1697,16 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(d) AS BIGINT) AS dist
             FROM reach GROUP BY node
+        """,
+        # positional mention profile per entity type with exact distinct
+        # convs (stages/linker.mention_positions; pipeline mentions ==
+        # seeded goldens by the P/R = 1.0 contract)
+        "mention_positions": f"""
+            SELECT ent_type, CAST(turn_idx AS BIGINT) AS turn_idx,
+                   count(*) AS n_mentions,
+                   count(DISTINCT conv_id) AS n_convs
+            FROM read_parquet('{g}/golden_mentions/*.parquet')
+            GROUP BY 1, 2
         """,
         # induced 1-hop ego network of the min node id: recursive
         # reachability bounds the node set, then the weighted edge CTE

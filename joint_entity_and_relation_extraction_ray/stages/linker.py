@@ -262,3 +262,70 @@ def mention_contexts(
         )
 
     return j.map_batches(_ctx, batch_format="pyarrow", zero_copy_batch=True)
+
+
+def mention_positions(
+    mentions: ray.data.Dataset, *, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """Extraction observability: where in a conversation each entity type
+    appears — per (ent_type, turn_idx): mention count and EXACT distinct
+    conversations, rows ``(ent_type, turn_idx:int64, n_mentions:int64,
+    n_convs:int64)``. A type whose positional profile shifts between
+    ingest batches signals extractor drift (e.g. ORG mentions suddenly
+    only in greetings). Same exact-distinct decomposition as
+    `graph.pred_daily`: per-block (type, turn, conv) combiner → one
+    type-bucketed merge; surfaces/offsets never move."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    out_schema = pa.schema(
+        [
+            ("ent_type", pa.string()),
+            ("turn_idx", pa.int64()),
+            ("n_mentions", pa.int64()),
+            ("n_convs", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [
+                    ("ent_type", pa.string()),
+                    ("turn_idx", pa.int64()),
+                    ("conv_id", pa.string()),
+                    ("n", pa.int64()),
+                ]
+            ).empty_table()
+        return (
+            pl.from_arrow(t.select(["ent_type", "turn_idx", "conv_id"]))
+            .with_columns(pl.col("turn_idx").cast(pl.Int64))
+            .group_by(["ent_type", "turn_idx", "conv_id"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by(["ent_type", "turn_idx", "conv_id"])
+            .agg(pl.col("n").sum())
+            .group_by(["ent_type", "turn_idx"])
+            .agg(
+                pl.col("n").sum().alias("n_mentions"),
+                pl.len().cast(pl.Int64).alias("n_convs"),
+            )
+            .select(["ent_type", "turn_idx", "n_mentions", "n_convs"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partials = mentions.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partials, "ent_type", _merge, num_buckets=num_buckets
+    )

@@ -64,3 +64,39 @@ def test_per_turn_text_equality_invariant(extracted, sf0001_corpus):
     assert len(merged) == len(got)
     sliced = merged.apply(lambda r: r["text"][r["start"] : r["end"]], axis=1)
     assert (sliced == merged["surface"]).all()
+
+
+def test_mention_positions_exact_distinct(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.linker import (
+        mention_positions,
+    )
+
+    rows = [
+        # (conv_id, turn_idx, ent_type)
+        ("c1", 0, "PER"),
+        ("c1", 0, "PER"),   # two PER mentions, same conv+turn
+        ("c2", 0, "PER"),
+        ("c1", 1, "ORG"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "conv_id": pa.array([r[0] for r in rows], pa.string()),
+                "turn_idx": pa.array([r[1] for r in rows], pa.int32()),
+                "ent_type": pa.array([r[2] for r in rows], pa.string()),
+            }
+        )
+    )
+    out = (
+        mention_positions(ds, num_buckets=4)
+        .to_pandas()
+        .sort_values(["ent_type", "turn_idx"])
+        .reset_index(drop=True)
+    )
+    assert list(map(tuple, out.itertuples(index=False))) == [
+        ("ORG", 1, 1, 1),
+        ("PER", 0, 3, 2),
+    ]
