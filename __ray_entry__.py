@@ -146,6 +146,14 @@ def _q_lexical_topk(sf_dir: str):
     )
 
 
+def _q_kg_report(sf_dir: str):
+    """One-row KG-build health report (counts, link rate, weight totals)
+    — see `pipelines/kg.build_report`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    return kg.build_report(sf_dir)
+
+
 def _q_mention_positions(sf_dir: str):
     """Positional profile of extracted mentions per entity type (exact
     distinct conversations) — see `stages/linker.mention_positions`."""
@@ -1193,6 +1201,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
         "mention_contexts": _q_mention_contexts,
         "kg_pred_signatures": _q_kg_pred_signatures,
+        "kg_report": _q_kg_report,
         "mention_positions": _q_mention_positions,
         "kg_ego": _q_kg_ego,
         "kg_edges_incremental": _q_kg_edges_incremental,
@@ -1697,6 +1706,51 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(min(d) AS BIGINT) AS dist
             FROM reach GROUP BY node
+        """,
+        # one-row build health report (pipelines/kg.build_report);
+        # link_rate is one IEEE double division on both sides
+        "kg_report": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            wedges AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, COUNT(*) AS w
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            )
+            SELECT
+                (SELECT count(*) FROM
+                    read_parquet('{g}/golden_mentions/*.parquet'))
+                    AS n_mentions,
+                (SELECT count(*) FROM
+                    read_parquet('{g}/golden_triples/*.parquet'))
+                    AS n_triples,
+                (SELECT count(*) FROM lm) AS n_linked,
+                (SELECT CAST(count(*) AS DOUBLE) FROM lm)
+                    / (SELECT CAST(count(*) AS DOUBLE) FROM
+                       read_parquet('{g}/golden_mentions/*.parquet'))
+                    AS link_rate,
+                (SELECT count(DISTINCT entity_id) FROM lm)
+                    AS n_entities_linked,
+                (SELECT count(*) FROM wedges) AS n_edges,
+                (SELECT CAST(sum(w) AS BIGINT) FROM wedges) AS total_weight
         """,
         # positional mention profile per entity type with exact distinct
         # convs (stages/linker.mention_positions; pipeline mentions ==

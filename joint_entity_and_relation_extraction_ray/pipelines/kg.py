@@ -244,3 +244,89 @@ def run_kg(sf_dir: str, out_dir: str | None = None) -> dict[str, ray.data.Datase
     if out_dir is not None:
         write_graph(out["nodes"], out["edges"], out_dir)
     return out
+
+
+def build_report(sf_dir: str) -> "ray.data.Dataset":
+    """One-row KG-build health report — the numbers an ingest run
+    publishes to its dashboard before anyone trusts the graph:
+    ``(n_mentions, n_triples, n_linked, link_rate, n_entities_linked,
+    n_edges, total_weight)``. ``link_rate`` is one IEEE double division
+    (n_linked / n_mentions) so the SQL oracle matches bit-for-bit;
+    ``n_entities_linked`` counts distinct CATALOG entities observed
+    (pre-canonicalization — the canonical node count is its own query,
+    kg_nodes). Each number is a distributed aggregate over a cached
+    stage; only seven scalars reach the driver."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    mentions = stage(sf_dir, "mentions")
+    triples = stage(sf_dir, "triples")
+    linked = stage(sf_dir, "linked")
+    edges = stage(sf_dir, "edges")
+
+    n_mentions = mentions.count()
+    n_triples = triples.count()
+
+    def _linked_partial(t: pa.Table) -> pa.Table:
+        ent = t["cand_entity_id"]
+        return pa.table(
+            {
+                "n_linked": pa.array(
+                    [int(pc.sum(pc.cast(pc.is_valid(ent), pa.int64())).as_py() or 0)],
+                    pa.int64(),
+                ),
+            }
+        )
+
+    n_linked = sum(
+        r["n_linked"]
+        for r in linked.map_batches(
+            _linked_partial, batch_format="pyarrow", zero_copy_batch=True
+        ).take_all()
+    )
+    ents = linked.map_batches(
+        lambda t: pa.table(
+            {
+                "entity_id": pc.drop_null(
+                    t["cand_entity_id"].combine_chunks()
+                ).unique()
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    from ..stages.relational import distinct_keys
+
+    n_entities = distinct_keys(ents, "entity_id").count()
+
+    def _edge_partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "n": pa.array([t.num_rows], pa.int64()),
+                "w": pa.array(
+                    [int(pc.sum(t["weight"]).as_py() or 0)], pa.int64()
+                ),
+            }
+        )
+
+    ew = edges.map_batches(
+        _edge_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()
+    n_edges = sum(r["n"] for r in ew)
+    total_weight = sum(r["w"] for r in ew)
+
+    link_rate = np.float64(n_linked) / np.float64(n_mentions)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_mentions": pa.array([n_mentions], pa.int64()),
+                "n_triples": pa.array([n_triples], pa.int64()),
+                "n_linked": pa.array([n_linked], pa.int64()),
+                "link_rate": pa.array([float(link_rate)], pa.float64()),
+                "n_entities_linked": pa.array([n_entities], pa.int64()),
+                "n_edges": pa.array([n_edges], pa.int64()),
+                "total_weight": pa.array([total_weight], pa.int64()),
+            }
+        )
+    )

@@ -100,3 +100,20 @@ def test_mention_positions_exact_distinct(ray_session):
         ("ORG", 1, 1, 1),
         ("PER", 0, 3, 2),
     ]
+
+
+def test_build_report_consistency(ray_session):
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        ensure_corpus,
+    )
+
+    sf = str(ensure_corpus("sf0.001").parent / "..")  # noqa: unused guard
+    r = kg.build_report("/root/testdata/sf0.001").to_pandas().iloc[0]
+    assert r["n_mentions"] > 0 and r["n_triples"] > 0
+    assert 0 <= r["n_linked"] <= r["n_mentions"]
+    assert r["link_rate"] == r["n_linked"] / r["n_mentions"]
+    # every edge aggregates >= 1 assertion; total weight counts the
+    # both-endpoints-linked triples, bounded by the triple count
+    assert 0 < r["n_edges"] <= r["total_weight"] <= r["n_triples"]
+    assert 0 < r["n_entities_linked"] <= r["n_linked"]
