@@ -493,6 +493,37 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(kg.stage(sf_dir, "edges"), iters=10)
 
 
+def _q_kg_ppr(sf_dir: str):
+    """Personalized PageRank from the deterministic seed (min node id) —
+    the "entities related to X" serving query (rows-only: float ranks
+    are sum-order-dependent; exactness vs a dense numpy oracle is pinned
+    in tests/test_graph.py)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
+
+    edges = kg.stage(sf_dir, "edges")
+
+    def _block_min(t: pa.Table) -> pa.Table:
+        cands = [
+            v
+            for v in (
+                _pc.min(t["subj_id"]).as_py(),
+                _pc.min(t["obj_id"]).as_py(),
+            )
+            if v is not None
+        ]
+        return pa.table(
+            {"m": pa.array([min(cands)] if cands else [], pa.string())}
+        )
+
+    mins = edges.map_batches(_block_min, batch_format="pyarrow").take_all()
+    seed = min(r["m"] for r in mins)
+    return pagerank(edges, iters=10, seeds=[seed])
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components of the undirected KG (node → component =
     lexicographic min entity id in the component) — the same salted
@@ -1024,6 +1055,20 @@ def _q_mixture_weights(sf_dir: str):
     return mixture_weights(docs)
 
 
+def _q_bigram_coverage(sf_dir: str):
+    """LM-free perplexity-style quality gate: per doc, distinct word
+    bigrams and how many are corpus-supported (df ≥ 2) — see
+    `stages/curation.bigram_coverage`."""
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        read_documents,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.curation import (
+        bigram_coverage,
+    )
+
+    return bigram_coverage(read_documents(sf_dir))
+
+
 def _q_kg_clustering(sf_dir: str):
     """Per-node triangle participation and degree (local clustering
     coefficient as exact integers) — see `stages/graph.node_clustering`."""
@@ -1173,6 +1218,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
+        "kg_ppr": _q_kg_ppr,  # rows-only (personalized restart, float ranks)
         "kg_components": _q_kg_components,
         "kg_comention": _q_kg_comention,
         "conv_stats": _q_conv_stats,
@@ -1191,6 +1237,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "conv_near_dup": _q_conv_near_dup,
         "curate_transcripts": _q_curate_transcripts,
         "mixture_weights": _q_mixture_weights,
+        "bigram_coverage": _q_bigram_coverage,
         "conv_qa_pairs": _q_conv_qa_pairs,
         "conv_response_time": _q_conv_response_time,
         "kg_nodes": _q_kg_nodes,
@@ -2265,6 +2312,31 @@ def oracle_sql() -> dict[str, str]:
                    (1.0 / (SELECT CAST(count(*) AS DOUBLE) FROM grp))
                        / token_share AS weight
             FROM shared
+        """,
+        # per-doc bigram corpus support (stages/curation.bigram_coverage):
+        # integer counts plus ONE IEEE double division (n_supported /
+        # n_bigrams, both exactly representable) — bit-exact, no tolerance
+        "bigram_coverage": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            grams AS (
+                SELECT DISTINCT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM toks WHERE len(t) >= 2),
+            df AS (
+                SELECT gram, count(*) AS df FROM grams GROUP BY 1)
+            SELECT g.doc_id,
+                   count(*) AS n_bigrams,
+                   count(*) FILTER (WHERE df.df >= 2) AS n_supported,
+                   CAST(count(*) FILTER (WHERE df.df >= 2) AS DOUBLE)
+                       / CAST(count(*) AS DOUBLE) AS coverage
+            FROM grams g JOIN df USING (gram)
+            GROUP BY 1
         """,
         "kg_clustering": f"""
             WITH best AS MATERIALIZED (

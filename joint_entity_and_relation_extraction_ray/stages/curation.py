@@ -657,6 +657,139 @@ def term_postings(
     return bucket_group_apply(hits, "token", _merge, num_buckets=num_buckets)
 
 
+def bigram_coverage(
+    docs: ray.data.Dataset,
+    *,
+    min_df: int = 2,
+    num_buckets: int = 32,
+    doc_buckets: int = 32,
+) -> ray.data.Dataset:
+    """LM-free perplexity-style quality score: per document, how many of
+    its DISTINCT word bigrams are *corpus-supported* (appear in ≥
+    ``min_df`` distinct documents). Garbled text — OCR noise, binary
+    spills, mojibake, boilerplate soup — is exactly text whose token
+    transitions occur nowhere else, so a low ``coverage`` flags it the
+    same way a KenLM perplexity gate would, but with pure integer counts
+    (no trained model, bit-exact SQL mirror). Output
+    ``(doc_id, n_bigrams, n_supported, coverage)`` where ``coverage`` is
+    the single IEEE division n_supported/n_bigrams; docs with < 2 tokens
+    have no bigrams and emit no row (matching the SQL join).
+
+    Dataflow (text never shuffles): per block, distinct (bigram, doc_id)
+    pairs are built vectorized (polars list slice + explode) and the
+    bigram string is replaced by its ``stable_hash64`` — only two int64s
+    per pair move. One gram-bucketed shuffle computes each bigram's
+    document frequency AND folds it back into per-doc partial counts in
+    the same reduce (pairs for one gram are all in its bucket, so no
+    second join); one tiny doc-bucketed merge sums partials. Collision
+    odds follow the stable_hash64 contract (n²/2⁶⁵; a 10¹²-gram
+    deployment widens to 128 bits behind the same helper)."""
+    import polars as pl
+
+    from ..schema import stable_hash64
+
+    pair_schema = pa.schema([("gram_h", pa.int64()), ("doc_id", pa.int64())])
+    part_schema = pa.schema(
+        [
+            ("doc_id", pa.int64()),
+            ("n_bigrams", pa.int64()),
+            ("n_supported", pa.int64()),
+        ]
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pair_schema.empty_table()
+        toks = (
+            pl.from_arrow(t.select(["doc_id", "text"]))
+            .with_columns(pl.col("text").str.extract_all(r"\S+").alias("t"))
+            .filter(pl.col("t").list.len() >= 2)
+        )
+        if not len(toks):
+            return pair_schema.empty_table()
+        grams = (
+            toks.select(
+                pl.col("doc_id"),
+                pl.col("t")
+                .list.slice(0, pl.col("t").list.len() - 1)
+                .alias("a"),
+                pl.col("t").list.slice(1).alias("b"),
+            )
+            .explode(["a", "b"])
+            .select(
+                pl.col("doc_id").cast(pl.Int64),
+                (pl.col("a") + pl.lit(" ") + pl.col("b")).alias("gram"),
+            )
+            .unique()
+        )
+        h = stable_hash64(grams["gram"].to_numpy())
+        return pa.table(
+            {
+                "gram_h": pa.array(h, pa.int64()),
+                "doc_id": grams["doc_id"].to_arrow().cast(pa.int64()),
+            }
+        )
+
+    def _df_fold(t: pa.Table) -> pa.Table:
+        # one gram's pairs never span buckets: df = distinct docs per
+        # gram is exact here, and the per-doc partial counts fold in the
+        # same pass — no join-back shuffle
+        if not t.num_rows:
+            return part_schema.empty_table()
+        df = pl.from_arrow(t).unique()  # cross-block (gram, doc) dups
+        return (
+            df.with_columns(
+                pl.col("doc_id").count().over("gram_h").alias("df")
+            )
+            .group_by("doc_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_bigrams"),
+                (pl.col("df") >= min_df)
+                .sum()
+                .cast(pl.Int64)
+                .alias("n_supported"),
+            )
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    def _doc_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                list(part_schema) + [("coverage", pa.float64())]
+            ).empty_table()
+        merged = (
+            pl.from_arrow(t)
+            .group_by("doc_id")
+            .agg(
+                pl.col("n_bigrams").sum(),
+                pl.col("n_supported").sum(),
+            )
+        )
+        return (
+            merged.with_columns(
+                (
+                    pl.col("n_supported").cast(pl.Float64)
+                    / pl.col("n_bigrams").cast(pl.Float64)
+                ).alias("coverage")
+            )
+            .to_arrow()
+            .cast(
+                pa.schema(list(part_schema) + [("coverage", pa.float64())])
+            )
+        )
+
+    pairs = docs.map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    partials = bucket_group_apply(
+        pairs, "gram_h", _df_fold, num_buckets=num_buckets
+    )
+    return bucket_group_apply(
+        partials, "doc_id", _doc_merge, num_buckets=doc_buckets
+    )
+
+
 def mixture_weights(
     docs: ray.data.Dataset,
     *,

@@ -404,6 +404,7 @@ def pagerank(
     damping: float = 0.85,
     iters: int = 10,
     num_buckets: int = 32,
+    seeds: list[str] | None = None,
 ) -> ray.data.Dataset:
     """PageRank over the materialized KG edge table → (node, rank).
 
@@ -415,7 +416,14 @@ def pagerank(
     redistributed uniformly each round (the standard correction), so
     total rank stays 1. Ranks are float64 — deterministic up to
     float-sum ordering, verified against a dense numpy oracle in tests.
-    """
+
+    ``seeds`` switches to PERSONALIZED PageRank (the "entities related
+    to X" serving query): all teleport mass — the (1−d) restart AND the
+    dangling correction — lands on the seed set (split uniformly across
+    it) instead of the whole node universe. Same dataflow, same cost per
+    iteration; only the per-node teleport constant changes (seeds ride
+    into the reduce as a broadcast ``is_in`` set — they are O(1) ids).
+    The ``seeds=None`` path is byte-identical to uniform PageRank."""
     import polars as pl
 
     from ..functions.joins import join_auto
@@ -529,19 +537,66 @@ def pagerank(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        base = (1.0 - damping) / n + damping * d_mass / n
+        if seeds is None:
+            base = (1.0 - damping) / n + damping * d_mass / n
 
-        def _sum(t: pa.Table, base=base) -> pa.Table:
-            df = pl.from_arrow(t)
-            out = df.group_by("node").agg(
-                (pl.col("c").sum() * damping + base).alias("rank")
-            )
-            return out.to_arrow()
+            def _sum(t: pa.Table, base=base) -> pa.Table:
+                df = pl.from_arrow(t)
+                out = df.group_by("node").agg(
+                    (pl.col("c").sum() * damping + base).alias("rank")
+                )
+                return out.to_arrow()
+
+            def _fill(t: pa.Table, base=base) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": t["node"],
+                        "rank": pc.coalesce(
+                            t["rank"], pa.scalar(base, pa.float64())
+                        ),
+                    }
+                )
+
+        else:
+            # personalized: ALL teleport mass restarts on the seed set
+            seed_base = ((1.0 - damping) + damping * d_mass) / len(seeds)
+
+            def _sum(t: pa.Table, seed_base=seed_base) -> pa.Table:
+                df = pl.from_arrow(t)
+                out = df.group_by("node").agg(
+                    (pl.col("c").sum() * damping).alias("rank")
+                )
+                return out.with_columns(
+                    (
+                        pl.col("rank")
+                        + pl.when(pl.col("node").is_in(seeds))
+                        .then(pl.lit(seed_base))
+                        .otherwise(pl.lit(0.0))
+                    ).alias("rank")
+                ).to_arrow()
+
+            def _fill(t: pa.Table, seed_base=seed_base) -> pa.Table:
+                node = t["node"].combine_chunks()
+                fallback = pc.if_else(
+                    pc.is_in(
+                        node, value_set=pa.array(seeds, node.type)
+                    ),
+                    pa.scalar(seed_base, pa.float64()),
+                    pa.scalar(0.0, pa.float64()),
+                )
+                return pa.table(
+                    {
+                        "node": node,
+                        "rank": pc.coalesce(
+                            t["rank"].combine_chunks(), fallback
+                        ),
+                    }
+                )
 
         summed = bucket_group_apply(
             contrib, "node", _sum, num_buckets=num_buckets
         )
-        # nodes with no in-edges get the base rank
+        # nodes with no in-edges get only their teleport share
         ranks = (
             join_auto(
                 nodes,
@@ -550,14 +605,7 @@ def pagerank(
                 on=("node",),
             )
             .map_batches(
-                lambda t, base=base: pa.table(
-                    {
-                        "node": t["node"],
-                        "rank": pc.coalesce(
-                            t["rank"], pa.scalar(base, pa.float64())
-                        ),
-                    }
-                ),
+                _fill,
                 batch_format="pyarrow",
                 zero_copy_batch=True,
             )

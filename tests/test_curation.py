@@ -295,3 +295,31 @@ def test_lexical_topk_no_matches(ray_session):
     # Arrow consumers read blocks)
     schemas = {tuple(_ray.get(r).schema.names) for r in out.to_arrow_refs()}
     assert schemas == {("doc_id", "score", "n_terms")}
+
+def test_bigram_coverage_closed_form(ray_session):
+    # doc 1: bigrams {a b, b c, c a, a b(dup->distinct)} = {a b, b c, c a}
+    # doc 2: {a b, b x}    doc 3: {q r}    doc 4: single token, no row
+    a = _docs(["a b c a b", "a b x"], ids=[1, 2])
+    b = _docs(["q r", "solo"], ids=[3, 4])
+    out = (
+        curation.bigram_coverage(a.union(b), num_buckets=4, doc_buckets=4)
+        .to_pandas()
+        .sort_values("doc_id")
+        .reset_index(drop=True)
+    )
+    # df: "a b"=2 (docs 1,2); every other bigram df=1
+    assert list(out["doc_id"]) == [1, 2, 3]  # doc 4 emits no row
+    assert list(out["n_bigrams"]) == [3, 2, 1]
+    assert list(out["n_supported"]) == [1, 1, 0]
+    assert list(out["coverage"]) == [1 / 3, 1 / 2, 0.0]
+
+
+def test_bigram_coverage_block_layout_invariant(ray_session):
+    # duplicate (gram, doc) pairs split across blocks must not double
+    # count: the same doc's repeated bigram lands in two input blocks
+    one = curation.bigram_coverage(
+        _docs(["u v u v u v"], ids=[7]), num_buckets=2, doc_buckets=2
+    ).to_pandas()
+    # bigrams of "u v u v u v": {u v, v u} — both df=1 (single doc)
+    assert list(one["n_bigrams"]) == [2]
+    assert list(one["n_supported"]) == [0]

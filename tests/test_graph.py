@@ -173,6 +173,62 @@ def test_pagerank_matches_dense_numpy(ray_session):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_personalized_pagerank_matches_dense_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 30, 120
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    subj = np.where(subj == 4, 5, subj)  # node 4 dangling
+    names = np.array([f"p{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+            }
+        )
+    ).repartition(4)
+
+    d, iters = 0.85, 12
+    seeds = ["p00", "p04"]  # includes the dangling node
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, damping=d, iters=iters, num_buckets=8, seeds=seeds
+        ).take_all()
+    }
+
+    present = sorted(set(names[subj]) | set(names[obj]))
+    idx = {v: i for i, v in enumerate(present)}
+    N = len(present)
+    A = np.zeros((N, N))
+    for s, o in zip(names[subj], names[obj]):
+        A[idx[o], idx[s]] += 1.0
+    out_deg = A.sum(axis=0)
+    e_s = np.zeros(N)
+    for s in seeds:
+        e_s[idx[s]] = 1.0 / len(seeds)
+    r = np.full(N, 1.0 / N)  # engine initializes uniform
+    for _ in range(iters):
+        dangling = r[out_deg == 0].sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = A @ np.where(out_deg > 0, r / out_deg, 0.0)
+        r = d * contrib + e_s * ((1 - d) + d * dangling)
+    assert set(got) == set(present)
+    for v in present:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    # total mass conserved under the personalized teleport too
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+    # restart mass concentrates rank on/near the seeds
+    assert got["p00"] > np.median(list(got.values()))
+
+
 def test_triangle_count_closed_forms(ray_session):
     import pyarrow as pa
     import ray.data
