@@ -653,6 +653,64 @@ def _q_conv_stats(sf_dir: str):
     return bucket_group_apply(partials, "conv_id", _merge, num_buckets=8)
 
 
+def _q_kg_alias_mining(sf_dir: str):
+    """Alias-dictionary bootstrap (the inverse of kg_surfaces): per
+    normalized surface form (lower-cased alias key) — how often it is
+    mentioned, how many DISTINCT entities it linked to (the ambiguity
+    signal), and the modal entity (count desc, entity asc tiebreak).
+    This is the op that BUILDS the next run's gazetteer from the current
+    run's links: per-(alias, entity) combiner partials, one
+    alias-bucketed merge; surfaces/ids move once as distinct partials."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    linked = kg.stage(sf_dir, "linked")
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        return (
+            pl.from_arrow(t.select(["surface", "cand_entity_id"]))
+            .drop_nulls("cand_entity_id")
+            .with_columns(pl.col("surface").str.to_lowercase().alias("alias"))
+            .group_by(["alias", "cand_entity_id"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+            .select(["alias", "cand_entity_id", "n"])
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = (
+            pl.from_arrow(t)
+            .group_by(["alias", "cand_entity_id"])
+            .agg(pl.col("n").sum())
+        )
+        return (
+            df.sort(
+                ["alias", "n", "cand_entity_id"],
+                descending=[False, True, False],
+            )
+            .group_by("alias", maintain_order=True)
+            .agg(
+                pl.col("n").sum().alias("n_mentions"),
+                pl.len().cast(pl.Int64).alias("n_entities"),
+                pl.col("cand_entity_id").first().alias("top_entity"),
+            )
+            .to_arrow()
+        )
+
+    partials = linked.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "alias", _merge, num_buckets=16)
+
+
 def _q_kg_surfaces(sf_dir: str):
     """Per-entity surface-form diversity: mention count, distinct
     surfaces, and the modal surface (count desc, surface asc tiebreak) —
@@ -1225,6 +1283,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_clustering": _q_kg_clustering,
         "kg_surfaces": _q_kg_surfaces,
+        "kg_alias_mining": _q_kg_alias_mining,
         "kg_assortativity": _q_kg_assortativity,
         "kg_reciprocity": _q_kg_reciprocity,
         "conv_role_patterns": _q_conv_role_patterns,
@@ -1940,6 +1999,41 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(da.deg * db.deg) AS BIGINT) AS s_prod
             FROM und JOIN degs da ON da.v = und.a
                      JOIN degs db ON db.v = und.b
+        """,
+        # alias-dictionary bootstrap (inverse of kg_surfaces): modal
+        # entity per lower-cased surface, ambiguity = distinct entities
+        "kg_alias_mining": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT lower(m.surface) AS alias, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            per AS (SELECT alias, entity_id, count(*) AS n
+                    FROM lm GROUP BY 1, 2),
+            top AS (SELECT alias, entity_id FROM (
+                        SELECT alias, entity_id,
+                               row_number() OVER (
+                                   PARTITION BY alias
+                                   ORDER BY n DESC, entity_id) AS rn
+                        FROM per) WHERE rn = 1)
+            SELECT per.alias,
+                   CAST(sum(per.n) AS BIGINT) AS n_mentions,
+                   CAST(count(*) AS BIGINT) AS n_entities,
+                   top.entity_id AS top_entity
+            FROM per JOIN top ON per.alias = top.alias
+            GROUP BY per.alias, top.entity_id
         """,
         "kg_surfaces": f"""
             WITH best AS (
