@@ -524,6 +524,17 @@ def _q_kg_ppr(sf_dir: str):
     return pagerank(edges, iters=10, seeds=[seed])
 
 
+def _q_kg_hits(sf_dir: str):
+    """HITS hubs & authorities over the KG edges (rows-only: iterative
+    float scores with L2 normalization have no SQL form; exactness vs a
+    dense numpy power-iteration oracle is pinned in tests/test_graph.py).
+    """
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import hits
+
+    return hits(kg.stage(sf_dir, "edges"), iters=8)
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components of the undirected KG (node → component =
     lexicographic min entity id in the component) — the same salted
@@ -1277,6 +1288,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_ppr": _q_kg_ppr,  # rows-only (personalized restart, float ranks)
+        "kg_hits": _q_kg_hits,  # rows-only (iterative L2-normalized scores)
         "kg_components": _q_kg_components,
         "kg_comention": _q_kg_comention,
         "conv_stats": _q_conv_stats,

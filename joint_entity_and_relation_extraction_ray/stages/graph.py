@@ -614,6 +614,169 @@ def pagerank(
     return ranks
 
 
+def hits(
+    edges: ray.data.Dataset,
+    *,
+    iters: int = 10,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """HITS hubs & authorities over the directed KG edge table →
+    (node, hub, authority). The complementary centrality to PageRank for
+    a knowledge graph: authorities are entities many hub entities assert
+    facts ABOUT (popular objects), hubs are entities whose assertions
+    point at good authorities (prolific, well-connected subjects).
+
+    Same iterative dataflow skeleton as :func:`pagerank`: the distinct
+    edge list materializes ONCE (multi-edges collapse — standard HITS is
+    over the unweighted adjacency); each round is two join+bucket-sum
+    passes (a = Eᵀh then h = E·a) followed by L2 normalization, whose
+    Σx² reduces through the same decomposable sum (a scalar reaches the
+    driver, never the vectors). Scores are float64, deterministic up to
+    float-sum ordering; verified against a dense numpy power-iteration
+    oracle in tests."""
+    import math
+
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+
+    e = bucket_group_apply(
+        edges.map_batches(
+            lambda t: pa.table(
+                {"src": t["subj_id"], "dst": t["obj_id"]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "src",
+        lambda t: pl.from_arrow(t).unique().to_arrow(),
+        num_buckets=num_buckets,
+    ).materialize()
+
+    ends = e.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [
+                        t["src"].combine_chunks(),
+                        t["dst"].combine_chunks(),
+                    ]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nodes = bucket_group_apply(
+        ends,
+        "node",
+        lambda t: pa.table({"node": pc.unique(t["node"].combine_chunks())}),
+        num_buckets=num_buckets,
+    ).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "hub": pa.array([], pa.float64()),
+                    "authority": pa.array([], pa.float64()),
+                }
+            )
+        )
+
+    def _ones(col: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"],
+                    col: pa.array([1.0] * len(t), pa.float64()),
+                }
+            )
+
+        return _f
+
+    def _propagate(scores, score_col, from_col, to_col, out_col):
+        """out(v) = Σ_{(from,to)∈E, to=v} score(from), then L2-normalize."""
+        summed = bucket_group_apply(
+            join_auto(
+                e, scores, on=(from_col,), right_on=("node",)
+            ).map_batches(
+                lambda t: pa.table(
+                    {"node": t[to_col], "s": t[score_col]}
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "node",
+            lambda t: pl.from_arrow(t)
+            .group_by("node")
+            .agg(pl.col("s").sum().alias(out_col))
+            .to_arrow(),
+            num_buckets=num_buckets,
+        )
+        # every node keeps a row (zero for no in-contributions)
+        full = join_auto(
+            nodes, summed, join_type="left_outer", on=("node",)
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    out_col: pc.coalesce(
+                        t[out_col], pa.scalar(0.0, pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        norm = math.sqrt(
+            full.map_batches(
+                lambda t: pa.table(
+                    {
+                        "ss": pa.array(
+                            [
+                                pc.sum(
+                                    pc.multiply(t[out_col], t[out_col])
+                                ).as_py()
+                                or 0.0
+                            ],
+                            pa.float64(),
+                        )
+                    }
+                ),
+                batch_format="pyarrow",
+            ).sum("ss")
+            or 0.0
+        )
+        if norm == 0.0:
+            return full
+        return full.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    out_col: pc.divide(
+                        t[out_col], pa.scalar(norm, pa.float64())
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+    hubs = nodes.map_batches(_ones("hub"), batch_format="pyarrow").materialize()
+    auths = nodes
+    for _ in range(iters):
+        auths = _propagate(hubs, "hub", "src", "dst", "authority")
+        hubs = _propagate(auths, "authority", "dst", "src", "hub")
+
+    return join_auto(hubs, auths, on=("node",)).map_batches(
+        lambda t: t.select(["node", "hub", "authority"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def triangle_count(
     edges: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:

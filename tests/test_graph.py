@@ -229,6 +229,53 @@ def test_personalized_pagerank_matches_dense_numpy(ray_session):
     assert got["p00"] > np.median(list(got.values()))
 
 
+def test_hits_matches_dense_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import hits
+
+    rng = np.random.default_rng(23)
+    n_nodes, n_edges = 25, 90
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"h{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+            }
+        )
+    ).repartition(4)
+
+    iters = 8
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(edges, iters=iters, num_buckets=8).take_all()
+    }
+
+    # dense oracle on the DISTINCT edge set (multi-edges collapse)
+    pairs = sorted(set(zip(names[subj], names[obj])))
+    present = sorted({u for u, _ in pairs} | {v for _, v in pairs})
+    idx = {v: i for i, v in enumerate(present)}
+    N = len(present)
+    M = np.zeros((N, N))
+    for u, v in pairs:
+        M[idx[u], idx[v]] = 1.0
+    h = np.ones(N)
+    for _ in range(iters):
+        a = M.T @ h
+        a /= np.linalg.norm(a)
+        h = M @ a
+        h /= np.linalg.norm(h)
+    assert set(got) == set(present)
+    for v in present:
+        assert abs(got[v][0] - h[idx[v]]) < 1e-9, ("hub", v)
+        assert abs(got[v][1] - a[idx[v]]) < 1e-9, ("authority", v)
+
+
 def test_triangle_count_closed_forms(ray_session):
     import pyarrow as pa
     import ray.data
