@@ -535,6 +535,18 @@ def _q_kg_hits(sf_dir: str):
     return hits(kg.stage(sf_dir, "edges"), iters=8)
 
 
+def _q_kg_hyperball(sf_dir: str):
+    """HyperBall 4-hop reachability-ball estimates per node (rows-only:
+    HLL estimates have no SQL form; accuracy vs an exact per-node BFS
+    oracle is pinned in tests/test_graph.py)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        hyperball,
+    )
+
+    return hyperball(kg.stage(sf_dir, "edges"), hops=4)
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components of the undirected KG (node → component =
     lexicographic min entity id in the component) — the same salted
@@ -1289,6 +1301,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_ppr": _q_kg_ppr,  # rows-only (personalized restart, float ranks)
         "kg_hits": _q_kg_hits,  # rows-only (iterative L2-normalized scores)
+        "kg_hyperball": _q_kg_hyperball,  # rows-only (HLL ball estimates)
         "kg_components": _q_kg_components,
         "kg_comention": _q_kg_comention,
         "conv_stats": _q_conv_stats,

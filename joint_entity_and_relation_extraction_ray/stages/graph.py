@@ -777,6 +777,147 @@ def hits(
     )
 
 
+def hyperball(
+    edges: ray.data.Dataset,
+    *,
+    hops: int = 4,
+    p: int = 10,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """HyperBall (Boldi & Vigna): per-node reachability-ball cardinality
+    |{w : dist(v→w) ≤ hops}| estimated with HyperLogLog counters →
+    ``(node, reach_est)``. THE web-scale algorithm for neighborhood
+    functions / effective diameter / centrality prerequisites: exact
+    ball counting needs one BFS per node (infeasible beyond toy graphs);
+    HyperBall runs ALL balls simultaneously because HLL union is
+    element-wise max — each iteration folds every node's out-neighbors'
+    sketches into its own, a fixpoint of the same join + bucket-merge
+    shape as the CC loop.
+
+    Per iteration each edge ships one ``2^p``-byte sketch (p=10 → 1 KB,
+    ±3.2% standard error — the classic HyperBall operating point);
+    sketches merge inside the bucket via a single vectorized
+    ``np.maximum.reduceat`` over the stacked register matrix, never a
+    per-pair Python loop. Estimates are deterministic (stable_hash64
+    seeds the HLL). Accuracy vs an exact per-node BFS oracle is pinned
+    in tests/test_graph.py."""
+    import numpy as np
+
+    from ..functions import sketch as hll
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+
+    m = 1 << p
+
+    e = edges.map_batches(
+        lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    ends = e.map_batches(
+        lambda t: pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _init(t: pa.Table) -> pa.Table:
+        # a singleton sketch is one register set: fully vectorized via
+        # the same hash/rank math as hll_add, no per-node Python loop
+        from ..schema import stable_hash64
+
+        nodes = pc.unique(t["node"].combine_chunks())
+        vals = nodes.to_pylist()
+        if not vals:
+            return pa.schema(
+                [("node", pa.string()), ("sk", pa.binary())]
+            ).empty_table()
+        h = stable_hash64(np.asarray(vals, dtype=object)).astype(np.uint64)
+        idx = (h >> np.uint64(64 - p)).astype(np.int64)
+        w = h & np.uint64((1 << (64 - p)) - 1)
+        rank = np.where(
+            w == 0,
+            64 - p + 1,
+            (64 - p)
+            - np.floor(np.log2(np.maximum(w, 1).astype(np.float64))),
+        ).astype(np.uint8)
+        mat = np.zeros((len(vals), m), np.uint8)
+        mat[np.arange(len(vals)), idx] = rank
+        return pa.table(
+            {
+                "node": nodes,
+                "sk": pa.array([r.tobytes() for r in mat], pa.binary()),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [("node", pa.string()), ("sk", pa.binary())]
+            ).empty_table()
+        nodes = np.asarray(t["node"].to_pylist(), dtype=object)
+        mat = np.frombuffer(
+            b"".join(t["sk"].to_pylist()), np.uint8
+        ).reshape(len(nodes), m)
+        order = np.argsort(nodes, kind="stable")
+        nodes, mat = nodes[order], mat[order]
+        bounds = np.flatnonzero(
+            np.concatenate(([True], nodes[1:] != nodes[:-1]))
+        )
+        merged = np.maximum.reduceat(mat, bounds, axis=0)
+        return pa.table(
+            {
+                "node": pa.array(nodes[bounds], pa.string()),
+                "sk": pa.array(
+                    [r.tobytes() for r in merged], pa.binary()
+                ),
+            }
+        )
+
+    cur = bucket_group_apply(
+        ends.map_batches(
+            _init, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "node",
+        _merge,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    for _ in range(hops):
+        contrib = join_auto(
+            e, cur, on=("dst",), right_on=("node",)
+        ).map_batches(
+            lambda t: pa.table({"node": t["src"], "sk": t["sk"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        cur = bucket_group_apply(
+            cur.union(contrib), "node", _merge, num_buckets=num_buckets
+        ).materialize()
+
+    def _count(t: pa.Table) -> pa.Table:
+        ests = [
+            hll.hll_count(np.frombuffer(b, np.uint8), p=p)
+            for b in t["sk"].to_pylist()
+        ]
+        return pa.table(
+            {
+                "node": t["node"],
+                "reach_est": pa.array(ests, pa.int64()),
+            }
+        )
+
+    return cur.map_batches(
+        _count, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def triangle_count(
     edges: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:

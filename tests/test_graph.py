@@ -276,6 +276,55 @@ def test_hits_matches_dense_numpy(ray_session):
         assert abs(got[v][1] - a[idx[v]]) < 1e-9, ("authority", v)
 
 
+def test_hyperball_tracks_exact_bfs_balls(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        hyperball,
+    )
+
+    rng = np.random.default_rng(31)
+    n_nodes, n_edges = 30, 70
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"b{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+            }
+        )
+    ).repartition(4)
+
+    hops = 3
+    got = {
+        r["node"]: r["reach_est"]
+        for r in hyperball(edges, hops=hops, p=10, num_buckets=8).take_all()
+    }
+
+    # exact oracle: per-node BFS ball within `hops` over the same edges
+    adj = {}
+    for u, v in zip(names[subj], names[obj]):
+        adj.setdefault(u, set()).add(v)
+    present = sorted(set(names[subj]) | set(names[obj]))
+    for v in present:
+        ball = {v}
+        frontier = {v}
+        for _ in range(hops):
+            frontier = {
+                w for u in frontier for w in adj.get(u, ())
+            } - ball
+            ball |= frontier
+        exact = len(ball)
+        est = got[v]
+        # p=10 linear-counting regime: tiny sets estimate near-exactly
+        assert abs(est - exact) <= max(1, 0.1 * exact), (v, est, exact)
+    assert set(got) == set(present)
+
+
 def test_triangle_count_closed_forms(ray_session):
     import pyarrow as pa
     import ray.data
