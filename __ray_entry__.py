@@ -547,6 +547,18 @@ def _q_kg_hyperball(sf_dir: str):
     return hyperball(kg.stage(sf_dir, "edges"), hops=4)
 
 
+def _q_kg_harmonic(sf_dir: str):
+    """HyperBall truncated harmonic centrality over in-balls (rows-only:
+    HLL-delta estimates have no SQL form; accuracy vs the exact
+    truncated harmonic centrality is pinned in tests/test_graph.py)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        harmonic_centrality_est,
+    )
+
+    return harmonic_centrality_est(kg.stage(sf_dir, "edges"), hops=4)
+
+
 def _q_kg_components(sf_dir: str):
     """Connected components of the undirected KG (node → component =
     lexicographic min entity id in the component) — the same salted
@@ -1302,6 +1314,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_ppr": _q_kg_ppr,  # rows-only (personalized restart, float ranks)
         "kg_hits": _q_kg_hits,  # rows-only (iterative L2-normalized scores)
         "kg_hyperball": _q_kg_hyperball,  # rows-only (HLL ball estimates)
+        "kg_harmonic": _q_kg_harmonic,  # rows-only (HLL-delta centrality)
         "kg_components": _q_kg_components,
         "kg_comention": _q_kg_comention,
         "conv_stats": _q_conv_stats,

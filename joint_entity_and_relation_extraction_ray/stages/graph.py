@@ -801,16 +801,36 @@ def hyperball(
     per-pair Python loop. Estimates are deterministic (stable_hash64
     seeds the HLL). Accuracy vs an exact per-node BFS oracle is pinned
     in tests/test_graph.py."""
+    cur = None
+    for _, cur in _hyperball_iter(
+        edges, hops=hops, p=p, num_buckets=num_buckets
+    ):
+        pass
+    return _hll_counts(cur, p)
+
+
+def _hyperball_iter(
+    edges: ray.data.Dataset,
+    *,
+    hops: int,
+    p: int,
+    num_buckets: int,
+    reverse: bool = False,
+):
+    """Shared HyperBall fixpoint: yields ``(hop, sketches)`` for hop =
+    0..hops, where ``sketches`` is a materialized (node, sk) Dataset of
+    HLL registers for each node's ≤hop out-ball (in-ball when
+    ``reverse``). See :func:`hyperball` for the cost model."""
     import numpy as np
 
-    from ..functions import sketch as hll
     from ..functions.joins import join_auto
     from ..functions.shuffle import bucket_group_apply
 
     m = 1 << p
+    a, b = ("obj_id", "subj_id") if reverse else ("subj_id", "obj_id")
 
     e = edges.map_batches(
-        lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]}),
+        lambda t, a=a, b=b: pa.table({"src": t[a], "dst": t[b]}),
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).materialize()
@@ -888,8 +908,9 @@ def hyperball(
         _merge,
         num_buckets=num_buckets,
     ).materialize()
+    yield 0, cur
 
-    for _ in range(hops):
+    for h in range(1, hops + 1):
         contrib = join_auto(
             e, cur, on=("dst",), right_on=("node",)
         ).map_batches(
@@ -900,6 +921,26 @@ def hyperball(
         cur = bucket_group_apply(
             cur.union(contrib), "node", _merge, num_buckets=num_buckets
         ).materialize()
+        yield h, cur
+
+
+def _hll_counts(
+    sketches: ray.data.Dataset | None, p: int, col: str = "reach_est"
+) -> ray.data.Dataset:
+    """(node, sk) HLL registers → (node, <col>) cardinality estimates."""
+    import numpy as np
+
+    from ..functions import sketch as hll
+
+    if sketches is None:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    col: pa.array([], pa.int64()),
+                }
+            )
+        )
 
     def _count(t: pa.Table) -> pa.Table:
         ests = [
@@ -907,14 +948,66 @@ def hyperball(
             for b in t["sk"].to_pylist()
         ]
         return pa.table(
-            {
-                "node": t["node"],
-                "reach_est": pa.array(ests, pa.int64()),
-            }
+            {"node": t["node"], col: pa.array(ests, pa.int64())}
         )
 
-    return cur.map_batches(
+    return sketches.map_batches(
         _count, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def harmonic_centrality_est(
+    edges: ray.data.Dataset,
+    *,
+    hops: int = 4,
+    p: int = 10,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """HyperBall harmonic centrality (truncated at ``hops``):
+    H(v) = Σ_{t=1..hops} (|B_t(v)| − |B_{t−1}(v)|) / t over IN-balls —
+    the number of nodes at distance exactly t that can REACH v, each
+    weighted 1/t. The standard HyperBall application (Boldi & Vigna):
+    centrality over web-scale graphs without one BFS per node.
+
+    Runs the shared :func:`_hyperball_iter` fixpoint on reversed edges,
+    takes per-hop cardinality estimates, and combines the telescoping
+    deltas with one (hops+1)-way join on node — all driver-free; hop
+    tables are (node, int) pairs, sketches never leave the loop.
+    Output ``(node, harmonic)`` float64; accuracy vs the exact
+    truncated harmonic centrality is pinned in tests/test_graph.py."""
+    from ..functions.joins import join_auto
+
+    per_hop = [
+        (h, _hll_counts(cur, p, col=f"c{h}"))
+        for h, cur in _hyperball_iter(
+            edges, hops=hops, p=p, num_buckets=num_buckets, reverse=True
+        )
+    ]
+    if not per_hop:
+        return _hll_counts(None, p, col="harmonic")
+    joined = per_hop[0][1]
+    for h, ds in per_hop[1:]:
+        joined = join_auto(joined, ds, on=("node",))
+
+    def _h(t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        acc = np.zeros(t.num_rows, np.float64)
+        prev = t["c0"].to_numpy(zero_copy_only=False).astype(np.float64)
+        for h in range(1, hops + 1):
+            cur = t[f"c{h}"].to_numpy(zero_copy_only=False).astype(
+                np.float64
+            )
+            # HLL estimates are monotone in expectation, not pointwise:
+            # clamp negative deltas to 0
+            acc += np.maximum(cur - prev, 0.0) / float(h)
+            prev = cur
+        return pa.table(
+            {"node": t["node"], "harmonic": pa.array(acc, pa.float64())}
+        )
+
+    return joined.map_batches(
+        _h, batch_format="pyarrow", zero_copy_batch=True
     )
 
 

@@ -325,6 +325,58 @@ def test_hyperball_tracks_exact_bfs_balls(ray_session):
     assert set(got) == set(present)
 
 
+def test_harmonic_centrality_tracks_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        harmonic_centrality_est,
+    )
+
+    rng = np.random.default_rng(37)
+    n_nodes, n_edges = 24, 60
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"c{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+            }
+        )
+    ).repartition(4)
+
+    hops = 3
+    got = {
+        r["node"]: r["harmonic"]
+        for r in harmonic_centrality_est(
+            edges, hops=hops, p=10, num_buckets=8
+        ).take_all()
+    }
+
+    # exact truncated harmonic centrality: H(v) = sum over w with
+    # d(w->v) = t <= hops of 1/t  (BFS on the REVERSED graph from v)
+    radj = {}
+    for u, v in zip(names[subj], names[obj]):
+        radj.setdefault(v, set()).add(u)
+    present = sorted(set(names[subj]) | set(names[obj]))
+    for v in present:
+        seen = {v}
+        frontier = {v}
+        H = 0.0
+        for t in range(1, hops + 1):
+            frontier = {
+                w for u in frontier for w in radj.get(u, ())
+            } - seen
+            seen |= frontier
+            H += len(frontier) / t
+        est = got[v]
+        assert abs(est - H) <= max(0.75, 0.15 * H), (v, est, H)
+    assert set(got) == set(present)
+
+
 def test_triangle_count_closed_forms(ray_session):
     import pyarrow as pa
     import ray.data
