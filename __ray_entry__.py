@@ -547,6 +547,19 @@ def _q_kg_hyperball(sf_dir: str):
     return hyperball(kg.stage(sf_dir, "edges"), hops=4)
 
 
+def _q_kg_neighborhood(sf_dir: str):
+    """Neighborhood function N(t) for t=0..6 over the KG — the
+    distance-distribution / effective-diameter summary (rows-only: HLL
+    sums; monotonicity + accuracy vs exact BFS pinned in
+    tests/test_graph.py)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        neighborhood_function,
+    )
+
+    return neighborhood_function(kg.stage(sf_dir, "edges"), hops=6)
+
+
 def _q_kg_harmonic(sf_dir: str):
     """HyperBall truncated harmonic centrality over in-balls (rows-only:
     HLL-delta estimates have no SQL form; accuracy vs the exact
@@ -1315,6 +1328,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_hits": _q_kg_hits,  # rows-only (iterative L2-normalized scores)
         "kg_hyperball": _q_kg_hyperball,  # rows-only (HLL ball estimates)
         "kg_harmonic": _q_kg_harmonic,  # rows-only (HLL-delta centrality)
+        "kg_neighborhood": _q_kg_neighborhood,  # rows-only (HLL N(t) sums)
         "kg_components": _q_kg_components,
         "kg_comention": _q_kg_comention,
         "conv_stats": _q_conv_stats,

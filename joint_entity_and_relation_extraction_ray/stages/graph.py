@@ -1011,6 +1011,37 @@ def harmonic_centrality_est(
     )
 
 
+def neighborhood_function(
+    edges: ray.data.Dataset,
+    *,
+    hops: int = 6,
+    p: int = 10,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Graph neighborhood function N(t) = Σ_v |B_t(v)| for t = 0..hops —
+    the distance-distribution summary (HyperANF/HyperBall's headline
+    output) from which effective diameter reads off as the smallest t
+    with N(t) ≥ 0.9·N(hops). One row per hop ``(hop, nf_est)``.
+
+    Same shared :func:`_hyperball_iter` fixpoint; each hop adds only a
+    per-node count map + a scalar sum — the per-hop reduction ships one
+    int64 per node, and only (hops+1) scalars reach the driver."""
+    rows = []
+    for h, cur in _hyperball_iter(
+        edges, hops=hops, p=p, num_buckets=num_buckets
+    ):
+        total = _hll_counts(cur, p, col="c").sum("c") or 0
+        rows.append((h, int(total)))
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "hop": pa.array([r[0] for r in rows], pa.int64()),
+                "nf_est": pa.array([r[1] for r in rows], pa.int64()),
+            }
+        )
+    )
+
+
 def triangle_count(
     edges: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:

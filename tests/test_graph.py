@@ -377,6 +377,62 @@ def test_harmonic_centrality_tracks_exact(ray_session):
     assert set(got) == set(present)
 
 
+def test_neighborhood_function_tracks_exact(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        neighborhood_function,
+    )
+
+    rng = np.random.default_rng(41)
+    n_nodes, n_edges = 26, 60
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"n{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+            }
+        )
+    ).repartition(3)
+
+    hops = 3
+    got = {
+        r["hop"]: r["nf_est"]
+        for r in neighborhood_function(
+            edges, hops=hops, p=10, num_buckets=8
+        ).take_all()
+    }
+    assert sorted(got) == list(range(hops + 1))
+
+    adj = {}
+    for u, v in zip(names[subj], names[obj]):
+        adj.setdefault(u, set()).add(v)
+    present = sorted(set(names[subj]) | set(names[obj]))
+    exact = {t: 0 for t in range(hops + 1)}
+    for v in present:
+        ball, frontier = {v}, {v}
+        exact[0] += 1
+        for t in range(1, hops + 1):
+            frontier = {
+                w for u in frontier for w in adj.get(u, ())
+            } - ball
+            ball |= frontier
+            exact[t] += len(ball)
+    # N(t) must be monotone and track the exact sums within HLL error
+    prev = 0
+    for t in range(hops + 1):
+        assert got[t] >= prev
+        prev = got[t]
+        assert abs(got[t] - exact[t]) <= max(2, 0.1 * exact[t]), (
+            t, got[t], exact[t],
+        )
+
+
 def test_triangle_count_closed_forms(ray_session):
     import pyarrow as pa
     import ray.data
