@@ -493,6 +493,16 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(kg.stage(sf_dir, "edges"), iters=10)
 
 
+def _q_kg_pagerank_weighted(sf_dir: str):
+    """Weighted PageRank: rank splits over out-edges proportionally to
+    the KG assertion multiplicity (edge `weight`) — rows-only; dense
+    numpy oracle in tests/test_graph.py."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
+
+    return pagerank(kg.stage(sf_dir, "edges"), iters=10, weight_col="weight")
+
+
 def _q_kg_ppr(sf_dir: str):
     """Personalized PageRank from the deterministic seed (min node id) —
     the "entities related to X" serving query (rows-only: float ranks
@@ -1324,6 +1334,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,  # rows-only
         "kg_ppr": _q_kg_ppr,  # rows-only (personalized restart, float ranks)
         "kg_hits": _q_kg_hits,  # rows-only (iterative L2-normalized scores)
         "kg_hyperball": _q_kg_hyperball,  # rows-only (HLL ball estimates)

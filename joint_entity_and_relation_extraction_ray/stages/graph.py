@@ -405,8 +405,15 @@ def pagerank(
     iters: int = 10,
     num_buckets: int = 32,
     seeds: list[str] | None = None,
+    weight_col: str | None = None,
 ) -> ray.data.Dataset:
     """PageRank over the materialized KG edge table → (node, rank).
+
+    ``weight_col`` switches to WEIGHTED PageRank: each source splits its
+    rank over out-edges proportionally to the edge weight (the KG's
+    assertion multiplicity) instead of uniformly — out-degree becomes
+    out-weight-sum, contribution becomes rank·w/Σw, same dataflow and
+    cost. ``weight_col=None`` is byte-identical to the uniform op.
 
     Iterative distributed dataflow mirroring the CC loop's shape: the
     edge list (with per-source out-degree attached) is materialized ONCE;
@@ -462,30 +469,50 @@ def pagerank(
             )
         )
 
-    deg = bucket_group_apply(
-        edges.select_columns(["subj_id"]),
-        "subj_id",
-        lambda t: pl.from_arrow(t)
-        .group_by("subj_id")
-        .agg(pl.len().cast(pl.Float64).alias("out_deg"))
-        .to_arrow(),
-        num_buckets=num_buckets,
+    if weight_col is None:
+        deg = bucket_group_apply(
+            edges.select_columns(["subj_id"]),
+            "subj_id",
+            lambda t: pl.from_arrow(t)
+            .group_by("subj_id")
+            .agg(pl.len().cast(pl.Float64).alias("out_deg"))
+            .to_arrow(),
+            num_buckets=num_buckets,
+        )
+    else:
+        deg = bucket_group_apply(
+            edges.select_columns(["subj_id", weight_col]),
+            "subj_id",
+            lambda t, w=weight_col: pl.from_arrow(t)
+            .group_by("subj_id")
+            .agg(pl.col(w).cast(pl.Float64).sum().alias("out_deg"))
+            .to_arrow(),
+            num_buckets=num_buckets,
+        )
+
+    # (src, dst, out_deg[, w]) materialized once, reused every iteration
+    e_cols = ["subj_id", "obj_id"] + (
+        [weight_col] if weight_col is not None else []
     )
-    # (src, dst, out_deg) materialized once, reused every iteration
+
+    def _e_proj(t: pa.Table, w=weight_col) -> pa.Table:
+        cols = {
+            "src": t["subj_id"],
+            "dst": t["obj_id"],
+            "out_deg": t["out_deg"],
+        }
+        if w is not None:
+            cols["w"] = pc.cast(t[w], pa.float64())
+        return pa.table(cols)
+
     e = (
         join_auto(
-            edges.select_columns(["subj_id", "obj_id"]),
+            edges.select_columns(e_cols),
             deg,
             on=("subj_id",),
         )
         .map_batches(
-            lambda t: pa.table(
-                {
-                    "src": t["subj_id"],
-                    "dst": t["obj_id"],
-                    "out_deg": t["out_deg"],
-                }
-            ),
+            _e_proj,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -527,13 +554,18 @@ def pagerank(
             if dangling.count()
             else 0.0
         ) or 0.0
+        def _contrib(t: pa.Table, w=weight_col) -> pa.Table:
+            num = (
+                t["rank"]
+                if w is None
+                else pc.multiply(t["rank"], t["w"])
+            )
+            return pa.table(
+                {"node": t["dst"], "c": pc.divide(num, t["out_deg"])}
+            )
+
         contrib = join_auto(e, ranks, on=("src",), right_on=("node",)).map_batches(
-            lambda t: pa.table(
-                {
-                    "node": t["dst"],
-                    "c": pc.divide(t["rank"], t["out_deg"]),
-                }
-            ),
+            _contrib,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )

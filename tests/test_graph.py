@@ -433,6 +433,58 @@ def test_neighborhood_function_tracks_exact(ray_session):
         )
 
 
+def test_weighted_pagerank_matches_dense_numpy(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(43)
+    n_nodes, n_edges = 20, 60
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    w = rng.integers(1, 9, n_edges).astype(np.int64)
+    subj = np.where(subj == 3, 6, subj)  # node 3 dangling
+    names = np.array([f"w{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+                "weight": pa.array(w, pa.int64()),
+            }
+        )
+    ).repartition(4)
+
+    d, iters = 0.85, 10
+    got = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, damping=d, iters=iters, num_buckets=8,
+            weight_col="weight",
+        ).take_all()
+    }
+
+    present = sorted(set(names[subj]) | set(names[obj]))
+    idx = {v: i for i, v in enumerate(present)}
+    N = len(present)
+    A = np.zeros((N, N))
+    for s, o, wi in zip(names[subj], names[obj], w):
+        A[idx[o], idx[s]] += float(wi)
+    out_w = A.sum(axis=0)
+    r = np.full(N, 1.0 / N)
+    for _ in range(iters):
+        dangling = r[out_w == 0].sum()
+        with np.errstate(divide="ignore", invalid="ignore"):
+            contrib = A @ np.where(out_w > 0, r / out_w, 0.0)
+        r = (1 - d) / N + d * (contrib + dangling / N)
+    assert set(got) == set(present)
+    for v in present:
+        assert abs(got[v] - r[idx[v]]) < 1e-9, v
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
 def test_triangle_count_closed_forms(ray_session):
     import pyarrow as pa
     import ray.data
