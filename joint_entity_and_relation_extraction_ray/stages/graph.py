@@ -406,8 +406,19 @@ def pagerank(
     num_buckets: int = 32,
     seeds: list[str] | None = None,
     weight_col: str | None = None,
+    checkpoint_dir: str | None = None,
+    checkpoint_every: int = 5,
 ) -> ray.data.Dataset:
     """PageRank over the materialized KG edge table → (node, rank).
+
+    ``checkpoint_dir`` enables WITHIN-STAGE resume (state/checkpoint.py
+    iterative checkpoints): every ``checkpoint_every`` iterations the
+    rank vector snapshots atomically to parquet; a rerun pointing at the
+    same directory resumes from the newest snapshot whose parameter
+    fingerprint (damping/seeds/weight_col — NOT iters, so a longer run
+    legally extends a shorter one's state) matches, instead of
+    restarting at iteration 0. The caller scopes the directory to the
+    input edge set — edge Datasets have no cheap content digest.
 
     ``weight_col`` switches to WEIGHTED PageRank: each source splits its
     rank over out-edges proportionally to the edge weight (the KG's
@@ -548,7 +559,25 @@ def pagerank(
         batch_format="pyarrow",
     ).materialize()
 
-    for _ in range(iters):
+    start_iter, ck_fp = 0, None
+    if checkpoint_dir is not None:
+        from ..state import checkpoint as ckpt
+
+        ck_fp = ckpt.fingerprint(
+            "pagerank",
+            {
+                "damping": damping,
+                "seeds": seeds,
+                "weight_col": weight_col,
+            },
+            [],
+        )
+        got = ckpt.latest_iteration(checkpoint_dir, "pagerank", ck_fp)
+        if got is not None:
+            start_iter, snap = got
+            ranks = ray.data.read_parquet(snap).materialize()
+
+    for _it in range(start_iter, iters):
         d_mass = (
             join_auto(dangling, ranks, on=("node",)).sum("rank")
             if dangling.count()
@@ -643,6 +672,15 @@ def pagerank(
             )
             .materialize()
         )
+        if (
+            checkpoint_dir is not None
+            and (_it + 1) % checkpoint_every == 0
+        ):
+            from ..state import checkpoint as ckpt
+
+            ckpt.save_iteration(
+                checkpoint_dir, "pagerank", _it + 1, ranks, ck_fp
+            )
     return ranks
 
 

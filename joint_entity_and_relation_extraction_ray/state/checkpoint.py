@@ -316,3 +316,70 @@ class Checkpointer:
             # drop the hive-partition column the shard layout added
             ds = ds.drop_columns(["part"])
         return ds
+
+
+# -- iterative-algorithm state checkpoints ----------------------------------
+#
+# Per-stage lineage (above) resumes a PIPELINE between stages; iterative
+# algorithms (PageRank, HITS, CC, HyperBall) also need resume WITHIN a
+# stage — a 50-iteration rank vector over 10^10 nodes should not restart
+# at iteration 0 because a node died at iteration 47. The state is one
+# (small, per-node) dataset per iteration, so the checkpoint is a plain
+# parquet snapshot + a manifest recording (iteration, fingerprint); the
+# fingerprint covers the algorithm's PARAMETERS (the caller scopes the
+# directory to the input — edge datasets have no cheap content digest).
+
+
+def save_iteration(
+    root: str | Path,
+    stage: str,
+    it: int,
+    ds: "ray.data.Dataset",
+    fp: str,
+) -> None:
+    """Atomically snapshot iteration ``it``'s state dataset: parquet to a
+    tmp dir, rename into place, then manifest last — a kill at any point
+    leaves either the previous valid checkpoint or this one."""
+    root = Path(root)
+    root.mkdir(parents=True, exist_ok=True)
+    tmp = root / f".tmp-{stage}-iter{it}"
+    if tmp.exists():
+        shutil.rmtree(tmp)
+    ds.write_parquet(str(tmp))
+    final = root / f"{stage}-iter={it}"
+    if final.exists():
+        shutil.rmtree(final)
+    tmp.rename(final)
+    (root / f"{stage}.iter.manifest.json").write_text(
+        json.dumps(
+            {
+                "stage": stage,
+                "iter": it,
+                "fingerprint": fp,
+                "path": str(final),
+                "ts": time.time(),
+            }
+        )
+    )
+
+
+def latest_iteration(
+    root: str | Path, stage: str, fp: str
+) -> tuple[int, str] | None:
+    """(iteration, snapshot path) of the newest valid checkpoint whose
+    fingerprint matches, else None (also None on a torn/garbled manifest
+    or a manifest pointing at a missing snapshot — resume never trusts a
+    partial write)."""
+    man = Path(root) / f"{stage}.iter.manifest.json"
+    if not man.exists():
+        return None
+    try:
+        m = json.loads(man.read_text())
+    except (OSError, json.JSONDecodeError):
+        return None
+    if m.get("fingerprint") != fp:
+        return None
+    path = m.get("path", "")
+    if not path or not Path(path).exists():
+        return None
+    return int(m["iter"]), path

@@ -485,6 +485,74 @@ def test_weighted_pagerank_matches_dense_numpy(ray_session):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_pagerank_iterative_checkpoint_resume(ray_session, tmp_path):
+    import json
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(47)
+    names = np.array([f"r{i:02d}" for i in range(15)])
+    subj = rng.integers(0, 15, 40)
+    obj = rng.integers(0, 15, 40)
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+            }
+        )
+    ).repartition(3)
+
+    straight = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iters=8, num_buckets=4).take_all()
+    }
+
+    ck = tmp_path / "pr_state"
+    # "killed" run: 4 iterations, snapshot every 2 → leaves iter=4 state
+    pagerank(
+        edges, iters=4, num_buckets=4,
+        checkpoint_dir=str(ck), checkpoint_every=2,
+    ).take_all()
+    man = json.loads((ck / "pagerank.iter.manifest.json").read_text())
+    assert man["iter"] == 4
+
+    # rerun asking for the full 8: must RESUME at 4 (manifest advances to
+    # 6 then 8) and converge to the uninterrupted result
+    resumed = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, iters=8, num_buckets=4,
+            checkpoint_dir=str(ck), checkpoint_every=2,
+        ).take_all()
+    }
+    man = json.loads((ck / "pagerank.iter.manifest.json").read_text())
+    assert man["iter"] == 8
+    assert set(resumed) == set(straight)
+    for v, r in straight.items():
+        assert abs(resumed[v] - r) < 1e-12, v
+
+    # different params (damping) must NOT resume from this state: the
+    # result equals a fresh straight run at that damping
+    other = {
+        r["node"]: r["rank"]
+        for r in pagerank(
+            edges, iters=3, damping=0.5, num_buckets=4,
+            checkpoint_dir=str(ck), checkpoint_every=10,
+        ).take_all()
+    }
+    fresh = {
+        r["node"]: r["rank"]
+        for r in pagerank(edges, iters=3, damping=0.5, num_buckets=4).take_all()
+    }
+    for v, r in fresh.items():
+        assert abs(other[v] - r) < 1e-12, v
+
+
 def test_triangle_count_closed_forms(ray_session):
     import pyarrow as pa
     import ray.data
