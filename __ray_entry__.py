@@ -1463,6 +1463,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "group_quantiles_cont": co.q_group_quantiles_cont,
         "latest_event": co.q_latest_event,
         "event_ranks": co.q_event_ranks,
+        "user_top_event": co.q_user_top_event,
         "profile_orders": co.q_profile_orders,
         # rows-only: forced HLL cutover, estimate has no SQL mirror;
         # the ±1.6% certificate is pytest-pinned
@@ -3470,6 +3471,28 @@ def oracle_sql() -> dict[str, str]:
                          ) AS rn
                   FROM events)
             WHERE rn = 1
+        """,
+        # deterministic per-user modal event type
+        # (stages/relational.group_mode): ties break on type asc — NOT
+        # the engine mode() aggregate, whose tie-break is unspecified
+        "user_top_event": """
+            WITH per AS (
+                SELECT user_id, event_type, count(*) AS n
+                FROM events GROUP BY 1, 2),
+            top AS (
+                SELECT user_id, event_type, n FROM (
+                    SELECT user_id, event_type, n,
+                           row_number() OVER (
+                               PARTITION BY user_id
+                               ORDER BY n DESC, event_type) AS rn
+                    FROM per) WHERE rn = 1)
+            SELECT t.user_id, t.event_type AS mode,
+                   CAST(t.n AS BIGINT) AS n_mode,
+                   CAST(s.n_rows AS BIGINT) AS n_rows
+            FROM top t
+            JOIN (SELECT user_id, count(*) AS n_rows
+                  FROM events GROUP BY 1) s
+              ON t.user_id = s.user_id
         """,
         "event_ranks": """
             WITH v AS (SELECT event_type,

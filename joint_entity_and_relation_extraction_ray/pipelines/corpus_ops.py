@@ -1455,6 +1455,20 @@ def q_latest_event(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_user_top_event(sf_dir: str) -> ray.data.Dataset:
+    """Each user's dominant event type (deterministic mode: count desc,
+    type asc) with its count and the user's total events — see
+    `stages/relational.group_mode`."""
+    from ..stages.events import read_events
+    from ..stages.relational import group_mode
+
+    return group_mode(
+        read_events(sf_dir, columns=["user_id", "event_type"]),
+        by="user_id",
+        col="event_type",
+    )
+
+
 def q_event_ranks(sf_dir: str) -> ray.data.Dataset:
     """Exact RANK / CUME_DIST integer counts per distinct value cents
     within each event_type — see `stages/relational.group_ranks`."""

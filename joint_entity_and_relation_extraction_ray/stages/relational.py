@@ -1450,6 +1450,81 @@ def latest_by_key(
     return bucket_group_apply(winners, key, _keep, num_buckets=num_buckets)
 
 
+def group_mode(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    col: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Deterministic MODE per group: the most frequent ``col`` value
+    (ties → lexicographic min value), plus its count and the group's
+    total rows → ``(by, mode, n_mode, n_rows)``. SQL: ``row_number()
+    OVER (PARTITION BY by ORDER BY n DESC, value) = 1`` over grouped
+    counts — NOT the engine-defined ``mode()`` aggregate, whose
+    tie-break is unspecified.
+
+    Decomposable: per-block (by, value, count) partials collapse each
+    block to its distinct pairs before the shuffle; one key-bucketed
+    merge re-sums and takes the argmax vectorized. Raw rows never
+    shuffle — a group appearing in every block ships (blocks × distinct
+    values) partial rows, never its row count."""
+    import polars as pl
+
+    def _part_schema(t: pa.Table) -> pa.Schema:
+        return pa.schema(
+            [
+                (by, t.schema.field(by).type),
+                (col, t.schema.field(col).type),
+                ("n", pa.int64()),
+            ]
+        )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _part_schema(t).empty_table()
+        return (
+            pl.from_arrow(t.select([by, col]))
+            .group_by([by, col])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+            .cast(_part_schema(t))
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                (by, t.schema.field(by).type),
+                ("mode", t.schema.field(col).type),
+                ("n_mode", pa.int64()),
+                ("n_rows", pa.int64()),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .group_by([by, col])
+            .agg(pl.col("n").sum())
+        )
+        return (
+            df.sort([by, "n", col], descending=[False, True, False])
+            .group_by(by, maintain_order=True)
+            .agg(
+                pl.col(col).first().alias("mode"),
+                pl.col("n").first().alias("n_mode"),
+                pl.col("n").sum().alias("n_rows"),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, by, _merge, num_buckets=num_buckets)
+
+
 def group_ranks(
     ds: ray.data.Dataset,
     *,

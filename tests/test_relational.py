@@ -1458,3 +1458,41 @@ def test_grouped_cube_all_subsets_vs_duckdb(ray_session):
     for col in ["a", "b", "gid", "n_rows", "s"]:
         assert list(got[col]) == list(want[col]), col
     assert [int(x) for x in got["c"]] == [int(x) for x in want["c"]]
+
+
+def test_group_mode_tiebreak_and_block_invariance(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_mode,
+    )
+
+    # g1: a×2, b×2 (tie → 'a'); g2: z×3, y×1 — split across blocks so
+    # the per-block partials must merge before the argmax
+    a = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": ["g1", "g1", "g2", "g2"],
+                "v": ["b", "a", "z", "z"],
+            }
+        )
+    )
+    b = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": ["g1", "g1", "g2", "g2"],
+                "v": ["a", "b", "y", "z"],
+            }
+        )
+    )
+    out = (
+        group_mode(a.union(b), by="g", col="v", num_buckets=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(out["g"]) == ["g1", "g2"]
+    assert list(out["mode"]) == ["a", "z"]
+    assert list(out["n_mode"]) == [2, 3]
+    assert list(out["n_rows"]) == [4, 4]
