@@ -1433,6 +1433,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "pricing_summary": co.q_pricing_summary,
         "ngram_counts": co.q_ngram_counts,
         "revenue_by_nation": co.q_revenue_by_nation,
+        "above_nation_avg": co.q_above_nation_avg,
         "event_pivot": co.q_event_pivot,
         "group_moments": co.q_group_moments,
         "set_intersect": co.q_set_intersect,
@@ -2872,6 +2873,28 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                         AS BIGINT) AS sum_price_cents
             FROM lineitem GROUP BY 1, 2
+        """,
+        # correlated-subquery shape (pipelines/corpus_ops.q_above_nation_avg):
+        # the boundary compare cross-multiplies int64 cents — no float
+        # division on either engine
+        "above_nation_avg": """
+            WITH per AS (
+                SELECT o_custkey, count(*) AS n_orders,
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                           AS sum_cents
+                FROM orders GROUP BY 1),
+            jn AS (
+                SELECT p.o_custkey, p.n_orders, p.sum_cents, c.c_nationkey
+                FROM per p JOIN customer c ON p.o_custkey = c.c_custkey),
+            nat AS (
+                SELECT c_nationkey, sum(n_orders) AS nn,
+                       sum(sum_cents) AS ns
+                FROM jn GROUP BY 1)
+            SELECT j.o_custkey AS c_custkey,
+                   CAST(j.n_orders AS BIGINT) AS n_orders,
+                   CAST(j.sum_cents AS BIGINT) AS sum_cents
+            FROM jn j JOIN nat n USING (c_nationkey)
+            WHERE j.sum_cents * n.nn > n.ns * j.n_orders
         """,
         "revenue_by_nation": """
             SELECT n_name,

@@ -797,6 +797,159 @@ def q_ngram_counts(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     return ngram_counts(read_documents(sf_dir), n=2, k=k)
 
 
+def q_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
+    """Correlated-subquery shape: customers whose AVERAGE order value
+    exceeds their NATION's average order value — the "compare each row
+    to its group's aggregate" pattern SQL writes as a correlated
+    subquery and a distributed engine writes as two aggregate passes +
+    one broadcast.
+
+    Exactness: both averages are ratios of int64 cents, and the
+    comparison cross-multiplies (cs·nn > ns·cn) so NO float division is
+    ever compared — boundary customers are decided in exact integer
+    arithmetic on both engines.
+
+    Dataflow: orders collapse per customer in a combiner (one tiny
+    custkey shuffle); customer's nationkey rides a `join_auto`; nation
+    totals re-aggregate the per-customer partials (second tiny shuffle);
+    the ~25-row nation table broadcasts back onto the per-customer rows
+    for the filter. Output (c_custkey, n_orders, sum_cents) for
+    qualifying customers."""
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"]
+    )
+
+    part_schema = pa.schema(
+        [
+            ("o_custkey", pa.int64()),
+            ("n_orders", pa.int64()),
+            ("sum_cents", pa.int64()),
+        ]
+    )
+
+    def _cust_partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return part_schema.empty_table()
+        pc_ = pa.compute
+        cents = pc_.cast(
+            pc_.round(pc_.multiply(t["o_totalprice"], 100.0)), pa.int64()
+        )
+        return (
+            pl.from_arrow(
+                pa.table({"o_custkey": t["o_custkey"], "cents": cents})
+            )
+            .group_by("o_custkey")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_orders"),
+                pl.col("cents").sum().alias("sum_cents"),
+            )
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    def _cust_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return part_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("o_custkey")
+            .agg(pl.col("n_orders").sum(), pl.col("sum_cents").sum())
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    per_cust = bucket_group_apply(
+        orders.map_batches(
+            _cust_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "o_custkey",
+        _cust_merge,
+        num_buckets=16,
+    )
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+    )
+    with_nation = join_auto(
+        per_cust, cust, on=("o_custkey",), right_on=("c_custkey",)
+    )
+
+    # nation totals re-aggregate the per-customer rows (tiny input) and
+    # the ~25-row result broadcasts back for the integer filter
+    nat = (
+        with_nation.map_batches(
+            lambda t: t.select(["c_nationkey", "n_orders", "sum_cents"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .map_batches(
+            lambda t: pl.from_arrow(t)
+            .group_by("c_nationkey")
+            .agg(
+                pl.col("n_orders").sum().alias("nn"),
+                pl.col("sum_cents").sum().alias("ns"),
+            )
+            .to_arrow(),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .to_arrow_refs()
+    )
+    import ray as _ray
+
+    nat_tbl = pa.concat_tables([_ray.get(r) for r in nat])
+    nat_df = (
+        pl.from_arrow(nat_tbl)
+        .group_by("c_nationkey")
+        .agg(pl.col("nn").sum(), pl.col("ns").sum())
+    )
+    nat_ref = _ray.put(nat_df.to_arrow())
+
+    def _filter(t: pa.Table, ref=nat_ref) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [
+                    ("c_custkey", pa.int64()),
+                    ("n_orders", pa.int64()),
+                    ("sum_cents", pa.int64()),
+                ]
+            ).empty_table()
+        nd = pl.from_arrow(_get_broadcast(ref))
+        df = pl.from_arrow(t).join(nd, on="c_nationkey", how="inner")
+        out = df.filter(
+            pl.col("sum_cents") * pl.col("nn")
+            > pl.col("ns") * pl.col("n_orders")
+        ).select(
+            pl.col("o_custkey").alias("c_custkey"),
+            pl.col("n_orders"),
+            pl.col("sum_cents"),
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("c_custkey", pa.int64()),
+                    ("n_orders", pa.int64()),
+                    ("sum_cents", pa.int64()),
+                ]
+            )
+        )
+
+    return with_nation.map_batches(
+        _filter, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def _get_broadcast(ref):
+    import ray as _ray
+
+    return _ray.get(ref)
+
+
 def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     """Star-schema join + aggregate (the TPC-H-Q5 shape): revenue per
     EUROPE nation. Join-strategy composition end to end:
