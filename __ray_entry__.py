@@ -1465,6 +1465,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "latest_event": co.q_latest_event,
         "event_ranks": co.q_event_ranks,
         "user_top_event": co.q_user_top_event,
+        "event_anomalies": co.q_event_anomalies,
         "profile_orders": co.q_profile_orders,
         # rows-only: forced HLL cutover, estimate has no SQL mirror;
         # the ±1.6% certificate is pytest-pinned
@@ -2790,6 +2791,26 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_events,
                    min(ts) AS session_start, max(ts) AS session_end
             FROM s GROUP BY 1, 2
+        """,
+        # 2-sigma day-count outliers per event type
+        # (pipelines/corpus_ops.q_event_anomalies): the z-test
+        # cross-multiplies to (D*x - S)^2 > 4(DQ - S^2) — pure integers,
+        # boundary days decided exactly on both engines
+        "event_anomalies": """
+            WITH daily AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2),
+            st AS (
+                SELECT event_type,
+                       CAST(count(*) AS BIGINT) AS d,
+                       CAST(sum(n) AS BIGINT) AS s,
+                       CAST(sum(n * n) AS BIGINT) AS q
+                FROM daily GROUP BY 1)
+            SELECT dd.event_type, dd.day, dd.n AS n_events
+            FROM daily dd JOIN st USING (event_type)
+            WHERE (st.d * dd.n - st.s) * (st.d * dd.n - st.s)
+                  > 4 * (st.d * st.q - st.s * st.s)
         """,
         "events_daily": """
             SELECT event_type, CAST(ts AS DATE) AS day,

@@ -349,6 +349,90 @@ def q_sessionize(sf_dir: str) -> ray.data.Dataset:
     return events.sessionize(events.read_events(sf_dir, ["user_id", "ts"]))
 
 
+def q_event_anomalies(sf_dir: str) -> ray.data.Dataset:
+    """Monitoring/alerting over the event stream: days whose event count
+    deviates > 2σ from that event type's own daily distribution
+    (population moments over the type's observed days). The float-free
+    formulation: (x−μ)² > 4σ² with μ=S/D, σ²=(DQ−S²)/D² cross-multiplies
+    to **(D·x − S)² > 4(DQ − S²)** — pure int64 on both engines, so the
+    boundary days are decided exactly (int64 is safe to ~3·10⁹ daily
+    events × 10³ days; beyond that widen to int128 partials).
+
+    One shuffle of tiny (type, day, n) per-block partials; each type's
+    days land in one bucket, so the merge computes D/S/Q AND applies the
+    filter in the same vectorized pass — raw events never shuffle."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from ..stages import events
+
+    part_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.date32()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return part_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .with_columns(pl.col("ts").dt.date().alias("day"))
+            .group_by(["event_type", "day"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(["event_type", "day", "n"])
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    out_schema = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.date32()),
+            ("n_events", pa.int64()),
+        ]
+    )
+
+    def _flag(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        daily = (
+            pl.from_arrow(t)
+            .group_by(["event_type", "day"])
+            .agg(pl.col("n").sum())
+        )
+        st = daily.group_by("event_type").agg(
+            pl.len().cast(pl.Int64).alias("d"),
+            pl.col("n").sum().alias("s"),
+            (pl.col("n") * pl.col("n")).sum().alias("q"),
+        )
+        j = daily.join(st, on="event_type")
+        dev = pl.col("d") * pl.col("n") - pl.col("s")
+        return (
+            j.filter(
+                dev * dev
+                > 4 * (pl.col("d") * pl.col("q") - pl.col("s") * pl.col("s"))
+            )
+            .select(
+                pl.col("event_type"),
+                pl.col("day"),
+                pl.col("n").alias("n_events"),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    ev = events.read_events(sf_dir, ["event_type", "ts"])
+    partials = ev.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partials, "event_type", _flag, num_buckets=8
+    )
+
+
 def q_events_daily(sf_dir: str) -> ray.data.Dataset:
     from ..stages import events
 
