@@ -656,6 +656,113 @@ _SIMHASH_SIMS_SQL = """
 """
 
 
+def _q_transcript_profile(sf_dir: str):
+    """Ingest observability / schema-drift monitor over the RAW
+    transcript feed (pre-validation): per day — row count, EXACT
+    distinct conversations, null-tool count, empty-or-whitespace text
+    count. The dashboard that catches an upstream producer change (tool
+    field going null, text going empty) the day it happens. Per-block
+    (day, conv) combiner partials → one day-bucketed merge; conv-level
+    dedup and day-level sums fold in the same reduce."""
+    import pyarrow as pa
+    import ray
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        corpus_for_sf_dir,
+    )
+
+    raw = ray.data.read_parquet(
+        str(corpus_for_sf_dir(sf_dir) / "transcripts"),
+        columns=["conv_id", "ts", "tool", "text"],
+    )
+
+    part_schema = pa.schema(
+        [
+            ("day", pa.date32()),
+            ("conv_id", pa.string()),
+            ("n", pa.int64()),
+            ("nt", pa.int64()),
+            ("ne", pa.int64()),
+            ("_gkey", pa.string()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return part_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .with_columns(
+                pl.col("ts").dt.date().alias("day"),
+                pl.col("tool").is_null().cast(pl.Int64).alias("nt"),
+                (
+                    pl.col("text").is_null()
+                    | (
+                        pl.col("text").str.strip_chars().str.len_chars()
+                        == 0
+                    )
+                )
+                .cast(pl.Int64)
+                .alias("ne"),
+            )
+            .group_by(["day", "conv_id"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("nt").sum(),
+                pl.col("ne").sum(),
+            )
+            .with_columns(
+                pl.col("day").cast(pl.String).alias("_gkey")
+            )
+            .select(["day", "conv_id", "n", "nt", "ne", "_gkey"])
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out_schema = pa.schema(
+            [
+                ("day", pa.date32()),
+                ("n_turns", pa.int64()),
+                ("n_convs", pa.int64()),
+                ("n_null_tool", pa.int64()),
+                ("n_empty_text", pa.int64()),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t.drop_columns(["_gkey"]))
+            .group_by(["day", "conv_id"])
+            .agg(pl.col("n").sum(), pl.col("nt").sum(), pl.col("ne").sum())
+            .group_by("day")
+            .agg(
+                pl.col("n").sum().alias("n_turns"),
+                pl.col("conv_id")
+                .is_not_null()
+                .sum()
+                .cast(pl.Int64)
+                .alias("n_convs"),
+                pl.col("nt").sum().alias("n_null_tool"),
+                pl.col("ne").sum().alias("n_empty_text"),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partials = raw.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "_gkey", _merge, num_buckets=8)
+
+
 def _q_conv_stats(sf_dir: str):
     """Transcript analytics rollup: per conversation the turn count,
     distinct roles and total text chars — `stages/relational.
@@ -1343,6 +1450,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_components": _q_kg_components,
         "kg_comention": _q_kg_comention,
         "conv_stats": _q_conv_stats,
+        "transcript_profile": _q_transcript_profile,
         "kg_common_neighbors": _q_kg_common_neighbors,
         "kg_clustering": _q_kg_clustering,
         "kg_surfaces": _q_kg_surfaces,
@@ -1982,6 +2090,19 @@ def oracle_sql() -> dict[str, str]:
               AND obj_id IN (SELECT node FROM nodes)
         """,
         # mirrors the T0 validate/filter: non-null keys, non-blank text
+        # ingest observability over the RAW feed (pre-validation):
+        # per-day row/conv/null-tool/empty-text profile
+        "transcript_profile": f"""
+            SELECT CAST(ts AS DATE) AS day,
+                   count(*) AS n_turns,
+                   count(DISTINCT conv_id) AS n_convs,
+                   count(*) FILTER (WHERE tool IS NULL) AS n_null_tool,
+                   count(*) FILTER (
+                       WHERE text IS NULL OR length(trim(text)) = 0
+                   ) AS n_empty_text
+            FROM read_parquet('{g}/transcripts/*.parquet')
+            GROUP BY 1
+        """,
         "conv_stats": f"""
             WITH t0 AS (
                 SELECT conv_id, role, text
