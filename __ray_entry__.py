@@ -1534,6 +1534,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "group_topk": co.q_group_topk,
         "value_quantiles": co.q_value_quantiles,
         "group_quantiles": co.q_group_quantiles,
+        "group_mad": co.q_group_mad,
         "range_join": co.q_range_join,
         "rolling_window": co.q_rolling_window,
         "semi_join": co.q_semi_join,
@@ -3788,6 +3789,18 @@ def oracle_sql() -> dict[str, str]:
             GROUP BY 1
             ORDER BY n_occurrences DESC, gram
             LIMIT 100
+        """,
+        # robust median + MAD per group (stages/relational.group_mad):
+        # both quantile_disc, same ceil(q*n)-1 discrete semantics
+        "group_mad": """
+            WITH med AS (
+                SELECT l_returnflag, quantile_disc(l_quantity, 0.5) AS m
+                FROM lineitem GROUP BY 1)
+            SELECT l.l_returnflag, any_value(med.m) AS median,
+                   quantile_disc(abs(l.l_quantity - med.m), 0.5) AS mad
+            FROM lineitem l
+            JOIN med ON l.l_returnflag = med.l_returnflag
+            GROUP BY 1
         """,
         "group_quantiles": " UNION ALL ".join(
             f"SELECT l_returnflag, CAST({q} AS DOUBLE) AS q, "

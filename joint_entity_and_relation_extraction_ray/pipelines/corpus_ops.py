@@ -785,6 +785,17 @@ def q_value_quantiles(sf_dir: str) -> ray.data.Dataset:
     return value_quantiles(li, "l_quantity", QUANTILE_QS, num_buckets=8)
 
 
+def q_group_mad(sf_dir: str) -> ray.data.Dataset:
+    """Robust spread: discrete median + MAD of lineitem quantity per
+    return flag — see `stages/relational.group_mad`."""
+    from ..stages.relational import group_mad
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_returnflag", "l_quantity"]
+    )
+    return group_mad(li, by="l_returnflag", col="l_quantity", num_buckets=8)
+
+
 def q_group_quantiles(sf_dir: str) -> ray.data.Dataset:
     """Exact per-group quantiles (quantile_disc semantics) of lineitem
     quantity per return flag — per-group (value, count) histograms."""

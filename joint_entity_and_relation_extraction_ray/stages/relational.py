@@ -1145,6 +1145,89 @@ def group_quantiles(
     return bucket_group_apply(partials, by, _walk, num_buckets=num_buckets)
 
 
+def group_mad(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    col: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Robust spread per group: discrete MEDIAN and MAD (median absolute
+    deviation, ``quantile_disc(abs(x − med), 0.5)``) → (by, median,
+    mad). The outlier-insensitive complement to stddev — the robust
+    scale estimate quality gates and winsorization thresholds should use
+    when the tail is polluted.
+
+    Single shuffle, same decomposable (by, value, count) histogram as
+    :func:`group_quantiles`; the merge walks the histogram TWICE inside
+    one pass (median from the value cumsum, then MAD from the
+    deviation-aggregated histogram) — raw rows never shuffle, skew is
+    bounded by a group's DISTINCT-value count. Discrete semantics
+    (``ceil(q·n)−1``) match DuckDB's quantile_disc exactly; NULLs are
+    ignored."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).drop_nulls(subset=[col])
+        return (
+            df.group_by([by, col])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({col: "value"})
+            .to_arrow()
+        )
+
+    def _disc(vals: "np.ndarray", counts: "np.ndarray"):
+        cum = np.cumsum(counts)
+        n = int(cum[-1])
+        idx = max(0, math.ceil(0.5 * n) - 1)
+        return vals[int(np.searchsorted(cum, idx + 1))]
+
+    def _walk(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        vtype = t.schema.field("value").type
+        if df.height == 0:
+            return pa.table(
+                {
+                    by: pa.array([], t.schema.field(by).type),
+                    "median": pa.array([], vtype),
+                    "mad": pa.array([], vtype),
+                }
+            )
+        hist = (
+            df.group_by([by, "value"])
+            .agg(pl.col("n").sum())
+            .sort([by, "value"])
+        )
+        out_b, out_m, out_d = [], [], []
+        for (bval,), grp in hist.group_by([by], maintain_order=True):
+            vals = np.asarray(grp["value"].to_list())
+            counts = np.asarray(grp["n"].to_list())
+            med = _disc(vals, counts)
+            dev = np.abs(vals - med)
+            order = np.argsort(dev, kind="stable")
+            dev, dcounts = dev[order], counts[order]
+            # collapse equal deviations (two values can share one |x−med|)
+            uniq, inv = np.unique(dev, return_inverse=True)
+            dsum = np.zeros(len(uniq), dtype=np.int64)
+            np.add.at(dsum, inv, dcounts)
+            mad = _disc(uniq, dsum)
+            out_b.append(bval)
+            out_m.append(med)
+            out_d.append(mad)
+        return pa.table(
+            {
+                by: pa.array(out_b, t.schema.field(by).type),
+                "median": pa.array(out_m, vtype),
+                "mad": pa.array(out_d, vtype),
+            }
+        )
+
+    partials = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, by, _walk, num_buckets=num_buckets)
+
+
 def group_quantiles_cont(
     ds: ray.data.Dataset,
     *,

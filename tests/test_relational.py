@@ -1496,3 +1496,33 @@ def test_group_mode_tiebreak_and_block_invariance(ray_session):
     assert list(out["mode"]) == ["a", "z"]
     assert list(out["n_mode"]) == [2, 3]
     assert list(out["n_rows"]) == [4, 4]
+
+
+def test_group_mad_closed_form(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_mad,
+    )
+
+    # g: [1,2,2,9] → disc median = 2 (ceil(0.5*4)-1 = idx 1);
+    # deviations |x-2| = [1,0,0,7] → hist {0:2, 1:1, 7:1} → MAD = 0
+    # h: [1,3,10] → median 3; deviations [2,0,7] → MAD = 2
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "g": ["g", "g", "h", "g", "h", "g", "h"],
+                "v": [1, 2, 1, 2, 3, 9, 10],
+            }
+        )
+    ).repartition(3)
+    out = (
+        group_mad(ds, by="g", col="v", num_buckets=4)
+        .to_pandas()
+        .sort_values("g")
+        .reset_index(drop=True)
+    )
+    assert list(out["g"]) == ["g", "h"]
+    assert list(out["median"]) == [2, 3]
+    assert list(out["mad"]) == [0, 2]
