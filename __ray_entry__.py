@@ -1572,6 +1572,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "doc_chunks": co.q_doc_chunks,
         "group_quantiles_cont": co.q_group_quantiles_cont,
         "latest_event": co.q_latest_event,
+        "event_intervals": co.q_event_intervals,
         "event_ranks": co.q_event_ranks,
         "user_top_event": co.q_user_top_event,
         "event_anomalies": co.q_event_anomalies,
@@ -3627,6 +3628,16 @@ def oracle_sql() -> dict[str, str]:
         "sample_bottomk": """
             SELECT doc_id FROM documents
             ORDER BY md5(CAST(doc_id AS VARCHAR)) LIMIT 50
+        """,
+        # SCD-2 validity intervals (stages/relational.scd2_intervals):
+        # lead(ts) over each user's (ts, event_id)-ordered stream
+        "event_intervals": """
+            SELECT user_id, event_id, ts, event_type,
+                   lead(ts) OVER (
+                       PARTITION BY user_id
+                       ORDER BY ts, event_id
+                   ) AS valid_to
+            FROM events
         """,
         "latest_event": """
             SELECT event_id, ts, user_id, event_type

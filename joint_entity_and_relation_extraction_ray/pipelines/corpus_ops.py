@@ -1688,6 +1688,21 @@ def q_group_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_event_intervals(sf_dir: str) -> ray.data.Dataset:
+    """SCD-2 validity intervals over each user's event stream: valid_to
+    = the next event's ts (NULL on the current row) — see
+    `stages/relational.scd2_intervals`."""
+    from ..stages.events import read_events
+    from ..stages.relational import scd2_intervals
+
+    ev = read_events(
+        sf_dir, columns=["user_id", "event_id", "ts", "event_type"]
+    )
+    return scd2_intervals(
+        ev, key="user_id", order_by="ts", tiebreak="event_id", num_buckets=8
+    )
+
+
 def q_latest_event(sf_dir: str) -> ray.data.Dataset:
     """CDC compaction: each user's newest event (max ts, min event_id on
     ties) — see `stages/relational.latest_by_key`. Only per-block winners

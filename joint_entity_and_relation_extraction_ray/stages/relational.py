@@ -1491,6 +1491,51 @@ def profile_columns(
     return bucket_group_apply(per_bucket, "col", _final, num_buckets=1)
 
 
+def scd2_intervals(
+    ds: ray.data.Dataset,
+    *,
+    key: str,
+    order_by: str,
+    tiebreak: str,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SCD-2 history build (the companion to :func:`latest_by_key`'s
+    SCD-1 compaction): each change-stream row becomes a VALIDITY
+    INTERVAL — ``valid_from`` = its own ``order_by``, ``valid_to`` = the
+    key's next row's ``order_by`` (NULL on the current row). SQL:
+    ``lead(order_by) OVER (PARTITION BY key ORDER BY order_by,
+    tiebreak)``. The temporal-warehouse primitive behind "what did this
+    record say at time T" queries.
+
+    One key-bucketed shuffle; inside each bucket the interval assignment
+    is a vectorized sort + shift per key (polars ``shift(-1).over``) —
+    no per-row loop, no second pass. The (order_by, tiebreak) pair must
+    be a total order per key for the intervals to be deterministic."""
+    import polars as pl
+
+    def _intervals(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            list(t.schema)
+            + [("valid_to", t.schema.field(order_by).type)]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .sort([key, order_by, tiebreak])
+            .with_columns(
+                pl.col(order_by)
+                .shift(-1)
+                .over(key)
+                .alias("valid_to")
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return bucket_group_apply(ds, key, _intervals, num_buckets=num_buckets)
+
+
 def latest_by_key(
     ds: ray.data.Dataset,
     *,

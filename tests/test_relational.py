@@ -1526,3 +1526,47 @@ def test_group_mad_closed_form(ray_session):
     assert list(out["g"]) == ["g", "h"]
     assert list(out["median"]) == [2, 3]
     assert list(out["mad"]) == [0, 2]
+
+
+def test_scd2_intervals_closed_form(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        scd2_intervals,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ts(m):
+        return t0 + dt.timedelta(minutes=m)
+
+    # u1 has a ts TIE broken by event_id; u2 a single row (open interval)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": ["u1", "u1", "u1", "u2"],
+                "event_id": [3, 1, 2, 9],
+                "ts": pa.array(
+                    [ts(5), ts(0), ts(5), ts(7)],
+                    pa.timestamp("us"),
+                ),
+                "kind": ["c", "a", "b", "z"],
+            }
+        )
+    ).repartition(2)
+    out = (
+        scd2_intervals(
+            ds, key="user_id", order_by="ts", tiebreak="event_id",
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["user_id", "ts", "event_id"])
+        .reset_index(drop=True)
+    )
+    # u1 order: (0,e1) → (5,e2) → (5,e3); valid_to chains accordingly
+    assert list(out["event_id"]) == [1, 2, 3, 9]
+    assert list(out["valid_to"])[:2] == [ts(5), ts(5)]
+    assert out["valid_to"].isna().tolist() == [False, False, True, True]
