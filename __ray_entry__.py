@@ -493,6 +493,40 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(kg.stage(sf_dir, "edges"), iters=10)
 
 
+KG_ASOF_CUTOFF = "2024-01-15 00:00:00"
+
+
+def _q_kg_asof(sf_dir: str):
+    """Time-travel KG: the edge table AS OF a cutoff — assertions with
+    ts ≤ T re-aggregate into (subj, pred, obj, weight, first/last ts),
+    giving the graph as it stood at T (weights count only assertions
+    seen by then). The filter pushes down BEFORE the edge combiner, so
+    the shuffle only ever carries the as-of subset."""
+    import datetime as _dt
+
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        build_edges,
+    )
+
+    cutoff = _dt.datetime.fromisoformat(KG_ASOF_CUTOFF)
+
+    def _before(t: pa.Table) -> pa.Table:
+        return t.filter(
+            _pc.less_equal(t["ts"], pa.scalar(cutoff, t["ts"].type))
+        )
+
+    rewritten = kg.stage(sf_dir, "rewritten").map_batches(
+        _before, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return build_edges(rewritten).select_columns(
+        ["subj_id", "pred", "obj_id", "weight", "first_ts", "last_ts"]
+    )
+
+
 def _q_kg_pagerank_weighted(sf_dir: str):
     """Weighted PageRank: rank splits over out-edges proportionally to
     the KG assertion multiplicity (edge `weight`) — rows-only; dense
@@ -1441,6 +1475,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
+        "kg_asof": _q_kg_asof,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,  # rows-only
         "kg_ppr": _q_kg_ppr,  # rows-only (personalized restart, float ranks)
         "kg_hits": _q_kg_hits,  # rows-only (iterative L2-normalized scores)
@@ -1724,6 +1759,35 @@ def oracle_sql() -> dict[str, str]:
             FROM read_parquet('{g}/golden_triples/*.parquet') t
             JOIN lm s ON t.subj_mention_id = s.mention_id
             JOIN lm o ON t.obj_mention_id = o.mention_id
+            GROUP BY 1, 2, 3
+        """,
+        # time-travel KG: same edge CTE restricted to assertions with
+        # ts <= the cutoff (weights re-aggregate over the as-of subset)
+        "kg_asof": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            )
+            SELECT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id,
+                   COUNT(*) AS weight,
+                   MIN(t.ts) AS first_ts, MAX(t.ts) AS last_ts
+            FROM read_parquet('{g}/golden_triples/*.parquet') t
+            JOIN lm s ON t.subj_mention_id = s.mention_id
+            JOIN lm o ON t.obj_mention_id = o.mention_id
+            WHERE t.ts <= TIMESTAMP '2024-01-15 00:00:00'
             GROUP BY 1, 2, 3
         """,
         # incremental-maintenance invariant: per-batch edges folded by
