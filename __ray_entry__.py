@@ -493,6 +493,131 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(kg.stage(sf_dir, "edges"), iters=10)
 
 
+def _q_kg_entity_page(sf_dir: str):
+    """Entity-page serving table: per entity — out/in degree and weight
+    totals, distinct outgoing predicates, and the dominant outgoing
+    predicate by total weight (ties → pred asc). The denormalized row an
+    entity page renders without touching the edge table at query time.
+    One entity-bucketed shuffle of direction-tagged per-block partials;
+    both directions and the predicate argmax fold in the same merge."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    edges = kg.stage(sf_dir, "edges").select_columns(
+        ["subj_id", "pred", "obj_id", "weight"]
+    )
+
+    part_schema = pa.schema(
+        [
+            ("e", pa.string()),
+            ("dir", pa.string()),
+            ("pred", pa.string()),
+            ("n", pa.int64()),
+            ("w", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return part_schema.empty_table()
+        df = pl.from_arrow(t)
+        o = (
+            df.group_by(["subj_id", "pred"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("weight").cast(pl.Int64).sum().alias("w"),
+            )
+            .select(
+                pl.col("subj_id").alias("e"),
+                pl.lit("o").alias("dir"),
+                pl.col("pred"),
+                pl.col("n"),
+                pl.col("w"),
+            )
+        )
+        i = (
+            df.group_by("obj_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("weight").cast(pl.Int64).sum().alias("w"),
+            )
+            .select(
+                pl.col("obj_id").alias("e"),
+                pl.lit("i").alias("dir"),
+                pl.lit(None, dtype=pl.String).alias("pred"),
+                pl.col("n"),
+                pl.col("w"),
+            )
+        )
+        return pl.concat([o, i]).to_arrow().cast(part_schema)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out_schema = pa.schema(
+            [
+                ("entity_id", pa.string()),
+                ("out_deg", pa.int64()),
+                ("out_weight", pa.int64()),
+                ("in_deg", pa.int64()),
+                ("in_weight", pa.int64()),
+                ("n_preds", pa.int64()),
+                ("top_pred", pa.string()),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .group_by(["e", "dir", "pred"])
+            .agg(pl.col("n").sum(), pl.col("w").sum())
+        )
+        o = df.filter(pl.col("dir") == "o")
+        osum = (
+            o.sort(["e", "w", "pred"], descending=[False, True, False])
+            .group_by("e", maintain_order=True)
+            .agg(
+                pl.col("n").sum().alias("out_deg"),
+                pl.col("w").sum().alias("out_weight"),
+                pl.len().cast(pl.Int64).alias("n_preds"),
+                pl.col("pred").first().alias("top_pred"),
+            )
+        )
+        isum = (
+            df.filter(pl.col("dir") == "i")
+            .group_by("e")
+            .agg(
+                pl.col("n").sum().alias("in_deg"),
+                pl.col("w").sum().alias("in_weight"),
+            )
+        )
+        j = osum.join(isum, on="e", how="full", coalesce=True)
+        return (
+            j.select(
+                pl.col("e").alias("entity_id"),
+                pl.col("out_deg").fill_null(0),
+                pl.col("out_weight").fill_null(0),
+                pl.col("in_deg").fill_null(0),
+                pl.col("in_weight").fill_null(0),
+                pl.col("n_preds").fill_null(0),
+                pl.col("top_pred"),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partials = edges.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "e", _merge, num_buckets=16)
+
+
 KG_ASOF_CUTOFF = "2024-01-15 00:00:00"
 
 
@@ -1476,6 +1601,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_asof": _q_kg_asof,
+        "kg_entity_page": _q_kg_entity_page,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,  # rows-only
         "kg_ppr": _q_kg_ppr,  # rows-only (personalized restart, float ranks)
         "kg_hits": _q_kg_hits,  # rows-only (iterative L2-normalized scores)
@@ -1760,6 +1886,66 @@ def oracle_sql() -> dict[str, str]:
             JOIN lm s ON t.subj_mention_id = s.mention_id
             JOIN lm o ON t.obj_mention_id = o.mention_id
             GROUP BY 1, 2, 3
+        """,
+        # entity-page serving rollup: both directions + dominant
+        # outgoing predicate (weight desc, pred asc) over the edge CTE
+        "kg_entity_page": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, COUNT(*) AS weight
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            ),
+            o AS (
+                SELECT subj_id AS entity_id,
+                       CAST(count(*) AS BIGINT) AS out_deg,
+                       CAST(sum(weight) AS BIGINT) AS out_weight,
+                       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+                FROM e GROUP BY 1),
+            i AS (
+                SELECT obj_id AS entity_id,
+                       CAST(count(*) AS BIGINT) AS in_deg,
+                       CAST(sum(weight) AS BIGINT) AS in_weight
+                FROM e GROUP BY 1),
+            pw AS (
+                SELECT subj_id AS entity_id, pred, sum(weight) AS w
+                FROM e GROUP BY 1, 2),
+            tp AS (
+                SELECT entity_id, pred FROM (
+                    SELECT entity_id, pred,
+                           row_number() OVER (
+                               PARTITION BY entity_id
+                               ORDER BY w DESC, pred) AS rn
+                    FROM pw) WHERE rn = 1)
+            SELECT coalesce(o.entity_id, i.entity_id) AS entity_id,
+                   coalesce(o.out_deg, 0) AS out_deg,
+                   coalesce(o.out_weight, 0) AS out_weight,
+                   coalesce(i.in_deg, 0) AS in_deg,
+                   coalesce(i.in_weight, 0) AS in_weight,
+                   coalesce(o.n_preds, 0) AS n_preds,
+                   tp.pred AS top_pred
+            FROM o FULL OUTER JOIN i ON o.entity_id = i.entity_id
+            LEFT JOIN tp
+              ON coalesce(o.entity_id, i.entity_id) = tp.entity_id
         """,
         # time-travel KG: same edge CTE restricted to assertions with
         # ts <= the cutoff (weights re-aggregate over the as-of subset)
