@@ -493,6 +493,121 @@ def _q_kg_pagerank(sf_dir: str):
     return pagerank(kg.stage(sf_dir, "edges"), iters=10)
 
 
+def _q_conv_kg_profile(sf_dir: str):
+    """Ingest lineage: what each conversation contributed to the KG —
+    triple count, distinct predicates, distinct LINKED entities. The
+    per-source attribution a KG curator uses to trace a bad edge back
+    to its conversations (and to rank conversations by graph yield).
+    Two partial streams (triples → (conv, pred, n); linked mentions →
+    distinct (conv, entity)) union into ONE conv-bucketed merge."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    part_schema = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("kind", pa.string()),
+            ("key", pa.string()),
+            ("n", pa.int64()),
+        ]
+    )
+
+    def _t_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return part_schema.empty_table()
+        return (
+            pl.from_arrow(t.select(["conv_id", "pred"]))
+            .group_by(["conv_id", "pred"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(
+                pl.col("conv_id"),
+                pl.lit("t").alias("kind"),
+                pl.col("pred").alias("key"),
+                pl.col("n"),
+            )
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    def _m_partial(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        if not t.num_rows:
+            return part_schema.empty_table()
+        return (
+            pl.from_arrow(t.select(["conv_id", "cand_entity_id"]))
+            .drop_nulls("cand_entity_id")
+            .unique()
+            .select(
+                pl.col("conv_id"),
+                pl.lit("e").alias("kind"),
+                pl.col("cand_entity_id").alias("key"),
+                pl.lit(1, dtype=pl.Int64).alias("n"),
+            )
+            .to_arrow()
+            .cast(part_schema)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        out_schema = pa.schema(
+            [
+                ("conv_id", pa.string()),
+                ("n_triples", pa.int64()),
+                ("n_preds", pa.int64()),
+                ("n_entities", pa.int64()),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        tri = (
+            df.filter(pl.col("kind") == "t")
+            .group_by(["conv_id", "key"])
+            .agg(pl.col("n").sum())
+            .group_by("conv_id")
+            .agg(
+                pl.col("n").sum().alias("n_triples"),
+                pl.len().cast(pl.Int64).alias("n_preds"),
+            )
+        )
+        ent = (
+            df.filter(pl.col("kind") == "e")
+            .unique(subset=["conv_id", "key"])
+            .group_by("conv_id")
+            .agg(pl.len().cast(pl.Int64).alias("n_entities"))
+        )
+        return (
+            tri.join(ent, on="conv_id", how="full", coalesce=True)
+            .select(
+                pl.col("conv_id"),
+                pl.col("n_triples").fill_null(0),
+                pl.col("n_preds").fill_null(0),
+                pl.col("n_entities").fill_null(0),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    triples = kg.stage(sf_dir, "triples")
+    linked = kg.stage(sf_dir, "linked")
+    partials = triples.map_batches(
+        _t_partial, batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        linked.map_batches(
+            _m_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    return bucket_group_apply(partials, "conv_id", _merge, num_buckets=16)
+
+
 def _q_kg_entity_page(sf_dir: str):
     """Entity-page serving table: per entity — out/in degree and weight
     totals, distinct outgoing predicates, and the dominant outgoing
@@ -1602,6 +1717,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_asof": _q_kg_asof,
         "kg_entity_page": _q_kg_entity_page,
+        "conv_kg_profile": _q_conv_kg_profile,
         "kg_pagerank_weighted": _q_kg_pagerank_weighted,  # rows-only
         "kg_ppr": _q_kg_ppr,  # rows-only (personalized restart, float ranks)
         "kg_hits": _q_kg_hits,  # rows-only (iterative L2-normalized scores)
@@ -1886,6 +2002,40 @@ def oracle_sql() -> dict[str, str]:
             JOIN lm s ON t.subj_mention_id = s.mention_id
             JOIN lm o ON t.obj_mention_id = o.mention_id
             GROUP BY 1, 2, 3
+        """,
+        # ingest lineage: per-conversation KG contribution (triples,
+        # distinct preds, distinct linked entities; full outer so convs
+        # with mentions but no triples still appear)
+        "conv_kg_profile": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            tri AS (
+                SELECT conv_id, CAST(count(*) AS BIGINT) AS n_triples,
+                       CAST(count(DISTINCT pred) AS BIGINT) AS n_preds
+                FROM read_parquet('{g}/golden_triples/*.parquet')
+                GROUP BY 1),
+            ent AS (
+                SELECT m.conv_id,
+                       CAST(count(DISTINCT b.entity_id) AS BIGINT)
+                           AS n_entities
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+                GROUP BY 1)
+            SELECT coalesce(tri.conv_id, ent.conv_id) AS conv_id,
+                   coalesce(tri.n_triples, 0) AS n_triples,
+                   coalesce(tri.n_preds, 0) AS n_preds,
+                   coalesce(ent.n_entities, 0) AS n_entities
+            FROM tri FULL OUTER JOIN ent ON tri.conv_id = ent.conv_id
         """,
         # entity-page serving rollup: both directions + dominant
         # outgoing predicate (weight desc, pred asc) over the edge CTE
