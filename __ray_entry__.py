@@ -1820,6 +1820,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "ngram_counts": co.q_ngram_counts,
         "revenue_by_nation": co.q_revenue_by_nation,
         "above_nation_avg": co.q_above_nation_avg,
+        "profit_by_nation_brand": co.q_profit_by_nation_brand,
         "event_pivot": co.q_event_pivot,
         "group_moments": co.q_group_moments,
         "set_intersect": co.q_set_intersect,
@@ -3417,6 +3418,20 @@ def oracle_sql() -> dict[str, str]:
                    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
                         AS BIGINT) AS sum_price_cents
             FROM lineitem GROUP BY 1, 2
+        """,
+        # TPC-H-Q9 shape (pipelines/corpus_ops.q_profit_by_nation_brand):
+        # supplier + part dims on the same fact row, integer cents
+        "profit_by_nation_brand": """
+            SELECT n.n_name, p.p_brand,
+                   count(*) AS n_lines,
+                   CAST(sum(CAST(round(l.l_extendedprice * 100) AS BIGINT)
+                       * (100 - CAST(round(l.l_discount * 100) AS BIGINT)))
+                       AS BIGINT) AS revenue_cbp
+            FROM lineitem l
+            JOIN supplier s ON l.l_suppkey = s.s_suppkey
+            JOIN nation n ON s.s_nationkey = n.n_nationkey
+            JOIN part p ON l.l_partkey = p.p_partkey
+            GROUP BY 1, 2
         """,
         # correlated-subquery shape (pipelines/corpus_ops.q_above_nation_avg):
         # the boundary compare cross-multiplies int64 cents — no float

@@ -1122,6 +1122,82 @@ def q_revenue_by_nation(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_profit_by_nation_brand(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q9 shape: revenue per (supplier nation, part brand) —
+    the three-dimension star join the Q5-shaped revenue_by_nation
+    doesn't exercise (supplier AND part dims on the same fact row).
+
+    Fact collapses FIRST: lineitem reduces to per-(suppkey, partkey)
+    integer cent-basis-point partials (one combiner shuffle), then the
+    supplier and part dims ride `join_auto` broadcasts, nation is a
+    driver-small pre-join, and a tiny (nation, brand) merge finishes.
+    Money stays exact integers end to end (same convention as
+    revenue_by_nation)."""
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_partkey", "l_extendedprice", "l_discount"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        pc_ = pa.compute
+        ext = pc_.cast(
+            pc_.round(pc_.multiply(t["l_extendedprice"], 100.0)), pa.int64()
+        )
+        disc = pc_.cast(
+            pc_.round(pc_.multiply(t["l_discount"], 100.0)), pa.int64()
+        )
+        rev = pc_.multiply(
+            ext, pc_.subtract(pa.scalar(100, pa.int64()), disc)
+        )
+        return pa.table(
+            {
+                "l_suppkey": t["l_suppkey"],
+                "l_partkey": t["l_partkey"],
+                "rev": rev,
+            }
+        )
+
+    per_sp = grouped_summary(
+        li.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        by=["l_suppkey", "l_partkey"],
+        aggs={"n_lines": ("rev", "count"), "revenue_cbp": ("rev", "sum")},
+        num_buckets=16,
+    )
+
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    sdim = join_auto(
+        supp, nation, on=("s_nationkey",), right_on=("n_nationkey",)
+    ).select_columns(["s_suppkey", "n_name"])
+
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    )
+
+    j = join_auto(
+        join_auto(per_sp, sdim, on=("l_suppkey",), right_on=("s_suppkey",)),
+        part,
+        on=("l_partkey",),
+        right_on=("p_partkey",),
+    )
+    return grouped_summary(
+        j,
+        by=["n_name", "p_brand"],
+        aggs={
+            "n_lines": ("n_lines", "sum"),
+            "revenue_cbp": ("revenue_cbp", "sum"),
+        },
+        num_buckets=4,
+    )
+
+
 def q_event_pivot(sf_dir: str) -> ray.data.Dataset:
     """Per-user event-type count pivot (conditional aggregates) — see
     `stages/relational.pivot_counts`. Category values discovered with a
