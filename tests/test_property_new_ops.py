@@ -78,3 +78,100 @@ def test_group_ranks_property(ray_session, data, nblocks):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(st.tuples(SMALL, SMALL), min_size=1, max_size=60),
+    nblocks=st.integers(1, 5),
+)
+def test_group_mode_property(ray_session, data, nblocks):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_mode,
+    )
+
+    ks = [f"k{d[0]}" for d in data]
+    vs = [f"v{d[1]}" for d in data]
+    got = {
+        r["k"]: (r["mode"], r["n_mode"], r["n_rows"])
+        for r in group_mode(
+            _ds({"k": ks, "v": vs}, nblocks), by="k", col="v", num_buckets=3
+        ).take_all()
+    }
+    want = {
+        k: (m, nm, nr)
+        for k, m, nm, nr in duckdb.sql(
+            "WITH per AS (SELECT k, v, count(*) n FROM (SELECT unnest(?) k,"
+            " unnest(?) v) GROUP BY 1,2),"
+            " tot AS (SELECT k, sum(n) nr FROM per GROUP BY 1)"
+            " SELECT p.k, p.v, p.n, t.nr FROM per p JOIN tot t USING (k)"
+            " QUALIFY row_number() OVER (PARTITION BY p.k"
+            " ORDER BY p.n DESC, p.v) = 1",
+            params=[ks, vs],
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(st.tuples(SMALL, st.integers(0, 9)), min_size=1,
+                  max_size=60),
+    nblocks=st.integers(1, 5),
+)
+def test_group_mad_property(ray_session, data, nblocks):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_mad,
+    )
+
+    ks = [d[0] for d in data]
+    vs = [d[1] for d in data]
+    got = {
+        r["k"]: (r["median"], r["mad"])
+        for r in group_mad(
+            _ds({"k": ks, "v": vs}, nblocks), by="k", col="v", num_buckets=3
+        ).take_all()
+    }
+    want = {
+        k: (m, d)
+        for k, m, d in duckdb.sql(
+            "WITH base AS (SELECT unnest(?) k, unnest(?) v),"
+            " med AS (SELECT k, quantile_disc(v, 0.5) m FROM base GROUP BY 1)"
+            " SELECT b.k, any_value(med.m),"
+            " quantile_disc(abs(b.v - med.m), 0.5)"
+            " FROM base b JOIN med ON b.k = med.k GROUP BY 1",
+            params=[ks, vs],
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(st.tuples(SMALL, SMALL), min_size=1, max_size=60),
+    nblocks=st.integers(1, 5),
+)
+def test_scd2_intervals_property(ray_session, data, nblocks):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        scd2_intervals,
+    )
+
+    ks = [d[0] for d in data]
+    ts = [d[1] for d in data]
+    ids = list(range(len(data)))
+    got = {
+        r["id"]: r["valid_to"]
+        for r in scd2_intervals(
+            _ds({"k": ks, "ts": ts, "id": ids}, nblocks),
+            key="k", order_by="ts", tiebreak="id", num_buckets=3,
+        ).take_all()
+    }
+    want = {
+        i: vt
+        for i, vt in duckdb.sql(
+            "SELECT id, lead(ts) OVER (PARTITION BY k ORDER BY ts, id)"
+            " FROM (SELECT unnest(?) k, unnest(?) ts, unnest(?) id)",
+            params=[ks, ts, ids],
+        ).fetchall()
+    }
+    assert got == want
