@@ -1789,7 +1789,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": co.q_dedup_embedding,
         "dedup_embedding_lsh": co.q_dedup_embedding_lsh,  # rows-only (approx)
         "ann_topk": co.q_ann_topk,
-        "ann_topk_ivf": co.q_ann_topk_ivf,  # rows-only (approx)
+        "ann_topk_ivf": co.q_ann_topk_ivf,
+        "ann_recall": co.q_ann_recall,  # rows-only (IVF probe set)  # rows-only (approx)
         "knn_label": co.q_knn_label,
         "embed_probe_assign": co.q_embed_probe_assign,
         "embed_cov_stats": co.q_embed_cov_stats,

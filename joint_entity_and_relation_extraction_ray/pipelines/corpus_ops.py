@@ -259,6 +259,16 @@ def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_ann_recall(sf_dir: str) -> ray.data.Dataset:
+    """Index-quality monitor: per-query recall@k of the IVF index vs the
+    exact top-k, as pure integers (n_hits, k) — rows-only (the IVF probe
+    set has no SQL form); the nprobe=n_centroids ≡ exact invariant is
+    pinned in pytest."""
+    return similarity.ann_recall(
+        read_embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K
+    )
+
+
 def q_knn_label(sf_dir: str) -> ray.data.Dataset:
     """kNN classification: majority label among each query's exact top-5
     cosine neighbors (max count, min label tiebreak)."""

@@ -110,6 +110,99 @@ def ann_topk(
     )
 
 
+def ann_recall(
+    emb: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+    seed: int = 13,
+) -> ray.data.Dataset:
+    """Self-evaluating retrieval: recall@k of the IVF index against the
+    exact top-k, per query → (query_id, n_hits, k) with recall =
+    n_hits/k left as consumer arithmetic (pure ints in the dataflow).
+    The continuous index-quality monitor a production ANN deployment
+    runs on a query sample — when recall drifts below target, re-train
+    centroids or raise nprobe.
+
+    Both retrievals run as their normal distributed stages; the compare
+    is one co-grouped intersection count over (query_id, neighbor_id)
+    pairs — O(queries·k) rows, trivially small. Invariant pinned in
+    tests: nprobe = n_centroids ⇒ IVF ≡ exact ⇒ n_hits = k for every
+    query that has k true neighbors."""
+    import polars as pl
+
+    exact = ann_topk(emb, queries, k=k)
+    approx = ann_topk_ivf(
+        emb,
+        queries,
+        k=k,
+        n_centroids=n_centroids,
+        nprobe=nprobe,
+        seed=seed,
+    )
+
+    def _tag(name: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": t["query_id"],
+                    "neighbor_id": t["neighbor_id"],
+                    "src": pa.array([name] * t.num_rows, pa.string()),
+                }
+            )
+
+        return _f
+
+    both = exact.map_batches(
+        _tag("e"), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        approx.map_batches(
+            _tag("a"), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    from ..functions.shuffle import bucket_group_apply
+
+    def _score(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("n_hits", pa.int64()),
+                ("k", pa.int64()),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        e = df.filter(pl.col("src") == "e").select(
+            "query_id", "neighbor_id"
+        )
+        a = df.filter(pl.col("src") == "a").select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            e.join(a, on=["query_id", "neighbor_id"], how="inner")
+            .group_by("query_id")
+            .agg(pl.len().cast(pl.Int64).alias("n_hits"))
+        )
+        return (
+            e.group_by("query_id")
+            .agg(pl.len().cast(pl.Int64).alias("k"))
+            .join(hits, on="query_id", how="left")
+            .select(
+                pl.col("query_id").cast(pl.Int64),
+                pl.col("n_hits").fill_null(0),
+                pl.col("k"),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return bucket_group_apply(both, "query_id", _score, num_buckets=4)
+
+
 def ann_topk_ivf(
     emb: ray.data.Dataset,
     queries: pa.Table,

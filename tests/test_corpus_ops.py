@@ -226,6 +226,33 @@ def test_ann_ivf_subset_quality(ray_session):
     )
 
 
+def test_ann_recall_exhaustive_probe_is_perfect(ray_session):
+    rng = np.random.default_rng(7)
+    mat = rng.standard_normal((80, 8))
+    ds = _emb_ds(mat)
+    q = pa.table(
+        {
+            "vec_id": pa.array([0, 5], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, mat[0])), list(map(float, mat[5]))],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    # nprobe == n_centroids: IVF scans everything -> recall must be k/k
+    out = _collect(
+        similarity.ann_recall(ds, q, k=5, n_centroids=4, nprobe=4)
+    ).sort_values("query_id")
+    assert list(out["query_id"]) == [0, 5]
+    assert list(out["k"]) == [5, 5]
+    assert list(out["n_hits"]) == [5, 5]
+    # a 1-probe index on random data may miss -> n_hits <= k always
+    low = _collect(
+        similarity.ann_recall(ds, q, k=5, n_centroids=8, nprobe=1)
+    )
+    assert (low["n_hits"] <= low["k"]).all()
+
+
 # --- multimodal ------------------------------------------------------------
 
 
