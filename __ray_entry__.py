@@ -880,6 +880,20 @@ def _q_kg_components(sf_dir: str):
     )
 
 
+def _q_kg_scc(sf_dir: str):
+    """Strongly connected components of the DIRECTED KG (node → scc_id =
+    lexicographic min entity id among mutually-reachable nodes) — the
+    distributed coloring/peeling algorithm in
+    `stages/graph.strongly_connected_components`, with an exact
+    mutual-reachability recursive-CTE oracle."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        strongly_connected_components,
+    )
+
+    return strongly_connected_components(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_comention(sf_dir: str):
     """Entity co-mention counts per turn (the co-occurrence edge layer)
     — see `stages/graph.comention_counts`."""
@@ -1707,6 +1721,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
     return {
+        "session_overlap": co.q_session_overlap,
+        "kg_scc": _q_kg_scc,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -3257,6 +3273,56 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
         """,
+        # SCC: directed transitive closure, mutual pairs, min label —
+        # exact at oracle scale (~400 linked entities); engine side is
+        # the coloring/peeling algorithm in
+        # stages/graph.strongly_connected_components
+        "kg_scc": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS src, o.entity_id AS dst
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            nodes AS MATERIALIZED (
+                SELECT src AS node FROM edges UNION SELECT dst FROM edges
+            ),
+            e AS MATERIALIZED (
+                SELECT src, dst FROM edges WHERE src <> dst
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+            ),
+            mutual AS (
+                SELECT a.src AS v, a.dst AS u
+                FROM reach a JOIN reach b
+                  ON a.src = b.dst AND a.dst = b.src
+            )
+            SELECT n.node,
+                   CASE WHEN min(m.u) IS NULL OR n.node < min(m.u)
+                        THEN n.node ELSE min(m.u) END AS scc_id
+            FROM nodes n LEFT JOIN mutual m ON m.v = n.node
+            GROUP BY n.node
+        """,
         "top_entities": f"""
             WITH best AS (
                 SELECT alias, ent_type, entity_id
@@ -3455,6 +3521,44 @@ def oracle_sql() -> dict[str, str]:
                    CAST(j.sum_cents AS BIGINT) AS sum_cents
             FROM jn j JOIN nat n USING (c_nationkey)
             WHERE j.sum_cents * n.nn > n.ns * j.n_orders
+        """,
+        # interval-overlap join: browsing sessions × transactional
+        # sessions per user (24 h gap sessionization on both sides);
+        # closed-interval overlap, µs arithmetic (relational.interval_join)
+        "session_overlap": """
+            WITH b0 AS (SELECT user_id, ts FROM events
+                        WHERE event_type IN ('click', 'view')),
+            b1 AS (SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 24 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                   FROM b0 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            b2 AS (SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM b1),
+            bsess AS (SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+                      FROM b2 GROUP BY user_id, sid),
+            t0 AS (SELECT user_id, ts FROM events
+                   WHERE event_type IN ('purchase', 'error')),
+            t1 AS (SELECT user_id, ts,
+                       CASE WHEN lag(ts) OVER w IS NULL
+                                 OR ts - lag(ts) OVER w > INTERVAL 24 HOUR
+                            THEN 1 ELSE 0 END AS brk
+                   FROM t0 WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+            t2 AS (SELECT user_id, ts,
+                       sum(brk) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+                   FROM t1),
+            tsess AS (SELECT user_id, min(ts) AS s_start, max(ts) AS s_end
+                      FROM t2 GROUP BY user_id, sid)
+            SELECT b.user_id,
+                   b.s_start AS b_start, b.s_end AS b_end,
+                   t.s_start AS t_start, t.s_end AS t_end,
+                   epoch_us(least(b.s_end, t.s_end))
+                       - epoch_us(greatest(b.s_start, t.s_start)) AS overlap_us
+            FROM bsess b JOIN tsess t ON b.user_id = t.user_id
+            WHERE b.s_start <= t.s_end AND t.s_start <= b.s_end
         """,
         "revenue_by_nation": """
             SELECT n_name,

@@ -12,6 +12,7 @@ from __future__ import annotations
 import hashlib
 
 import pyarrow as pa
+import pyarrow.compute as pc
 import ray.data
 
 from ..functions import textstats
@@ -2575,6 +2576,79 @@ def q_group_outliers(sf_dir: str) -> ray.data.Dataset:
     from ..stages.events import group_outliers, read_events
 
     return group_outliers(read_events(sf_dir), sigma=2)
+
+
+def q_session_overlap(sf_dir: str) -> ray.data.Dataset:
+    """Interval-overlap join demo: per user, browsing sessions
+    (click/view, 24 h gap) that overlap transactional sessions
+    (purchase/error, same gap) → one row per overlapping session pair
+    with both spans and the exact overlap length in µs.
+
+    Two sessionize passes (each one user-bucketed shuffle) feed
+    `relational.interval_join` — the interval×interval sibling of
+    range_join: candidates via two searchsorteds over right starts
+    widened by the bucket max right length, exact end-bound filter
+    after. All arithmetic is int64 microseconds."""
+    from ..stages.events import read_events, sessionize
+    from ..stages.relational import interval_join
+
+    ev = read_events(sf_dir, columns=["user_id", "ts", "event_type"])
+
+    def _only(types: tuple[str, ...]):
+        def f(t: pa.Table) -> pa.Table:
+            keep = pc.is_in(t["event_type"], value_set=pa.array(types))
+            return t.filter(keep).select(["user_id", "ts"])
+
+        return f
+
+    browse = sessionize(
+        ev.map_batches(
+            _only(("click", "view")),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        gap_minutes=24 * 60,
+    )
+    txn = sessionize(
+        ev.map_batches(
+            _only(("purchase", "error")),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        gap_minutes=24 * 60,
+    )
+
+    pairs = interval_join(
+        browse,
+        txn,
+        by="user_id",
+        left_span=("session_start", "session_end"),
+        right_span=("session_start", "session_end"),
+        left_cols=["user_id", "session_start", "session_end"],
+        right_cols=["session_start", "session_end"],
+        num_buckets=32,
+    )
+
+    def _shape(t: pa.Table) -> pa.Table:
+        bs = t["l_session_start"].combine_chunks().cast(pa.int64())
+        be = t["l_session_end"].combine_chunks().cast(pa.int64())
+        ts_ = t["r_session_start"].combine_chunks().cast(pa.int64())
+        te = t["r_session_end"].combine_chunks().cast(pa.int64())
+        ov = pc.subtract(pc.min_element_wise(be, te), pc.max_element_wise(bs, ts_))
+        return pa.table(
+            {
+                "user_id": t["l_user_id"],
+                "b_start": t["l_session_start"],
+                "b_end": t["l_session_end"],
+                "t_start": t["r_session_start"],
+                "t_end": t["r_session_end"],
+                "overlap_us": ov,
+            }
+        )
+
+    return pairs.map_batches(
+        _shape, batch_format="pyarrow", zero_copy_batch=True
+    )
 
 
 # --- bench subset ----------------------------------------------------------

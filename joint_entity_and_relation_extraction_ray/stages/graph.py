@@ -2279,6 +2279,289 @@ def label_propagation(
     return labels
 
 
+def strongly_connected_components(
+    edges: ray.data.Dataset,
+    *,
+    max_rounds: int = 25,
+    max_iters: int = 60,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SCCs of the DIRECTED KG — rows ``(node, scc_id)`` where scc_id =
+    lexicographic min entity id in the component (every edge endpoint
+    gets a row; acyclic nodes are their own singleton SCC).
+
+    The distributed coloring algorithm (forward-min color fixpoint →
+    per-class backward reachability from each color root → peel the
+    detected SCCs and repeat), the standard Pregel-family SCC shape:
+
+    - forward pass: color(v) = min id over {v} ∪ {u : u ⇝ v}, reached
+      by iterating one (src)-keyed ``join_auto`` against the label
+      table per step — colors only ever DECREASE, so the fixpoint
+      check is a cheap per-node "did min drop" flag summed per round.
+    - roots (color(v) == v) then grow BACKWARD inside their own color
+      class over intra-class edges (one semi-join per step); nodes so
+      reached are exactly SCC(root), because membership needs both
+      root ⇝ v (same color) and v ⇝ root (backward reach).
+    - detected SCCs peel off through two anti-joins and the loop
+      repeats on the residue; isolated leftovers emit as singletons.
+
+    Round count is graph-dependent (one round peels every current
+    color-class root's SCC); entity graphs with hub-dominated reach
+    converge in a handful — ``max_rounds`` guards the adversarial
+    chain case. Exact recursive-CTE oracle (mutual-reachability min
+    label) at driver scale."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from .relational import membership_join
+
+    num_partitions = default_partitions()
+    str2 = pa.schema([("src", pa.string()), ("dst", pa.string())])
+    lbl_schema = pa.schema([("node", pa.string()), ("color", pa.string())])
+
+    def _dir(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"src": t["subj_id"], "dst": t["obj_id"]}
+        )
+
+    def _dedup(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique().to_arrow().cast(str2)
+
+    active = bucket_group_apply(
+        edges.map_batches(_dir, batch_format="pyarrow", zero_copy_batch=True),
+        "src",
+        _dedup,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _endpoints(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "node": pa.concat_arrays(
+                    [t["src"].combine_chunks(), t["dst"].combine_chunks()]
+                )
+            }
+        )
+
+    def _nodes_of(e: ray.data.Dataset) -> ray.data.Dataset:
+        return bucket_group_apply(
+            e.map_batches(
+                _endpoints, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "node",
+            lambda t: pl.from_arrow(t)
+            .unique()
+            .to_arrow()
+            .cast(pa.schema([("node", pa.string())])),
+            num_buckets=num_buckets,
+        ).materialize()
+
+    def _as_singletons(nodes_ds: ray.data.Dataset) -> ray.data.Dataset:
+        return nodes_ds.map_batches(
+            lambda t: pa.table({"node": t["node"], "scc_id": t["node"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    nodes = _nodes_of(active)
+    pieces: list[ray.data.Dataset] = []
+
+    for _ in range(max_rounds):
+        # drop self-loops for structure (their nodes stay in `nodes`)
+        struct = active.filter(expr="src != dst").materialize()
+        with_edges = _nodes_of(struct)
+        isolated = membership_join(
+            nodes, with_edges, on="node", right_on="node", anti=True
+        ).materialize()
+        if isolated.count():
+            pieces.append(_as_singletons(isolated))
+        nodes = with_edges
+        if struct.count() == 0:
+            break
+
+        # ---- forward min-color fixpoint -------------------------------
+        labels = nodes.map_batches(
+            lambda t: pa.table({"node": t["node"], "color": t["node"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+
+        def _min_merge(t: pa.Table) -> pa.Table:
+            df = pl.from_arrow(t)
+            out = (
+                df.group_by("node")
+                .agg(
+                    pl.col("color").min().alias("color"),
+                    pl.col("color")
+                    .filter(pl.col("gen") == 0)
+                    .min()
+                    .alias("old"),
+                )
+                .with_columns(
+                    (pl.col("color") < pl.col("old"))
+                    .fill_null(False)
+                    .cast(pl.Int64)
+                    .alias("chg")
+                )
+                .select(["node", "color", "chg"])
+            )
+            return out.to_arrow().cast(
+                pa.schema(
+                    [
+                        ("node", pa.string()),
+                        ("color", pa.string()),
+                        ("chg", pa.int64()),
+                    ]
+                )
+            )
+
+        for _i in range(max_iters):
+            prop = join_auto(
+                struct,
+                labels,
+                on=("src",),
+                right_on=("node",),
+                num_partitions=num_partitions,
+            ).map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["dst"],
+                        "color": t["color"],
+                        "gen": pa.array([1] * t.num_rows, pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            tagged = labels.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "color": t["color"],
+                        "gen": pa.array([0] * t.num_rows, pa.int64()),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).union(prop)
+            merged = bucket_group_apply(
+                tagged, "node", _min_merge, num_buckets=num_buckets
+            ).materialize()
+            changed = merged.sum("chg") or 0
+            labels = merged.drop_columns(["chg"]).materialize()
+            if not changed:
+                break
+
+        # ---- intra-class edges + backward growth from roots ----------
+        e_src = join_auto(
+            struct,
+            labels,
+            on=("src",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table(
+                {"src": t["src"], "dst": t["dst"], "c_src": t["color"]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        intra = (
+            join_auto(
+                e_src,
+                labels,
+                on=("dst",),
+                right_on=("node",),
+                num_partitions=num_partitions,
+            )
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": t["src"],
+                        "dst": t["dst"],
+                        "keep": pc.equal(t["c_src"], t["color"]),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .filter(expr="keep == True")
+            .drop_columns(["keep"])
+            .materialize()
+        )
+
+        reached = labels.filter(expr="node == color").drop_columns(
+            ["color"]
+        ).materialize()
+        n_reached = reached.count()
+        for _i in range(max_iters):
+            grown = membership_join(
+                intra, reached, on="dst", right_on="node"
+            ).map_batches(
+                lambda t: pa.table({"node": t["src"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            reached = bucket_group_apply(
+                reached.union(grown),
+                "node",
+                lambda t: pl.from_arrow(t)
+                .unique()
+                .to_arrow()
+                .cast(pa.schema([("node", pa.string())])),
+                num_buckets=num_buckets,
+            ).materialize()
+            n2 = reached.count()
+            if n2 == n_reached:
+                break
+            n_reached = n2
+
+        scc_part = membership_join(
+            labels, reached, on="node", right_on="node"
+        ).map_batches(
+            lambda t: pa.table({"node": t["node"], "scc_id": t["color"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        pieces.append(scc_part)
+
+        # peel: drop every edge touching a detected SCC node
+        active = membership_join(
+            membership_join(
+                struct, reached, on="src", right_on="node", anti=True
+            ),
+            reached,
+            on="dst",
+            right_on="node",
+            anti=True,
+        ).materialize()
+        nodes = membership_join(
+            nodes, reached, on="node", right_on="node", anti=True
+        ).materialize()
+        if active.count() == 0:
+            if nodes.count():
+                pieces.append(_as_singletons(nodes))
+            break
+    else:
+        raise RuntimeError(
+            f"SCC did not converge in {max_rounds} rounds — raise "
+            "max_rounds (graph has a long root-chain structure)"
+        )
+
+    out = pieces[0]
+    for p in pieces[1:]:
+        out = out.union(p)
+    return bucket_group_apply(
+        out,
+        "node",
+        lambda t: pl.from_arrow(t)
+        .unique()
+        .to_arrow()
+        .cast(pa.schema([("node", pa.string()), ("scc_id", pa.string())])),
+        num_buckets=num_buckets,
+    )
+
+
 def negative_samples(
     edges: ray.data.Dataset,
     *,

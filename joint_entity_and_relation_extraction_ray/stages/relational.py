@@ -20,6 +20,12 @@ assumptions:
 - ``range_join``: one `by`-key's rows (both sides) fit in a reducer;
   per-bucket work is a sorted sweep (O(n log n + output)), never the
   nested-loop cross product.
+- ``interval_join``: one `by`-key's rows (both sides) fit in a reducer;
+  candidates come from two searchsorteds over right starts widened by
+  the bucket's max right-interval length, so per-bucket work is
+  O(n log n + candidates) — for keyless overlap joins, bucket on a
+  time-bin key instead and dedup emissions to the bin owning
+  max(l_start, r_start).
 - ``rolling_window``: one `by`-key's rows fit in a reducer (the same
   assumption as every PARTITION BY window function).
 """
@@ -49,6 +55,7 @@ __all__ = [
     "group_topk_rank",
     "grouped_rollup",
     "grouped_summary",
+    "interval_join",
     "latest_by_key",
     "melt",
     "membership_join",
@@ -771,6 +778,150 @@ def range_join(
             np.concatenate(([0], np.cumsum(counts)[:-1])), counts
         )
         r_idx = order[starts + run]
+
+        cols = {}
+        li = pa.array(l_idx, pa.int64())
+        ri = pa.array(r_idx, pa.int64())
+        for c in left_cols:
+            cols["l_" + c] = lt[c].combine_chunks().take(li)
+        for c in right_cols:
+            cols["r_" + c] = rt[c].combine_chunks().take(ri)
+        return pa.table(cols)
+
+    return cobucket_apply(
+        left,
+        right,
+        _bucket(by),
+        _bucket(by),
+        _sweep,
+        num_buckets=num_buckets,
+    )
+
+
+def interval_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    left_span: tuple[str, str],
+    right_span: tuple[str, str],
+    left_cols: list[str],
+    right_cols: list[str],
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Interval-overlap INNER join: emit (left, right) pairs with the
+    same ``by`` key whose CLOSED intervals overlap —
+    ``l.start <= r.end AND r.start <= l.end`` (timestamp[us] columns
+    compare in microseconds). The interval×interval sibling of
+    ``range_join`` (which is point-in-band).
+
+    One co-bucketed shuffle on ``by``; each bucket runs a sorted sweep
+    over right STARTS: both sides map (by, start) to one int64 composite
+    key (dense-ranked ``by`` × shifted time), the right side sorts once,
+    and every left interval takes candidates whose start lies in
+    ``[l.start - max_right_len, l.end]`` with two vectorized
+    searchsorteds, then filters exactly on ``r.end >= l.start``. That
+    bounds per-left candidates by overlap count plus the skew of right
+    interval lengths — never a nested-loop cross product. Falls back to
+    polars ``join_where`` if the composite key would overflow int64.
+    """
+    import polars as pl
+
+    l_start, l_end = left_span
+    r_start, r_end = right_span
+
+    def _bucket(col: str):
+        def f(t: pa.Table) -> pa.Array:
+            return t[col].combine_chunks()
+
+        return f
+
+    def _as_i64(arr: pa.ChunkedArray | pa.Array) -> np.ndarray:
+        a = arr.combine_chunks() if isinstance(arr, pa.ChunkedArray) else arr
+        t = a.type
+        if pa.types.is_timestamp(t) or pa.types.is_date64(t):
+            a = a.cast(pa.int64())
+        elif not pa.types.is_integer(t):
+            raise TypeError(
+                f"interval_join span columns must be integer-like, got {t}"
+            )
+        return a.cast(pa.int64()).to_numpy(zero_copy_only=False)
+
+    def _sweep(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        def _empty() -> pa.Table:
+            cols = {}
+            for c in left_cols:
+                cols["l_" + c] = pa.array([], lt.schema.field(c).type)
+            for c in right_cols:
+                cols["r_" + c] = pa.array([], rt.schema.field(c).type)
+            return pa.table(cols)
+
+        if lt.num_rows == 0 or rt.num_rows == 0:
+            return _empty()
+        ls = _as_i64(lt[l_start])
+        le = _as_i64(lt[l_end])
+        rs = _as_i64(rt[r_start])
+        re_ = _as_i64(rt[r_end])
+
+        l_by = lt[by].combine_chunks()
+        r_by = rt[by].combine_chunks()
+        uni = pc.unique(pa.chunked_array([l_by, r_by]).combine_chunks())
+        l_rank = pc.index_in(l_by, uni).to_numpy(zero_copy_only=False)
+        r_rank = pc.index_in(r_by, uni).to_numpy(zero_copy_only=False)
+
+        max_rlen = int((re_ - rs).max()) if len(rs) else 0
+        max_rlen = max(max_rlen, 0)
+        tmin = int(min(ls.min(), rs.min())) - max_rlen - 1
+        tmax = int(max(le.max(), rs.max())) + 1
+        span = tmax - tmin + 2
+        if (len(uni) + 1) * span >= 2**63:
+            # composite key would overflow — tiny-probability fallback
+            l_keep = list(dict.fromkeys([by, *left_cols]))
+            r_keep = list(dict.fromkeys([by, *right_cols]))
+            ldf = pl.from_arrow(lt.select(l_keep)).with_columns(
+                pl.Series("__ls", ls), pl.Series("__le", le)
+            )
+            rdf = (
+                pl.from_arrow(rt.select(r_keep))
+                .with_columns(pl.Series("__rs", rs), pl.Series("__re", re_))
+                .rename({c: "__r_" + c for c in r_keep})
+            )
+            j = ldf.join_where(
+                rdf,
+                pl.col(by) == pl.col("__r_" + by),
+                pl.col("__rs") <= pl.col("__le"),
+                pl.col("__re") >= pl.col("__ls"),
+            )
+            j = j.select(
+                [pl.col(c).alias("l_" + c) for c in left_cols]
+                + [pl.col("__r_" + c).alias("r_" + c) for c in right_cols]
+            )
+            return j.to_arrow()
+
+        r_key = r_rank.astype(np.int64) * span + (rs - tmin)
+        order = np.argsort(r_key, kind="stable")
+        r_key = r_key[order]
+        l_base = l_rank.astype(np.int64) * span
+        lo = np.searchsorted(r_key, l_base + (ls - max_rlen - tmin), "left")
+        hi = np.searchsorted(r_key, l_base + (le - tmin), "right")
+        counts = hi - lo
+        total = int(counts.sum())
+        if total == 0:
+            return _empty()
+        l_idx = np.repeat(np.arange(len(l_base)), counts)
+        starts = np.repeat(lo, counts)
+        run = np.arange(total) - np.repeat(
+            np.concatenate(([0], np.cumsum(counts)[:-1])), counts
+        )
+        r_idx = order[starts + run]
+        # exact overlap filter on the candidates (start bound is implied
+        # by the hi searchsorted; the end bound is what the widened lo
+        # window over-admits)
+        keep = (re_[r_idx] >= ls[l_idx]) & (rs[r_idx] <= le[l_idx])
+        l_idx = l_idx[keep]
+        r_idx = r_idx[keep]
+        if len(l_idx) == 0:
+            return _empty()
 
         cols = {}
         li = pa.array(l_idx, pa.int64())

@@ -1186,3 +1186,126 @@ def test_ego_subgraph_induced_semantics(ray_session):
         ("b", "p", "c", 1),
         ("c", "p", "e", 1),
     ]
+
+
+def _scc_ds(pairs):
+    import pyarrow as pa
+    import ray.data
+
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([a for a, _ in pairs]),
+                "obj_id": pa.array([b for _, b in pairs]),
+            }
+        )
+    )
+
+
+def _tarjan(pairs):
+    """Iterative Tarjan oracle → {node: min-id-of-its-SCC}."""
+    adj = {}
+    nodes = set()
+    for a, b in pairs:
+        nodes.add(a)
+        nodes.add(b)
+        if a != b:
+            adj.setdefault(a, []).append(b)
+    index, low, onstk = {}, {}, set()
+    stack, out, counter = [], {}, [0]
+    for root in sorted(nodes):
+        if root in index:
+            continue
+        work = [(root, iter(adj.get(root, ())))]
+        index[root] = low[root] = counter[0]
+        counter[0] += 1
+        stack.append(root)
+        onstk.add(root)
+        while work:
+            v, it = work[-1]
+            advanced = False
+            for w in it:
+                if w not in index:
+                    index[w] = low[w] = counter[0]
+                    counter[0] += 1
+                    stack.append(w)
+                    onstk.add(w)
+                    work.append((w, iter(adj.get(w, ()))))
+                    advanced = True
+                    break
+                elif w in onstk:
+                    low[v] = min(low[v], index[w])
+            if advanced:
+                continue
+            work.pop()
+            if work:
+                pv = work[-1][0]
+                low[pv] = min(low[pv], low[v])
+            if low[v] == index[v]:
+                comp = []
+                while True:
+                    w = stack.pop()
+                    onstk.discard(w)
+                    comp.append(w)
+                    if w == v:
+                        break
+                m = min(comp)
+                for w in comp:
+                    out[w] = m
+    return out
+
+
+def test_scc_closed_form(ray_session):
+    """Two cycles joined by a one-way bridge + a chain + a self-loop:
+    the bridge must NOT merge the cycles, the chain is all singletons,
+    the self-loop node is its own SCC."""
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        strongly_connected_components,
+    )
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "a"),      # cycle 1
+        ("c", "p"),                                # one-way bridge
+        ("p", "q"), ("q", "r"), ("r", "p"),      # cycle 2
+        ("x", "y"), ("y", "z"),                  # chain
+        ("s", "s"),                                # self-loop
+    ]
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(_scc_ds(pairs)).take_all()
+    }
+    want = _tarjan(pairs)
+    assert got == want
+    assert got["a"] == got["b"] == got["c"] == "a"
+    assert got["p"] == got["q"] == got["r"] == "p"
+    assert got["x"] == "x" and got["y"] == "y" and got["z"] == "z"
+    assert got["s"] == "s"
+
+
+def test_scc_random_vs_tarjan(ray_session):
+    """Random directed graph (cyclic by construction) vs the Tarjan
+    oracle — node universe, labels and singleton handling all exact."""
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        strongly_connected_components,
+    )
+
+    rng = np.random.default_rng(47)
+    n = 120
+    names = [f"n{i:03d}" for i in range(n)]
+    pairs = [
+        (names[int(a)], names[int(b)])
+        for a, b in zip(
+            rng.integers(0, n, 400), rng.integers(0, n, 400)
+        )
+    ]
+    # guarantee some non-trivial cycles
+    pairs += [(names[1], names[2]), (names[2], names[3]), (names[3], names[1])]
+    got = {
+        r["node"]: r["scc_id"]
+        for r in strongly_connected_components(
+            _scc_ds(pairs), num_buckets=8
+        ).take_all()
+    }
+    assert got == _tarjan(pairs)

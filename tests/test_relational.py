@@ -1570,3 +1570,82 @@ def test_scd2_intervals_closed_form(ray_session):
     assert list(out["event_id"]) == [1, 2, 3, 9]
     assert list(out["valid_to"])[:2] == [ts(5), ts(5)]
     assert out["valid_to"].isna().tolist() == [False, False, True, True]
+
+
+def test_interval_join_closed_bounds(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        interval_join,
+    )
+
+    left = _ds(
+        {"k": [1, 1, 2], "s": [10, 50, 10], "e": [20, 60, 20], "lid": [0, 1, 2]}
+    )
+    right = _ds(
+        {
+            "k": [1, 1, 1, 2],
+            "s": [20, 21, 0, 100],
+            "e": [30, 30, 9, 200],
+            "rid": [5, 6, 7, 8],
+        }
+    )
+    out = interval_join(
+        left,
+        right,
+        by="k",
+        left_span=("s", "e"),
+        right_span=("s", "e"),
+        left_cols=["lid"],
+        right_cols=["rid"],
+        num_buckets=4,
+    ).take_all()
+    pairs = sorted((r["l_lid"], r["r_rid"]) for r in out)
+    # lid=0 [10,20] touches rid=5 [20,30] at the closed endpoint only;
+    # rid=6 starts at 21 (no overlap), rid=7 ends at 9 (no overlap);
+    # lid=2 is key 2 where the only right interval is far away
+    assert pairs == [(0, 5)]
+
+
+def test_interval_join_random_vs_duckdb(ray_session):
+    import numpy as np
+
+    rng = np.random.default_rng(23)
+    n = 2500
+    # skewed interval lengths: mostly short, a few very long (stresses
+    # the max-right-length candidate widening + exact end filter)
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        s = r.integers(0, 10_000, n)
+        ln = np.where(r.random(n) < 0.05, r.integers(500, 3000, n), r.integers(0, 40, n))
+        return pa.table(
+            {
+                "u": pa.array(r.integers(0, 40, n), pa.int64()),
+                "s": pa.array(s, pa.int64()),
+                "e": pa.array(s + ln, pa.int64()),
+                "id": pa.array(np.arange(n), pa.int64()),
+            }
+        )
+
+    lt, rt = mk(31), mk(37)
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        interval_join,
+    )
+
+    out = interval_join(
+        ray.data.from_arrow(lt).repartition(5),
+        ray.data.from_arrow(rt).repartition(9),
+        by="u",
+        left_span=("s", "e"),
+        right_span=("s", "e"),
+        left_cols=["id"],
+        right_cols=["id"],
+        num_buckets=8,
+    ).to_pandas()
+    want = duckdb.sql(
+        """
+        SELECT l.id AS l_id, r.id AS r_id FROM lt l JOIN rt r
+        ON l.u = r.u AND l.s <= r.e AND r.s <= l.e
+        """
+    ).fetchdf()
+    a = out.sort_values(["l_id", "r_id"]).reset_index(drop=True)
+    b = want.sort_values(["l_id", "r_id"]).reset_index(drop=True)
+    assert len(a) == len(b) and a.equals(b)
