@@ -1721,6 +1721,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
     return {
+        "segment_dedup": co.q_segment_dedup,
+        "boilerplate_segments": co.q_boilerplate_segments,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "extract_mentions": _q_extract_mentions,
@@ -4451,6 +4453,44 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             WHERE doc_id % 20 <> 0 AND g IN (SELECT g FROM bench)
             GROUP BY 1
+        """,
+        # CCNet-style boilerplate-segment removal at 3-word-window
+        # granularity (engine: stages/curation.segment_dedup — one
+        # (hash, doc_id) counting shuffle + broadcast-set streaming
+        # rewrite; oracle recomputes on the segment STRINGS, so the
+        # engine's internal 64-bit hash key is contract-checked too)
+        "boilerplate_segments": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            seg AS (SELECT doc_id,
+                           unnest(generate_series(
+                               1, CAST((len(ws) + 2) // 3 AS BIGINT))) AS i,
+                           ws FROM w),
+            segs AS (SELECT doc_id, i,
+                            array_to_string(ws[(i-1)*3+1 : i*3], ' ') AS seg
+                     FROM seg)
+            SELECT seg, count(DISTINCT doc_id) AS n_docs
+            FROM segs GROUP BY seg HAVING count(DISTINCT doc_id) >= 2
+        """,
+        "segment_dedup": """
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws
+                       FROM documents),
+            seg AS (SELECT doc_id,
+                           unnest(generate_series(
+                               1, CAST((len(ws) + 2) // 3 AS BIGINT))) AS i,
+                           ws FROM w),
+            segs AS (SELECT doc_id, i,
+                            array_to_string(ws[(i-1)*3+1 : i*3], ' ') AS seg
+                     FROM seg),
+            bp AS (SELECT seg FROM segs
+                   GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+            SELECT s.doc_id,
+                   coalesce(string_agg(s.seg, ' ' ORDER BY s.i)
+                            FILTER (WHERE b.seg IS NULL), '') AS clean_text,
+                   count(*) AS n_segs,
+                   count(b.seg) AS n_dropped
+            FROM segs s LEFT JOIN bp b USING (seg)
+            GROUP BY s.doc_id
         """,
         "redact": """
             SELECT doc_id,

@@ -506,6 +506,38 @@ def q_redact(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+SEGMENT_WIDTH = 3
+SEGMENT_MIN_DOCS = 2
+
+
+def q_boilerplate_segments(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide boilerplate table: every 3-word window occurring in
+    ≥2 distinct docs, with its distinct-doc count (the counting half of
+    CCNet-style segment dedup — `stages/curation.boilerplate_segments`)."""
+    from ..stages.curation import boilerplate_segments
+
+    return boilerplate_segments(
+        read_documents(sf_dir),
+        width=SEGMENT_WIDTH,
+        min_docs=SEGMENT_MIN_DOCS,
+    )
+
+
+def q_segment_dedup(sf_dir: str) -> ray.data.Dataset:
+    """CCNet-style boilerplate removal at word-window granularity:
+    drop every corpus-repeated 3-word segment from every doc, rejoin
+    the survivors in original order → (doc_id, clean_text, n_segs,
+    n_dropped). One counting shuffle + a broadcast-set streaming
+    rewrite (`stages/curation.segment_dedup`)."""
+    from ..stages.curation import segment_dedup
+
+    return segment_dedup(
+        read_documents(sf_dir),
+        width=SEGMENT_WIDTH,
+        min_docs=SEGMENT_MIN_DOCS,
+    )
+
+
 def q_vocab_encode(sf_dir: str) -> ray.data.Dataset:
     """Tokenizer-vocabulary encode: distributed top-100 vocab build →
     broadcast → per-doc in-vocab/unk token counts."""

@@ -887,3 +887,211 @@ def mixture_weights(
     return merged.repartition(1).map_batches(
         _weights, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# ---------------------------------------------------------------------------
+# boilerplate-segment removal (CCNet-style paragraph dedup, word-window form)
+# ---------------------------------------------------------------------------
+
+
+def boilerplate_segments(
+    docs: ray.data.Dataset,
+    *,
+    width: int = 3,
+    min_docs: int = 2,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Corpus-wide boilerplate-segment table: split every doc into
+    consecutive ``width``-word windows (the line/paragraph unit of
+    CCNet-style dedup, adapted to single-line corpora) and return
+    ``(seg, n_docs)`` for every segment that occurs in ≥ ``min_docs``
+    DISTINCT documents.
+
+    Shuffle discipline: the counting path ships ``(h:int64, doc_id)``
+    only — per-block distinct pairs first (a doc repeating a segment
+    contributes once before the exchange), then ONE hash-bucketed
+    shuffle counts distinct docs per segment. Segment TEXT travels with
+    the count reduce so the output is human-readable, but only for
+    per-block-distinct (h, seg, doc_id) triples — the corpus body never
+    moves."""
+    import polars as pl
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        df = _explode_segments(pl.from_arrow(t.select(["doc_id", "text"])), width)
+        out = df.select(["seg", "h", "doc_id"]).unique()
+        return out.to_arrow().cast(_SEG_PAIR_SCHEMA)
+
+    def _count(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).unique()
+        out = (
+            df.group_by("h")
+            .agg(
+                pl.col("seg").first().alias("seg"),
+                pl.col("doc_id").n_unique().alias("n_docs"),
+            )
+            .filter(pl.col("n_docs") >= min_docs)
+            .select(["seg", "n_docs"])
+        )
+        return out.to_arrow().cast(_SEG_COUNT_SCHEMA)
+
+    pairs = docs.map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(pairs, "h", _count, num_buckets=num_buckets)
+
+
+_SEG_PAIR_SCHEMA = pa.schema(
+    [("seg", pa.string()), ("h", pa.int64()), ("doc_id", pa.int64())]
+)
+_SEG_COUNT_SCHEMA = pa.schema([("seg", pa.string()), ("n_docs", pa.int64())])
+
+# a boilerplate set is small by nature (it is the REPEATED tail of the
+# corpus); 50M 64-bit hashes = 400 MB is the most a sane broadcast should
+# carry — beyond that, fail loudly: the co-bucketed alternative is an
+# anti-semi-join of exploded (h, doc_id, seg_idx) against the boilerplate
+# table followed by a doc_id-bucketed ordered reassembly (one extra
+# shuffle of the segment hashes, never the text)
+MAX_BOILERPLATE_SEGMENTS = 50_000_000
+
+
+def _explode_segments(df, width: int):
+    """(doc_id, text) polars frame → one row per ``width``-word window:
+    (doc_id, i, seg, h). Fully vectorized (split → int_ranges explode →
+    list.slice → join → hash); ``h`` is polars' native 64-bit hash cast
+    to int64 — an INTERNAL shuffle/broadcast key only (the oracle
+    compares reassembled strings), stable within one cluster's pinned
+    polars version."""
+    import polars as pl
+
+    return (
+        df.with_columns(ws=pl.col("text").str.split(" "))
+        .with_columns(
+            n=((pl.col("ws").list.len() + (width - 1)) // width).cast(
+                pl.Int64
+            )
+        )
+        .with_columns(i=pl.int_ranges(0, pl.col("n")))
+        .explode("i")
+        .with_columns(
+            seg=pl.col("ws")
+            .list.slice(pl.col("i") * width, width)
+            .list.join(" ")
+        )
+        .with_columns(h=pl.col("seg").hash(seed=0).cast(pl.Int64, wrap_numerical=True))
+        .drop(["ws", "n"])
+    )
+
+
+class _SegmentRewrite:
+    """Actor-pool rewrite: the broadcast boilerplate-hash array is
+    fetched from plasma ONCE per actor and kept as a SORTED int64 numpy
+    array; each batch explodes to segments, marks drops with one
+    searchsorted membership sweep, and reassembles docs IN ORDER with a
+    maintain-order group-by — the doc row never leaves its block, so
+    reconstruction needs no shuffle."""
+
+    def __init__(self, bp_ref, width: int):
+        import numpy as np
+
+        self._bp = np.sort(ray.get(bp_ref))
+        self._width = width
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+        import polars as pl
+
+        df = _explode_segments(
+            pl.from_arrow(t.select(["doc_id", "text"])), self._width
+        )
+        h = df["h"].to_numpy()
+        if self._bp.size:
+            pos = np.searchsorted(self._bp, h)
+            pos[pos == self._bp.size] = 0
+            drop = self._bp[pos] == h
+        else:
+            drop = np.zeros(len(h), dtype=bool)
+        out = (
+            df.with_columns(drop=pl.Series(drop))
+            .group_by("doc_id", maintain_order=True)
+            .agg(
+                pl.col("seg")
+                .filter(~pl.col("drop"))
+                .str.join(" ")
+                .alias("clean_text"),
+                pl.len().cast(pl.Int64).alias("n_segs"),
+                pl.col("drop").sum().cast(pl.Int64).alias("n_dropped"),
+            )
+        )
+        return out.to_arrow().cast(
+            pa.schema(
+                [
+                    ("doc_id", pa.int64()),
+                    ("clean_text", pa.string()),
+                    ("n_segs", pa.int64()),
+                    ("n_dropped", pa.int64()),
+                ]
+            )
+        )
+
+
+def segment_dedup(
+    docs: ray.data.Dataset,
+    *,
+    width: int = 3,
+    min_docs: int = 2,
+    num_buckets: int = 64,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """CCNet-style boilerplate removal over single-line corpora:
+    (doc_id, text) → (doc_id, clean_text, n_segs, n_dropped), where
+    ``clean_text`` is the doc with every corpus-boilerplate
+    ``width``-word window (a segment occurring in ≥ ``min_docs``
+    distinct docs) removed, remaining segments re-joined in original
+    order.
+
+    Two phases, one shuffle total:
+    1. count — per-block-distinct (h, doc_id) pairs through one
+       hash-bucketed exchange → distinct-doc counts → the boilerplate
+       hash set, collected under ``MAX_BOILERPLATE_SEGMENTS`` and
+       broadcast via ``ray.put`` (the repeated tail of a corpus is
+       small even at 100 TB; the guard fails loudly otherwise).
+    2. rewrite — the corpus STREAMS through an actor pool; each doc is
+       exploded, filtered by one sorted-array searchsorted membership
+       sweep, and reassembled locally (order preserved, no shuffle —
+       the doc row never leaves its block)."""
+    import numpy as np
+
+    bp = boilerplate_segments(
+        docs, width=width, min_docs=min_docs, num_buckets=num_buckets
+    )
+
+    import polars as pl
+
+    hashes: list[np.ndarray] = []
+    total = 0
+    for b in bp.iter_batches(batch_format="pyarrow"):
+        arr = (
+            pl.from_arrow(b["seg"].combine_chunks())
+            .hash(seed=0)
+            .cast(pl.Int64, wrap_numerical=True)
+            .to_numpy()
+        )
+        total += arr.size
+        if total > MAX_BOILERPLATE_SEGMENTS:
+            raise ValueError(
+                "boilerplate set exceeds MAX_BOILERPLATE_SEGMENTS="
+                f"{MAX_BOILERPLATE_SEGMENTS}; switch to the co-bucketed "
+                "anti-join + ordered-reassembly path (see docstring)"
+            )
+        hashes.append(arr)
+    bp_ref = ray.put(
+        np.concatenate(hashes) if hashes else np.empty(0, np.int64)
+    )
+
+    return docs.map_batches(
+        _SegmentRewrite,
+        fn_constructor_kwargs={"bp_ref": bp_ref, "width": width},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or default_pool_size(),
+    )

@@ -323,3 +323,104 @@ def test_bigram_coverage_block_layout_invariant(ray_session):
     # bigrams of "u v u v u v": {u v, v u} — both df=1 (single doc)
     assert list(one["n_bigrams"]) == [2]
     assert list(one["n_supported"]) == [0]
+
+
+def test_segment_dedup_closed_form(ray_session):
+    """width=2 windows: 'x y' at aligned positions in docs 0 and 1 is
+    boilerplate (2 distinct docs); doc 2's unaligned 'x y' (offset 1)
+    is NOT the same segment; tail partial segments count; a doc that is
+    100% boilerplate comes back as empty string, not a missing row."""
+    docs = _docs(
+        [
+            "x y a b c",      # segs: "x y", "a b", "c"
+            "x y q",          # segs: "x y", "q"
+            "k x y",          # segs: "k x", "y"  (misaligned → distinct)
+            "x y",            # segs: "x y"  → all boilerplate
+        ]
+    )
+    out = (
+        curation.segment_dedup(docs, width=2, min_docs=2, num_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert out.loc[0, "clean_text"] == "a b c"
+    assert (out.loc[0, "n_segs"], out.loc[0, "n_dropped"]) == (3, 1)
+    assert out.loc[1, "clean_text"] == "q"
+    assert out.loc[2, "clean_text"] == "k x y"
+    assert out.loc[2, "n_dropped"] == 0
+    assert out.loc[3, "clean_text"] == ""
+    assert (out.loc[3, "n_segs"], out.loc[3, "n_dropped"]) == (1, 1)
+
+
+def test_segment_dedup_within_doc_repeat_not_boilerplate(ray_session):
+    """A segment repeated many times INSIDE one doc but present in only
+    that doc never reaches min_docs=2 (distinct-doc counting), so it
+    survives; boilerplate_segments agrees."""
+    docs = _docs(["p q p q p q", "r s t"])
+    bp = curation.boilerplate_segments(
+        docs, width=2, min_docs=2, num_buckets=4
+    ).take_all()
+    assert bp == []
+    out = (
+        curation.segment_dedup(docs, width=2, min_docs=2, num_buckets=4)
+        .to_pandas()
+        .set_index("doc_id")
+    )
+    assert out.loc[0, "clean_text"] == "p q p q p q"
+    assert out.loc[0, "n_dropped"] == 0
+
+
+def test_segment_dedup_vs_duckdb_random(ray_session):
+    """Random small-vocab corpus vs the full SQL oracle (strings, not
+    hashes) across widths 2 and 3 — order-preserving reassembly, tail
+    segments, drop-everything docs all covered."""
+    import duckdb
+    import numpy as np
+
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(6)]
+    texts = [
+        " ".join(rng.choice(vocab, size=rng.integers(1, 12)))
+        for _ in range(120)
+    ]
+    tbl = pa.table(
+        {"doc_id": pa.array(range(120), pa.int64()), "text": texts}
+    )
+    for width in (2, 3):
+        got = (
+            curation.segment_dedup(
+                ray.data.from_arrow(tbl).repartition(7),
+                width=width,
+                min_docs=2,
+                num_buckets=8,
+            )
+            .to_pandas()
+            .sort_values("doc_id")
+            .reset_index(drop=True)
+        )
+        want = (
+            duckdb.sql(
+                f"""
+            WITH w AS (SELECT doc_id, string_split(text, ' ') AS ws FROM tbl),
+            seg AS (SELECT doc_id,
+                           unnest(generate_series(1,
+                               CAST((len(ws) + {width - 1}) // {width} AS BIGINT))) AS i,
+                           ws FROM w),
+            segs AS (SELECT doc_id, i,
+                            array_to_string(ws[(i-1)*{width}+1 : i*{width}], ' ') AS seg
+                     FROM seg),
+            bp AS (SELECT seg FROM segs
+                   GROUP BY seg HAVING count(DISTINCT doc_id) >= 2)
+            SELECT s.doc_id,
+                   coalesce(string_agg(s.seg, ' ' ORDER BY s.i)
+                            FILTER (WHERE b.seg IS NULL), '') AS clean_text,
+                   count(*) AS n_segs, count(b.seg) AS n_dropped
+            FROM segs s LEFT JOIN bp b USING (seg)
+            GROUP BY s.doc_id ORDER BY s.doc_id
+            """
+            )
+            .fetchdf()
+            .reset_index(drop=True)
+        )
+        assert got.equals(want.astype(got.dtypes.to_dict())), f"width={width}"
