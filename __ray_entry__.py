@@ -1723,6 +1723,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
     return {
         "segment_dedup": co.q_segment_dedup,
         "boilerplate_segments": co.q_boilerplate_segments,
+        "extract_patterns": co.q_extract_patterns,
+        "pattern_stats": co.q_pattern_stats,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "extract_mentions": _q_extract_mentions,
@@ -4491,6 +4493,34 @@ def oracle_sql() -> dict[str, str]:
                    count(b.seg) AS n_dropped
             FROM segs s LEFT JOIN bp b USING (seg)
             GROUP BY s.doc_id
+        """,
+        # structured regex mining (PII/URL-miner shape): leftmost
+        # non-overlapping matches, per-doc counts; RE2 == Rust-regex on
+        # group-free patterns (engine: stages/curation.extract_patterns)
+        "extract_patterns": """
+            WITH m AS (
+                SELECT doc_id, 'a_word' AS kind,
+                       unnest(regexp_extract_all(text, '\\ba[a-z]*\\b')) AS hit
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'long_word',
+                       unnest(regexp_extract_all(text, '\\b[a-z]{6,}\\b'))
+                FROM documents)
+            SELECT doc_id, kind, hit, count(*) AS n
+            FROM m GROUP BY doc_id, kind, hit
+        """,
+        "pattern_stats": """
+            WITH m AS (
+                SELECT doc_id, 'a_word' AS kind,
+                       unnest(regexp_extract_all(text, '\\ba[a-z]*\\b')) AS hit
+                FROM documents
+                UNION ALL
+                SELECT doc_id, 'long_word',
+                       unnest(regexp_extract_all(text, '\\b[a-z]{6,}\\b'))
+                FROM documents)
+            SELECT kind, hit, count(*) AS n_matches,
+                   count(DISTINCT doc_id) AS n_docs
+            FROM m GROUP BY kind, hit
         """,
         "redact": """
             SELECT doc_id,

@@ -509,6 +509,33 @@ def q_redact(sf_dir: str) -> ray.data.Dataset:
 SEGMENT_WIDTH = 3
 SEGMENT_MIN_DOCS = 2
 
+# PII-miner shape demo patterns over the word-stream corpus: emails/
+# phones don't exist in this vocab, so mine word shapes instead (the op
+# itself is the generic email/phone/URL miner; patterns must be
+# group-free + backref-free — Rust regex and RE2 agree on those)
+MINE_PATTERNS = {
+    "a_word": r"\ba[a-z]*\b",
+    "long_word": r"\b[a-z]{6,}\b",
+}
+
+
+def q_extract_patterns(sf_dir: str) -> ray.data.Dataset:
+    """Structured regex mining (the PII/URL-miner shape): every named
+    pattern's matches per doc with occurrence counts — doc-local, no
+    shuffle (`stages/curation.extract_patterns`)."""
+    from ..stages.curation import extract_patterns
+
+    return extract_patterns(read_documents(sf_dir), MINE_PATTERNS)
+
+
+def q_pattern_stats(sf_dir: str) -> ray.data.Dataset:
+    """Corpus-wide leak report: per (kind, hit) total matches + distinct
+    docs, via per-block partials and one (kind·hit)-bucketed shuffle
+    (`stages/curation.pattern_stats`)."""
+    from ..stages.curation import pattern_stats
+
+    return pattern_stats(read_documents(sf_dir), MINE_PATTERNS)
+
 
 def q_boilerplate_segments(sf_dir: str) -> ray.data.Dataset:
     """Corpus-wide boilerplate table: every 3-word window occurring in

@@ -1095,3 +1095,134 @@ def segment_dedup(
         zero_copy_batch=True,
         concurrency=concurrency or default_pool_size(),
     )
+
+
+# ---------------------------------------------------------------------------
+# regex pattern mining (PII / URL / shape extraction)
+# ---------------------------------------------------------------------------
+
+
+def extract_patterns(
+    docs: ray.data.Dataset, patterns: dict[str, str]
+) -> ray.data.Dataset:
+    """Structured regex mining: for each named pattern, every
+    non-overlapping leftmost match per doc → ``(doc_id, kind, hit, n)``
+    with per-doc occurrence counts. The generic PII/URL/email miner —
+    ``redact`` destroys matches, this one REPORTS them.
+
+    Entirely doc-local (extract → explode → per-doc count inside the
+    batch): no shuffle, the corpus streams. Vectorized polars
+    ``str.extract_all`` per named pattern (a loop over the handful of
+    PATTERNS, never over rows); Rust-regex and DuckDB RE2 agree on
+    leftmost non-overlapping semantics, so oracles mirror 1:1 with
+    ``regexp_extract_all`` + ``unnest``."""
+
+    def _mine(t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        parts = []
+        for kind, pat in sorted(patterns.items()):
+            parts.append(
+                df.select(
+                    pl.col("doc_id"),
+                    pl.lit(kind).alias("kind"),
+                    pl.col("text").str.extract_all(pat).alias("hit"),
+                )
+                .explode("hit")
+                .drop_nulls("hit")
+                .group_by(["doc_id", "kind", "hit"])
+                .len()
+                .with_columns(pl.col("len").cast(pl.Int64).alias("n"))
+                .drop("len")
+            )
+        out = pl.concat(parts) if parts else pl.DataFrame()
+        return out.to_arrow().cast(_PATTERN_SCHEMA)
+
+    return docs.map_batches(
+        _mine, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_PATTERN_SCHEMA = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("kind", pa.string()),
+        ("hit", pa.string()),
+        ("n", pa.int64()),
+    ]
+)
+
+
+def pattern_stats(
+    docs: ray.data.Dataset,
+    patterns: dict[str, str],
+    *,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Corpus rollup of ``extract_patterns``: per (kind, hit) the total
+    occurrence count and the number of distinct docs it appears in —
+    the "which PII values leak, and how widely" report.
+
+    Per-block partials from the doc-local miner (already one row per
+    (doc, kind, hit)) collapse through ONE (kind·hit)-bucketed shuffle;
+    only the distinct-per-block (kind, hit, n, 1-doc) partials travel,
+    never the text."""
+    import polars as pl
+
+    mined = extract_patterns(docs, patterns)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # mined rows are GLOBALLY distinct per (doc_id, kind, hit) — each
+        # doc is mined in exactly one place — so distinct-doc count is a
+        # plain row count: correct under any downstream re-batching
+        # (a per-block n_unique would double-count a doc whose rows Ray
+        # split across two partial batches)
+        df = pl.from_arrow(t)
+        out = df.group_by(["kind", "hit"]).agg(
+            pl.col("n").sum().alias("n_matches"),
+            pl.len().cast(pl.Int64).alias("n_docs"),
+        )
+        return out.to_arrow().cast(_PATTERN_STATS_SCHEMA)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        out = df.group_by(["kind", "hit"]).agg(
+            pl.col("n_matches").sum(), pl.col("n_docs").sum()
+        )
+        return out.to_arrow().cast(_PATTERN_STATS_SCHEMA)
+
+    partials = mined.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _key(t: pa.Table) -> pa.Array:
+        import pyarrow.compute as pc
+
+        return pc.binary_join_element_wise(
+            t["kind"].combine_chunks().cast(pa.string()),
+            t["hit"].combine_chunks().cast(pa.string()),
+            "\x1f",
+        )
+
+    keyed = partials.map_batches(
+        lambda t: t.append_column("_kh", _key(t)),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return bucket_group_apply(
+        keyed,
+        "_kh",
+        lambda t: _merge(t.drop_columns(["_kh"])),
+        num_buckets=num_buckets,
+    )
+
+
+_PATTERN_STATS_SCHEMA = pa.schema(
+    [
+        ("kind", pa.string()),
+        ("hit", pa.string()),
+        ("n_matches", pa.int64()),
+        ("n_docs", pa.int64()),
+    ]
+)

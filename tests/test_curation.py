@@ -424,3 +424,39 @@ def test_segment_dedup_vs_duckdb_random(ray_session):
             .reset_index(drop=True)
         )
         assert got.equals(want.astype(got.dtypes.to_dict())), f"width={width}"
+
+
+def test_extract_patterns_pii_closed_form(ray_session):
+    """The real PII-miner use: emails + phone shapes, per-doc counts,
+    docs with no hits absent, repeated hits counted."""
+    docs = _docs(
+        [
+            "mail a@b.com then a@b.com and c@d.org end",
+            "call 555-1234 now",
+            "nothing here",
+        ]
+    )
+    pats = {
+        "email": r"[a-z]+@[a-z]+\.[a-z]+",
+        "phone": r"\b\d{3}-\d{4}\b",
+    }
+    out = curation.extract_patterns(docs, pats).take_all()
+    rows = {(r["doc_id"], r["kind"], r["hit"]): r["n"] for r in out}
+    assert rows == {
+        (0, "email", "a@b.com"): 2,
+        (0, "email", "c@d.org"): 1,
+        (1, "phone", "555-1234"): 1,
+    }
+
+
+def test_pattern_stats_rollup(ray_session):
+    """Corpus rollup: n_matches sums occurrences, n_docs counts distinct
+    docs — stable across block layouts (repartition shakes the combiner)."""
+    docs = _docs(
+        ["a@b.com a@b.com", "a@b.com x", "c@d.org", "plain"],
+    ).repartition(3)
+    out = curation.pattern_stats(
+        docs, {"email": r"[a-z]+@[a-z]+\.[a-z]+"}, num_buckets=4
+    ).take_all()
+    rows = {r["hit"]: (r["n_matches"], r["n_docs"]) for r in out}
+    assert rows == {"a@b.com": (3, 2), "c@d.org": (1, 1)}
