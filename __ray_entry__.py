@@ -1725,6 +1725,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "boilerplate_segments": co.q_boilerplate_segments,
         "extract_patterns": co.q_extract_patterns,
         "pattern_stats": co.q_pattern_stats,
+        "order_grouping_sets": co.q_order_grouping_sets,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "extract_mentions": _q_extract_mentions,
@@ -4493,6 +4494,19 @@ def oracle_sql() -> dict[str, str]:
                    count(b.seg) AS n_dropped
             FROM segs s LEFT JOIN bp b USING (seg)
             GROUP BY s.doc_id
+        """,
+        # explicit GROUPING SETS (neither rollup nor cube) with the SQL
+        # GROUPING() bitmask (engine: stages/relational.grouped_sets —
+        # one corpus scan, coarser sets re-aggregate the detail result)
+        "order_grouping_sets": """
+            SELECT o_orderpriority, o_orderstatus,
+                   CAST(GROUPING(o_orderpriority, o_orderstatus) AS BIGINT)
+                       AS gid,
+                   count(*) AS n_orders,
+                   CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                        AS BIGINT) AS sum_total_cents
+            FROM orders
+            GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ())
         """,
         # structured regex mining (PII/URL-miner shape): leftmost
         # non-overlapping matches, per-doc counts; RE2 == Rust-regex on

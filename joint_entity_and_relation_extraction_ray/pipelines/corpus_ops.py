@@ -1404,6 +1404,41 @@ def q_pricing_rollup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_order_grouping_sets(sf_dir: str) -> ray.data.Dataset:
+    """GROUP BY GROUPING SETS ((o_orderpriority), (o_orderstatus), ()):
+    an explicit non-rollup, non-cube set list — two independent 1-D cuts
+    plus the grand total from ONE corpus scan, SQL GROUPING() bitmask
+    included — see `stages/relational.grouped_sets`."""
+    from ..stages.relational import grouped_sets
+
+    od = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderpriority", "o_orderstatus", "o_totalprice"],
+    )
+
+    def _prep(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "o_orderstatus": t["o_orderstatus"],
+                "cents": pc.cast(
+                    pc.round(pc.multiply(t["o_totalprice"], 100.0)),
+                    pa.int64(),
+                ),
+            }
+        )
+
+    return grouped_sets(
+        od.map_batches(_prep, batch_format="pyarrow", zero_copy_batch=True),
+        by=["o_orderpriority", "o_orderstatus"],
+        sets=[["o_orderpriority"], ["o_orderstatus"], []],
+        aggs={
+            "n_orders": ("cents", "count"),
+            "sum_total_cents": ("cents", "sum"),
+        },
+    )
+
+
 def q_pricing_cube(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY CUBE (l_returnflag, l_linestatus): all four grouping sets
     with a SQL GROUPING() bitmask, one corpus scan — see

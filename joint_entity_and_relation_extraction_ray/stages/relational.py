@@ -54,6 +54,7 @@ __all__ = [
     "group_topk",
     "group_topk_rank",
     "grouped_rollup",
+    "grouped_sets",
     "grouped_summary",
     "interval_join",
     "latest_by_key",
@@ -541,6 +542,92 @@ def grouped_cube(
                 zero_copy_batch=True,
             )
         )
+    return out
+
+
+def grouped_sets(
+    ds: ray.data.Dataset,
+    *,
+    by: list[str],
+    sets: list[list[str]],
+    aggs: "dict[str, tuple[str, str]]",
+    num_buckets: int = 8,
+) -> ray.data.Dataset:
+    """SQL ``GROUP BY GROUPING SETS ((...), (...))`` with an explicit
+    set list — the general form CUBE (all subsets) and ROLLUP (prefixes)
+    specialize. ``gid`` is the SQL ``GROUPING(by...)`` bitmask (bit set
+    = that dim rolled up, ``by[0]`` most significant); each set must be
+    a distinct subset of ``by``.
+
+    Same one-scan decomposition as :func:`grouped_cube`: aggregate the
+    corpus ONCE to the finest grain (per-block combiner → one merge
+    shuffle), then every requested set re-aggregates the already-tiny
+    detail result (counts re-merge by sum) — the corpus is read and
+    shuffled exactly once no matter how many sets are asked for."""
+    n = len(by)
+    seen = set()
+    for s in sets:
+        key = frozenset(s)
+        if not key <= set(by):
+            raise ValueError(f"grouping set {s} not a subset of by={by}")
+        if key in seen:
+            raise ValueError(f"duplicate grouping set {s}")
+        seen.add(key)
+
+    detail = grouped_summary(
+        ds, by=by, aggs=aggs, num_buckets=num_buckets
+    ).materialize()
+    remerge = {
+        out: (out, "sum" if fn == "count" else fn)
+        for out, (_, fn) in aggs.items()
+    }
+    agg_names = list(aggs.keys())
+    schema = detail.schema()
+    types = dict(zip(schema.names, schema.types))
+
+    def _with_gid(gid: int, keep: list[str]):
+        def _f(t: pa.Table) -> pa.Table:
+            cols: dict = {}
+            for c in by:
+                cols[c] = (
+                    t[c] if c in keep else pa.nulls(t.num_rows, types[c])
+                )
+            cols["gid"] = pa.array([gid] * t.num_rows, pa.int64())
+            for a in agg_names:
+                cols[a] = t[a]
+            return pa.table(cols)
+
+        return _f
+
+    out: ray.data.Dataset | None = None
+    for s in sets:
+        keep = [c for c in by if c in set(s)]
+        gid = 0
+        for i, c in enumerate(by):
+            if c not in set(s):
+                gid |= 1 << (n - 1 - i)
+        if gid == 0:
+            lvl = detail
+        elif keep:
+            lvl = grouped_summary(detail, by=keep, aggs=remerge, num_buckets=1)
+        else:
+            const = detail.map_batches(
+                lambda t: t.append_column(
+                    "_all", pa.array([0] * t.num_rows, pa.int64())
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            lvl = grouped_summary(
+                const, by=["_all"], aggs=remerge, num_buckets=1
+            ).drop_columns(["_all"])
+        piece = lvl.map_batches(
+            _with_gid(gid, keep),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        out = piece if out is None else out.union(piece)
+    assert out is not None, "sets must be non-empty"
     return out
 
 

@@ -1649,3 +1649,65 @@ def test_interval_join_random_vs_duckdb(ray_session):
     a = out.sort_values(["l_id", "r_id"]).reset_index(drop=True)
     b = want.sort_values(["l_id", "r_id"]).reset_index(drop=True)
     assert len(a) == len(b) and a.equals(b)
+
+
+def test_grouped_sets_vs_duckdb(ray_session):
+    """Explicit GROUPING SETS (two 1-D cuts + grand total + the detail
+    pair itself) vs DuckDB, GROUPING() bitmask included."""
+    import numpy as np
+
+    rng = np.random.default_rng(5)
+    tbl = pa.table(
+        {
+            "a": pa.array(rng.choice(["x", "y", "z"], 500)),
+            "b": pa.array(rng.choice(["p", "q"], 500)),
+            "v": pa.array(rng.integers(0, 100, 500), pa.int64()),
+        }
+    )
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        grouped_sets,
+    )
+
+    got = (
+        grouped_sets(
+            ray.data.from_arrow(tbl).repartition(4),
+            by=["a", "b"],
+            sets=[["a", "b"], ["a"], ["b"], []],
+            aggs={"n": ("v", "count"), "sv": ("v", "sum")},
+            num_buckets=4,
+        )
+        .to_pandas()
+        .sort_values(["gid", "a", "b"])
+        .reset_index(drop=True)
+    )
+    want = (
+        duckdb.sql(
+            """
+        SELECT a, b, CAST(GROUPING(a, b) AS BIGINT) AS gid,
+               count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+        FROM tbl GROUP BY GROUPING SETS ((a, b), (a), (b), ())
+        ORDER BY gid, a, b
+        """
+        )
+        .fetchdf()
+        .reset_index(drop=True)
+    )
+    assert got[["a", "b", "gid", "n", "sv"]].equals(
+        want.astype(got[["a", "b", "gid", "n", "sv"]].dtypes.to_dict())
+    )
+
+
+def test_grouped_sets_rejects_bad_sets(ray_session):
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        grouped_sets,
+    )
+
+    ds = _ds({"a": [1], "b": [2], "v": [3]})
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="not a subset"):
+        grouped_sets(ds, by=["a"], sets=[["b"]], aggs={"n": ("v", "count")})
+    with _pt.raises(ValueError, match="duplicate"):
+        grouped_sets(
+            ds, by=["a", "b"], sets=[["a"], ["a"]], aggs={"n": ("v", "count")}
+        )
