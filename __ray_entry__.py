@@ -1726,6 +1726,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "extract_patterns": co.q_extract_patterns,
         "pattern_stats": co.q_pattern_stats,
         "order_grouping_sets": co.q_order_grouping_sets,
+        "order_count_distribution": co.q_order_count_distribution,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "extract_mentions": _q_extract_mentions,
@@ -4494,6 +4495,17 @@ def oracle_sql() -> dict[str, str]:
                    count(b.seg) AS n_dropped
             FROM segs s LEFT JOIN bp b USING (seg)
             GROUP BY s.doc_id
+        """,
+        # TPC-H-Q13 count-of-counts: orders-per-customer histogram with
+        # the zero-order customers the inner join drops (engine:
+        # combiner rollup + distributed anti-join + histogram rollup)
+        "order_count_distribution": """
+            SELECT n_orders, count(*) AS n_customers FROM (
+                SELECT c_custkey,
+                       count(o_custkey) AS n_orders
+                FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+                GROUP BY c_custkey)
+            GROUP BY n_orders
         """,
         # explicit GROUPING SETS (neither rollup nor cube) with the SQL
         # GROUPING() bitmask (engine: stages/relational.grouped_sets —

@@ -1439,6 +1439,48 @@ def q_order_grouping_sets(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_order_count_distribution(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q13 shape — the count-of-counts distribution: how many
+    customers placed exactly N orders, INCLUDING the zero-order
+    customers the naive inner join silently drops. Composition of
+    existing primitives: per-customer combiner rollup (one tiny
+    shuffle), a distributed anti-join for the zero bucket, then a
+    second tiny histogram rollup — the orders fact never moves twice."""
+    from ..stages.relational import grouped_summary, membership_join
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey"]
+    )
+    per_cust = grouped_summary(
+        orders,
+        by=["o_custkey"],
+        aggs={"n_orders": ("o_custkey", "count")},
+    )
+    custs = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]
+    )
+    zeros = membership_join(
+        custs, per_cust, on="c_custkey", right_on="o_custkey", anti=True
+    ).map_batches(
+        lambda t: pa.table(
+            {"n_orders": pa.array([0] * t.num_rows, pa.int64())}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counted = per_cust.map_batches(
+        lambda t: t.select(["n_orders"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).union(zeros)
+    return grouped_summary(
+        counted,
+        by=["n_orders"],
+        aggs={"n_customers": ("n_orders", "count")},
+        num_buckets=1,
+    )
+
+
 def q_pricing_cube(sf_dir: str) -> ray.data.Dataset:
     """GROUP BY CUBE (l_returnflag, l_linestatus): all four grouping sets
     with a SQL GROUPING() bitmask, one corpus scan — see
@@ -2768,6 +2810,7 @@ def bench_ops():
         "semi_join_bloom": _consume(q_semi_join_bloom),
         "revenue_by_nation": _consume(q_revenue_by_nation),
         "curate_corpus": _consume(q_curate_corpus),
+        "segment_dedup": _consume(q_segment_dedup),
         "profile_orders": _consume(q_profile_orders),
         "latest_event": _consume(q_latest_event),
     }

@@ -773,3 +773,27 @@ def test_minhash_cross_pairs_only_cross_side(ray_session):
         ).take_all()
     )
     assert got == [(0, 1), (2, 1)]
+
+
+def test_order_count_distribution_zero_bucket(ray_session, tmp_path):
+    """Q13 shape: customers with NO orders land in the n_orders=0 bucket
+    (the left-join subtlety an inner join silently drops)."""
+    import pyarrow.parquet as pq
+
+    pq.write_table(
+        pa.table({"o_custkey": pa.array([1, 1, 1, 2, 2, 4], pa.int64())}),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2, 3, 4, 5], pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        q_order_count_distribution,
+    )
+
+    rows = {
+        r["n_orders"]: r["n_customers"]
+        for r in q_order_count_distribution(str(tmp_path)).take_all()
+    }
+    assert rows == {0: 2, 1: 1, 2: 1, 3: 1}
