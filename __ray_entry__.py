@@ -1727,6 +1727,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "pattern_stats": co.q_pattern_stats,
         "order_grouping_sets": co.q_order_grouping_sets,
         "order_count_distribution": co.q_order_count_distribution,
+        "bpe_merges": co.q_bpe_merges,
+        "bpe_encode": co.q_bpe_encode,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "extract_mentions": _q_extract_mentions,

@@ -565,6 +565,31 @@ def q_segment_dedup(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+BPE_NUM_MERGES = 24
+
+
+def q_bpe_merges(sf_dir: str) -> ray.data.Dataset:
+    """Learn a BPE merge table from the corpus (rank, left, right,
+    pair_count). Distributed exact word-frequency pass → merge learning
+    on the collapsed vocabulary (`stages/curation.bpe_fit`). Iterative —
+    no SQL mirror; pinned by closed-form Sennrich-example and
+    determinism tests."""
+    from ..stages.curation import bpe_fit
+
+    return bpe_fit(read_documents(sf_dir), num_merges=BPE_NUM_MERGES)
+
+
+def q_bpe_encode(sf_dir: str) -> ray.data.Dataset:
+    """Fit BPE on the corpus, then tokenize the corpus with the learned
+    merges → per-doc subword counts (doc_id, n_subwords). Merge table
+    broadcasts once; corpus streams through a memoizing actor pool
+    (`stages/curation.bpe_encode`)."""
+    from ..stages.curation import bpe_encode, bpe_fit
+
+    docs = read_documents(sf_dir)
+    return bpe_encode(docs, bpe_fit(docs, num_merges=BPE_NUM_MERGES))
+
+
 def q_vocab_encode(sf_dir: str) -> ray.data.Dataset:
     """Tokenizer-vocabulary encode: distributed top-100 vocab build →
     broadcast → per-doc in-vocab/unk token counts."""

@@ -1226,3 +1226,201 @@ _PATTERN_STATS_SCHEMA = pa.schema(
         ("n_docs", pa.int64()),
     ]
 )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer fitting (learn the merge table from the corpus)
+# ---------------------------------------------------------------------------
+
+# BPE fits on the COLLAPSED word-frequency table, not the corpus: even a
+# 100 TB corpus has O(10^7..10^8) distinct whitespace words, so phase 2
+# is driver-local by design (exactly how production BPE trainers work —
+# the corpus pass is the distributed part). Guard the collapse anyway.
+MAX_BPE_VOCAB_WORDS = 20_000_000
+
+
+def _word_freqs(
+    docs: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Exact corpus word-frequency table (word, n) — per-block combiner
+    partials, one word-bucketed merge shuffle; one row per (block,
+    distinct word) moves, never the corpus."""
+    import polars as pl
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["text"]))
+        out = (
+            df.select(pl.col("text").str.extract_all(r"\S+").alias("word"))
+            .explode("word")
+            .drop_nulls("word")
+            .group_by("word")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return out.to_arrow().cast(_WORD_FREQ_SCHEMA)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        return (
+            df.group_by("word")
+            .agg(pl.col("n").sum())
+            .to_arrow()
+            .cast(_WORD_FREQ_SCHEMA)
+        )
+
+    partials = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partials, "word", _merge, num_buckets=num_buckets)
+
+
+_WORD_FREQ_SCHEMA = pa.schema([("word", pa.string()), ("n", pa.int64())])
+
+_EOW = "</w>"
+
+
+def _bpe_learn(
+    freqs: "list[tuple[str, int]]", num_merges: int
+) -> "list[tuple[int, str, str, int]]":
+    """Classic Sennrich-style BPE on a word-frequency table: symbols
+    start as characters + an end-of-word marker; each round merges the
+    most frequent adjacent pair (count desc, pair lex asc tie-break —
+    fully deterministic). Returns (rank, left, right, pair_count)."""
+    from collections import Counter
+
+    words: list[tuple[list[str], int]] = [
+        (list(w) + [_EOW], n) for w, n in freqs if w
+    ]
+    merges: list[tuple[int, str, str, int]] = []
+    for rank in range(num_merges):
+        pairs: Counter = Counter()
+        for sym, n in words:
+            for i in range(len(sym) - 1):
+                pairs[(sym[i], sym[i + 1])] += n
+        if not pairs:
+            break
+        best = min(pairs.items(), key=lambda kv: (-kv[1], kv[0]))
+        (a, b), cnt = best
+        merges.append((rank, a, b, cnt))
+        ab = a + b
+        for sym, _ in words:
+            i = 0
+            while i < len(sym) - 1:
+                if sym[i] == a and sym[i + 1] == b:
+                    sym[i : i + 2] = [ab]
+                else:
+                    i += 1
+    return merges
+
+
+def bpe_fit(
+    docs: ray.data.Dataset,
+    *,
+    num_merges: int = 20,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Learn a BPE merge table from the corpus → (rank, left, right,
+    pair_count). The corpus pass (exact word frequencies) is the
+    distributed phase; merge learning runs on the collapsed vocabulary
+    — small by nature, guarded by ``MAX_BPE_VOCAB_WORDS`` (this is how
+    production BPE trainers are structured; the corpus is never
+    re-scanned per merge round)."""
+    freq_rows: list[tuple[str, int]] = []
+    for b in _word_freqs(docs, num_buckets=num_buckets).iter_batches(
+        batch_format="pyarrow"
+    ):
+        freq_rows.extend(
+            zip(b["word"].to_pylist(), b["n"].to_pylist())
+        )
+        if len(freq_rows) > MAX_BPE_VOCAB_WORDS:
+            raise ValueError(
+                "distinct-word vocabulary exceeds MAX_BPE_VOCAB_WORDS="
+                f"{MAX_BPE_VOCAB_WORDS}; fit on a hash-sampled corpus "
+                "slice instead (sample_hash) — merge ranks converge long "
+                "before the full tail is seen"
+            )
+    freq_rows.sort()  # deterministic regardless of shuffle arrival order
+    merges = _bpe_learn(freq_rows, num_merges)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "rank": pa.array([m[0] for m in merges], pa.int64()),
+                "left": pa.array([m[1] for m in merges], pa.string()),
+                "right": pa.array([m[2] for m in merges], pa.string()),
+                "pair_count": pa.array([m[3] for m in merges], pa.int64()),
+            }
+        )
+    )
+
+
+class _BpeEncode:
+    """Actor-pool BPE applier: the broadcast merge table is fetched once
+    per actor; per-word tokenizations are memoized in a persistent
+    per-actor dict (a corpus has few distinct words relative to tokens,
+    so the amortized cost per token is a dict hit)."""
+
+    def __init__(self, merges_ref):
+        self._ranks: dict = {
+            (a, b): r for r, a, b in ray.get(merges_ref)
+        }
+        self._cache: dict = {}
+
+    def _encode_word(self, w: str) -> int:
+        got = self._cache.get(w)
+        if got is not None:
+            return got
+        sym = list(w) + [_EOW]
+        ranks = self._ranks
+        while len(sym) > 1:
+            best_i, best_r = -1, None
+            for i in range(len(sym) - 1):
+                r = ranks.get((sym[i], sym[i + 1]))
+                if r is not None and (best_r is None or r < best_r):
+                    best_i, best_r = i, r
+            if best_r is None:
+                break
+            sym[best_i : best_i + 2] = [sym[best_i] + sym[best_i + 1]]
+        n = len(sym)
+        self._cache[w] = n
+        return n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import polars as pl
+
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        words = df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.extract_all(r"\S+").alias("w"),
+        )
+        enc = self._encode_word
+        counts = [
+            sum(enc(w) for w in ws) if ws is not None else 0
+            for ws in words["w"].to_list()
+        ]
+        return pa.table(
+            {
+                "doc_id": words["doc_id"].to_arrow().cast(pa.int64()),
+                "n_subwords": pa.array(counts, pa.int64()),
+            }
+        )
+
+
+def bpe_encode(
+    docs: ray.data.Dataset,
+    merges: ray.data.Dataset,
+    *,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """Apply a learned BPE merge table → per-doc subword counts
+    (doc_id, n_subwords). Merge table broadcasts once via ``ray.put``;
+    the corpus streams through a memoizing actor pool."""
+    rows = sorted(
+        (r["rank"], r["left"], r["right"]) for r in merges.take_all()
+    )
+    merges_ref = ray.put(rows)
+    return docs.map_batches(
+        _BpeEncode,
+        fn_constructor_kwargs={"merges_ref": merges_ref},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or default_pool_size(),
+    )

@@ -460,3 +460,59 @@ def test_pattern_stats_rollup(ray_session):
     ).take_all()
     rows = {r["hit"]: (r["n_matches"], r["n_docs"]) for r in out}
     assert rows == {"a@b.com": (3, 2), "c@d.org": (1, 1)}
+
+
+def test_bpe_fit_sennrich_example(ray_session):
+    """The canonical low/lower/newest/widest BPE example: merge order is
+    (e,s) → (es,t) → (est,</w>) → (l,o) → (lo,w), counts exact; merge
+    learning is deterministic regardless of block layout."""
+    texts = (
+        ["low"] * 5 + ["lower"] * 2 + ["newest"] * 6 + ["widest"] * 3
+    )
+    docs = _docs([" ".join(texts)]).union(_docs([""], ids=[99]))
+    out = [
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in curation.bpe_fit(
+            docs, num_merges=5, num_buckets=4
+        ).take_all()
+    ]
+    assert sorted(out) == [
+        (0, "e", "s", 9),
+        (1, "es", "t", 9),
+        (2, "est", "</w>", 9),
+        (3, "l", "o", 7),
+        (4, "lo", "w", 7),
+    ]
+
+
+def test_bpe_fit_layout_invariant(ray_session):
+    """Same corpus split across many docs/blocks → identical merge table
+    (word counts are a monoid; learning sorts the collapsed vocab)."""
+    words = ["scan"] * 4 + ["scans"] * 3 + ["span"] * 2
+    one = _docs([" ".join(words)])
+    many = _docs(words).repartition(5)
+    a = sorted(
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in curation.bpe_fit(one, num_merges=6, num_buckets=4).take_all()
+    )
+    b = sorted(
+        (r["rank"], r["left"], r["right"], r["pair_count"])
+        for r in curation.bpe_fit(many, num_merges=6, num_buckets=4).take_all()
+    )
+    assert a == b
+
+
+def test_bpe_encode_counts(ray_session):
+    """Applying the learned merges: fully-merged words collapse to one
+    symbol chain; unknown words fall back to char+eow length; counts are
+    per-doc."""
+    train = _docs(["ab ab ab ab"])
+    merges = curation.bpe_fit(train, num_merges=3, num_buckets=2)
+    # merges learned: (a,b)→ab, (ab,</w>)  → "ab" encodes to 1 symbol
+    test = _docs(["ab ab", "ab xy", "zz"], ids=[0, 1, 2])
+    out = {
+        r["doc_id"]: r["n_subwords"]
+        for r in curation.bpe_encode(test, merges, concurrency=2).take_all()
+    }
+    # "ab" → ["ab</w>"] = 1; "xy" → x,y,</w> = 3; "zz" → z,z,</w> = 3
+    assert out == {0: 2, 1: 4, 2: 3}
