@@ -894,6 +894,19 @@ def _q_kg_scc(sf_dir: str):
     return strongly_connected_components(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_sssp(sf_dir: str):
+    """Bounded-hop weighted single-source shortest distances from the
+    lexicographic-min entity over the undirected weighted KG (≤4 hops,
+    integer edge costs = assertion weights) — distributed Bellman-Ford
+    in `stages/graph.sssp_distances`, hop-capped recursive-CTE oracle."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        sssp_distances,
+    )
+
+    return sssp_distances(kg.stage(sf_dir, "edges"), max_hops=4)
+
+
 def _q_kg_comention(sf_dir: str):
     """Entity co-mention counts per turn (the co-occurrence edge layer)
     — see `stages/graph.comention_counts`."""
@@ -1731,6 +1744,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": co.q_bpe_encode,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
+        "kg_sssp": _q_kg_sssp,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -2377,6 +2391,49 @@ def oracle_sql() -> dict[str, str]:
         """,
         # BFS = recursive reachability with min hop count; the d < 6 cap
         # mirrors the Ray side's max_hops=6
+        # weighted bounded-hop SSSP: min path cost within ≤4 edges;
+        # parallel (pred) edges stay parallel — min() resolves, exactly
+        # like the engine's relax + min-merge
+        "kg_sssp": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            wedges AS MATERIALIZED (
+                SELECT s.entity_id AS src, t.pred, o.entity_id AS dst,
+                       COUNT(*) AS w
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            ),
+            sym AS MATERIALIZED (
+                SELECT src, dst, w FROM wedges
+                UNION ALL SELECT dst, src, w FROM wedges
+            ),
+            reach(node, d, hops) AS (
+                SELECT (SELECT min(src) FROM sym), 0, 0
+                UNION
+                SELECT s.dst, r.d + s.w, r.hops + 1
+                FROM reach r JOIN sym s ON s.src = r.node
+                WHERE r.hops < 4
+            )
+            SELECT node, CAST(min(d) AS BIGINT) AS dist
+            FROM reach GROUP BY node
+        """,
         "kg_bfs": f"""
             WITH RECURSIVE best AS MATERIALIZED (
                 SELECT alias, ent_type, entity_id

@@ -1443,6 +1443,103 @@ def bfs_distances(
     return labels
 
 
+def sssp_distances(
+    edges: ray.data.Dataset,
+    *,
+    source: str | None = None,
+    max_hops: int = 4,
+    weight_col: str = "weight",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Bounded-hop WEIGHTED single-source shortest distances over the
+    undirected KG — rows ``(node, dist:int64)`` where dist = the
+    minimum total edge cost over paths of ≤ ``max_hops`` edges from
+    ``source`` (default: lexicographic min node id, so the query is
+    deterministic with no parameter). Integer edge costs → integer
+    distances, SQL-mirrorable by a hop-capped recursive CTE with
+    ``min(d)`` per node.
+
+    Distributed Bellman-Ford, the weighted sibling of
+    :func:`bfs_distances`: the symmetrized (src, dst, w) edge set
+    materializes once; each round relaxes the CURRENT label table
+    through one ``join_auto`` against edges (only (node, dist) pairs
+    move) and a salted min-merge. Parallel edges between a node pair
+    need no pre-min: all propagate and the min-merge keeps the
+    cheapest. ``max_hops`` rounds bound the loop exactly like the
+    SQL mirror's hop cap — for full convergence on a W-weighted
+    diameter-D graph run D rounds (grammar KGs are shallow)."""
+    import pyarrow.compute as _pc
+
+    from ..functions.joins import join_auto
+    from .canonical import _salted_min, default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+
+    sym = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t["subj_id"].combine_chunks(),
+                        t["obj_id"].combine_chunks(),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t["obj_id"].combine_chunks(),
+                        t["subj_id"].combine_chunks(),
+                    ]
+                ),
+                "w": pa.concat_arrays(
+                    [
+                        t[weight_col].combine_chunks().cast(pa.int64()),
+                        t[weight_col].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    if source is None:
+        mins = sym.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([_pc.min(t["src"]).as_py()], pa.string())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()  # one row per block — tiny by construction
+        source = min(r["m"] for r in mins if r["m"] is not None)
+
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([source], pa.string()),
+                "dist": pa.array([0], pa.int64()),
+            }
+        )
+    )
+    for _ in range(max_hops):
+        prop = join_auto(
+            sym,
+            labels,
+            on=("src",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table(
+                {"node": t["dst"], "dist": _pc.add(t["dist"], t["w"])}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = _salted_min(
+            labels.union(prop), "node", "dist"
+        ).materialize()
+    return labels
+
+
 def comention_counts(
     linked: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:

@@ -1309,3 +1309,73 @@ def test_scc_random_vs_tarjan(ray_session):
         ).take_all()
     }
     assert got == _tarjan(pairs)
+
+
+def test_sssp_weighted_prefers_cheap_detour(ray_session):
+    """Weighted SSSP from min node 'a': the direct a→d edge costs 10 but
+    the 3-hop detour a→b→c→d costs 3 — Bellman-Ford must return 3 (BFS
+    would say 1 hop); the hop cap truncates longer paths."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        sssp_distances,
+    )
+
+    def edges(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "subj_id": pa.array([r[0] for r in rows]),
+                    "obj_id": pa.array([r[1] for r in rows]),
+                    "weight": pa.array([r[2] for r in rows], pa.int64()),
+                }
+            )
+        )
+
+    rows = [
+        ("a", "d", 10),
+        ("a", "b", 1),
+        ("b", "c", 1),
+        ("c", "d", 1),
+        ("d", "e", 1),
+        ("x", "y", 2),  # disconnected from 'a' — must not appear
+    ]
+    got = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(edges(rows), max_hops=4).take_all()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 3, "e": 4}
+
+    # hop cap 2: the cheap detour to d needs 3 edges, so within 2 hops
+    # the direct weight-10 edge wins; e is reachable via d (10+1)
+    capped = {
+        r["node"]: r["dist"]
+        for r in sssp_distances(edges(rows), max_hops=2).take_all()
+    }
+    assert capped == {"a": 0, "b": 1, "c": 2, "d": 10, "e": 11}
+
+
+def test_sssp_parallel_edges_take_min(ray_session):
+    """Two parallel (pred) edges between the same pair: the min-merge
+    keeps the cheaper one without any pre-aggregation."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        sssp_distances,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": ["a", "a"],
+                "obj_id": ["b", "b"],
+                "weight": pa.array([7, 3], pa.int64()),
+            }
+        )
+    )
+    got = {
+        r["node"]: r["dist"] for r in sssp_distances(ds, max_hops=2).take_all()
+    }
+    assert got == {"a": 0, "b": 3}
