@@ -1742,6 +1742,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "order_count_distribution": co.q_order_count_distribution,
         "bpe_merges": co.q_bpe_merges,
         "bpe_encode": co.q_bpe_encode,
+        "event_journeys": co.q_event_journeys,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "kg_sssp": _q_kg_sssp,
@@ -4177,6 +4178,18 @@ def oracle_sql() -> dict[str, str]:
             FROM (SELECT user_id, island, max(e) - min(s) AS cov
                   FROM isl GROUP BY 1, 2)
             GROUP BY user_id
+        """,
+        # top journey trigrams: chained lead() windows, deterministic
+        # (n desc, path asc) cut mirrors the engine's sort+limit
+        "event_journeys": """
+            SELECT e1 || ' ' || e2 || ' ' || e3 AS path, count(*) AS n
+            FROM (SELECT event_type AS e1,
+                         lead(event_type, 1) OVER w AS e2,
+                         lead(event_type, 2) OVER w AS e3
+                  FROM events
+                  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+            WHERE e2 IS NOT NULL AND e3 IS NOT NULL
+            GROUP BY 1 ORDER BY n DESC, path LIMIT 50
         """,
         "event_transitions": """
             SELECT from_type, event_type AS to_type, count(*) AS n

@@ -2293,6 +2293,20 @@ def q_user_streaks(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_event_journeys(sf_dir: str) -> ray.data.Dataset:
+    """Top-50 user-journey trigrams (length-3 event-type windows per
+    user stream, deterministic (n desc, path asc) cut) — see
+    `stages/events.event_journeys`."""
+    from ..stages.events import event_journeys, read_events
+
+    return event_journeys(
+        read_events(sf_dir, columns=["user_id", "ts", "event_id", "event_type"]),
+        k=3,
+        top=50,
+        num_buckets=8,
+    )
+
+
 def q_event_transitions(sf_dir: str) -> ray.data.Dataset:
     """Markov event-type transition counts per user sequence — see
     `stages/events.event_transitions`."""

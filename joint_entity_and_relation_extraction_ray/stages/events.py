@@ -746,6 +746,62 @@ def fill_date_gaps(
     return bucket_group_apply(partials, by, _dense, num_buckets=num_buckets)
 
 
+def event_journeys(
+    events: ray.data.Dataset,
+    *,
+    k: int = 3,
+    top: int = 50,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Top user-journey k-grams: the ``top`` most common length-``k``
+    windows of consecutive event types over each user's time-ordered
+    stream — rows ``(path, n)``, path = space-joined types, ranked
+    (n desc, path asc) so the cut is deterministic under ties. The
+    sequence-pattern generalization of :func:`event_transitions`
+    (bigrams); SQL mirror: chained ``lead() OVER (PARTITION BY user_id
+    ORDER BY ts, event_id)``.
+
+    One user-bucketed shuffle co-locates each user's events; per bucket
+    a vectorized polars shift chain emits |types|^k-bounded partial
+    counts, a tiny second shuffle merges, and only the bounded count
+    table ever sorts — raw events shuffle once."""
+    import polars as pl
+
+    _PATH_SCHEMA = pa.schema([("path", pa.string()), ("n", pa.int64())])
+
+    def _paths(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).sort(["user_id", "ts", "event_id"])
+        cols = [pl.col("event_type")] + [
+            pl.col("event_type").shift(-i).over("user_id")
+            for i in range(1, k)
+        ]
+        out = (
+            df.with_columns(path=pl.concat_str(cols, separator=" "))
+            .drop_nulls("path")
+            .group_by("path")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+        )
+        return out.to_arrow().cast(_PATH_SCHEMA)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("path")
+            .agg(pl.col("n").sum())
+            .to_arrow()
+            .cast(_PATH_SCHEMA)
+        )
+
+    per_user = bucket_group_apply(
+        events.select_columns(["user_id", "ts", "event_id", "event_type"]),
+        "user_id",
+        _paths,
+        num_buckets=num_buckets,
+    )
+    merged = bucket_group_apply(per_user, "path", _merge, num_buckets=4)
+    return merged.sort(["n", "path"], descending=[True, False]).limit(top)
+
+
 def event_transitions(
     events: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:

@@ -555,3 +555,49 @@ def test_sliding_active_users_matches_duckdb(ray_session):
         ).fetchall()
     }
     assert got == want
+
+
+def test_event_journeys_trigrams(ray_session):
+    """Per-user ordered trigrams, cross-user windows never formed, ties
+    in the top-k cut break on path asc."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        event_journeys,
+    )
+
+    def ev(rows):
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "user_id": pa.array([r[0] for r in rows], pa.int64()),
+                    "ts": pa.array([r[1] for r in rows], pa.int64()),
+                    "event_id": pa.array(
+                        list(range(len(rows))), pa.int64()
+                    ),
+                    "event_type": pa.array([r[2] for r in rows]),
+                }
+            )
+        )
+
+    rows = [
+        (1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (1, 4, "a"),
+        (2, 1, "a"), (2, 2, "b"), (2, 3, "c"),
+        (3, 1, "x"), (3, 2, "y"),           # too short: no trigram
+    ]
+    got = [
+        (r["path"], r["n"])
+        for r in event_journeys(ev(rows), k=3, top=10, num_buckets=4)
+        .take_all()
+    ]
+    assert got == [("a b c", 2), ("b c a", 1)]
+
+    # top-1 with a tie: 'a b c' and 'b c d' both n=1 → lexical cut
+    rows2 = [(1, 1, "a"), (1, 2, "b"), (1, 3, "c"), (2, 1, "b"), (2, 2, "c"), (2, 3, "d")]
+    got2 = [
+        (r["path"], r["n"])
+        for r in event_journeys(ev(rows2), k=3, top=1, num_buckets=4)
+        .take_all()
+    ]
+    assert got2 == [("a b c", 1)]
