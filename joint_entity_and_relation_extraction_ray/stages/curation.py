@@ -991,9 +991,11 @@ class _SegmentRewrite:
     reconstruction needs no shuffle."""
 
     def __init__(self, bp_ref, width: int):
-        import numpy as np
-
-        self._bp = np.sort(ray.get(bp_ref))
+        # the broadcast array is pre-SORTED driver-side: the plasma read
+        # is then zero-copy (searchsorted works on the read-only view),
+        # so every worker on a node shares ONE copy instead of each
+        # actor materializing its own sorted duplicate
+        self._bp = ray.get(bp_ref)
         self._width = width
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -1085,7 +1087,7 @@ def segment_dedup(
             )
         hashes.append(arr)
     bp_ref = ray.put(
-        np.concatenate(hashes) if hashes else np.empty(0, np.int64)
+        np.sort(np.concatenate(hashes)) if hashes else np.empty(0, np.int64)
     )
 
     return docs.map_batches(
