@@ -907,6 +907,21 @@ def _q_kg_sssp(sf_dir: str):
     return sssp_distances(kg.stage(sf_dir, "edges"), max_hops=4)
 
 
+def _q_kg_mst(sf_dir: str):
+    """Minimum spanning forest of the undirected weighted KG (edge cost
+    = assertion weight, ties broken by the (cost, u|v) total order) —
+    distributed Borůvka in `stages/graph.minimum_spanning_forest`.
+    NO SQL oracle (MST is inherently iterative); the driver records a
+    rows-only check and pytest pins the forest against an in-process
+    union-find Kruskal under the identical edge order."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        minimum_spanning_forest,
+    )
+
+    return minimum_spanning_forest(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_comention(sf_dir: str):
     """Entity co-mention counts per turn (the co-occurrence edge layer)
     — see `stages/graph.comention_counts`."""
@@ -1746,6 +1761,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "kg_sssp": _q_kg_sssp,
+        "kg_mst": _q_kg_mst,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -1932,6 +1948,12 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "hourly_activity": co.q_hourly_activity,
         "session_summary": co.q_session_summary,
         "weekday_heatmap": co.q_weekday_heatmap,
+        "q4_order_priority": co.q_q4_order_priority,
+        "q14_promo_share": co.q_q14_promo_share,
+        "q15_top_supplier": co.q_q15_top_supplier,
+        "q17_small_qty": co.q_q17_small_qty_revenue,
+        "q18_volume_customers": co.q_q18_volume_customers,
+        "q22_idle_customers": co.q_q22_idle_customers,
     }
 
 
@@ -4935,5 +4957,91 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{g}/entities.parquet') e
               ON e.entity_id = b.entity_id
             GROUP BY 1, 2
+        """,
+        # TPC-H join-shape compositions (corpus_ops.q_q4/q14/q15/q17/q18/q22)
+        "q4_order_priority": """
+            SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+            FROM orders
+            WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+              AND o_orderdate < TIMESTAMP '1997-04-01 00:00:00'
+              AND EXISTS (SELECT 1 FROM lineitem
+                          WHERE l_orderkey = o_orderkey
+                            AND l_returnflag = 'R')
+            GROUP BY 1 ORDER BY 1
+        """,
+        "q14_promo_share": """
+            SELECT CAST(coalesce(sum(CASE WHEN p_type = 'PROMO' THEN
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                   END), 0) AS BIGINT) AS promo_rev,
+                   CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                   ), 0) AS BIGINT) AS total_rev
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_shipdate >= TIMESTAMP '1997-09-01 00:00:00'
+              AND l_shipdate < TIMESTAMP '1997-10-01 00:00:00'
+        """,
+        "q15_top_supplier": """
+            WITH rev AS (
+                SELECT l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (10000 - CAST(round(l_discount * 10000)
+                                            AS BIGINT))) AS BIGINT)
+                           AS total_revenue
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-07-01 00:00:00'
+                GROUP BY 1)
+            SELECT s_suppkey, s_name, total_revenue
+            FROM supplier JOIN rev ON s_suppkey = l_suppkey
+            WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
+            ORDER BY s_suppkey
+        """,
+        "q17_small_qty": """
+            WITH pb AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#4'),
+            lp AS (
+                SELECT l_partkey,
+                       CAST(round(l_quantity) AS BIGINT) AS qty,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                           AS price_cents
+                FROM lineitem JOIN pb ON l_partkey = p_partkey),
+            ag AS (SELECT l_partkey AS k, CAST(count(*) AS BIGINT) AS cnt,
+                          CAST(sum(qty) AS BIGINT) AS sum_qty
+                   FROM lp GROUP BY 1)
+            SELECT CAST(coalesce(sum(price_cents), 0) AS BIGINT)
+                       AS revenue_cents
+            FROM lp JOIN ag ON l_partkey = k
+            WHERE 5 * qty * cnt < sum_qty
+        """,
+        "q18_volume_customers": """
+            WITH po AS (
+                SELECT l_orderkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT)) AS BIGINT)
+                           AS total_qty
+                FROM lineitem GROUP BY 1
+                HAVING sum(CAST(round(l_quantity) AS BIGINT)) > 170)
+            SELECT c_name, o_custkey, o_orderkey, o_orderdate, total_qty
+            FROM po
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            ORDER BY total_qty DESC, o_orderkey
+        """,
+        "q22_idle_customers": """
+            WITH s AS (
+                SELECT CAST(count(*) AS BIGINT) AS n,
+                       CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT))
+                            AS BIGINT) AS sm
+                FROM customer WHERE c_acctbal > 0.0)
+            SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+                   CAST(sum(CAST(round(c_acctbal * 100) AS BIGINT)) AS BIGINT)
+                       AS totacctbal_cents
+            FROM customer, s
+            WHERE CAST(round(c_acctbal * 100) AS BIGINT) * n > sm
+              AND NOT EXISTS (SELECT 1 FROM orders
+                              WHERE o_custkey = c_custkey
+                                AND o_orderdate >=
+                                    TIMESTAMP '2000-01-01 00:00:00')
+            GROUP BY 1 ORDER BY 1
         """,
     }

