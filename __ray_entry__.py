@@ -922,6 +922,18 @@ def _q_kg_mst(sf_dir: str):
     return minimum_spanning_forest(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_ktruss(sf_dir: str):
+    """Maximal 3-truss of the undirected KG (every edge in ≥1 triangle
+    of the subgraph) — iterative support peel on the degree-ordered
+    wedge machinery, `stages/graph.ktruss`. NO SQL oracle (iterative
+    fixpoint); rows-only driver check, pytest pins it against an
+    in-process peeling reference on random graphs and the sf0.001 KG."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import ktruss
+
+    return ktruss(kg.stage(sf_dir, "edges"), k=3)
+
+
 def _q_kg_comention(sf_dir: str):
     """Entity co-mention counts per turn (the co-occurrence edge layer)
     — see `stages/graph.comention_counts`."""
@@ -1762,6 +1774,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_scc": _q_kg_scc,
         "kg_sssp": _q_kg_sssp,
         "kg_mst": _q_kg_mst,
+        "kg_ktruss": _q_kg_ktruss,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -1954,6 +1967,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q17_small_qty": co.q_q17_small_qty_revenue,
         "q18_volume_customers": co.q_q18_volume_customers,
         "q22_idle_customers": co.q_q22_idle_customers,
+        "q10_returned_items": co.q_q10_returned_items,
     }
 
 
@@ -4957,6 +4971,25 @@ def oracle_sql() -> dict[str, str]:
             JOIN read_parquet('{g}/entities.parquet') e
               ON e.entity_id = b.entity_id
             GROUP BY 1, 2
+        """,
+        "q10_returned_items": """
+            WITH rev AS (
+                SELECT o_custkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (10000 - CAST(round(l_discount * 10000)
+                                            AS BIGINT))) AS BIGINT)
+                           AS revenue
+                FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+                WHERE l_returnflag = 'R'
+                  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+                GROUP BY 1)
+            SELECT c_custkey, c_name, n_name, revenue
+            FROM customer
+            JOIN rev ON c_custkey = o_custkey
+            JOIN nation ON n_nationkey = c_nationkey
+            ORDER BY revenue DESC, c_custkey
+            LIMIT 20
         """,
         # TPC-H join-shape compositions (corpus_ops.q_q4/q14/q15/q17/q18/q22)
         "q4_order_priority": """

@@ -3217,6 +3217,98 @@ def q_q22_idle_customers(sf_dir: str) -> ray.data.Dataset:
     return out.sort("c_mktsegment")
 
 
+def q_q10_returned_items(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q10 shape: four-table composition ranking customers by
+    revenue lost to RETURNED items in one quarter. The fact collapses
+    per orderkey through the combiner BEFORE meeting orders (so the
+    biggest join ships one row per order, not per lineitem), the
+    quarter prunes orders at the read, the per-customer rollup is a
+    second tiny combiner, and the customer + nation dims ride
+    `join_auto` broadcasts. Top 20 by exact integer revenue."""
+    import datetime as dt
+
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount", "l_returnflag"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": (
+                    f := t.filter(pc.equal(t["l_returnflag"], "R"))
+                )["l_orderkey"],
+                "rev": pc.multiply(
+                    _cents(f["l_extendedprice"]),
+                    pc.subtract(
+                        pa.scalar(10000, pa.int64()), _bp(f["l_discount"])
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    per_order = grouped_summary(
+        li, by=["l_orderkey"], aggs={"rev": ("rev", "sum")}, num_buckets=8
+    )
+
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1996, 4, 1)
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater_equal(t["o_orderdate"], pa.scalar(lo)),
+                pc.less(t["o_orderdate"], pa.scalar(hi)),
+            )
+        ).select(["o_orderkey", "o_custkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    in_window = join_auto(
+        per_order, orders, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    per_cust = grouped_summary(
+        in_window,
+        by=["o_custkey"],
+        aggs={"revenue": ("rev", "sum")},
+        num_buckets=8,
+    )
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_name", "c_nationkey"],
+    )
+    with_cust = join_auto(
+        per_cust, cust, on=("o_custkey",), right_on=("c_custkey",)
+    )
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    )
+    out = join_auto(
+        with_cust, nation, on=("c_nationkey",), right_on=("n_nationkey",)
+    )
+    return (
+        out.map_batches(
+            lambda t: pa.table(
+                {
+                    # join_auto keeps the LEFT key name; restore the dim's
+                    "c_custkey": t["o_custkey"],
+                    "c_name": t["c_name"],
+                    "n_name": t["n_name"],
+                    "revenue": t["revenue"],
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .sort(["revenue", "c_custkey"], descending=[True, False])
+        .limit(20)
+    )
+
+
 # --- bench subset ----------------------------------------------------------
 
 

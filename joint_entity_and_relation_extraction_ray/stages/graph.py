@@ -3199,3 +3199,247 @@ def minimum_spanning_forest(
         )
         .sort(["cost", "u", "v"])
     )
+
+
+def ktruss(
+    edges: ray.data.Dataset,
+    *,
+    k: int = 4,
+    num_buckets: int = 32,
+    max_iters: int = 30,
+) -> ray.data.Dataset:
+    """Maximal k-TRUSS of the undirected simple graph underlying the KG
+    edge table — rows ``(a, b)`` with ``a < b``: the largest subgraph
+    in which every edge sits in ≥ k−2 triangles OF THAT SUBGRAPH.
+    The standard iterative peel: compute per-edge triangle support,
+    drop the under-supported edges, recompute on the survivors, repeat
+    to fixpoint (cohesive-subgraph mining's workhorse).
+
+    Per round everything reuses the degree-ordered wedge scheme of
+    :func:`triangle_count` — orientation bounds every out-neighborhood
+    by O(√m) so hubs never go quadratic — except wedges carry their
+    generating vertex so each CLOSED wedge can credit all three edges;
+    support is then one decomposable count per canonical edge key.
+    Rounds are bounded by ``max_iters``; each peels at least one edge
+    or terminates, and real graphs converge in a handful."""
+    import numpy as np
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from .relational import membership_join
+
+    SEP = "\x00"
+    need = k - 2
+
+    def _canon(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        out = (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                a=pl.min_horizontal("subj_id", "obj_id"),
+                b=pl.max_horizontal("subj_id", "obj_id"),
+            )
+            .unique()
+            .with_columns(key=pl.col("a") + pl.lit(SEP) + pl.col("b"))
+        )
+        return out.to_arrow()
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).unique(subset=["key"]).to_arrow()
+
+    und = bucket_group_apply(
+        edges.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True),
+        "key",
+        _uniq,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["a", "b"]))
+        v = pl.concat([df.select(v=pl.col("a")), df.select(v=pl.col("b"))])
+        return (
+            v.group_by("v").agg(pl.len().cast(pl.Int64).alias("deg")).to_arrow()
+        )
+
+    def _deg_sum(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).group_by("v").agg(pl.col("deg").sum()).to_arrow()
+
+    def _orient(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        a_first = (pl.col("deg_a") < pl.col("deg_b")) | (
+            (pl.col("deg_a") == pl.col("deg_b")) & (pl.col("a") < pl.col("b"))
+        )
+        return df.select(
+            src=pl.when(a_first).then(pl.col("a")).otherwise(pl.col("b")),
+            dst=pl.when(a_first).then(pl.col("b")).otherwise(pl.col("a")),
+            dst_deg=pl.when(a_first)
+            .then(pl.col("deg_b"))
+            .otherwise(pl.col("deg_a")),
+        ).to_arrow()
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "src": pa.array([], pa.string()),
+                "lo": pa.array([], pa.string()),
+                "hi": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = pl.from_arrow(t.select(["src", "dst", "dst_deg"])).sort(
+            ["src", "dst_deg", "dst"]
+        )
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+        ends = np.concatenate((starts[1:], [len(src)]))
+        ss, los, his = [], [], []
+        for s, e in zip(starts, ends):
+            n = e - s
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, 1)
+            ss.append(np.repeat(src[s], len(i)))
+            los.append(dst[s:e][i])
+            his.append(dst[s:e][j])
+        if not los:
+            return empty
+        sa = pa.array(np.concatenate(ss), pa.string())
+        lo = pa.array(np.concatenate(los), pa.string())
+        hi = pa.array(np.concatenate(his), pa.string())
+        # closure key is the canonical (min, max) of the two endpoints —
+        # rank order need not be id order
+        ck = pc.binary_join_element_wise(
+            pc.min_element_wise(lo, hi), pc.max_element_wise(lo, hi), SEP
+        )
+        return pa.table({"key": ck, "src": sa, "lo": lo, "hi": hi})
+
+    def _credit(t: pa.Table) -> pa.Table:
+        # a closed wedge (src, lo, hi) supports edges (src,lo) (src,hi)
+        # (lo,hi) — emit each triangle edge's canonical key once
+        src = t["src"].combine_chunks()
+        lo = t["lo"].combine_chunks()
+        hi = t["hi"].combine_chunks()
+
+        def canon_key(x, y):
+            return pc.binary_join_element_wise(
+                pc.min_element_wise(x, y), pc.max_element_wise(x, y), SEP
+            )
+
+        def flat(x):
+            return x.combine_chunks() if isinstance(x, pa.ChunkedArray) else x
+
+        keys = pa.concat_arrays(
+            [
+                flat(canon_key(src, lo)),
+                flat(canon_key(src, hi)),
+                flat(canon_key(lo, hi)),
+            ]
+        )
+        return (
+            pl.from_arrow(pa.table({"key": keys}))
+            .group_by("key")
+            .agg(pl.len().cast(pl.Int64).alias("sup"))
+            .to_arrow()
+        )
+
+    def _sup_sum(t: pa.Table) -> pa.Table:
+        return pl.from_arrow(t).group_by("key").agg(pl.col("sup").sum()).to_arrow()
+
+    n_edges = und.count()
+    if need <= 0:
+        # k ≤ 2: every edge trivially qualifies (0 triangles needed) —
+        # and the support table only covers triangle edges, so peeling
+        # would wrongly drop triangle-free edges
+        max_iters = 0
+    for _ in range(max_iters):
+        if n_edges == 0:
+            break
+        deg = bucket_group_apply(
+            und.map_batches(
+                _deg_partial, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "v",
+            _deg_sum,
+            num_buckets=min(num_buckets, 16),
+        )
+        da = deg.map_batches(
+            lambda t: t.rename_columns(["a", "deg_a"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        db = deg.map_batches(
+            lambda t: t.rename_columns(["b", "deg_b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        oriented = join_auto(
+            join_auto(und, da, on=("a",)), db, on=("b",)
+        ).map_batches(_orient, batch_format="pyarrow", zero_copy_batch=True)
+
+        wedges = bucket_group_apply(
+            oriented.map_batches(
+                lambda t: pa.table(
+                    {
+                        "src": t["src"],
+                        "dst": t["dst"],
+                        "dst_deg": t["dst_deg"],
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            "src",
+            _wedges,
+            num_buckets=num_buckets,
+        )
+        closed = membership_join(
+            wedges,
+            und.map_batches(
+                lambda t: t.select(["key"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            on="key",
+            num_buckets=num_buckets,
+        )
+        support = bucket_group_apply(
+            closed.map_batches(
+                _credit, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "key",
+            _sup_sum,
+            num_buckets=num_buckets,
+        )
+        good = support.filter(expr=f"sup >= {need}").map_batches(
+            lambda t: t.select(["key"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        if good.count() == 0:
+            # nothing has enough support — the truss is empty (an
+            # all-empty Dataset has no schema, which the house shuffle
+            # can't bucket, so short-circuit instead of joining)
+            n_edges = 0
+            break
+        survivors = membership_join(
+            und, good, on="key", num_buckets=num_buckets
+        ).materialize()
+        n_next = survivors.count()
+        if n_next == n_edges:
+            break
+        und, n_edges = survivors, n_next
+
+    if n_edges == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {"a": pa.array([], pa.string()), "b": pa.array([], pa.string())}
+            )
+        )
+    return und.map_batches(
+        lambda t: t.select(["a", "b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort(["a", "b"])

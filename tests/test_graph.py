@@ -1465,3 +1465,58 @@ def test_mst_on_kg_edges(graph):
     ]
     assert got == _kruskal(raw)
     assert len(got) > 0
+
+
+def _ktruss_ref(pairs, k):
+    """In-process k-truss by repeated support peeling (the definition)."""
+    from collections import defaultdict
+
+    edges = {(min(u, v), max(u, v)) for u, v in pairs if u != v}
+    while edges:
+        adj = defaultdict(set)
+        for a, b in edges:
+            adj[a].add(b)
+            adj[b].add(a)
+        bad = {e for e in edges if len(adj[e[0]] & adj[e[1]]) < k - 2}
+        if not bad:
+            break
+        edges -= bad
+    return sorted(edges)
+
+
+@pytest.mark.parametrize("k", [3, 4, 5])
+def test_ktruss_matches_reference_random(ray_session, k):
+    import random
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import ktruss
+
+    rng = random.Random(11)
+    nodes = [f"v{i:02d}" for i in range(24)]
+    pairs = set()
+    while len(pairs) < 90:
+        u, v = rng.sample(nodes, 2)
+        pairs.add((min(u, v), max(u, v)))
+    pairs = sorted(pairs)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([p[0] for p in pairs]),
+                "obj_id": pa.array([p[1] for p in pairs]),
+            }
+        )
+    ).repartition(5)
+    got = [(r["a"], r["b"]) for r in ktruss(ds, k=k).take_all()]
+    assert got == _ktruss_ref(pairs, k)
+
+
+def test_ktruss_on_kg_edges(graph):
+    from joint_entity_and_relation_extraction_ray.stages.graph import ktruss
+
+    edges = graph["edges"]
+    pdf = kg.to_table(edges).to_pandas()
+    pairs = list(zip(pdf["subj_id"], pdf["obj_id"]))
+    got = [(r["a"], r["b"]) for r in ktruss(edges, k=3).take_all()]
+    assert got == _ktruss_ref(pairs, 3)

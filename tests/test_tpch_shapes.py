@@ -31,6 +31,7 @@ NEW = [
     "q17_small_qty",
     "q18_volume_customers",
     "q22_idle_customers",
+    "q10_returned_items",
 ]
 
 
