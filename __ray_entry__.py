@@ -1968,6 +1968,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q18_volume_customers": co.q_q18_volume_customers,
         "q22_idle_customers": co.q_q22_idle_customers,
         "q10_returned_items": co.q_q10_returned_items,
+        "pq_topk": co.q_pq_topk,
+        "pq_recall": co.q_pq_recall,
     }
 
 

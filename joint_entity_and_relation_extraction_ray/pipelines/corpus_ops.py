@@ -285,6 +285,35 @@ def q_ann_topk_ivf(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_pq_topk(sf_dir: str) -> ray.data.Dataset:
+    """Product-quantization ADC top-k (rows-only: float k-means). m=32,
+    ksub=32 → 8× compression; the driver corpus is deliberately
+    UNclustered (max pairwise cos ≈ 0.51), the adversarial case, and
+    still holds recall@5 ≈ 0.76 vs exact (measured; the clustered case
+    is pytest-pinned ≥ 0.9)."""
+    return similarity.pq_ann_topk(
+        read_embeddings(sf_dir),
+        _query_vectors(sf_dir),
+        k=ANN_K,
+        m=32,
+        ksub=32,
+        iters=8,
+    )
+
+
+def q_pq_recall(sf_dir: str) -> ray.data.Dataset:
+    """Integer recall@k monitor of the PQ/ADC index vs the exact top-k
+    (rows-only) — the index-quality dashboard row for `q_pq_topk`."""
+    return similarity.pq_recall(
+        read_embeddings(sf_dir),
+        _query_vectors(sf_dir),
+        k=ANN_K,
+        m=32,
+        ksub=32,
+        iters=8,
+    )
+
+
 def q_embed_probe_assign(sf_dir: str) -> ray.data.Dataset:
     """Nearest-fixed-centroid (codebook) assignment: every vector routed
     to its best ±1 probe direction over int64-quantized coordinates —

@@ -759,3 +759,313 @@ def lexical_topk(
     # VERDICT r2 empty-block rule), unlike ds.sort().limit() which drops
     # every block of an empty dataset
     return bucket_group_apply(partial, "score", _merge, num_buckets=1)
+
+
+# --- product quantization (the memory-bound ANN scale path) -----------------
+
+
+def pq_train(
+    emb: ray.data.Dataset,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+    id_col: str = "vec_id",
+) -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al., "Product
+    Quantization for Nearest Neighbor Search", TPAMI 2011) — the vector
+    space splits into ``m`` subspaces and each learns its own
+    ``ksub``-centroid codebook, so a d-float vector compresses to m
+    small codes (16× at d=64, m=8, ksub≤256) while distances remain
+    computable from per-subspace lookup tables.
+
+    Returns ``(m, ksub, d/m)`` float64 codebooks. ALL m subspace
+    k-means run in the SAME corpus pass per Lloyd iteration: each block
+    emits m×ksub partial (subspace, cluster, n, coordinate-sum) rows —
+    the corpus never shuffles, mirroring :func:`kmeans`. Vectors are
+    L2-normalized first (cosine metric, matching :func:`ann_topk`).
+    Seeding is deterministic (smallest stable hash of ``id_col``).
+    Float centroids are reduction-order-dependent in the last ulps →
+    anything downstream is rows-only in the driver contract."""
+    from ..schema import stable_hash64
+
+    def _seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = stable_hash64(ids)
+        top = np.argsort(h, kind="stable")[:ksub]
+        return pa.table(
+            {
+                "h": pa.array(h[top].astype(np.uint64), pa.uint64()),
+                "embedding": t["embedding"].take(pa.array(top, pa.int64())),
+            }
+        )
+
+    seeds = (
+        emb.select_columns([id_col, "embedding"])
+        .map_batches(_seed_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .to_pandas()  # ≤ ksub × blocks rows — documented tiny collect
+        .sort_values("h")
+        .head(ksub)
+    )
+    seed_mat = _norm_rows(np.array(list(seeds["embedding"]), dtype=np.float64))
+    d = seed_mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    # (m, ksub, dsub): every subspace starts from the same seed vectors'
+    # corresponding slice
+    books = np.stack(
+        [seed_mat[:, s * dsub : (s + 1) * dsub] for s in range(m)]
+    )
+
+    for _ in range(iters):
+        ref = ray.put(books) if ray.is_initialized() else books
+
+        def _partial(t: pa.Table, _ref=ref) -> pa.Table:
+            c = ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            mm, kk, ds_ = c.shape
+            x = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+            if x.size == 0:
+                return pa.table(
+                    {
+                        "sub": pa.array([], pa.int64()),
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "vsum": pa.array([], pa.list_(pa.float64())),
+                    }
+                )
+            x = _norm_rows(x)
+            subs, clus, ns, vs = [], [], [], []
+            for s in range(mm):
+                xs = x[:, s * ds_ : (s + 1) * ds_]
+                cs = c[s]
+                d2 = (
+                    np.einsum("ij,ij->i", xs, xs)[:, None]
+                    - 2.0 * xs @ cs.T
+                    + np.einsum("ij,ij->i", cs, cs)[None, :]
+                )
+                a = np.argmin(d2, axis=1)
+                counts = np.bincount(a, minlength=kk).astype(np.int64)
+                sums = np.zeros((kk, ds_))
+                np.add.at(sums, a, xs)
+                subs.append(np.full(kk, s, dtype=np.int64))
+                clus.append(np.arange(kk, dtype=np.int64))
+                ns.append(counts)
+                vs.append(sums)
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(subs)),
+                    "cluster": pa.array(np.concatenate(clus)),
+                    "n": pa.array(np.concatenate(ns)),
+                    "vsum": pa.array(
+                        np.concatenate(vs).tolist(), pa.list_(pa.float64())
+                    ),
+                }
+            )
+
+        parts = (
+            emb.select_columns(["embedding"])
+            .map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+            .to_pandas()  # m × ksub × blocks tiny rows
+        )
+        new = books.copy()
+        for (s, cl), grp in parts.groupby(["sub", "cluster"]):
+            n = int(grp["n"].sum())
+            if n:
+                new[s, cl] = (
+                    np.sum(np.stack([np.asarray(v) for v in grp["vsum"]]), axis=0)
+                    / n
+                )
+        books = new
+    return books
+
+
+def pq_encode(
+    emb: ray.data.Dataset,
+    codebooks: np.ndarray,
+    *,
+    id_col: str = "vec_id",
+) -> ray.data.Dataset:
+    """Encode every (normalized) vector to its m nearest-subcentroid
+    codes → ``(vec_id, codes list<uint8>)`` — one stateless vectorized
+    map, 16× smaller than the float column it replaces."""
+    ref = ray.put(codebooks) if ray.is_initialized() else codebooks
+
+    def _enc(t: pa.Table) -> pa.Table:
+        c = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        mm, kk, ds_ = c.shape
+        x = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        if x.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "codes": pa.array([], pa.list_(pa.uint8())),
+                }
+            )
+        x = _norm_rows(x)
+        codes = np.empty((x.shape[0], mm), dtype=np.uint8)
+        for s in range(mm):
+            xs = x[:, s * ds_ : (s + 1) * ds_]
+            cs = c[s]
+            d2 = (
+                np.einsum("ij,ij->i", xs, xs)[:, None]
+                - 2.0 * xs @ cs.T
+                + np.einsum("ij,ij->i", cs, cs)[None, :]
+            )
+            codes[:, s] = np.argmin(d2, axis=1).astype(np.uint8)
+        return pa.table(
+            {
+                "vec_id": t[id_col].cast(pa.int64()),
+                "codes": pa.array(codes.tolist(), pa.list_(pa.uint8())),
+            }
+        )
+
+    return emb.select_columns([id_col, "embedding"]).map_batches(
+        _enc, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def pq_ann_topk(
+    emb: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+) -> ray.data.Dataset:
+    """Asymmetric-distance (ADC) PQ top-k → (query_id, neighbor_id,
+    rank): the corpus is scanned as uint8 codes, each query builds one
+    (m × ksub) inner-product lookup table against the codebooks, and a
+    block's scores are m table lookups per vector instead of a d-float
+    matmul — the memory-bound regime where PQ beats brute force at
+    100 TB (the whole index is ~m bytes/vector in plasma). Merge is the
+    same O(queries × k × blocks) partial-top-k exchange as
+    :func:`ann_topk`. Approximate by construction → rows-only."""
+    books = pq_train(emb, m=m, ksub=ksub, iters=iters)
+    codes = pq_encode(emb, books)
+
+    qids, qmat = _emb_matrix(queries)
+    qn = _norm_rows(qmat)
+    mm, kk, ds_ = books.shape
+    # (Q, m, ksub) lookup tables: LUT[q, s, c] = q_s · book[s, c]
+    lut = np.einsum(
+        "qsd,scd->qsc", qn.reshape(qn.shape[0], mm, ds_), books
+    )
+    ref = ray.put((qids, lut)) if ray.is_initialized() else (qids, lut)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        q_ids, tables = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "query_id": pa.array([], pa.int64()),
+                    "neighbor_id": pa.array([], pa.int64()),
+                    "score": pa.array([], pa.float64()),
+                }
+            )
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        cd = np.array(t["codes"].to_pylist(), dtype=np.int64)  # (B, m)
+        # scores[q, b] = Σ_s LUT[q, s, cd[b, s]]
+        s = tables[:, np.arange(cd.shape[1])[None, :], cd].sum(axis=2)
+        out_q, out_n, out_s = [], [], []
+        kk_ = min(k + 1, s.shape[1])
+        for qi in range(s.shape[0]):
+            row = s[qi]
+            top = (
+                np.argpartition(-row, kk_ - 1)[:kk_]
+                if kk_ < len(row)
+                else np.arange(len(row))
+            )
+            order = top[np.lexsort((ids[top], -row[top]))]
+            for ni in order:
+                if ids[ni] == q_ids[qi]:
+                    continue
+                out_q.append(q_ids[qi])
+                out_n.append(ids[ni])
+                out_s.append(row[ni])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.float64()),
+            }
+        )
+
+    partial = codes.map_batches(
+        _scan, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partial, "query_id", lambda t: _merge_topk(t, k), num_buckets=8
+    )
+
+
+def pq_recall(
+    emb: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 5,
+) -> ray.data.Dataset:
+    """Recall@k of the PQ/ADC index vs the exact top-k, per query →
+    (query_id, n_hits, k) — same integer-only monitor shape as
+    :func:`ann_recall`, for the PQ index."""
+    import polars as pl
+
+    exact = ann_topk(emb, queries, k=k)
+    approx = pq_ann_topk(emb, queries, k=k, m=m, ksub=ksub, iters=iters)
+
+    def _tag(name: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": t["query_id"],
+                    "neighbor_id": t["neighbor_id"],
+                    "src": pa.array([name] * t.num_rows, pa.string()),
+                }
+            )
+
+        return _f
+
+    both = exact.map_batches(
+        _tag("e"), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        approx.map_batches(
+            _tag("a"), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("query_id", pa.int64()),
+                ("n_hits", pa.int64()),
+                ("k", pa.int64()),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        e = df.filter(pl.col("src") == "e").select("query_id", "neighbor_id")
+        a = df.filter(pl.col("src") == "a").select("query_id", "neighbor_id")
+        hits = (
+            e.join(a, on=["query_id", "neighbor_id"], how="inner")
+            .group_by("query_id")
+            .agg(pl.len().cast(pl.Int64).alias("n_hits"))
+        )
+        return (
+            e.group_by("query_id")
+            .agg(pl.len().cast(pl.Int64).alias("k"))
+            .join(hits, on="query_id", how="left")
+            .select(
+                pl.col("query_id").cast(pl.Int64),
+                pl.col("n_hits").fill_null(0),
+                pl.col("k"),
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return bucket_group_apply(both, "query_id", _score, num_buckets=4)

@@ -797,3 +797,73 @@ def test_order_count_distribution_zero_bucket(ray_session, tmp_path):
         for r in q_order_count_distribution(str(tmp_path)).take_all()
     }
     assert rows == {0: 2, 1: 1, 2: 1, 3: 1}
+
+
+# --- product quantization ----------------------------------------------------
+
+
+def test_pq_recall_on_clustered_corpus(ray_session):
+    """On a clustered corpus (the case PQ is built for) the ADC index
+    must put ≥90% of each query's exact top-k in its own top-k; on the
+    deliberately unclustered driver corpus the measured floor (≈0.76,
+    m=32) is documented in q_pq_topk instead."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(7)
+    centers = rng.normal(size=(40, 64)) * 5.0
+    # cluster size == k+1 so each query's exact top-k is exactly its 5
+    # cluster mates — inside a cluster points are near-identical and PQ
+    # quantizes them to the same codes, so any larger cluster would make
+    # recall@k measure tie-breaking noise, not index quality
+    vecs = np.concatenate(
+        [c + rng.normal(size=(6, 64)) * 0.05 for c in centers]
+    )
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                vecs.tolist(), pa.list_(pa.float32())
+            ),
+        }
+    )
+    emb = ray.data.from_arrow(tbl).repartition(6)
+    queries = tbl.slice(0, 8)
+
+    rec = similarity.pq_recall(
+        emb, queries, k=5, m=16, ksub=32, iters=6
+    ).to_pandas()
+    assert len(rec) == 8
+    assert rec["n_hits"].sum() / rec["k"].sum() >= 0.9
+
+
+def test_pq_encode_shape_and_determinism(ray_session):
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(3)
+    vecs = rng.normal(size=(60, 64)).astype(np.float32)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(60, dtype=np.int64)),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    emb = ray.data.from_arrow(tbl).repartition(4)
+    books = similarity.pq_train(emb, m=8, ksub=16, iters=3)
+    assert books.shape == (8, 16, 8)
+    out = similarity.pq_encode(emb, books).to_pandas().sort_values("vec_id")
+    assert len(out) == 60
+    codes = np.array(list(out["codes"]))
+    assert codes.shape == (60, 8)
+    assert codes.dtype.kind in "iu" and codes.max() < 16
+    # same books -> identical codes regardless of block layout
+    out2 = (
+        similarity.pq_encode(ray.data.from_arrow(tbl).repartition(9), books)
+        .to_pandas()
+        .sort_values("vec_id")
+    )
+    assert codes.tolist() == list(map(list, out2["codes"]))
