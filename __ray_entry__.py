@@ -934,6 +934,20 @@ def _q_kg_ktruss(sf_dir: str):
     return ktruss(kg.stage(sf_dir, "edges"), k=3)
 
 
+def _q_kg_walks(sf_dir: str):
+    """Deterministic hash-driven random walks over the undirected KG
+    (2 walks × 3 steps per node; next hop = md5_60(node|step|walk) mod
+    degree in dst-sorted order) — `stages/graph.random_walks`, the
+    reproducible DeepWalk-corpus generator, with a recursive-CTE oracle
+    that mirrors the md5 step rule bit-exactly."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        random_walks,
+    )
+
+    return random_walks(kg.stage(sf_dir, "edges"), n_walks=2, length=3)
+
+
 def _q_kg_comention(sf_dir: str):
     """Entity co-mention counts per turn (the co-occurrence edge layer)
     — see `stages/graph.comention_counts`."""
@@ -1775,6 +1789,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_sssp": _q_kg_sssp,
         "kg_mst": _q_kg_mst,
         "kg_ktruss": _q_kg_ktruss,
+        "kg_walks": _q_kg_walks,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -4992,6 +5007,65 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        # deterministic random walks: recursive CTE mirrors the engine's
+        # md5_60(node|step|walk) mod deg next-hop rule bit-exactly
+        "kg_walks": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT subj_id AS src, obj_id AS dst FROM e
+                    UNION ALL
+                    SELECT obj_id, subj_id FROM e
+                ) WHERE src <> dst
+            ),
+            adj AS MATERIALIZED (
+                SELECT src, dst,
+                       CAST(row_number() OVER (PARTITION BY src
+                                               ORDER BY dst) - 1
+                            AS BIGINT) AS rnk,
+                       CAST(count(*) OVER (PARTITION BY src)
+                            AS BIGINT) AS deg
+                FROM sym
+            ),
+            starts AS (SELECT DISTINCT src AS start FROM sym),
+            wk AS (
+                SELECT start, CAST(w.walk AS BIGINT) AS walk,
+                       CAST(0 AS BIGINT) AS step, start AS node
+                FROM starts
+                CROSS JOIN (SELECT unnest(range(2)) AS walk) w
+                UNION ALL
+                SELECT wk.start, wk.walk, wk.step + 1, a.dst
+                FROM wk JOIN adj a ON a.src = wk.node
+                 AND a.rnk = ('0x' || substr(md5(wk.node || '|'
+                         || CAST(wk.step AS VARCHAR) || '|'
+                         || CAST(wk.walk AS VARCHAR)), 1, 15))::BIGINT
+                     % a.deg
+                WHERE wk.step < 3
+            )
+            SELECT start, walk, step, node FROM wk ORDER BY 1, 2, 3
         """,
         # TPC-H join-shape compositions (corpus_ops.q_q4/q14/q15/q17/q18/q22)
         "q4_order_priority": """

@@ -3443,3 +3443,168 @@ def ktruss(
         batch_format="pyarrow",
         zero_copy_batch=True,
     ).sort(["a", "b"])
+
+
+def random_walks(
+    edges: ray.data.Dataset,
+    *,
+    n_walks: int = 2,
+    length: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Deterministic hash-driven random walks over the undirected KG —
+    rows ``(start, walk, step, node)`` for every node, ``n_walks``
+    walks, steps 0..``length`` — the walk-corpus generator feeding
+    DeepWalk/node2vec-style embedding training (Perozzi et al., KDD
+    2014), made REPRODUCIBLE: at node v on step t of walk w the next
+    hop is neighbor ``md5_60(v|t|w) mod deg(v)`` in dst-sorted order,
+    the house md5-prefix convention that a recursive SQL CTE mirrors
+    bit-exactly (hash-exact oracle — rare for a graph-ML sampler).
+
+    Dataflow: adjacency ranks once (one src-bucketed shuffle, then
+    reused every step from plasma); each step moves only the frontier —
+    (node, deg) lookup then a composite-key ``join_auto`` against
+    (src, rank) — O(V·n_walks) rows per step, never the edge set."""
+    import hashlib
+
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    num_partitions = num_partitions or default_partitions()
+
+    def _sym(t: pa.Table) -> pa.Table:
+        u = t["subj_id"].combine_chunks()
+        v = t["obj_id"].combine_chunks()
+        out = pa.table(
+            {
+                "src": pa.concat_arrays([u, v]),
+                "dst": pa.concat_arrays([v, u]),
+            }
+        )
+        return (
+            pl.from_arrow(out)
+            .filter(pl.col("src") != pl.col("dst"))
+            .unique()
+            .to_arrow()
+        )
+
+    def _rank(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "src": pa.array([], pa.string()),
+                    "dst": pa.array([], pa.string()),
+                    "rnk": pa.array([], pa.int64()),
+                    "deg": pa.array([], pa.int64()),
+                }
+            )
+        return (
+            pl.from_arrow(t)
+            .unique()
+            .sort(["src", "dst"])
+            .with_columns(
+                rnk=pl.int_range(pl.len()).over("src").cast(pl.Int64),
+                deg=pl.len().over("src").cast(pl.Int64),
+            )
+            .to_arrow()
+        )
+
+    adj = bucket_group_apply(
+        edges.map_batches(_sym, batch_format="pyarrow", zero_copy_batch=True),
+        "src",
+        _rank,
+        num_buckets=num_partitions,
+    ).materialize()
+
+    deg = adj.filter(expr="rnk == 0").map_batches(
+        lambda t: t.select(["src", "deg"]).rename_columns(["node", "deg"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    nbr = adj.map_batches(
+        lambda t: t.select(["src", "rnk", "dst"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _starts(t: pa.Table) -> pa.Table:
+        nodes = t["node"].to_pylist()
+        return pa.table(
+            {
+                "start": pa.array(
+                    [n for n in nodes for _ in range(n_walks)], pa.string()
+                ),
+                "walk": pa.array(
+                    [w for _ in nodes for w in range(n_walks)], pa.int64()
+                ),
+                "step": pa.array([0] * (len(nodes) * n_walks), pa.int64()),
+                "node": pa.array(
+                    [n for n in nodes for _ in range(n_walks)], pa.string()
+                ),
+            }
+        )
+
+    frontier = deg.map_batches(
+        _starts, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    out_parts = [frontier]
+
+    for t_step in range(length):
+
+        def _pick(t: pa.Table, _t=t_step) -> pa.Table:
+            nodes = t["node"].to_pylist()
+            walks = t["walk"].to_pylist()
+            degs = t["deg"].to_pylist()
+            picks = [
+                int(
+                    hashlib.md5(f"{n}|{_t}|{w}".encode()).hexdigest()[:15], 16
+                )
+                % d
+                for n, w, d in zip(nodes, walks, degs)
+            ]
+            return pa.table(
+                {
+                    "start": t["start"],
+                    "walk": t["walk"],
+                    "node": t["node"],
+                    "pick": pa.array(picks, pa.int64()),
+                }
+            )
+
+        with_deg = join_auto(
+            frontier,
+            deg,
+            on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(_pick, batch_format="pyarrow", zero_copy_batch=True)
+        frontier = (
+            join_auto(
+                with_deg,
+                nbr,
+                on=("node", "pick"),
+                right_on=("src", "rnk"),
+                num_partitions=num_partitions,
+            )
+            .map_batches(
+                lambda t, _t=t_step: pa.table(
+                    {
+                        "start": t["start"],
+                        "walk": t["walk"],
+                        "step": pa.array(
+                            [_t + 1] * t.num_rows, pa.int64()
+                        ),
+                        "node": t["dst"],
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        out_parts.append(frontier)
+
+    out = out_parts[0]
+    for p in out_parts[1:]:
+        out = out.union(p)
+    return out.sort(["start", "walk", "step"])

@@ -1520,3 +1520,63 @@ def test_ktruss_on_kg_edges(graph):
     pairs = list(zip(pdf["subj_id"], pdf["obj_id"]))
     got = [(r["a"], r["b"]) for r in ktruss(edges, k=3).take_all()]
     assert got == _ktruss_ref(pairs, 3)
+
+
+def test_random_walks_match_reference_simulator(ray_session):
+    """The distributed walker must reproduce the md5_60(node|step|walk)
+    mod-degree next-hop rule exactly on an arbitrary graph."""
+    import hashlib
+    import random
+    from collections import defaultdict
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        random_walks,
+    )
+
+    rng = random.Random(23)
+    nodes = [f"w{i:02d}" for i in range(18)]
+    pairs = set()
+    while len(pairs) < 40:
+        u, v = rng.sample(nodes, 2)
+        pairs.add((u, v))
+    pairs = sorted(pairs)
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([p[0] for p in pairs]),
+                "obj_id": pa.array([p[1] for p in pairs]),
+            }
+        )
+    ).repartition(4)
+
+    N_WALKS, LENGTH = 2, 3
+    got = sorted(
+        (r["start"], r["walk"], r["step"], r["node"])
+        for r in random_walks(ds, n_walks=N_WALKS, length=LENGTH).take_all()
+    )
+
+    adj = defaultdict(set)
+    for u, v in pairs:
+        adj[u].add(v)
+        adj[v].add(u)
+    adj = {k: sorted(vs) for k, vs in adj.items()}
+    want = []
+    for start in adj:
+        for w in range(N_WALKS):
+            node = start
+            want.append((start, w, 0, node))
+            for t in range(LENGTH):
+                nbrs = adj[node]
+                r = (
+                    int(
+                        hashlib.md5(f"{node}|{t}|{w}".encode()).hexdigest()[:15],
+                        16,
+                    )
+                    % len(nbrs)
+                )
+                node = nbrs[r]
+                want.append((start, w, t + 1, node))
+    assert got == sorted(want)
