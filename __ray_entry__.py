@@ -948,6 +948,29 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(kg.stage(sf_dir, "edges"), n_walks=2, length=3)
 
 
+def _q_kg_conflicts(sf_dir: str):
+    """KG integrity: (subject, predicate) pairs asserting >1 distinct
+    object — the contradiction triage list for functional relations.
+    `stages/graph.object_conflicts`, exact-distinct decomposition."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        object_conflicts,
+    )
+
+    return object_conflicts(kg.stage(sf_dir, "edges"))
+
+
+def _q_kg_functionality(sf_dir: str):
+    """Per-predicate functionality audit (n_subjects, n_functional as
+    pure ints) — `stages/graph.pred_functionality`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        pred_functionality,
+    )
+
+    return pred_functionality(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_comention(sf_dir: str):
     """Entity co-mention counts per turn (the co-occurrence edge layer)
     — see `stages/graph.comention_counts`."""
@@ -1790,6 +1813,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_mst": _q_kg_mst,
         "kg_ktruss": _q_kg_ktruss,
         "kg_walks": _q_kg_walks,
+        "kg_conflicts": _q_kg_conflicts,
+        "kg_functionality": _q_kg_functionality,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -5007,6 +5032,71 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "kg_conflicts": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            )
+            SELECT subj_id, pred,
+                   CAST(count(DISTINCT obj_id) AS BIGINT) AS n_objs,
+                   min(obj_id) AS min_obj, max(obj_id) AS max_obj
+            FROM e GROUP BY 1, 2
+            HAVING count(DISTINCT obj_id) > 1
+            ORDER BY 1, 2
+        """,
+        "kg_functionality": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            pair AS (
+                SELECT pred, subj_id,
+                       count(DISTINCT obj_id) AS n
+                FROM e GROUP BY 1, 2
+            )
+            SELECT pred, CAST(count(*) AS BIGINT) AS n_subjects,
+                   CAST(sum(CASE WHEN n = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_functional
+            FROM pair GROUP BY 1 ORDER BY 1
         """,
         # deterministic random walks: recursive CTE mirrors the engine's
         # md5_60(node|step|walk) mod deg next-hop rule bit-exactly

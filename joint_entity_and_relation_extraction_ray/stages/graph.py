@@ -3608,3 +3608,142 @@ def random_walks(
     for p in out_parts[1:]:
         out = out.union(p)
     return out.sort(["start", "walk", "step"])
+
+
+def object_conflicts(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """KG integrity monitor: (subj, pred) pairs asserting MORE THAN ONE
+    distinct object → ``(subj_id, pred, n_objs, min_obj, max_obj)``,
+    sorted. For functional relations (born-in, capital-of…) every row
+    here is a contradiction to triage — the report a KG build publishes
+    next to its ontology.
+
+    Exact distinct by decomposition: per-block distinct (subj, pred,
+    obj) triples → ONE subj-bucketed merge where the distinct-object
+    count and extrema compute vectorized per group. Distinct triples
+    move once; assertions never re-shuffle."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["subj_id", "pred", "obj_id"]))
+            .unique()
+            .to_arrow()
+        )
+
+    def _conflicts(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("subj_id", pa.string()),
+                ("pred", pa.string()),
+                ("n_objs", pa.int64()),
+                ("min_obj", pa.string()),
+                ("max_obj", pa.string()),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .unique()
+            .group_by(["subj_id", "pred"])
+            .agg(
+                pl.col("obj_id").n_unique().cast(pl.Int64).alias("n_objs"),
+                pl.col("obj_id").min().alias("min_obj"),
+                pl.col("obj_id").max().alias("max_obj"),
+            )
+            .filter(pl.col("n_objs") > 1)
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partial = edges.map_batches(
+        _distinct, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partial, "subj_id", _conflicts, num_buckets=num_buckets
+    ).sort(["subj_id", "pred"])
+
+
+def pred_functionality(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-predicate FUNCTIONALITY audit → ``(pred, n_subjects,
+    n_functional)``: how many distinct subjects assert the predicate,
+    and how many of them have exactly one distinct object — the
+    integer signal that separates functional relations from
+    multi-valued ones during schema induction (consumer divides for
+    the score; the dataflow stays pure ints).
+
+    Same distinct-triple decomposition as :func:`object_conflicts`,
+    then a pred-keyed combiner over the per-(subj, pred) counts (one
+    row per pair, dimension-sized)."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["subj_id", "pred", "obj_id"]))
+            .unique()
+            .to_arrow()
+        )
+
+    def _per_pair(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [("pred", pa.string()), ("subj_id", pa.string()), ("n_objs", pa.int64())]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .unique()
+            .group_by(["pred", "subj_id"])
+            .agg(pl.col("obj_id").n_unique().cast(pl.Int64).alias("n_objs"))
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    pairs = bucket_group_apply(
+        edges.map_batches(
+            _distinct, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "subj_id",
+        _per_pair,
+        num_buckets=num_buckets,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("pred")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_subjects"),
+                (pl.col("n_objs") == 1)
+                .sum()
+                .cast(pl.Int64)
+                .alias("n_functional"),
+            )
+            .to_arrow()
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("pred")
+            .agg(
+                pl.col("n_subjects").sum(),
+                pl.col("n_functional").sum(),
+            )
+            .to_arrow()
+        )
+
+    partial = pairs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partial, "pred", _merge, num_buckets=4
+    ).sort("pred")

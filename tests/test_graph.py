@@ -1580,3 +1580,50 @@ def test_random_walks_match_reference_simulator(ray_session):
                 node = nbrs[r]
                 want.append((start, w, t + 1, node))
     assert got == sorted(want)
+
+
+def test_object_conflicts_and_functionality(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        object_conflicts,
+        pred_functionality,
+    )
+
+    rows = [
+        # s1 capital_of: two distinct objects (conflict), one duplicated
+        ("s1", "capital_of", "x"),
+        ("s1", "capital_of", "y"),
+        ("s1", "capital_of", "y"),
+        # s2 capital_of: functional
+        ("s2", "capital_of", "z"),
+        # s1 likes: multi-valued by nature
+        ("s1", "likes", "a"),
+        ("s1", "likes", "b"),
+        ("s1", "likes", "c"),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([r[0] for r in rows]),
+                "pred": pa.array([r[1] for r in rows]),
+                "obj_id": pa.array([r[2] for r in rows]),
+            }
+        )
+    ).repartition(3)
+
+    conf = [
+        (r["subj_id"], r["pred"], r["n_objs"], r["min_obj"], r["max_obj"])
+        for r in object_conflicts(ds).take_all()
+    ]
+    assert conf == [
+        ("s1", "capital_of", 2, "x", "y"),
+        ("s1", "likes", 3, "a", "c"),
+    ]
+
+    fn = {
+        r["pred"]: (r["n_subjects"], r["n_functional"])
+        for r in pred_functionality(ds).take_all()
+    }
+    assert fn == {"capital_of": (2, 1), "likes": (1, 0)}
