@@ -2010,6 +2010,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q10_returned_items": co.q_q10_returned_items,
         "pq_topk": co.q_pq_topk,
         "pq_recall": co.q_pq_recall,
+        "event_disorder": co.q_event_disorder,
     }
 
 
@@ -5032,6 +5033,22 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "event_disorder": """
+            WITH w AS (
+                SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                       max(epoch_us(ts)) OVER (
+                           PARTITION BY user_id ORDER BY event_id
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                                    AND 1 PRECEDING) AS prev_max
+                FROM events)
+            SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+                   CAST(sum(CASE WHEN ts_us < prev_max THEN 1 ELSE 0 END)
+                        AS BIGINT) AS n_late,
+                   CAST(coalesce(max(CASE WHEN prev_max > ts_us
+                                          THEN prev_max - ts_us END), 0)
+                        AS BIGINT) AS max_late_us
+            FROM w GROUP BY 1 ORDER BY 1
         """,
         "kg_conflicts": f"""
             WITH best AS MATERIALIZED (

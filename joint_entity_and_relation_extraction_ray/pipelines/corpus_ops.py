@@ -1965,6 +1965,17 @@ def q_group_quantiles_cont(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_event_disorder(sf_dir: str) -> ray.data.Dataset:
+    """Out-of-order-arrival monitor: per user (n_events, n_late,
+    max_late_us) with arrival order = event_id — the watermark-sizing
+    statistic; see `stages/events.disorder_rollup`."""
+    from ..stages.events import disorder_rollup, read_events
+
+    return disorder_rollup(
+        read_events(sf_dir, columns=["user_id", "event_id", "ts"])
+    )
+
+
 def q_event_intervals(sf_dir: str) -> ray.data.Dataset:
     """SCD-2 validity intervals over each user's event stream: valid_to
     = the next event's ts (NULL on the current row) — see

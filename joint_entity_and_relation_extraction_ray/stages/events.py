@@ -1273,3 +1273,70 @@ def user_streaks(
     return bucket_group_apply(
         pairs, "user_id", _streak, num_buckets=num_buckets
     )
+
+
+def disorder_rollup(
+    events: ray.data.Dataset, *, num_buckets: int = 64
+) -> ray.data.Dataset:
+    """Stream-quality monitor: per user, how many events arrived OUT OF
+    ORDER → ``(user_id, n_events, n_late, max_late_us)`` where arrival
+    order is ``event_id`` (the ingest sequence), an event is late when
+    its ``ts`` is strictly below the running maximum of everything that
+    arrived before it, and ``max_late_us`` is the worst lag in int64
+    microseconds (0 when none) — the number a streaming deployment
+    watches to size its watermark / allowed-lateness.
+
+    One user-bucketed shuffle; inside each bucket the running max is a
+    vectorized cummax over the event_id sort. Pure ints end to end."""
+    import numpy as np
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    OUT = pa.schema(
+        [
+            ("user_id", pa.string()),
+            ("n_events", pa.int64()),
+            ("n_late", pa.int64()),
+            ("max_late_us", pa.int64()),
+        ]
+    )
+
+    def _per_user(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        df = (
+            pl.from_arrow(t.select(["user_id", "event_id", "ts"]))
+            .sort(["user_id", "event_id"])
+            .with_columns(ts_us=pl.col("ts").cast(pl.Int64))
+            .with_columns(
+                prev_max=pl.col("ts_us")
+                .cum_max()
+                .shift(1)
+                .over("user_id")
+            )
+            .with_columns(
+                late=(pl.col("ts_us") < pl.col("prev_max")).fill_null(False),
+                lag_us=(pl.col("prev_max") - pl.col("ts_us")).clip(
+                    lower_bound=0
+                ),
+            )
+        )
+        return (
+            df.group_by("user_id")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_events"),
+                pl.col("late").sum().cast(pl.Int64).alias("n_late"),
+                pl.col("lag_us")
+                .max()
+                .fill_null(0)
+                .cast(pl.Int64)
+                .alias("max_late_us"),
+            )
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    return bucket_group_apply(
+        events, "user_id", _per_user, num_buckets=num_buckets
+    ).sort("user_id")

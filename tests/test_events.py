@@ -601,3 +601,45 @@ def test_event_journeys_trigrams(ray_session):
         .take_all()
     ]
     assert got2 == [("a b c", 1)]
+
+
+def test_disorder_rollup_counts_late_arrivals(ray_session):
+    """event_id is arrival order; ts dips below the running max twice
+    for u1 (one 5s late, one 2s late), never for u2."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        disorder_rollup,
+    )
+
+    t0 = dt.datetime(2025, 1, 1)
+
+    def ts(s):
+        return t0 + dt.timedelta(seconds=s)
+
+    rows = [
+        ("u1", 1, ts(10)),
+        ("u1", 2, ts(20)),
+        ("u1", 3, ts(15)),  # 5 s behind the running max (20)
+        ("u1", 4, ts(30)),
+        ("u1", 5, ts(28)),  # 2 s behind (30)
+        ("u2", 6, ts(1)),
+        ("u2", 7, ts(2)),
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array([r[0] for r in rows]),
+                "event_id": pa.array([r[1] for r in rows], pa.int64()),
+                "ts": pa.array([r[2] for r in rows], pa.timestamp("us")),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["user_id"]: (r["n_events"], r["n_late"], r["max_late_us"])
+        for r in disorder_rollup(ds, num_buckets=2).take_all()
+    }
+    assert got == {"u1": (5, 2, 5_000_000), "u2": (2, 0, 0)}
