@@ -948,6 +948,20 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(kg.stage(sf_dir, "edges"), n_walks=2, length=3)
 
 
+def _q_kg_widest(sf_dir: str):
+    """Bounded-hop widest-path (max-min bottleneck) widths from the
+    lexicographic-min entity over the undirected weighted KG (≤4 hops)
+    — the (max, min)-semiring sibling of kg_sssp, same relax/merge
+    skeleton with the salted-min combiner running the max-merge on
+    negated widths; hop-capped recursive-CTE oracle."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        widest_distances,
+    )
+
+    return widest_distances(kg.stage(sf_dir, "edges"), max_hops=4)
+
+
 def _q_kg_conflicts(sf_dir: str):
     """KG integrity: (subject, predicate) pairs asserting >1 distinct
     object — the contradiction triage list for functional relations.
@@ -1815,6 +1829,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_walks": _q_kg_walks,
         "kg_conflicts": _q_kg_conflicts,
         "kg_functionality": _q_kg_functionality,
+        "kg_widest": _q_kg_widest,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -5033,6 +5048,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        # widest path: (max, min) semiring over the same weighted sym
+        # edge set as kg_sssp; source excluded (engine sentinel absorbs it)
+        "kg_widest": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            wedges AS MATERIALIZED (
+                SELECT s.entity_id AS src, t.pred, o.entity_id AS dst,
+                       COUNT(*) AS w
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            ),
+            sym AS MATERIALIZED (
+                SELECT src, dst, w FROM wedges
+                UNION ALL SELECT dst, src, w FROM wedges
+            ),
+            reach(node, wmin, hops) AS (
+                SELECT (SELECT min(src) FROM sym),
+                       CAST(4611686018427387904 AS BIGINT), 0
+                UNION
+                SELECT s.dst, least(r.wmin, s.w), r.hops + 1
+                FROM reach r JOIN sym s ON s.src = r.node
+                WHERE r.hops < 4
+            )
+            SELECT node, CAST(max(wmin) AS BIGINT) AS width
+            FROM reach
+            WHERE node <> (SELECT min(src) FROM sym)
+            GROUP BY node
         """,
         "event_disorder": """
             WITH w AS (

@@ -3747,3 +3747,114 @@ def pred_functionality(
     return bucket_group_apply(
         partial, "pred", _merge, num_buckets=4
     ).sort("pred")
+
+
+_WIDE_SENTINEL = 1 << 62
+
+
+def widest_distances(
+    edges: ray.data.Dataset,
+    *,
+    source: str | None = None,
+    max_hops: int = 4,
+    weight_col: str = "weight",
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Bounded-hop WIDEST-PATH (max-min bottleneck) distances from one
+    source over the undirected weighted KG — rows ``(node, width)``
+    where width = the MAXIMUM over ≤``max_hops``-edge paths of the
+    MINIMUM edge weight along the path (the (max, min) semiring:
+    network capacity, trust propagation). Source defaults to the
+    lexicographic-min node; integer weights → integer widths, so the
+    recursive-CTE oracle is hash-exact.
+
+    Same relax/merge skeleton as :func:`sssp_distances` with the
+    semiring swapped: labels store the NEGATED width so the house
+    salted-MIN combiner performs the max-merge; relaxation is
+    ``max(S_src, −w)`` (≡ width min(W, w)); the source's sentinel init
+    absorbs every cycle path back into it, so the output is exactly
+    the reachable non-source nodes — mirrored by the oracle's
+    source-exclusion."""
+    import pyarrow.compute as _pc
+
+    from .canonical import _salted_min, default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+
+    sym = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t["subj_id"].combine_chunks(),
+                        t["obj_id"].combine_chunks(),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t["obj_id"].combine_chunks(),
+                        t["subj_id"].combine_chunks(),
+                    ]
+                ),
+                "w": pa.concat_arrays(
+                    [
+                        t[weight_col].combine_chunks().cast(pa.int64()),
+                        t[weight_col].combine_chunks().cast(pa.int64()),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    if source is None:
+        mins = sym.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([_pc.min(t["src"]).as_py()], pa.string())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()  # one row per block — tiny by construction
+        source = min(r["m"] for r in mins if r["m"] is not None)
+
+    labels = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([source], pa.string()),
+                # S = -width; source starts at -SENTINEL (width "∞")
+                "s": pa.array([-_WIDE_SENTINEL], pa.int64()),
+            }
+        )
+    )
+    for _ in range(max_hops):
+        prop = join_auto(
+            sym,
+            labels,
+            on=("src",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "node": t["dst"],
+                    # S_new = max(S_src, -w)  ⇔  width = min(width, w)
+                    "s": _pc.max_element_wise(
+                        t["s"], _pc.negate_checked(t["w"])
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = _salted_min(
+            labels.union(prop), "node", "s"
+        ).materialize()
+
+    return labels.filter(expr=f"s != {-_WIDE_SENTINEL}").map_batches(
+        lambda t: pa.table(
+            {"node": t["node"], "width": _pc.negate_checked(t["s"])}
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )

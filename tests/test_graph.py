@@ -1627,3 +1627,42 @@ def test_object_conflicts_and_functionality(ray_session):
         for r in pred_functionality(ds).take_all()
     }
     assert fn == {"capital_of": (2, 1), "likes": (1, 0)}
+
+
+def test_widest_path_prefers_fat_detour(ray_session):
+    """From a: direct a-c edge of width 1, but a-b-c has bottleneck 5 —
+    widest(c) = 5; b gets its direct 7; hop cap honored."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        widest_distances,
+    )
+
+    rows = [
+        ("a", "c", 1),
+        ("a", "b", 7),
+        ("b", "c", 5),
+        ("c", "d", 9),  # widest(d) = min over best path = 5 via a-b-c-d
+        ("x", "y", 3),  # disconnected island — unreachable, absent
+    ]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([r[0] for r in rows]),
+                "obj_id": pa.array([r[1] for r in rows]),
+                "weight": pa.array([r[2] for r in rows], pa.int64()),
+            }
+        )
+    ).repartition(3)
+    got = {
+        r["node"]: r["width"]
+        for r in widest_distances(ds, max_hops=4).take_all()
+    }
+    assert got == {"b": 7, "c": 5, "d": 5}
+    # hop cap: 1 hop only reaches direct neighbors at direct widths
+    got1 = {
+        r["node"]: r["width"]
+        for r in widest_distances(ds, max_hops=1).take_all()
+    }
+    assert got1 == {"b": 7, "c": 1}
