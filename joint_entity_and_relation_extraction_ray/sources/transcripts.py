@@ -125,8 +125,19 @@ def read_transcripts_jsonl(
     interchange format) — same validate/coerce/filter stage as the
     parquet reader, so downstream stages see one schema regardless of
     wire format. ``ts`` accepts epoch-microsecond ints or ISO-8601
-    strings; missing ``tool`` coerces to null."""
-    ds = ray.data.read_json(path, override_num_blocks=override_num_blocks)
+    strings; missing ``tool`` coerces to null. ``.gz`` shards stream
+    through Arrow's gzip decompressor (web corpora ship as .jsonl.gz) —
+    decompression happens inside the read tasks, never on the driver."""
+    paths = [path] if isinstance(path, str) else list(path)
+    read_kwargs: dict = {}
+    if any(str(p).endswith(".gz") for p in paths):
+        read_kwargs = {
+            "arrow_open_stream_args": {"compression": "gzip"},
+            "file_extensions": ["gz", "json", "jsonl"],
+        }
+    ds = ray.data.read_json(
+        path, override_num_blocks=override_num_blocks, **read_kwargs
+    )
 
     def _coerce(batch: pa.Table) -> pa.Table:
         cols = {}

@@ -365,3 +365,33 @@ def test_mention_contexts_window_clipping(ray_session):
     assert got["m0"] == text[0:25]    # left-clipped
     assert got["m1"] == text[10:55]   # full window
     assert got["m2"] == text[35:60]   # right-clipped
+
+
+def test_read_transcripts_jsonl_gzip(ray_session, tmp_path):
+    """Gzipped JSONL shards (the web-corpus wire format) stream through
+    the same coerce/validate stage as plain shards — identical output."""
+    import gzip
+    import json
+
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts_jsonl,
+    )
+
+    rows = [
+        {"conv_id": "g1", "turn_idx": 0, "role": "user",
+         "text": "compressed hello", "tool": None,
+         "ts": "2024-05-06T07:08:09"},
+        {"conv_id": "g1", "turn_idx": 1, "role": "assistant",
+         "text": "compressed reply", "tool": "search",
+         "ts": "2024-05-06T07:08:10"},
+    ]
+    p = tmp_path / "shard.jsonl.gz"
+    with gzip.open(p, "wt") as f:
+        for r in rows:
+            f.write(json.dumps(r) + "\n")
+    out = sorted(
+        read_transcripts_jsonl(str(p)).take_all(),
+        key=lambda r: r["turn_idx"],
+    )
+    assert [r["text"] for r in out] == ["compressed hello", "compressed reply"]
+    assert out[1]["tool"] == "search" and out[0]["ts"].year == 2024
