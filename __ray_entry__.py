@@ -2026,6 +2026,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "pq_topk": co.q_pq_topk,
         "pq_recall": co.q_pq_recall,
         "event_disorder": co.q_event_disorder,
+        "fk_audit": co.q_fk_audit,
     }
 
 
@@ -5048,6 +5049,41 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "fk_audit": """
+            SELECT fk, n_rows, n_orphans FROM (
+                SELECT 'lineitem.l_orderkey->orders' AS fk,
+                       CAST(count(*) AS BIGINT) AS n_rows,
+                       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1
+                                     ELSE 0 END) AS BIGINT) AS n_orphans
+                FROM lineitem LEFT JOIN (SELECT DISTINCT o_orderkey
+                                         FROM orders) o
+                  ON l_orderkey = o_orderkey
+                UNION ALL
+                SELECT 'lineitem.l_partkey->part',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN p_partkey IS NULL THEN 1
+                                     ELSE 0 END) AS BIGINT)
+                FROM lineitem LEFT JOIN (SELECT DISTINCT p_partkey
+                                         FROM part) p
+                  ON l_partkey = p_partkey
+                UNION ALL
+                SELECT 'lineitem.l_suppkey->supplier',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1
+                                     ELSE 0 END) AS BIGINT)
+                FROM lineitem LEFT JOIN (SELECT DISTINCT s_suppkey
+                                         FROM supplier) s
+                  ON l_suppkey = s_suppkey
+                UNION ALL
+                SELECT 'orders.o_custkey->customer',
+                       CAST(count(*) AS BIGINT),
+                       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1
+                                     ELSE 0 END) AS BIGINT)
+                FROM orders LEFT JOIN (SELECT DISTINCT c_custkey
+                                       FROM customer) c
+                  ON o_custkey = c_custkey
+            ) ORDER BY fk
         """,
         # widest path: (max, min) semiring over the same weighted sym
         # edge set as kg_sssp; source excluded (engine sentinel absorbs it)

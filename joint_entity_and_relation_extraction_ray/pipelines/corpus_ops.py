@@ -3349,6 +3349,48 @@ def q_q10_returned_items(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
+    """Referential-integrity audit across the warehouse's four foreign
+    keys → one row per FK: ``(fk, n_rows, n_orphans)``. Each check is a
+    decomposable row count plus a distributed ANTI membership join (the
+    dim reduces to a distinct key set, broadcast under the guard) — the
+    fact tables stream, nothing joins raw. The first report a data
+    platform runs after every load."""
+    from ..stages.relational import membership_join
+
+    def _audit(fk, fact, fcol, dim, dcol):
+        f = ray.data.read_parquet(f"{sf_dir}/{fact}.parquet", columns=[fcol])
+        d = ray.data.read_parquet(f"{sf_dir}/{dim}.parquet", columns=[dcol])
+        n_rows = f.count()
+        n_orphans = membership_join(
+            f, d, on=fcol, right_on=dcol, anti=True
+        ).count()
+        return {"fk": fk, "n_rows": n_rows, "n_orphans": n_orphans}
+
+    checks = [
+        ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey",
+         "orders", "o_orderkey"),
+        ("lineitem.l_partkey->part", "lineitem", "l_partkey",
+         "part", "p_partkey"),
+        ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey",
+         "supplier", "s_suppkey"),
+        ("orders.o_custkey->customer", "orders", "o_custkey",
+         "customer", "c_custkey"),
+    ]
+    rows = [_audit(*c) for c in checks]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "fk": pa.array([r["fk"] for r in rows], pa.string()),
+                "n_rows": pa.array([r["n_rows"] for r in rows], pa.int64()),
+                "n_orphans": pa.array(
+                    [r["n_orphans"] for r in rows], pa.int64()
+                ),
+            }
+        )
+    )
+
+
 # --- bench subset ----------------------------------------------------------
 
 

@@ -62,3 +62,55 @@ def test_tpch_shape_matches_oracle(ray_session, oracle_con, name):
     assert list(got.columns) == list(want.columns)
     assert len(got) == len(want) > 0
     assert _hash(got) == _hash(want)
+
+
+def test_fk_audit_counts_orphans(ray_session, tmp_path):
+    """Inject one orphan per FK into a tiny warehouse; the audit must
+    count exactly those (the driver corpus is orphan-free, so this is
+    where the detection path is actually exercised)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    e = importlib.import_module("__ray_entry__")
+
+    pq.write_table(
+        pa.table({"c_custkey": pa.array([1, 2], pa.int64())}),
+        tmp_path / "customer.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "o_orderkey": pa.array([10, 11, 12], pa.int64()),
+                "o_custkey": pa.array([1, 2, 99], pa.int64()),  # 99 orphan
+            }
+        ),
+        tmp_path / "orders.parquet",
+    )
+    pq.write_table(
+        pa.table({"p_partkey": pa.array([5], pa.int64())}),
+        tmp_path / "part.parquet",
+    )
+    pq.write_table(
+        pa.table({"s_suppkey": pa.array([7], pa.int64())}),
+        tmp_path / "supplier.parquet",
+    )
+    pq.write_table(
+        pa.table(
+            {
+                "l_orderkey": pa.array([10, 11, 404], pa.int64()),  # 404
+                "l_partkey": pa.array([5, 505, 5], pa.int64()),  # 505
+                "l_suppkey": pa.array([7, 7, 7], pa.int64()),  # clean
+            }
+        ),
+        tmp_path / "lineitem.parquet",
+    )
+    got = {
+        r["fk"]: (r["n_rows"], r["n_orphans"])
+        for r in e.queries()["fk_audit"](str(tmp_path)).take_all()
+    }
+    assert got == {
+        "lineitem.l_orderkey->orders": (3, 1),
+        "lineitem.l_partkey->part": (3, 1),
+        "lineitem.l_suppkey->supplier": (3, 0),
+        "orders.o_custkey->customer": (3, 1),
+    }
