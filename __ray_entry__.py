@@ -2027,6 +2027,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "pq_recall": co.q_pq_recall,
         "event_disorder": co.q_event_disorder,
         "fk_audit": co.q_fk_audit,
+        "sample_weighted": co.q_sample_weighted,
     }
 
 
@@ -5049,6 +5050,19 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        # Efraimidis–Spirakis weighted sample: top-50 by u^(1/w) with
+        # u = (md5_60(doc_id)+1)/(2^60+1); pow/division are IEEE double
+        # in both engines and md5 priorities never tie in practice
+        "sample_weighted": """
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS weight
+            FROM documents
+            ORDER BY pow(
+                (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+                     ::BIGINT + 1) / 1152921504606846977.0,
+                1.0 / greatest(n_chars, 1)) DESC,
+                doc_id
+            LIMIT 50
         """,
         "fk_audit": """
             SELECT fk, n_rows, n_orphans FROM (

@@ -709,6 +709,54 @@ def q_sample_bottomk(sf_dir: str) -> ray.data.Dataset:
     return top.select_columns(["doc_id"])
 
 
+def q_sample_weighted(sf_dir: str) -> ray.data.Dataset:
+    """EXACT weighted sample without replacement, 50 docs with
+    probability ∝ n_chars — Efraimidis–Spirakis priority sampling
+    (top-k by u^(1/w)) with the uniform u derived from md5(doc_id), so
+    the draw is deterministic AND SQL-mirrorable (the rare weighted
+    sampler with an exact oracle; cf. "Streaming Weighted Sampling over
+    Join Queries", EDBT 2023). Distributed exactly like sample_bottomk:
+    per-block top-k combiner → one single-bucket merge; floats exist
+    only inside the priority key, the output is (doc_id, weight) ints."""
+    import hashlib
+
+    from ..stages.relational import group_topk
+
+    DENOM = float((1 << 60) + 1)
+
+    def _prio(t: pa.Table) -> pa.Table:
+        ids = t["doc_id"].to_pylist()
+        ws = t["n_chars"].to_pylist()
+        prios = []
+        for d, w in zip(ids, ws):
+            u = (
+                int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) + 1
+            ) / DENOM
+            prios.append(u ** (1.0 / max(w or 1, 1)))
+        return pa.table(
+            {
+                "doc_id": t["doc_id"],
+                "weight": pc.cast(t["n_chars"], pa.int64()),
+                "prio": pa.array(prios, pa.float64()),
+                "g": pa.array([0] * len(ids), pa.int32()),
+            }
+        )
+
+    ds = read_documents(sf_dir, columns=["doc_id", "n_chars"]).map_batches(
+        _prio, batch_format="pyarrow", zero_copy_batch=True
+    )
+    top = group_topk(
+        ds,
+        by="g",
+        sort_col="prio",
+        k=50,
+        descending=True,
+        tiebreak="doc_id",
+        num_buckets=1,
+    )
+    return top.select_columns(["doc_id", "weight"])
+
+
 def q_sample_random(sf_dir: str) -> ray.data.Dataset:
     """Seeded ``random_sample`` (rows-only: Ray's sampler isn't
     SQL-reproducible; determinism for a fixed block layout only)."""

@@ -32,6 +32,7 @@ NEW = [
     "q18_volume_customers",
     "q22_idle_customers",
     "q10_returned_items",
+    "sample_weighted",
 ]
 
 
@@ -114,3 +115,16 @@ def test_fk_audit_counts_orphans(ray_session, tmp_path):
         "lineitem.l_suppkey->supplier": (3, 0),
         "orders.o_custkey->customer": (3, 1),
     }
+
+
+def test_sample_weighted_prefers_heavy_docs(ray_session):
+    """Weighted-by-n_chars sampling must overrepresent long docs: the
+    sample's mean weight exceeds the corpus mean."""
+    import pyarrow.parquet as pq
+
+    e = importlib.import_module("__ray_entry__")
+    got = e.queries()["sample_weighted"](SF_DIR).to_pandas()
+    corpus = pq.read_table(
+        f"{SF_DIR}/documents.parquet", columns=["n_chars"]
+    ).to_pandas()
+    assert got["weight"].mean() > corpus["n_chars"].mean()
