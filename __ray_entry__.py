@@ -2028,6 +2028,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "event_disorder": co.q_event_disorder,
         "fk_audit": co.q_fk_audit,
         "sample_weighted": co.q_sample_weighted,
+        "q16_supplier_counts": co.q_q16_supplier_counts,
     }
 
 
@@ -5050,6 +5051,17 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q16_supplier_counts": """
+            SELECT p_brand, p_type,
+                   CAST(count(DISTINCT l_suppkey) AS BIGINT)
+                       AS supplier_cnt
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                    WHERE s_acctbal < 0)
+              AND p_size <= 10
+            GROUP BY 1, 2
+            ORDER BY supplier_cnt DESC, p_brand, p_type
         """,
         # Efraimidis–Spirakis weighted sample: top-50 by u^(1/w) with
         # u = (md5_60(doc_id)+1)/(2^60+1); pow/division are IEEE double

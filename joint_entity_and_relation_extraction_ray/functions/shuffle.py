@@ -138,6 +138,13 @@ def bucket_group_apply(
 ) -> ray.data.Dataset:
     """One-shuffle grouped apply: all rows of a key land in one bucket;
     ``fn(bucket_table)`` runs vectorized per bucket."""
+    ds = ds.materialize()  # no-op for already-materialized inputs
+    if ds.schema() is None:
+        # fully-empty input (Ray reports no schema): the grouped apply
+        # of nothing is nothing — return the empty dataset rather than
+        # crash the splitter; callers needing a TYPED empty must guard
+        # upstream (membership_join/distinct_keys do)
+        return ds
     per_block, schema = _split_refs(
         ds, lambda t: t[key].combine_chunks(), num_buckets
     )

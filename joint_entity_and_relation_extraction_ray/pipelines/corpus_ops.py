@@ -3397,6 +3397,88 @@ def q_q10_returned_items(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_q16_supplier_counts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q16 shape: COUNT(DISTINCT supplier) per part attribute
+    with a NOT-IN supplier blocklist — the exact-distinct-after-joins
+    composition. The blocklist (negative-balance suppliers) anti-
+    filters the fact via `membership_join(anti=True)`; small parts
+    semi-filter it; the part dim broadcasts attributes; then distinct
+    (brand, type, suppkey) triples reduce per block and merge in ONE
+    brand-bucketed shuffle where the distinct count is exact — the
+    decomposition that keeps COUNT(DISTINCT) off a single reducer."""
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+    from ..stages.relational import membership_join
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    bad_supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(
+        lambda t: t.filter(pc.less(t["s_acctbal"], 0.0)).select(
+            ["s_suppkey"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = membership_join(
+        li, bad_supp, on="l_suppkey", right_on="s_suppkey", anti=True
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet",
+        columns=["p_partkey", "p_brand", "p_type", "p_size"],
+    ).map_batches(
+        lambda t: t.filter(pc.less_equal(t["p_size"], 10)).select(
+            ["p_partkey", "p_brand", "p_type"]
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    joined = join_auto(li, part, on=("l_partkey",), right_on=("p_partkey",))
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["p_brand", "p_type", "l_suppkey"]))
+            .unique()
+            .to_arrow()
+        )
+
+    def _count(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("p_brand", pa.string()),
+                ("p_type", pa.string()),
+                ("supplier_cnt", pa.int64()),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .unique()
+            .group_by(["p_brand", "p_type"])
+            .agg(
+                pl.col("l_suppkey")
+                .n_unique()
+                .cast(pl.Int64)
+                .alias("supplier_cnt")
+            )
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partial = joined.map_batches(
+        _distinct, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = bucket_group_apply(partial, "p_brand", _count, num_buckets=8)
+    return out.sort(
+        ["supplier_cnt", "p_brand", "p_type"], descending=[True, False, False]
+    )
+
+
 def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     """Referential-integrity audit across the warehouse's four foreign
     keys → one row per FK: ``(fk, n_rows, n_orphans)``. Each check is a

@@ -94,7 +94,11 @@ def distinct_keys(
 
     keys = ds.select_columns([col]).map_batches(
         _distinct, batch_format="pyarrow", zero_copy_batch=True
-    )
+    ).materialize()
+    if keys.schema() is None:
+        # fully-empty input: Ray reports no schema at all, which the
+        # house shuffle cannot bucket — the distinct key set IS empty
+        return keys
     return bucket_group_apply(
         keys, col, _distinct, num_buckets=num_buckets
     ).materialize()
@@ -126,6 +130,18 @@ def membership_join(
     should pre-filter)."""
     right_on = right_on or on
     keys = distinct_keys(right, right_on, num_buckets=min(num_buckets, 16))
+
+    if keys.count() == 0:
+        # empty right: ANTI keeps everything, SEMI keeps nothing (a
+        # typed left-schema empty) — also the only correct behavior
+        # when the empty right carries no schema at all
+        if anti:
+            return left
+        return left.map_batches(
+            lambda t: t.slice(0, 0),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
 
     if keys.count() <= broadcast_threshold:
         from ..functions.joins import dataset_to_table

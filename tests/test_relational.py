@@ -1711,3 +1711,29 @@ def test_grouped_sets_rejects_bad_sets(ray_session):
         grouped_sets(
             ds, by=["a", "b"], sets=[["a"], ["a"]], aggs={"n": ("v", "count")}
         )
+
+
+def test_membership_join_empty_right(ray_session):
+    """A fully-empty right side (Ray reports no schema) must not crash
+    the house shuffle: ANTI keeps every left row, SEMI keeps none with
+    the left schema intact."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        membership_join,
+    )
+
+    left = ray.data.from_arrow(
+        pa.table({"k": pa.array([1, 2, 3], pa.int64()), "v": pa.array(list("abc"))})
+    ).repartition(2)
+    right = ray.data.from_arrow(
+        pa.table({"k": pa.array([1], pa.int64())})
+    ).filter(expr="k > 99")  # empties out entirely
+
+    kept = membership_join(left, right, on="k", anti=True)
+    assert sorted(r["k"] for r in kept.take_all()) == [1, 2, 3]
+
+    none = membership_join(left, right, on="k", anti=False)
+    assert none.take_all() == []
+    assert none.schema().names == ["k", "v"]

@@ -33,6 +33,7 @@ NEW = [
     "q22_idle_customers",
     "q10_returned_items",
     "sample_weighted",
+    "q16_supplier_counts",
 ]
 
 
