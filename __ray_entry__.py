@@ -948,6 +948,23 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(kg.stage(sf_dir, "edges"), n_walks=2, length=3)
 
 
+def _q_kg_skipgrams(sf_dir: str):
+    """Skip-gram (center, context, cnt) training pairs over the
+    deterministic walk corpus (window 2) — DeepWalk's sentence →
+    word2vec input step, `stages/graph.skipgram_pairs` over
+    `random_walks`; oracle self-joins the same recursive-CTE walks."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        random_walks,
+        skipgram_pairs,
+    )
+
+    return skipgram_pairs(
+        random_walks(kg.stage(sf_dir, "edges"), n_walks=2, length=3),
+        window=2,
+    )
+
+
 def _q_kg_widest(sf_dir: str):
     """Bounded-hop widest-path (max-min bottleneck) widths from the
     lexicographic-min entity over the undirected weighted KG (≤4 hops)
@@ -1830,6 +1847,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_conflicts": _q_kg_conflicts,
         "kg_functionality": _q_kg_functionality,
         "kg_widest": _q_kg_widest,
+        "kg_skipgrams": _q_kg_skipgrams,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -2062,6 +2080,63 @@ def oracle_sql() -> dict[str, str]:
     from joint_entity_and_relation_extraction_ray.pipelines import corpus_ops as co
 
     g = str(_SF001)
+    walks_sql = f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT DISTINCT src, dst FROM (
+                    SELECT subj_id AS src, obj_id AS dst FROM e
+                    UNION ALL
+                    SELECT obj_id, subj_id FROM e
+                ) WHERE src <> dst
+            ),
+            adj AS MATERIALIZED (
+                SELECT src, dst,
+                       CAST(row_number() OVER (PARTITION BY src
+                                               ORDER BY dst) - 1
+                            AS BIGINT) AS rnk,
+                       CAST(count(*) OVER (PARTITION BY src)
+                            AS BIGINT) AS deg
+                FROM sym
+            ),
+            starts AS (SELECT DISTINCT src AS start FROM sym),
+            wk AS (
+                SELECT start, CAST(w.walk AS BIGINT) AS walk,
+                       CAST(0 AS BIGINT) AS step, start AS node
+                FROM starts
+                CROSS JOIN (SELECT unnest(range(2)) AS walk) w
+                UNION ALL
+                SELECT wk.start, wk.walk, wk.step + 1, a.dst
+                FROM wk JOIN adj a ON a.src = wk.node
+                 AND a.rnk = ('0x' || substr(md5(wk.node || '|'
+                         || CAST(wk.step AS VARCHAR) || '|'
+                         || CAST(wk.walk AS VARCHAR)), 1, 15))::BIGINT
+                     % a.deg
+                WHERE wk.step < 3
+            )
+            SELECT start, walk, step, node FROM wk ORDER BY 1, 2, 3
+        """  # shared by kg_walks and kg_skipgrams
     return {
         # The pipeline's emitted span/triple sets must equal the closed-form
         # goldens of the seeded grammar (P/R contract, BASELINE.json:14).
@@ -5239,62 +5314,15 @@ def oracle_sql() -> dict[str, str]:
         """,
         # deterministic random walks: recursive CTE mirrors the engine's
         # md5_60(node|step|walk) mod deg next-hop rule bit-exactly
-        "kg_walks": f"""
-            WITH RECURSIVE best AS MATERIALIZED (
-                SELECT alias, ent_type, entity_id
-                FROM (
-                    SELECT alias, ent_type, entity_id,
-                           ROW_NUMBER() OVER (
-                               PARTITION BY alias, ent_type
-                               ORDER BY prior DESC, entity_id
-                           ) AS rn
-                    FROM read_parquet('{g}/aliases.parquet')
-                ) WHERE rn = 1
-            ),
-            lm AS MATERIALIZED (
-                SELECT m.mention_id, b.entity_id
-                FROM read_parquet('{g}/golden_mentions/*.parquet') m
-                JOIN best b
-                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
-            ),
-            e AS MATERIALIZED (
-                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
-                FROM read_parquet('{g}/golden_triples/*.parquet') t
-                JOIN lm s ON t.subj_mention_id = s.mention_id
-                JOIN lm o ON t.obj_mention_id = o.mention_id
-            ),
-            sym AS MATERIALIZED (
-                SELECT DISTINCT src, dst FROM (
-                    SELECT subj_id AS src, obj_id AS dst FROM e
-                    UNION ALL
-                    SELECT obj_id, subj_id FROM e
-                ) WHERE src <> dst
-            ),
-            adj AS MATERIALIZED (
-                SELECT src, dst,
-                       CAST(row_number() OVER (PARTITION BY src
-                                               ORDER BY dst) - 1
-                            AS BIGINT) AS rnk,
-                       CAST(count(*) OVER (PARTITION BY src)
-                            AS BIGINT) AS deg
-                FROM sym
-            ),
-            starts AS (SELECT DISTINCT src AS start FROM sym),
-            wk AS (
-                SELECT start, CAST(w.walk AS BIGINT) AS walk,
-                       CAST(0 AS BIGINT) AS step, start AS node
-                FROM starts
-                CROSS JOIN (SELECT unnest(range(2)) AS walk) w
-                UNION ALL
-                SELECT wk.start, wk.walk, wk.step + 1, a.dst
-                FROM wk JOIN adj a ON a.src = wk.node
-                 AND a.rnk = ('0x' || substr(md5(wk.node || '|'
-                         || CAST(wk.step AS VARCHAR) || '|'
-                         || CAST(wk.walk AS VARCHAR)), 1, 15))::BIGINT
-                     % a.deg
-                WHERE wk.step < 3
-            )
-            SELECT start, walk, step, node FROM wk ORDER BY 1, 2, 3
+        "kg_walks": walks_sql,
+        # skip-gram window-2 pairs over the SAME deterministic walks
+        "kg_skipgrams": f"""
+            SELECT a.node AS center, b.node AS context,
+                   CAST(count(*) AS BIGINT) AS cnt
+            FROM ({walks_sql}) a JOIN ({walks_sql}) b
+              ON a.start = b.start AND a.walk = b.walk
+             AND a.step <> b.step AND abs(a.step - b.step) <= 2
+            GROUP BY 1, 2 ORDER BY 1, 2
         """,
         # TPC-H join-shape compositions (corpus_ops.q_q4/q14/q15/q17/q18/q22)
         "q4_order_priority": """

@@ -3858,3 +3858,69 @@ def widest_distances(
         batch_format="pyarrow",
         zero_copy_batch=True,
     )
+
+
+def skipgram_pairs(
+    walks: ray.data.Dataset,
+    *,
+    window: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Skip-gram training pairs over a walk corpus — rows ``(center,
+    context, cnt)``: for every walk, all ordered node pairs within
+    ``window`` steps of each other, counted corpus-wide (the exact
+    input word2vec-style embedding training consumes downstream of
+    :func:`random_walks`; DeepWalk's "walks are sentences").
+
+    One start-bucketed shuffle co-locates each start's walks; the
+    within-walk window join is a vectorized polars self-join per
+    bucket emitting per-bucket (center, context) partial counts; a
+    second tiny center-bucketed merge adds them. Pure ints."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    OUT = pa.schema(
+        [
+            ("center", pa.string()),
+            ("context", pa.string()),
+            ("cnt", pa.int64()),
+        ]
+    )
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        df = pl.from_arrow(t.select(["start", "walk", "step", "node"]))
+        j = df.join(df, on=["start", "walk"], suffix="_r")
+        j = j.filter(
+            (pl.col("step") != pl.col("step_r"))
+            & ((pl.col("step") - pl.col("step_r")).abs() <= window)
+        )
+        return (
+            j.group_by(
+                pl.col("node").alias("center"),
+                pl.col("node_r").alias("context"),
+            )
+            .agg(pl.len().cast(pl.Int64).alias("cnt"))
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by(["center", "context"])
+            .agg(pl.col("cnt").sum())
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    partial = bucket_group_apply(
+        walks, "start", _pairs, num_buckets=num_buckets
+    )
+    return bucket_group_apply(
+        partial, "center", _merge, num_buckets=num_buckets
+    ).sort(["center", "context"])

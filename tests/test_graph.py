@@ -1666,3 +1666,38 @@ def test_widest_path_prefers_fat_detour(ray_session):
         for r in widest_distances(ds, max_hops=1).take_all()
     }
     assert got1 == {"b": 7, "c": 1}
+
+
+def test_skipgram_pairs_window_semantics(ray_session):
+    """Window-2 pairs from two tiny hand-written walks, counted."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        skipgram_pairs,
+    )
+
+    # one start, one walk: a b c  (steps 0 1 2); another walk: a b
+    rows = [
+        ("a", 0, 0, "a"), ("a", 0, 1, "b"), ("a", 0, 2, "c"),
+        ("a", 1, 0, "a"), ("a", 1, 1, "b"),
+    ]
+    walks = ray.data.from_arrow(
+        pa.table(
+            {
+                "start": pa.array([r[0] for r in rows]),
+                "walk": pa.array([r[1] for r in rows], pa.int64()),
+                "step": pa.array([r[2] for r in rows], pa.int64()),
+                "node": pa.array([r[3] for r in rows]),
+            }
+        )
+    ).repartition(2)
+    got = {
+        (r["center"], r["context"]): r["cnt"]
+        for r in skipgram_pairs(walks, window=2).take_all()
+    }
+    assert got == {
+        ("a", "b"): 2, ("a", "c"): 1,
+        ("b", "a"): 2, ("b", "c"): 1,
+        ("c", "a"): 1, ("c", "b"): 1,
+    }
