@@ -940,10 +940,54 @@ def boilerplate_segments(
     return bucket_group_apply(pairs, "h", _count, num_buckets=num_buckets)
 
 
+def _boilerplate_hashes(
+    docs: ray.data.Dataset,
+    *,
+    width: int = 3,
+    min_docs: int = 2,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Hash-only sibling of :func:`boilerplate_segments` for consumers
+    that never need the segment TEXT (``segment_dedup``'s rewrite
+    matches on the polars hash anyway): the exchange carries 16-byte
+    (h:int64, doc_id:int64) per-block-distinct pairs instead of the
+    ~3×-corpus window strings — at 100 TB that is the difference
+    between shuffling tens of TB of text and a few hundred GB of ints.
+    Returns ``(h, n_docs)`` for hashes in ≥ ``min_docs`` distinct docs."""
+    import polars as pl
+
+    def _pairs(t: pa.Table) -> pa.Table:
+        df = _explode_segments(
+            pl.from_arrow(t.select(["doc_id", "text"])), width
+        )
+        return (
+            df.select(["h", "doc_id"]).unique().to_arrow().cast(
+                _SEG_HPAIR_SCHEMA
+            )
+        )
+
+    def _count(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t)
+            .unique()
+            .group_by("h")
+            .agg(pl.col("doc_id").n_unique().cast(pl.Int64).alias("n_docs"))
+            .filter(pl.col("n_docs") >= min_docs)
+        )
+        return out.to_arrow().cast(_SEG_HCOUNT_SCHEMA)
+
+    pairs = docs.map_batches(
+        _pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(pairs, "h", _count, num_buckets=num_buckets)
+
+
 _SEG_PAIR_SCHEMA = pa.schema(
     [("seg", pa.string()), ("h", pa.int64()), ("doc_id", pa.int64())]
 )
 _SEG_COUNT_SCHEMA = pa.schema([("seg", pa.string()), ("n_docs", pa.int64())])
+_SEG_HPAIR_SCHEMA = pa.schema([("h", pa.int64()), ("doc_id", pa.int64())])
+_SEG_HCOUNT_SCHEMA = pa.schema([("h", pa.int64()), ("n_docs", pa.int64())])
 
 # a boilerplate set is small by nature (it is the REPEATED tail of the
 # corpus); 50M 64-bit hashes = 400 MB is the most a sane broadcast should
@@ -1063,21 +1107,16 @@ def segment_dedup(
        the doc row never leaves its block)."""
     import numpy as np
 
-    bp = boilerplate_segments(
+    # hash-only count phase: the exchange ships (h, doc_id) int pairs,
+    # never window text — the rewrite matches on the same polars hash
+    bp = _boilerplate_hashes(
         docs, width=width, min_docs=min_docs, num_buckets=num_buckets
     )
-
-    import polars as pl
 
     hashes: list[np.ndarray] = []
     total = 0
     for b in bp.iter_batches(batch_format="pyarrow"):
-        arr = (
-            pl.from_arrow(b["seg"].combine_chunks())
-            .hash(seed=0)
-            .cast(pl.Int64, wrap_numerical=True)
-            .to_numpy()
-        )
+        arr = b["h"].combine_chunks().to_numpy(zero_copy_only=False)
         total += arr.size
         if total > MAX_BOILERPLATE_SEGMENTS:
             raise ValueError(
