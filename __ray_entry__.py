@@ -2047,6 +2047,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "fk_audit": co.q_fk_audit,
         "sample_weighted": co.q_sample_weighted,
         "q16_supplier_counts": co.q_q16_supplier_counts,
+        "q2_min_cost_shipper": co.q_q2_min_cost_shipper,
+        "event_bursts": co.q_event_bursts,
     }
 
 
@@ -5126,6 +5128,33 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q2_min_cost_shipper": """
+            WITH st AS (
+                SELECT DISTINCT p_type, l_suppkey
+                FROM lineitem JOIN part ON l_partkey = p_partkey),
+            sa AS (
+                SELECT p_type, l_suppkey,
+                       CAST(round(s_acctbal * 100) AS BIGINT)
+                           AS acctbal_cents
+                FROM st JOIN supplier ON s_suppkey = l_suppkey)
+            SELECT p_type, l_suppkey AS s_suppkey, acctbal_cents
+            FROM (SELECT *, row_number() OVER (
+                      PARTITION BY p_type
+                      ORDER BY acctbal_cents, l_suppkey) AS rn
+                  FROM sa)
+            WHERE rn = 1 ORDER BY p_type
+        """,
+        # sliding 1h window anchored at each event; the engine's
+        # two-sided searchsorted replaces this O(n^2) self-join
+        "event_bursts": """
+            SELECT user_id, CAST(max(c) AS BIGINT) AS max_burst FROM (
+                SELECT a.user_id, a.event_id, count(*) AS c
+                FROM events a JOIN events b ON a.user_id = b.user_id
+                 AND b.ts >= a.ts
+                 AND b.ts <= a.ts + INTERVAL 1 HOUR
+                GROUP BY 1, 2)
+            GROUP BY 1 ORDER BY 1
         """,
         "q16_supplier_counts": """
             SELECT p_brand, p_type,

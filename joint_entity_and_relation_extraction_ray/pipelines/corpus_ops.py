@@ -3479,6 +3479,133 @@ def q_q16_supplier_counts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_q2_min_cost_shipper(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q2 shape: groupwise ARGMIN through a join — per part type,
+    the lowest-balance supplier among the suppliers that actually
+    shipped that type (ties break on suppkey). Distinct (type, supp)
+    pairs reduce per block and merge in one type-bucketed shuffle, the
+    supplier dim broadcasts its balance, and `group_topk(k=1)` finishes
+    — the fact never meets the dim raw."""
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+    from ..stages.relational import group_topk
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_partkey", "l_suppkey"]
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_type"]
+    )
+    joined = join_auto(li, part, on=("l_partkey",), right_on=("p_partkey",))
+
+    def _distinct(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["p_type", "l_suppkey"]))
+            .unique()
+            .to_arrow()
+        )
+
+    def _uniq(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return t
+        return pl.from_arrow(t).unique().to_arrow()
+
+    pairs = bucket_group_apply(
+        joined.map_batches(
+            _distinct, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "p_type",
+        _uniq,
+        num_buckets=8,
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_acctbal"]
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "s_suppkey": t["s_suppkey"],
+                "acctbal_cents": _cents(t["s_acctbal"]),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    withbal = join_auto(
+        pairs, supp, on=("l_suppkey",), right_on=("s_suppkey",)
+    )
+    best = group_topk(
+        withbal,
+        by="p_type",
+        sort_col="acctbal_cents",
+        k=1,
+        descending=False,
+        tiebreak="l_suppkey",
+        num_buckets=4,
+    )
+    return best.map_batches(
+        lambda t: pa.table(
+            {
+                "p_type": t["p_type"],
+                "s_suppkey": t["l_suppkey"],
+                "acctbal_cents": t["acctbal_cents"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).sort("p_type")
+
+
+def q_event_bursts(sf_dir: str) -> ray.data.Dataset:
+    """Peak-load detector: per user, the MAXIMUM number of events in
+    any sliding 1-hour window (anchored at each event) → (user_id,
+    max_burst). One user-bucketed shuffle; inside a bucket the window
+    count is a vectorized two-sided searchsorted over the sorted int64
+    µs timestamps — never the O(n²) self-join the SQL mirror spells."""
+    import numpy as np
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from ..stages.events import read_events
+
+    HOUR_US = 3_600_000_000
+    OUT = pa.schema([("user_id", pa.int64()), ("max_burst", pa.int64())])
+
+    def _per_user(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        df = (
+            pl.from_arrow(t.select(["user_id", "ts"]))
+            .with_columns(ts_us=pl.col("ts").cast(pl.Int64))
+            .sort(["user_id", "ts_us"])
+        )
+        users = df["user_id"].to_numpy()
+        ts = df["ts_us"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], users[1:] != users[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(users)]))
+        out_u, out_b = [], []
+        for s, e in zip(starts, ends):
+            seg = ts[s:e]
+            hi = np.searchsorted(seg, seg + HOUR_US, side="right")
+            lo = np.arange(len(seg))
+            out_u.append(users[s])
+            out_b.append(int((hi - lo).max()))
+        return pa.table(
+            {
+                "user_id": pa.array([int(u) for u in out_u], pa.int64()),
+                "max_burst": pa.array(out_b, pa.int64()),
+            }
+        )
+
+    ev = read_events(sf_dir, columns=["user_id", "ts"])
+    return bucket_group_apply(ev, "user_id", _per_user, num_buckets=32).sort(
+        "user_id"
+    )
+
+
 def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     """Referential-integrity audit across the warehouse's four foreign
     keys → one row per FK: ``(fk, n_rows, n_orphans)``. Each check is a

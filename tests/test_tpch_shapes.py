@@ -34,6 +34,8 @@ NEW = [
     "q10_returned_items",
     "sample_weighted",
     "q16_supplier_counts",
+    "q2_min_cost_shipper",
+    "event_bursts",
 ]
 
 
