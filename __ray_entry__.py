@@ -2049,6 +2049,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q16_supplier_counts": co.q_q16_supplier_counts,
         "q2_min_cost_shipper": co.q_q2_min_cost_shipper,
         "event_bursts": co.q_event_bursts,
+        "q7_nation_volume": co.q_q7_nation_volume,
     }
 
 
@@ -5128,6 +5129,31 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "q7_nation_volume": """
+            WITH rev AS (
+                SELECT l_orderkey, l_suppkey,
+                       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                            * (10000 - CAST(round(l_discount * 10000)
+                                            AS BIGINT))) AS BIGINT) AS r
+                FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY 1, 2)
+            SELECT sn.n_name AS supp_nation, cn.n_name AS cust_nation,
+                   CAST(year(o_orderdate) AS BIGINT) AS yr,
+                   CAST(sum(r) AS BIGINT) AS revenue
+            FROM rev
+            JOIN orders ON o_orderkey = l_orderkey
+            JOIN customer ON c_custkey = o_custkey
+            JOIN supplier ON s_suppkey = l_suppkey
+            JOIN nation sn ON sn.n_nationkey = s_nationkey
+            JOIN nation cn ON cn.n_nationkey = c_nationkey
+            WHERE sn.n_name IN ('NATION_12', 'NATION_13')
+              AND cn.n_name IN ('NATION_12', 'NATION_13')
+              AND sn.n_name <> cn.n_name
+            GROUP BY 1, 2, 3
+            ORDER BY 1, 2, 3
         """,
         "q2_min_cost_shipper": """
             WITH st AS (

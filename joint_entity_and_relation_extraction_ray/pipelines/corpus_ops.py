@@ -3606,6 +3606,123 @@ def q_event_bursts(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q7 shape: shipping volume between two nations per order
+    year — the widest composition in the suite (lineitem + orders +
+    customer + supplier + nation×2). The nation predicate pushes ALL
+    the way down: the two nations' supplier/customer key sets broadcast
+    as semi-filters on the fact and on orders BEFORE any attribute
+    join, the fact collapses per (orderkey, suppkey) through the
+    combiner, and the surviving rows (two nations' trade only) ride
+    broadcast attribute joins. Exact int64 revenue."""
+    import datetime as dt
+
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary, membership_join
+
+    NA, NB = "NATION_12", "NATION_13"
+    nation = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+    ).map_batches(
+        lambda t: t.filter(pc.is_in(t["n_name"], value_set=pa.array([NA, NB]))),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    supp = join_auto(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        nation.map_batches(
+            lambda t: t.rename_columns(["s_nk", "supp_nation"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on=("s_nationkey",),
+        right_on=("s_nk",),
+    )
+    cust = join_auto(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        nation.map_batches(
+            lambda t: t.rename_columns(["c_nk", "cust_nation"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on=("c_nationkey",),
+        right_on=("c_nk",),
+    )
+
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1998, 1, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": (
+                    f := t.filter(
+                        pc.and_(
+                            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                            pc.less(t["l_shipdate"], pa.scalar(hi)),
+                        )
+                    )
+                )["l_orderkey"],
+                "l_suppkey": f["l_suppkey"],
+                "rev": pc.multiply(
+                    _cents(f["l_extendedprice"]),
+                    pc.subtract(
+                        pa.scalar(10000, pa.int64()), _bp(f["l_discount"])
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = membership_join(li, supp, on="l_suppkey", right_on="s_suppkey")
+    per_os = grouped_summary(
+        li,
+        by=["l_orderkey", "l_suppkey"],
+        aggs={"rev": ("rev", "sum")},
+        num_buckets=8,
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"],
+    )
+    orders = membership_join(orders, cust, on="o_custkey", right_on="c_custkey")
+    w_ord = join_auto(
+        per_os, orders, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    w_cn = join_auto(w_ord, cust, on=("o_custkey",), right_on=("c_custkey",))
+    w_sn = join_auto(w_cn, supp, on=("l_suppkey",), right_on=("s_suppkey",))
+
+    def _year(t: pa.Table) -> pa.Table:
+        keep = pc.not_equal(t["supp_nation"], t["cust_nation"])
+        f = t.filter(keep)
+        return pa.table(
+            {
+                "supp_nation": f["supp_nation"],
+                "cust_nation": f["cust_nation"],
+                "yr": pc.cast(pc.year(f["o_orderdate"]), pa.int64()),
+                "rev": f["rev"],
+            }
+        )
+
+    shaped = w_sn.map_batches(
+        _year, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = grouped_summary(
+        shaped,
+        by=["supp_nation", "cust_nation", "yr"],
+        aggs={"revenue": ("rev", "sum")},
+        num_buckets=4,
+    )
+    return out.sort(["supp_nation", "cust_nation", "yr"])
+
+
 def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     """Referential-integrity audit across the warehouse's four foreign
     keys → one row per FK: ``(fk, n_rows, n_orphans)``. Each check is a

@@ -36,6 +36,7 @@ NEW = [
     "q16_supplier_counts",
     "q2_min_cost_shipper",
     "event_bursts",
+    "q7_nation_volume",
 ]
 
 
