@@ -965,6 +965,19 @@ def _q_kg_skipgrams(sf_dir: str):
     )
 
 
+def _q_kg_paths(sf_dir: str):
+    """Bounded-hop walk counts from the lexicographic-min entity
+    (counting semiring — completes the (min,+)/(max,min)/(+,×) trio on
+    the shared relax/merge skeleton) — `stages/graph.path_counts`;
+    hop-capped UNION ALL recursive-CTE oracle counts the same walks."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        path_counts,
+    )
+
+    return path_counts(kg.stage(sf_dir, "edges"), max_hops=3)
+
+
 def _q_kg_widest(sf_dir: str):
     """Bounded-hop widest-path (max-min bottleneck) widths from the
     lexicographic-min entity over the undirected weighted KG (≤4 hops)
@@ -2050,6 +2063,9 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q2_min_cost_shipper": co.q_q2_min_cost_shipper,
         "event_bursts": co.q_event_bursts,
         "q7_nation_volume": co.q_q7_nation_volume,
+        "q19_disjunctive_revenue": co.q_q19_disjunctive_revenue,
+        "q12_late_shipments": co.q_q12_late_shipments,
+        "kg_paths": _q_kg_paths,
     }
 
 
@@ -5129,6 +5145,72 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        # counting-semiring walks: UNION ALL recursion (no dedup — every
+        # walk counts), hop-capped exactly like the engine's 3 rounds
+        "kg_paths": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e2 AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS subj_id, t.pred,
+                                o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT subj_id AS src, obj_id AS dst FROM e2
+                UNION ALL SELECT obj_id, subj_id FROM e2
+            ),
+            walks(node, hops) AS (
+                SELECT (SELECT min(src) FROM sym), 0
+                UNION ALL
+                SELECT s.dst, w.hops + 1
+                FROM walks w JOIN sym s ON s.src = w.node
+                WHERE w.hops < 3
+            )
+            SELECT node, CAST(count(*) AS BIGINT) AS n_paths
+            FROM walks WHERE hops >= 1 GROUP BY node
+        """,
+        "q19_disjunctive_revenue": """
+            SELECT CAST(coalesce(sum(
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                   ), 0) AS BIGINT) AS revenue
+            FROM lineitem JOIN part ON l_partkey = p_partkey
+            WHERE (p_brand = 'Brand#4'
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 1 AND 15
+                   AND p_size BETWEEN 1 AND 10)
+               OR (p_brand = 'Brand#2'
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 10 AND 25
+                   AND p_size BETWEEN 1 AND 25)
+               OR (p_brand = 'Brand#19'
+                   AND CAST(round(l_quantity) AS BIGINT) BETWEEN 20 AND 35
+                   AND p_size BETWEEN 1 AND 40)
+        """,
+        "q12_late_shipments": """
+            SELECT o_orderpriority,
+                   CAST(sum(CASE WHEN l_shipdate >
+                                      o_orderdate + INTERVAL 90 DAY
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_late,
+                   CAST(count(*) AS BIGINT) AS n_total
+            FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+            GROUP BY 1 ORDER BY 1
         """,
         "q7_nation_volume": """
             WITH rev AS (

@@ -3723,6 +3723,113 @@ def q_q7_nation_volume(sf_dir: str) -> ray.data.Dataset:
     return out.sort(["supp_nation", "cust_nation", "yr"])
 
 
+def q_q19_disjunctive_revenue(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q19 shape: revenue under a DISJUNCTION of brand × size ×
+    quantity bands — the predicate that cannot be pushed as one
+    conjunctive filter; the whole OR evaluates vectorized in one pass
+    over the joined batch. Part dim broadcasts 3 columns; every block
+    reduces to one int64 partial."""
+    from ..functions.joins import join_auto
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_quantity", "l_extendedprice", "l_discount"],
+    )
+    part = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_brand", "p_size"]
+    )
+    joined = join_auto(li, part, on=("l_partkey",), right_on=("p_partkey",))
+
+    BANDS = [("Brand#4", 1, 15, 1, 10), ("Brand#2", 10, 25, 1, 25),
+             ("Brand#19", 20, 35, 1, 40)]
+
+    def _partial(t: pa.Table) -> pa.Table:
+        qty = pc.cast(pc.round(t["l_quantity"]), pa.int64())
+        mask = None
+        for brand, qlo, qhi, slo, shi in BANDS:
+            m = pc.and_(
+                pc.and_(
+                    pc.equal(t["p_brand"], brand),
+                    pc.and_(
+                        pc.greater_equal(qty, qlo), pc.less_equal(qty, qhi)
+                    ),
+                ),
+                pc.and_(
+                    pc.greater_equal(t["p_size"], slo),
+                    pc.less_equal(t["p_size"], shi),
+                ),
+            )
+            mask = m if mask is None else pc.or_(mask, m)
+        rev = pc.multiply(
+            _cents(t["l_extendedprice"]),
+            pc.subtract(pa.scalar(10000, pa.int64()), _bp(t["l_discount"])),
+        )
+        s = pc.sum(pc.if_else(mask, rev, pa.scalar(0, pa.int64())))
+        return pa.table({"revenue": pa.array([s.as_py() or 0], pa.int64())})
+
+    return (
+        joined.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "revenue": pa.array(
+                        [pc.sum(t["revenue"]).as_py() or 0], pa.int64()
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+    )
+
+
+def q_q12_late_shipments(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q12 shape (adapted: no commitdate column): per order
+    priority, how many lineitems shipped LATE (> 90 days after the
+    order date) vs total — the cross-table date comparison that only
+    exists after the fact⋈orders join. The fact prunes to 2 columns,
+    the join is the one big-big exchange (`join_auto` co-buckets at
+    scale), and both counts reduce per block to priority-sized
+    partials. Pure int64 day arithmetic on µs timestamps."""
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_shipdate"]
+    )
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderpriority"],
+    )
+    joined = join_auto(li, orders, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    NINETY_US = 90 * 86_400_000_000
+
+    def _flag(t: pa.Table) -> pa.Table:
+        ship = pc.cast(t["l_shipdate"], pa.int64())
+        odate = pc.cast(t["o_orderdate"], pa.int64())
+        late = pc.greater(pc.subtract(ship, odate), NINETY_US)
+        return pa.table(
+            {
+                "o_orderpriority": t["o_orderpriority"],
+                "late": pc.cast(late, pa.int64()),
+                "one": pa.array([1] * t.num_rows, pa.int64()),
+            }
+        )
+
+    flagged = joined.map_batches(
+        _flag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    out = grouped_summary(
+        flagged,
+        by=["o_orderpriority"],
+        aggs={"n_late": ("late", "sum"), "n_total": ("one", "count")},
+        num_buckets=4,
+    )
+    return out.sort("o_orderpriority")
+
+
 def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     """Referential-integrity audit across the warehouse's four foreign
     keys → one row per FK: ``(fk, n_rows, n_orphans)``. Each check is a

@@ -3924,3 +3924,125 @@ def skipgram_pairs(
     return bucket_group_apply(
         partial, "center", _merge, num_buckets=num_buckets
     ).sort(["center", "context"])
+
+
+def path_counts(
+    edges: ray.data.Dataset,
+    *,
+    source: str | None = None,
+    max_hops: int = 4,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Bounded-hop WALK counts from one source over the undirected KG —
+    rows ``(node, n_paths)`` where n_paths = the number of distinct
+    ≤``max_hops``-edge walks from the source ending at the node
+    (counting semiring; with SSSP's (min, +) and widest-path's
+    (max, min) this completes the semiring trio on one relax/merge
+    skeleton). Source defaults to the lexicographic-min node. Exact
+    integers, recursive-CTE oracle (hop-capped walk enumeration).
+
+    Per round: one ``join_auto`` of the symmetric edge set against the
+    CURRENT frontier (walks of length exactly r), a per-block partial
+    SUM combiner, one tiny bucketed merge — walk multiplicity is summed
+    per node, never enumerated. Counts grow with walks (deg^h); the
+    hop cap bounds them exactly like the oracle."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from .canonical import default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+
+    sym = edges.map_batches(
+        lambda t: pa.table(
+            {
+                "src": pa.concat_arrays(
+                    [
+                        t["subj_id"].combine_chunks(),
+                        t["obj_id"].combine_chunks(),
+                    ]
+                ),
+                "dst": pa.concat_arrays(
+                    [
+                        t["obj_id"].combine_chunks(),
+                        t["subj_id"].combine_chunks(),
+                    ]
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    if source is None:
+        mins = sym.map_batches(
+            lambda t: pa.table(
+                {"m": pa.array([pc.min(t["src"]).as_py()], pa.string())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()
+        source = min(r["m"] for r in mins if r["m"] is not None)
+
+    def _sum_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [("node", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("node")
+            .agg(pl.col("n").sum())
+            .to_arrow()
+        )
+
+    frontier = ray.data.from_arrow(
+        pa.table(
+            {
+                "node": pa.array([source], pa.string()),
+                "n": pa.array([1], pa.int64()),
+            }
+        )
+    )
+    totals: list[ray.data.Dataset] = []
+    for _ in range(max_hops):
+        prop = join_auto(
+            sym,
+            frontier,
+            on=("src",),
+            right_on=("node",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table({"node": t["dst"], "n": t["n"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        frontier = bucket_group_apply(
+            prop.map_batches(
+                _sum_merge, batch_format="pyarrow", zero_copy_batch=True
+            ),
+            "node",
+            _sum_merge,
+            num_buckets=min(num_partitions, 16),
+        ).materialize()
+        totals.append(frontier)
+
+    out = totals[0]
+    for p in totals[1:]:
+        out = out.union(p)
+    return bucket_group_apply(
+        out.map_batches(
+            lambda t: pa.table({"node": t["node"], "n_paths": t["n"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "node",
+        lambda t: (
+            pl.from_arrow(t).group_by("node").agg(pl.col("n_paths").sum()).to_arrow()
+            if t.num_rows
+            else pa.schema(
+                [("node", pa.string()), ("n_paths", pa.int64())]
+            ).empty_table()
+        ),
+        num_buckets=8,
+    )

@@ -1701,3 +1701,31 @@ def test_skipgram_pairs_window_semantics(ray_session):
         ("b", "a"): 2, ("b", "c"): 1,
         ("c", "a"): 1, ("c", "b"): 1,
     }
+
+
+def test_path_counts_closed_form(ray_session):
+    """Triangle a-b-c plus pendant d on a: walk counts from a with
+    hop cap 2 are fully enumerable by hand."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        path_counts,
+    )
+
+    rows = [("a", "b"), ("b", "c"), ("c", "a"), ("a", "d")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([r[0] for r in rows]),
+                "obj_id": pa.array([r[1] for r in rows]),
+            }
+        )
+    ).repartition(2)
+    got = {
+        r["node"]: r["n_paths"]
+        for r in path_counts(ds, source="a", max_hops=2).take_all()
+    }
+    # length-1 from a: b, c, d.  length-2: a-b-{a,c}, a-c-{a,b}, a-d-a
+    # → a:3, b:1+1, c:1+1, d:1
+    assert got == {"a": 3, "b": 2, "c": 2, "d": 1}

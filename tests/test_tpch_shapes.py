@@ -37,6 +37,8 @@ NEW = [
     "q2_min_cost_shipper",
     "event_bursts",
     "q7_nation_volume",
+    "q19_disjunctive_revenue",
+    "q12_late_shipments",
 ]
 
 
