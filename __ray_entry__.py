@@ -2066,6 +2066,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": co.q_q19_disjunctive_revenue,
         "q12_late_shipments": co.q_q12_late_shipments,
         "kg_paths": _q_kg_paths,
+        "q8_market_share": co.q_q8_market_share,
     }
 
 
@@ -5186,6 +5187,32 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(count(*) AS BIGINT) AS n_paths
             FROM walks WHERE hops >= 1 GROUP BY node
+        """,
+        "q8_market_share": """
+            WITH mkt AS (
+                SELECT o_orderkey, year(o_orderdate) AS yr
+                FROM orders JOIN customer ON c_custkey = o_custkey
+                JOIN nation ON n_nationkey = c_nationkey
+                WHERE n_name = 'NATION_13'),
+            f AS (
+                SELECT mkt.yr,
+                       CAST(round(l_extendedprice * 100) AS BIGINT)
+                       * (10000 - CAST(round(l_discount * 10000) AS BIGINT))
+                           AS rev,
+                       l_suppkey
+                FROM lineitem JOIN mkt ON l_orderkey = o_orderkey
+                WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'),
+            home AS (
+                SELECT s_suppkey FROM supplier
+                JOIN nation ON n_nationkey = s_nationkey
+                WHERE n_name = 'NATION_12')
+            SELECT CAST(yr AS BIGINT) AS yr,
+                   CAST(coalesce(sum(CASE WHEN l_suppkey IN
+                       (SELECT s_suppkey FROM home) THEN rev END), 0)
+                       AS BIGINT) AS home_rev,
+                   CAST(sum(rev) AS BIGINT) AS total_rev
+            FROM f GROUP BY 1 ORDER BY 1
         """,
         "q19_disjunctive_revenue": """
             SELECT CAST(coalesce(sum(

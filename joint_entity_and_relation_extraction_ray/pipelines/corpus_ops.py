@@ -3830,6 +3830,135 @@ def q_q12_late_shipments(sf_dir: str) -> ray.data.Dataset:
     return out.sort("o_orderpriority")
 
 
+def q_q8_market_share(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q8 shape: one nation's share of a market — per order year,
+    revenue shipped BY NATION_12's suppliers TO NATION_13's customers
+    vs ALL suppliers' revenue to those customers. The within-group
+    conditional/total sum pair stays exact int64 (the share is consumer
+    arithmetic); the market (customer nation) semi-filters orders
+    before the fact joins, the supplier nation rides a broadcast flag."""
+    import datetime as dt
+
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary, membership_join
+
+    market_cust = join_auto(
+        ray.data.read_parquet(
+            f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t["n_name"], "NATION_13")).select(
+                ["n_nationkey"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on=("c_nationkey",),
+        right_on=("n_nationkey",),
+    )
+    home_supp = join_auto(
+        ray.data.read_parquet(
+            f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+        ),
+        ray.data.read_parquet(
+            f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"]
+        ).map_batches(
+            lambda t: t.filter(pc.equal(t["n_name"], "NATION_12")).select(
+                ["n_nationkey"]
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on=("s_nationkey",),
+        right_on=("n_nationkey",),
+    )
+
+    lo, hi = dt.datetime(1996, 1, 1), dt.datetime(1998, 1, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_orderkey": (
+                    f := t.filter(
+                        pc.and_(
+                            pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                            pc.less(t["l_shipdate"], pa.scalar(hi)),
+                        )
+                    )
+                )["l_orderkey"],
+                "l_suppkey": f["l_suppkey"],
+                "rev": pc.multiply(
+                    _cents(f["l_extendedprice"]),
+                    pc.subtract(
+                        pa.scalar(10000, pa.int64()), _bp(f["l_discount"])
+                    ),
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    orders = membership_join(
+        ray.data.read_parquet(
+            f"{sf_dir}/orders.parquet",
+            columns=["o_orderkey", "o_custkey", "o_orderdate"],
+        ),
+        market_cust,
+        on="o_custkey",
+        right_on="c_custkey",
+    )
+    in_market = join_auto(
+        li, orders, on=("l_orderkey",), right_on=("o_orderkey",)
+    )
+    flagged = membership_join(
+        in_market, home_supp, on="l_suppkey", right_on="s_suppkey"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "home_rev": t["rev"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    total = in_market.map_batches(
+        lambda t: pa.table(
+            {
+                "yr": pc.cast(pc.year(t["o_orderdate"]), pa.int64()),
+                "total_rev": t["rev"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    home_g = grouped_summary(
+        flagged, by=["yr"], aggs={"home_rev": ("home_rev", "sum")}, num_buckets=2
+    )
+    total_g = grouped_summary(
+        total, by=["yr"], aggs={"total_rev": ("total_rev", "sum")}, num_buckets=2
+    )
+    out = join_auto(
+        total_g, home_g, on=("yr",), join_type="left_outer"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "yr": t["yr"],
+                "home_rev": pc.fill_null(t["home_rev"], 0),
+                "total_rev": t["total_rev"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return out.sort("yr")
+
+
 def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     """Referential-integrity audit across the warehouse's four foreign
     keys → one row per FK: ``(fk, n_rows, n_orphans)``. Each check is a

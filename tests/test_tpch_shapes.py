@@ -39,6 +39,7 @@ NEW = [
     "q7_nation_volume",
     "q19_disjunctive_revenue",
     "q12_late_shipments",
+    "q8_market_share",
 ]
 
 
