@@ -948,6 +948,18 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(kg.stage(sf_dir, "edges"), n_walks=2, length=3)
 
 
+def _q_kg_entity_churn(sf_dir: str):
+    """Temporal-KG growth curve: per assertion day, distinct active
+    entities and first-ever-seen entities — `stages/graph.entity_churn`
+    over the canonicalized triple stream."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        entity_churn,
+    )
+
+    return entity_churn(kg.stage(sf_dir, "rewritten"))
+
+
 def _q_kg_skipgrams(sf_dir: str):
     """Skip-gram (center, context, cnt) training pairs over the
     deterministic walk corpus (window 2) — DeepWalk's sentence →
@@ -1861,6 +1873,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_functionality": _q_kg_functionality,
         "kg_widest": _q_kg_widest,
         "kg_skipgrams": _q_kg_skipgrams,
+        "kg_entity_churn": _q_kg_entity_churn,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -5146,6 +5159,42 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "kg_entity_churn": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            ed AS MATERIALIZED (
+                SELECT DISTINCT e, day FROM (
+                    SELECT s.entity_id AS e, CAST(t.ts AS DATE) AS day
+                    FROM read_parquet('{g}/golden_triples/*.parquet') t
+                    JOIN lm s ON t.subj_mention_id = s.mention_id
+                    UNION ALL
+                    SELECT o.entity_id, CAST(t.ts AS DATE)
+                    FROM read_parquet('{g}/golden_triples/*.parquet') t
+                    JOIN lm o ON t.obj_mention_id = o.mention_id
+                )
+            ),
+            fs AS (SELECT e, min(day) AS f FROM ed GROUP BY 1)
+            SELECT day, CAST(count(*) AS BIGINT) AS n_active,
+                   CAST(sum(CASE WHEN day = f THEN 1 ELSE 0 END) AS BIGINT)
+                       AS n_new
+            FROM ed JOIN fs USING (e)
+            GROUP BY 1 ORDER BY 1
         """,
         # counting-semiring walks: UNION ALL recursion (no dedup — every
         # walk counts), hop-capped exactly like the engine's 3 rounds

@@ -1729,3 +1729,40 @@ def test_path_counts_closed_form(ray_session):
     # length-1 from a: b, c, d.  length-2: a-b-{a,c}, a-c-{a,b}, a-d-a
     # → a:3, b:1+1, c:1+1, d:1
     assert got == {"a": 3, "b": 2, "c": 2, "d": 1}
+
+
+def test_entity_churn_closed_form(ray_session):
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        entity_churn,
+    )
+
+    def ts(d):
+        return dt.datetime(2025, 1, d, 12, 0)
+
+    # day1: A-B (A,B new).  day2: A-C (C new, A active).  day3: B-C.
+    rows = [("A", "p", "B", ts(1)), ("A", "p", "C", ts(2)),
+            ("B", "p", "C", ts(3)), ("A", "p", "B", ts(1))]  # dup pair
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([r[0] for r in rows]),
+                "pred": pa.array([r[1] for r in rows]),
+                "obj_id": pa.array([r[2] for r in rows]),
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            }
+        )
+    ).repartition(2)
+    got = [
+        (str(r["day"]), r["n_active"], r["n_new"])
+        for r in entity_churn(ds).take_all()
+    ]
+    assert got == [
+        ("2025-01-01", 2, 2),
+        ("2025-01-02", 2, 1),
+        ("2025-01-03", 2, 0),
+    ]
