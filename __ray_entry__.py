@@ -948,6 +948,19 @@ def _q_kg_walks(sf_dir: str):
     return random_walks(kg.stage(sf_dir, "edges"), n_walks=2, length=3)
 
 
+def _q_kg_embeddedness(sf_dir: str):
+    """Edge embeddedness (per-edge common-neighbor count — Granovetter
+    tie strength; 0 = local bridge) — `stages/graph.edge_support`, one
+    round of the k-truss support pipeline exposed as a report with a
+    3-way self-join oracle."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        edge_support,
+    )
+
+    return edge_support(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_entity_churn(sf_dir: str):
     """Temporal-KG growth curve: per assertion day, distinct active
     entities and first-ever-seen entities — `stages/graph.entity_churn`
@@ -1874,6 +1887,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_widest": _q_kg_widest,
         "kg_skipgrams": _q_kg_skipgrams,
         "kg_entity_churn": _q_kg_entity_churn,
+        "kg_embeddedness": _q_kg_embeddedness,
         "extract_mentions": _q_extract_mentions,
         "extract_triples": _q_extract_triples,
         "link_mentions": _q_link_mentions,
@@ -5159,6 +5173,51 @@ def oracle_sql() -> dict[str, str]:
             JOIN nation ON n_nationkey = c_nationkey
             ORDER BY revenue DESC, c_custkey
             LIMIT 20
+        """,
+        "kg_embeddedness": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM e WHERE subj_id <> obj_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT a AS u, b AS v FROM und
+                UNION ALL SELECT b, a FROM und
+            ),
+            sup AS (
+                SELECT e.a, e.b, CAST(count(*) AS BIGINT) AS support
+                FROM und e
+                JOIN sym s1 ON s1.u = e.a
+                JOIN sym s2 ON s2.u = e.b AND s2.v = s1.v
+                GROUP BY 1, 2
+            )
+            SELECT und.a, und.b,
+                   CAST(coalesce(sup.support, 0) AS BIGINT) AS support
+            FROM und LEFT JOIN sup ON und.a = sup.a AND und.b = sup.b
+            ORDER BY 1, 2
         """,
         "kg_entity_churn": f"""
             WITH best AS MATERIALIZED (

@@ -4127,3 +4127,192 @@ def entity_churn(
     return bucket_group_apply(
         per_entity, "day", _day_merge, num_buckets=4
     ).sort("day")
+
+
+def edge_support(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Edge EMBEDDEDNESS: for every undirected simple edge, the number
+    of common neighbors of its endpoints (= triangles through the edge)
+    → ``(a, b, support)``, sorted — Granovetter tie strength; support 0
+    marks local bridges. One round of :func:`ktruss`'s support pipeline
+    exposed as a report: degree-ordered wedge generation (hub-proof),
+    closed wedges credit all three edges, a LEFT membership fill keeps
+    triangle-free edges at 0."""
+    import numpy as np
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+    from .relational import membership_join
+
+    SEP = "\x00"
+
+    def _canon(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        return (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                a=pl.min_horizontal("subj_id", "obj_id"),
+                b=pl.max_horizontal("subj_id", "obj_id"),
+            )
+            .unique()
+            .with_columns(key=pl.col("a") + pl.lit(SEP) + pl.col("b"))
+            .to_arrow()
+        )
+
+    und = bucket_group_apply(
+        edges.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True),
+        "key",
+        lambda t: pl.from_arrow(t).unique(subset=["key"]).to_arrow()
+        if t.num_rows
+        else t,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["a", "b"]))
+        v = pl.concat([df.select(v=pl.col("a")), df.select(v=pl.col("b"))])
+        return v.group_by("v").agg(pl.len().cast(pl.Int64).alias("deg")).to_arrow()
+
+    deg = bucket_group_apply(
+        und.map_batches(
+            _deg_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "v",
+        lambda t: pl.from_arrow(t).group_by("v").agg(pl.col("deg").sum()).to_arrow()
+        if t.num_rows
+        else t,
+        num_buckets=min(num_buckets, 16),
+    )
+
+    withdeg = join_auto(
+        join_auto(
+            und,
+            deg.map_batches(
+                lambda t: t.rename_columns(["a", "deg_a"]),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ),
+            on=("a",),
+        ),
+        deg.map_batches(
+            lambda t: t.rename_columns(["b", "deg_b"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on=("b",),
+    )
+
+    def _orient(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        a_first = (pl.col("deg_a") < pl.col("deg_b")) | (
+            (pl.col("deg_a") == pl.col("deg_b")) & (pl.col("a") < pl.col("b"))
+        )
+        return df.select(
+            src=pl.when(a_first).then(pl.col("a")).otherwise(pl.col("b")),
+            dst=pl.when(a_first).then(pl.col("b")).otherwise(pl.col("a")),
+            dst_deg=pl.when(a_first)
+            .then(pl.col("deg_b"))
+            .otherwise(pl.col("deg_a")),
+        ).to_arrow()
+
+    oriented = withdeg.map_batches(
+        _orient, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        empty = pa.table(
+            {
+                "key": pa.array([], pa.string()),
+                "src": pa.array([], pa.string()),
+                "lo": pa.array([], pa.string()),
+                "hi": pa.array([], pa.string()),
+            }
+        )
+        if t.num_rows == 0:
+            return empty
+        df = pl.from_arrow(t.select(["src", "dst", "dst_deg"])).sort(
+            ["src", "dst_deg", "dst"]
+        )
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        starts = np.flatnonzero(np.concatenate(([True], src[1:] != src[:-1])))
+        ends = np.concatenate((starts[1:], [len(src)]))
+        ss, los, his = [], [], []
+        for s, e2 in zip(starts, ends):
+            n = e2 - s
+            if n < 2:
+                continue
+            i, j = np.triu_indices(n, 1)
+            ss.append(np.repeat(src[s], len(i)))
+            los.append(dst[s:e2][i])
+            his.append(dst[s:e2][j])
+        if not los:
+            return empty
+        sa = pa.array(np.concatenate(ss), pa.string())
+        lo = pa.array(np.concatenate(los), pa.string())
+        hi = pa.array(np.concatenate(his), pa.string())
+        ck = pc.binary_join_element_wise(
+            pc.min_element_wise(lo, hi), pc.max_element_wise(lo, hi), SEP
+        )
+        return pa.table({"key": ck, "src": sa, "lo": lo, "hi": hi})
+
+    wedges = bucket_group_apply(
+        oriented, "src", _wedges, num_buckets=num_buckets
+    )
+    closed = membership_join(
+        wedges,
+        und.map_batches(
+            lambda t: t.select(["key"]),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on="key",
+        num_buckets=num_buckets,
+    )
+
+    def _credit(t: pa.Table) -> pa.Table:
+        src = t["src"].combine_chunks()
+        lo = t["lo"].combine_chunks()
+        hi = t["hi"].combine_chunks()
+
+        def ck(x, y):
+            out = pc.binary_join_element_wise(
+                pc.min_element_wise(x, y), pc.max_element_wise(x, y), SEP
+            )
+            return out.combine_chunks() if isinstance(out, pa.ChunkedArray) else out
+
+        keys = pa.concat_arrays([ck(src, lo), ck(src, hi), ck(lo, hi)])
+        return (
+            pl.from_arrow(pa.table({"key": keys}))
+            .group_by("key")
+            .agg(pl.len().cast(pl.Int64).alias("sup"))
+            .to_arrow()
+        )
+
+    support = bucket_group_apply(
+        closed.map_batches(_credit, batch_format="pyarrow", zero_copy_batch=True),
+        "key",
+        lambda t: pl.from_arrow(t).group_by("key").agg(pl.col("sup").sum()).to_arrow()
+        if t.num_rows
+        else t,
+        num_buckets=num_buckets,
+    )
+
+    out = join_auto(
+        und, support, on=("key",), join_type="left_outer"
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "a": t["a"],
+                "b": t["b"],
+                "support": pc.fill_null(
+                    pc.cast(t["sup"], pa.int64()), 0
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return out.sort(["a", "b"])

@@ -1766,3 +1766,34 @@ def test_entity_churn_closed_form(ray_session):
         ("2025-01-02", 2, 1),
         ("2025-01-03", 2, 0),
     ]
+
+
+def test_edge_support_closed_form(ray_session):
+    """K4 on {a,b,c,d}: every edge sits in 2 triangles; pendant edge
+    d-e (wait, use separate node x) has support 0."""
+    import itertools
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        edge_support,
+    )
+
+    nodes = ["a", "b", "c", "d"]
+    rows = list(itertools.combinations(nodes, 2)) + [("d", "x")]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([r[0] for r in rows]),
+                "obj_id": pa.array([r[1] for r in rows]),
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["a"], r["b"]): r["support"]
+        for r in edge_support(ds).take_all()
+    }
+    want = {p: 2 for p in itertools.combinations(nodes, 2)}
+    want[("d", "x")] = 0
+    assert got == want

@@ -175,3 +175,54 @@ def test_scd2_intervals_property(ray_session, data, nblocks):
         ).fetchall()
     }
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(st.integers(0, 3), st.integers(0, 10_000)),
+        min_size=1,
+        max_size=50,
+    ),
+    nblocks=st.integers(1, 4),
+)
+def test_event_bursts_property(ray_session, data, nblocks):
+    """max sliding-window count == brute force for arbitrary streams
+    (window = 3600s; ts in seconds scaled to µs)."""
+    import datetime as dt
+
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        q_event_bursts,
+    )
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import tempfile, os
+
+    users = [d[0] for d in data]
+    secs = [d[1] for d in data]
+    t0 = dt.datetime(2025, 1, 1)
+    tss = [t0 + dt.timedelta(seconds=s) for s in secs]
+    with tempfile.TemporaryDirectory() as td:
+        pq.write_table(
+            pa.table(
+                {
+                    "user_id": pa.array(users, pa.int64()),
+                    "ts": pa.array(tss, pa.timestamp("us")),
+                }
+            ),
+            os.path.join(td, "events.parquet"),
+        )
+        got = {
+            r["user_id"]: r["max_burst"]
+            for r in q_event_bursts(td).take_all()
+        }
+    want = {}
+    byu = {}
+    for u, s in zip(users, secs):
+        byu.setdefault(u, []).append(s)
+    for u, ss in byu.items():
+        ss.sort()
+        want[u] = max(
+            sum(1 for x in ss if s <= x <= s + 3600) for s in ss
+        )
+    assert got == want
