@@ -2094,6 +2094,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q12_late_shipments": co.q_q12_late_shipments,
         "kg_paths": _q_kg_paths,
         "q8_market_share": co.q_q8_market_share,
+        "split_leakage": co.q_split_leakage,
     }
 
 
@@ -5295,6 +5296,30 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(count(*) AS BIGINT) AS n_paths
             FROM walks WHERE hops >= 1 GROUP BY node
+        """,
+        "split_leakage": f"""
+            WITH pairs AS ({_JACCARD_ORACLE_SQL})
+            SELECT doc_a, doc_b,
+                   CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'e6'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'f3'
+                            THEN 'val'
+                        ELSE 'test' END AS split_a,
+                   CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'e6'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'f3'
+                            THEN 'val'
+                        ELSE 'test' END AS split_b
+            FROM pairs
+            WHERE (CASE WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'e6'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_a AS VARCHAR)), 1, 2) < 'f3'
+                            THEN 'val' ELSE 'test' END)
+               <> (CASE WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'e6'
+                            THEN 'train'
+                        WHEN substr(md5(CAST(doc_b AS VARCHAR)), 1, 2) < 'f3'
+                            THEN 'val' ELSE 'test' END)
+            ORDER BY 1, 2
         """,
         "q8_market_share": """
             WITH mkt AS (

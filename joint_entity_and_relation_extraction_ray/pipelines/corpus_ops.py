@@ -757,6 +757,48 @@ def q_sample_weighted(sf_dir: str) -> ray.data.Dataset:
     return top.select_columns(["doc_id", "weight"])
 
 
+def q_split_leakage(sf_dir: str) -> ray.data.Dataset:
+    """Train/test LEAKAGE audit: near-duplicate document pairs whose
+    members land in DIFFERENT splits → (doc_a, doc_b, split_a, split_b)
+    — the contamination report every training-data pipeline must run
+    after splitting (a test doc with a train near-dup inflates eval).
+    Composition of two driver-green ops: the exact MinHash+LSH pair set
+    and the deterministic md5 split rule, applied stateless to both
+    pair sides (no join — the split of an id is a pure function)."""
+    import hashlib
+
+    pairs = dedup.minhash_dedup_pairs(
+        read_documents(sf_dir), threshold=JACCARD_THRESHOLD
+    )
+
+    def _split_of(ids):
+        out = []
+        for d in ids:
+            x = hashlib.md5(str(d).encode()).hexdigest()[:2]
+            out.append("train" if x < "e6" else "val" if x < "f3" else "test")
+        return out
+
+    def _tag(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_pylist()
+        b = t["doc_b"].to_pylist()
+        sa = _split_of(a)
+        sb = _split_of(b)
+        keep = [x != y for x, y in zip(sa, sb)]
+        tt = pa.table(
+            {
+                "doc_a": t["doc_a"],
+                "doc_b": t["doc_b"],
+                "split_a": pa.array(sa, pa.string()),
+                "split_b": pa.array(sb, pa.string()),
+            }
+        )
+        return tt.filter(pa.array(keep, pa.bool_()))
+
+    return pairs.map_batches(
+        _tag, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["doc_a", "doc_b"])
+
+
 def q_sample_random(sf_dir: str) -> ray.data.Dataset:
     """Seeded ``random_sample`` (rows-only: Ray's sampler isn't
     SQL-reproducible; determinism for a fixed block layout only)."""

@@ -40,6 +40,7 @@ NEW = [
     "q19_disjunctive_revenue",
     "q12_late_shipments",
     "q8_market_share",
+    "split_leakage",
 ]
 
 
