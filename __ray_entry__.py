@@ -961,6 +961,20 @@ def _q_kg_embeddedness(sf_dir: str):
     return edge_support(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_lift(sf_dir: str):
+    """Association-strength (lift) triple confidence: per edge, how
+    much more often its endpoints are asserted together than
+    independence predicts — exact fixed-point integers
+    (`stages/graph.edge_lift`; the subject/object masses re-aggregate
+    the already-grouped edge table, N is one fan-in scalar)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        edge_lift,
+    )
+
+    return edge_lift(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_entity_churn(sf_dir: str):
     """Temporal-KG growth curve: per assertion day, distinct active
     entities and first-ever-seen entities — `stages/graph.entity_churn`
@@ -2095,6 +2109,10 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_paths": _q_kg_paths,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
+        "q11_important_parts": co.q_q11_important_parts,
+        "q20_dominant_suppliers": co.q_q20_dominant_suppliers,
+        "q21_waiting_suppliers": co.q_q21_waiting_suppliers,
+        "kg_lift": _q_kg_lift,
     }
 
 
@@ -5706,5 +5724,101 @@ def oracle_sql() -> dict[str, str]:
                                 AND o_orderdate >=
                                     TIMESTAMP '2000-01-01 00:00:00')
             GROUP BY 1 ORDER BY 1
+        """,
+        "q11_important_parts": """
+            WITH rs AS (SELECT s_suppkey FROM supplier
+                        JOIN nation ON n_nationkey = s_nationkey
+                        WHERE n_regionkey = 0),
+            pv AS (SELECT l_partkey,
+                          CAST(sum(CAST(round(l_extendedprice * 100)
+                                        AS BIGINT)) AS BIGINT) AS value_cents
+                   FROM lineitem
+                   WHERE l_suppkey IN (SELECT s_suppkey FROM rs)
+                   GROUP BY 1),
+            tot AS (SELECT CAST(sum(value_cents) AS BIGINT) AS t,
+                           CAST(count(*) AS BIGINT) AS n FROM pv)
+            SELECT l_partkey, value_cents FROM pv, tot
+            WHERE value_cents * n > 2 * t
+            ORDER BY value_cents DESC, l_partkey
+        """,
+        "q20_dominant_suppliers": """
+            WITH sq AS (
+                SELECT l_partkey, l_suppkey,
+                       CAST(sum(CAST(round(l_quantity) AS BIGINT))
+                            AS BIGINT) AS q
+                FROM lineitem JOIN part ON p_partkey = l_partkey
+                WHERE p_name LIKE 'small %'
+                  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+                GROUP BY 1, 2),
+            pt AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS tq
+                   FROM sq GROUP BY 1)
+            SELECT DISTINCT s_suppkey, s_name
+            FROM sq JOIN pt USING (l_partkey)
+            JOIN supplier ON s_suppkey = l_suppkey
+            WHERE 2 * q > tq
+            ORDER BY s_suppkey
+        """,
+        "q21_waiting_suppliers": """
+            WITH lo AS (
+                SELECT l_orderkey, l_suppkey,
+                       max(CASE WHEN l_shipdate >
+                                     o_orderdate + INTERVAL 90 DAY
+                                THEN 1 ELSE 0 END) AS late
+                FROM lineitem JOIN orders ON o_orderkey = l_orderkey
+                WHERE o_orderstatus = 'F' GROUP BY 1, 2),
+            per_order AS (
+                SELECT l_orderkey, CAST(count(*) AS BIGINT) AS n_supp,
+                       CAST(sum(late) AS BIGINT) AS n_late,
+                       max(CASE WHEN late = 1 THEN l_suppkey END)
+                           AS late_supp
+                FROM lo GROUP BY 1)
+            SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+            FROM per_order JOIN supplier ON s_suppkey = late_supp
+            WHERE n_supp > 1 AND n_late = 1
+            GROUP BY 1, 2 ORDER BY numwait DESC, s_name
+        """,
+        # lift_e6 = weight·N·10⁶ // (n_s·n_o): exact fixed-point, both
+        # engines do truncating integer division on positive operands
+        "kg_lift": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id,
+                       CAST(COUNT(*) AS BIGINT) AS weight
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            ),
+            sw AS (SELECT subj_id, CAST(sum(weight) AS BIGINT) AS n_s
+                   FROM e GROUP BY 1),
+            ow AS (SELECT obj_id, CAST(sum(weight) AS BIGINT) AS n_o
+                   FROM e GROUP BY 1),
+            tot AS (SELECT CAST(sum(weight) AS BIGINT) AS n FROM e)
+            SELECT e.subj_id, e.pred, e.obj_id, e.weight, sw.n_s, ow.n_o,
+                   CAST((e.weight * tot.n * 1000000) // (sw.n_s * ow.n_o)
+                        AS BIGINT) AS lift_e6
+            FROM e
+            JOIN sw USING (subj_id)
+            JOIN ow USING (obj_id)
+            CROSS JOIN tot
+            ORDER BY lift_e6 DESC, e.subj_id, e.pred, e.obj_id
         """,
     }

@@ -4043,6 +4043,276 @@ def q_fk_audit(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_q11_important_parts(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q11 shape (important stock): grouped value rollup kept
+    only above a GLOBAL-scalar threshold — per-part shipped value from
+    region-0 suppliers, keeping parts worth more than 2× the average
+    part value. Completes the Q11 slot without a partsupp table: the
+    value rollup runs over lineitem, the supplier⋈nation region filter
+    is a tiny semi-join membership set, and the (total, n_parts)
+    scalars come from re-aggregating the ALREADY-GROUPED per-part
+    result (|parts| rows, never the fact), broadcast back as an exact
+    integer cross-multiplication ``value·n > 2·total`` — no division,
+    so the oracle compare is float-free."""
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary, membership_join
+
+    nations = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_regionkey"]
+    ).filter(expr="n_regionkey == 0")
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_nationkey"]
+    )
+    region_supp = join_auto(
+        supp, nations, on=("s_nationkey",), right_on=("n_nationkey",)
+    ).select_columns(["s_suppkey"])
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_extendedprice"],
+    ).map_batches(
+        lambda t: pa.table(
+            {
+                "l_partkey": t["l_partkey"],
+                "l_suppkey": t["l_suppkey"],
+                "value_cents": _cents(t["l_extendedprice"]),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = membership_join(li, region_supp, on="l_suppkey", right_on="s_suppkey")
+    per_part = grouped_summary(
+        li,
+        by=["l_partkey"],
+        aggs={"value_cents": ("value_cents", "sum")},
+        num_buckets=8,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {
+                "t": pa.array(
+                    [pc.sum(t["value_cents"]).as_py() or 0], pa.int64()
+                ),
+                "n": pa.array([t.num_rows], pa.int64()),
+            }
+        )
+
+    stats = (
+        per_part.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {
+                    "t": pa.array([pc.sum(t["t"]).as_py() or 0], pa.int64()),
+                    "n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()  # one row: (total value, n parts) — broadcast scalars
+    )
+    total, n_parts = stats[0]["t"], stats[0]["n"]
+
+    keep = per_part.map_batches(
+        lambda t: t.filter(
+            pc.greater(
+                pc.multiply(t["value_cents"], pa.scalar(n_parts, pa.int64())),
+                pa.scalar(2 * total, pa.int64()),
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return keep.sort(
+        ["value_cents", "l_partkey"], descending=[True, False]
+    )
+
+
+def q_q20_dominant_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q20 shape (excess-stock suppliers): nested
+    correlated-aggregate semi-join — suppliers who, for SOME 'small *'
+    part, shipped more than half that part's total 1997 quantity. The
+    correlated inner aggregate (per-part total) is a re-aggregation of
+    the already-grouped (part, supplier) rollup, so the fact is
+    grouped once; the threshold join moves |parts| rows; the final
+    DISTINCT supplier set is |suppliers|-sized before it ever meets
+    the supplier dim. Exact integer doubling ``2·q > total`` keeps the
+    oracle float-free."""
+    import datetime as dt
+
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary, membership_join
+
+    small_parts = ray.data.read_parquet(
+        f"{sf_dir}/part.parquet", columns=["p_partkey", "p_name"]
+    ).map_batches(
+        lambda t: t.filter(
+            pc.starts_with(t["p_name"], "small ")
+        ).select(["p_partkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    lo, hi = dt.datetime(1997, 1, 1), dt.datetime(1998, 1, 1)
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_partkey", "l_suppkey", "l_quantity", "l_shipdate"],
+    ).map_batches(
+        lambda t: (
+            lambda f: pa.table(
+                {
+                    "l_partkey": f["l_partkey"],
+                    "l_suppkey": f["l_suppkey"],
+                    "qty": pc.cast(pc.round(f["l_quantity"]), pa.int64()),
+                }
+            )
+        )(
+            t.filter(
+                pc.and_(
+                    pc.greater_equal(t["l_shipdate"], pa.scalar(lo)),
+                    pc.less(t["l_shipdate"], pa.scalar(hi)),
+                )
+            )
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = membership_join(li, small_parts, on="l_partkey", right_on="p_partkey")
+    sq = grouped_summary(
+        li,
+        by=["l_partkey", "l_suppkey"],
+        aggs={"q": ("qty", "sum")},
+        num_buckets=8,
+    )
+    pt = grouped_summary(
+        sq, by=["l_partkey"], aggs={"tq": ("q", "sum")}, num_buckets=4
+    )
+    dominant = join_auto(sq, pt, on=("l_partkey",)).map_batches(
+        lambda t: t.filter(
+            pc.greater(pc.multiply(t["q"], pa.scalar(2, pa.int64())), t["tq"])
+        ).select(["l_suppkey"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    distinct_supp = grouped_summary(
+        dominant,
+        by=["l_suppkey"],
+        aggs={"n": ("l_suppkey", "count")},
+        num_buckets=4,
+    ).select_columns(["l_suppkey"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = join_auto(
+        supp, distinct_supp, on=("s_suppkey",), right_on=("l_suppkey",)
+    )
+    return out.select_columns(["s_suppkey", "s_name"]).sort("s_suppkey")
+
+
+def q_q21_waiting_suppliers(sf_dir: str) -> ray.data.Dataset:
+    """TPC-H-Q21 shape (suppliers who kept orders waiting): the
+    double-correlated EXISTS / NOT-EXISTS self-join on the fact —
+    suppliers whose lineitem shipped >90 days after the order date on
+    a finished ('F') order where OTHER suppliers shipped on time
+    (multi-supplier order, exactly one late supplier). No
+    commit/receipt dates in this corpus, so "late" is
+    ``l_shipdate > o_orderdate + 90 days``; the EXISTS/NOT-EXISTS pair
+    collapses into one (order → distinct-supplier, late-supplier)
+    rollup: two grouped_summary passes over (order, supplier) partials
+    replace the reference's two correlated subqueries, so the fact
+    shuffles once. ``max(suppkey WHERE late)`` is THE late supplier
+    whenever ``n_late = 1`` — the only rows kept."""
+    import datetime as dt
+
+    from ..functions.joins import join_auto
+    from ..stages.relational import grouped_summary
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_orderdate", "o_orderstatus"],
+    ).map_batches(
+        lambda t: t.filter(
+            pc.equal(t["o_orderstatus"], "F")
+        ).select(["o_orderkey", "o_orderdate"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_shipdate"],
+    )
+    joined = join_auto(li, orders, on=("l_orderkey",), right_on=("o_orderkey",))
+
+    grace = dt.timedelta(days=90)
+
+    def _flag(t: pa.Table) -> pa.Table:
+        late = pc.cast(
+            pc.greater(
+                t["l_shipdate"], pc.add(t["o_orderdate"], pa.scalar(grace))
+            ),
+            pa.int64(),
+        )
+        return pa.table(
+            {
+                "l_orderkey": t["l_orderkey"],
+                "l_suppkey": t["l_suppkey"],
+                "late": late,
+                "late_supp": pc.if_else(
+                    pc.equal(late, 1),
+                    t["l_suppkey"],
+                    pa.nulls(t.num_rows, pa.int64()),
+                ),
+            }
+        )
+
+    flagged = joined.map_batches(
+        _flag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    lo = grouped_summary(
+        flagged,
+        by=["l_orderkey", "l_suppkey"],
+        aggs={"late": ("late", "max"), "late_supp": ("late_supp", "max")},
+        num_buckets=8,
+    )
+    per_order = grouped_summary(
+        lo,
+        by=["l_orderkey"],
+        aggs={
+            "n_supp": ("l_suppkey", "count"),
+            "n_late": ("late", "sum"),
+            "late_supp": ("late_supp", "max"),
+        },
+        num_buckets=8,
+    )
+    waiting = per_order.map_batches(
+        lambda t: t.filter(
+            pc.and_(
+                pc.greater(t["n_supp"], 1), pc.equal(t["n_late"], 1)
+            )
+        ).select(["late_supp"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    counts = grouped_summary(
+        waiting,
+        by=["late_supp"],
+        aggs={"numwait": ("late_supp", "count")},
+        num_buckets=4,
+    )
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet", columns=["s_suppkey", "s_name"]
+    )
+    out = join_auto(supp, counts, on=("s_suppkey",), right_on=("late_supp",))
+    return out.select_columns(["s_suppkey", "s_name", "numwait"]).sort(
+        ["numwait", "s_name"], descending=[True, False]
+    )
+
+
 # --- bench subset ----------------------------------------------------------
 
 

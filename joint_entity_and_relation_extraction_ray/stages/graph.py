@@ -4316,3 +4316,91 @@ def edge_support(
         zero_copy_batch=True,
     )
     return out.sort(["a", "b"])
+
+
+def edge_lift(
+    edges: ray.data.Dataset, *, num_buckets: int = 8
+) -> ray.data.Dataset:
+    """Association-strength triple confidence: per directed edge, the
+    LIFT of its endpoint pair over the assertion stream —
+    ``lift = P(s,o) / (P(s)·P(o))`` where P counts assertion
+    multiplicity (edge ``weight``), i.e. how much more often ``s`` and
+    ``o`` are asserted together than independence predicts. The
+    standard statistical triple-confidence / association-rule score a
+    KG-construction pipeline uses to rank candidate facts before
+    acceptance (high lift = specific association; ~1 = coincidence of
+    two hubs).
+
+    Emitted as EXACT integers so the DuckDB oracle compare is
+    float-free: ``lift_e6 = weight·N·10⁶ ÷ (n_s·n_o)`` (integer
+    division; N = total assertions, n_s/n_o = the endpoint's total
+    subject-side/object-side assertion mass).
+
+    Shape: the subject/object masses re-aggregate the ALREADY-GROUPED
+    edge table (|nodes|-sized results — the fact stream never moves
+    twice), N is one tiny fan-in scalar, and both mass tables ride
+    ``join_auto`` (broadcast at node scale, co-bucketed hash join
+    above the guard). int64 fixed-point holds to N·weight·10⁶ < 2⁶³ —
+    at 10¹²-assertion scale move the product to decimal128 (pyarrow
+    ``decimal128(38)``; DuckDB HUGEINT mirrors it) — the division
+    itself stays exact either way."""
+    from .relational import grouped_summary
+
+    e = edges.select_columns(["subj_id", "pred", "obj_id", "weight"])
+
+    sw = grouped_summary(
+        e, by=["subj_id"], aggs={"n_s": ("weight", "sum")},
+        num_buckets=num_buckets,
+    )
+    ow = grouped_summary(
+        e, by=["obj_id"], aggs={"n_o": ("weight", "sum")},
+        num_buckets=num_buckets,
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"n": pa.array([pc.sum(t["weight"]).as_py() or 0], pa.int64())}
+        )
+
+    total = (
+        e.map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+        .repartition(1)
+        .map_batches(
+            lambda t: pa.table(
+                {"n": pa.array([pc.sum(t["n"]).as_py() or 0], pa.int64())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    )
+    n_total = total[0]["n"] if total else 0
+
+    j = join_auto(e, sw, on=("subj_id",))
+    j = join_auto(j, ow, on=("obj_id",))
+
+    def _lift(t: pa.Table) -> pa.Table:
+        num = pc.multiply(
+            pc.multiply(t["weight"], pa.scalar(n_total, pa.int64())),
+            pa.scalar(1_000_000, pa.int64()),
+        )
+        den = pc.multiply(t["n_s"], t["n_o"])
+        return pa.table(
+            {
+                "subj_id": t["subj_id"],
+                "pred": t["pred"],
+                "obj_id": t["obj_id"],
+                "weight": t["weight"],
+                "n_s": t["n_s"],
+                "n_o": t["n_o"],
+                # pyarrow int64 divide truncates — exactly DuckDB's `//`
+                # on the all-positive operands here
+                "lift_e6": pc.divide(num, den),
+            }
+        )
+
+    out = j.map_batches(_lift, batch_format="pyarrow", zero_copy_batch=True)
+    return out.sort(
+        ["lift_e6", "subj_id", "pred", "obj_id"],
+        descending=[True, False, False, False],
+    )

@@ -1797,3 +1797,38 @@ def test_edge_support_closed_form(ray_session):
     want = {p: 2 for p in itertools.combinations(nodes, 2)}
     want[("d", "x")] = 0
     assert got == want
+
+
+def test_edge_lift_closed_form(ray_session):
+    """3 edges, N=6 assertions: a→b w=3, a→c w=2, d→c w=1.
+    n_s: a=5, d=1; n_o: b=3, c=3.
+    lift_e6(a,b) = 3·6·1e6 // (5·3) = 1_200_000
+    lift_e6(a,c) = 2·6·1e6 // (5·3) =   800_000
+    lift_e6(d,c) = 1·6·1e6 // (1·3) = 2_000_000 (rare pair, high lift)."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        edge_lift,
+    )
+
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(["a", "a", "d"]),
+                "pred": pa.array(["p", "p", "q"]),
+                "obj_id": pa.array(["b", "c", "c"]),
+                "weight": pa.array([3, 2, 1], pa.int64()),
+            }
+        )
+    ).repartition(2)
+    out = edge_lift(ds).take_all()
+    got = {(r["subj_id"], r["obj_id"]): r["lift_e6"] for r in out}
+    assert got == {
+        ("a", "b"): 1_200_000,
+        ("a", "c"): 800_000,
+        ("d", "c"): 2_000_000,
+    }
+    # sorted desc by lift, and the masses ride along
+    assert [r["lift_e6"] for r in out] == [2_000_000, 1_200_000, 800_000]
+    assert {(r["subj_id"], r["n_s"]) for r in out} == {("a", 5), ("d", 1)}

@@ -41,6 +41,9 @@ NEW = [
     "q12_late_shipments",
     "q8_market_share",
     "split_leakage",
+    "q11_important_parts",
+    "q20_dominant_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 
