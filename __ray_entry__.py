@@ -1979,6 +1979,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "dedup_incremental": co.q_dedup_incremental,
         "order_global_rank": co.q_order_global_rank,
         "dedup_ngram_jaccard": co.q_dedup_ngram_jaccard,
+        "dedup_containment": co.q_dedup_containment,
         "dedup_simhash": co.q_dedup_simhash,
         "dedup_simhash_near": co.q_dedup_simhash_near,
         "dedup_embedding": co.q_dedup_embedding,
@@ -1987,6 +1988,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "ann_topk_ivf": co.q_ann_topk_ivf,
         "ann_recall": co.q_ann_recall,  # rows-only (IVF probe set)  # rows-only (approx)
         "knn_label": co.q_knn_label,
+        "retrieval_fusion": co.q_retrieval_fusion,
         "embed_probe_assign": co.q_embed_probe_assign,
         "embed_cov_stats": co.q_embed_cov_stats,
         # rows-only: float centroid sums are reduction-order-dependent;
@@ -4906,6 +4908,39 @@ def oracle_sql() -> dict[str, str]:
         # exact all-pairs word-3-gram-shingle Jaccard — the ground truth the
         # MinHash+LSH pipeline must reproduce (its miss probability at the
         # 0.5 threshold is ~1e-8 with 128 perms; corpus pairs are all >=0.8)
+        # directed containment (|sub∩sup|/|sub| ≥ 4/5, integer-exact);
+        # same shingle CTEs as the Jaccard oracle, both directions kept
+        "dedup_containment": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n
+                      FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2)
+            SELECT doc_sub, doc_sup, inter, n_sub FROM (
+                SELECT i AS doc_sub, j AS doc_sup, c AS inter,
+                       sa.n AS n_sub
+                FROM inter JOIN sizes sa ON sa.doc_id = i
+                WHERE 5 * c >= 4 * sa.n
+                UNION ALL
+                SELECT j, i, c, sb.n
+                FROM inter JOIN sizes sb ON sb.doc_id = j
+                WHERE 5 * c >= 4 * sb.n)
+            ORDER BY doc_sub, doc_sup
+        """,
         # dedup_ngram_jaccard is the EXACT inverted-index similarity
         # join; dedup_minhash is the LSH pipeline whose verify step makes it
         # agree with the same exact-Jaccard answer — both share one oracle.
@@ -5038,6 +5073,47 @@ def oracle_sql() -> dict[str, str]:
                            PARTITION BY qid ORDER BY c DESC, nid) AS rank
                 FROM s)
             WHERE rank <= 5
+        """,
+        # RRF of the cosine and Euclidean rankings; contributions are
+        # exact integers 1e6 // (60 + rank), so the fusion is float-free
+        # (ranks themselves are deterministic: score order, nid tiebreak)
+        "retrieval_fusion": """
+            WITH q AS (
+                SELECT vec_id AS qid, embedding AS qe
+                FROM embeddings WHERE vec_id < 10),
+            s AS (
+                SELECT q.qid, e.vec_id AS nid,
+                       list_cosine_similarity(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS c,
+                       list_distance(
+                           CAST(q.qe AS DOUBLE[]),
+                           CAST(e.embedding AS DOUBLE[])) AS d
+                FROM q JOIN embeddings e ON e.vec_id <> q.qid),
+            rc AS (SELECT qid, nid,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY qid ORDER BY c DESC, nid) AS r
+                   FROM s),
+            rd AS (SELECT qid, nid,
+                          ROW_NUMBER() OVER (
+                              PARTITION BY qid ORDER BY d ASC, nid) AS r
+                   FROM s),
+            u AS (
+                SELECT qid, nid, 1000000 // (60 + r) AS pts
+                FROM rc WHERE r <= 20
+                UNION ALL
+                SELECT qid, nid, 1000000 // (60 + r)
+                FROM rd WHERE r <= 20),
+            f AS (SELECT qid, nid, CAST(sum(pts) AS BIGINT) AS rrf_pts
+                  FROM u GROUP BY 1, 2)
+            SELECT query_id, neighbor_id, rrf_pts, rank FROM (
+                SELECT qid AS query_id, nid AS neighbor_id, rrf_pts,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY qid
+                           ORDER BY rrf_pts DESC, nid) AS rank
+                FROM f)
+            WHERE rank <= 10
+            ORDER BY query_id, rank
         """,
         # codebook assignment is integer-exact end-to-end: quantize to
         # floor(x*1000 + 0.5) int64 (both engines compute this in IEEE

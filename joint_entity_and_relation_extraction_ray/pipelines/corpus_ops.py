@@ -219,6 +219,15 @@ def q_dedup_ngram_jaccard(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_dedup_containment(sf_dir: str) -> ray.data.Dataset:
+    """EXACT directed n-gram containment join (|sub∩sup|/|sub| ≥ 0.8):
+    the asymmetric sub/superset-duplicate detector Jaccard misses —
+    excerpts, quotes, truncated re-crawls (`stages/dedup.py
+    containment_pairs`, shared inverted-index core, integer-exact
+    threshold, string-set re-verify)."""
+    return dedup.containment_pairs(read_documents(sf_dir))
+
+
 def q_dedup_simhash(sf_dir: str) -> ray.data.Dataset:
     return dedup.simhash_dedup(read_documents(sf_dir))
 
@@ -267,6 +276,15 @@ def q_ann_recall(sf_dir: str) -> ray.data.Dataset:
     pinned in pytest."""
     return similarity.ann_recall(
         read_embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K
+    )
+
+
+def q_retrieval_fusion(sf_dir: str) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of the exact cosine and Euclidean
+    rankings (hybrid retrieval's standard merge) — integer RRF points,
+    top-10 fused per query (`stages/similarity.rrf_fusion`)."""
+    return similarity.rrf_fusion(
+        read_embeddings(sf_dir), _query_vectors(sf_dir)
     )
 
 

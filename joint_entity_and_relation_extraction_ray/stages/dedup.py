@@ -443,38 +443,20 @@ def minhash_dedup_pairs(
 # ---------------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(
-    docs: ray.data.Dataset,
+def _pair_intersection_counts(
+    shingled: ray.data.Dataset,
     *,
-    threshold: float = 0.5,
-    k: int = 3,
-    max_posting: int | None = None,
+    max_posting: int | None,
+    label: str,
 ) -> ray.data.Dataset:
-    """EXACT all-pairs n-gram Jaccard join → (doc_a, doc_b) with J ≥ t.
-
-    Unlike :func:`minhash_dedup_pairs` (probabilistic recall), this is the
-    exact similarity join via the classic inverted-index decomposition —
-    never all-pairs over the corpus:
-
-    1. shingle each doc (word k-grams, distinct);
-    2. explode to (shingle_hash:int64, doc_id) postings — 16 bytes/row
-       through the shuffle, never the shingle strings;
-    3. bucket-shuffle by shingle hash; per posting list emit co-occurring
-       (doc_a < doc_b) pairs (J > 0 ⇔ the docs share ≥ 1 shingle, so
-       recall is exact);
-    4. second bucket-shuffle by doc_a sums per-pair counts = |A ∩ B|
-       (estimated via 64-bit hashes);
-    5. J = c / (n_a + n_b − c) with TRUE per-doc shingle counts joined in;
-    6. survivors re-verified against the exact string shingle sets
-       (:func:`verify_jaccard_pairs`), so a 2⁻⁶⁴ hash collision can only
-       cost a spurious candidate (removed), never a wrong survivor.
-
-    Skew: a stop-shingle shared by millions of docs makes one posting list
-    quadratic — ``max_posting`` bounds it with LOGGED truncation (an
-    ultra-frequent shingle carries almost no similarity signal); default
-    is exact, oversized lists are warned via BUCKET_WARN.
-    """
-    shingled = shingle_docs(docs, k=k).materialize()
+    """Shared core of the exact inverted-index similarity joins
+    (:func:`ngram_jaccard_pairs`, :func:`containment_pairs`):
+    shingle sets → (shingle_hash:int64, doc_id) postings → per-posting
+    co-occurring (doc_a < doc_b) pairs → per-pair intersection counts
+    ``(doc_a, doc_b, c)``. Only 16-byte int rows ever shuffle; hash
+    collisions (2⁻⁶⁴) can only ADD counts, so any downstream filter on
+    ``c`` keeps a superset of the true qualifying pairs — callers
+    re-verify survivors against the exact string shingle sets."""
 
     def _postings(t: pa.Table) -> pa.Table:
         sh = t["shingles"].to_pylist()
@@ -507,7 +489,7 @@ def ngram_jaccard_pairs(
         a, b = [], []
         for ids in grp["ids"].to_list():
             arr = np.asarray(ids, dtype=np.int64)
-            ai, bi = _upper_pairs(arr, max_bucket=max_posting, label="jaccard")
+            ai, bi = _upper_pairs(arr, max_bucket=max_posting, label=label)
             a.append(arr[ai])
             b.append(arr[bi])
         a = np.concatenate(a) if a else np.empty(0, dtype=np.int64)
@@ -537,7 +519,44 @@ def ngram_jaccard_pairs(
             )
         )
 
-    counts = bucket_group_apply(co, "doc_a", _count_pairs)
+    return bucket_group_apply(co, "doc_a", _count_pairs)
+
+
+def ngram_jaccard_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    max_posting: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT all-pairs n-gram Jaccard join → (doc_a, doc_b) with J ≥ t.
+
+    Unlike :func:`minhash_dedup_pairs` (probabilistic recall), this is the
+    exact similarity join via the classic inverted-index decomposition —
+    never all-pairs over the corpus:
+
+    1. shingle each doc (word k-grams, distinct);
+    2. explode to (shingle_hash:int64, doc_id) postings — 16 bytes/row
+       through the shuffle, never the shingle strings;
+    3. bucket-shuffle by shingle hash; per posting list emit co-occurring
+       (doc_a < doc_b) pairs (J > 0 ⇔ the docs share ≥ 1 shingle, so
+       recall is exact);
+    4. second bucket-shuffle by doc_a sums per-pair counts = |A ∩ B|
+       (estimated via 64-bit hashes);
+    5. J = c / (n_a + n_b − c) with TRUE per-doc shingle counts joined in;
+    6. survivors re-verified against the exact string shingle sets
+       (:func:`verify_jaccard_pairs`), so a 2⁻⁶⁴ hash collision can only
+       cost a spurious candidate (removed), never a wrong survivor.
+
+    Skew: a stop-shingle shared by millions of docs makes one posting list
+    quadratic — ``max_posting`` bounds it with LOGGED truncation (an
+    ultra-frequent shingle carries almost no similarity signal); default
+    is exact, oversized lists are warned via BUCKET_WARN.
+    """
+    shingled = shingle_docs(docs, k=k).materialize()
+    counts = _pair_intersection_counts(
+        shingled, max_posting=max_posting, label="jaccard"
+    )
 
     # per-doc TRUE shingle-set sizes. Broadcast (doc_id, n) when it fits;
     # at catalog scale fall back to hash joins — never a driver collect.
@@ -602,6 +621,141 @@ def ngram_jaccard_pairs(
             _jfilter_joined, batch_format="pyarrow", zero_copy_batch=True
         )
     return verify_jaccard_pairs(cand, shingled, threshold=threshold)
+
+
+def containment_pairs(
+    docs: ray.data.Dataset,
+    *,
+    threshold_num: int = 4,
+    threshold_den: int = 5,
+    k: int = 3,
+    max_posting: int | None = None,
+) -> ray.data.Dataset:
+    """EXACT directed n-gram CONTAINMENT join → ``(doc_sub, doc_sup,
+    inter, n_sub)`` where ``|sub ∩ sup| / |sub| ≥ num/den`` (default
+    0.8) and sub ≠ sup.
+
+    The asymmetric near-dup Jaccard misses: a short doc embedded in a
+    long one (quote, excerpt, boilerplate wrapper, truncated re-crawl)
+    has HIGH containment but LOW Jaccard because the union is dominated
+    by the long side — the standard sub/superset-duplicate detector in
+    LLM-corpus curation, run next to the symmetric Jaccard join.
+
+    Same inverted-index decomposition as :func:`ngram_jaccard_pairs`
+    (shared :func:`_pair_intersection_counts` core — int postings, no
+    all-pairs); each undirected candidate then fans out to the
+    directions whose side passes the EXACT integer cross-multiplication
+    ``den·c ≥ num·n_sub`` (float-free, mirrors the SQL oracle), and
+    survivors are re-verified against the exact string shingle sets so
+    64-bit hash collisions can only cost a discarded candidate, never a
+    wrong pair."""
+    shingled = shingle_docs(docs, k=k).materialize()
+    counts = _pair_intersection_counts(
+        shingled, max_posting=max_posting, label="containment"
+    )
+
+    sz = shingled.select_columns(["doc_id", "n_shingles"])
+    sz_a = sz.map_batches(
+        lambda t: pa.table({"doc_a": t["doc_id"], "n_a": t["n_shingles"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    sz_b = sz.map_batches(
+        lambda t: pa.table({"doc_b": t["doc_id"], "n_b": t["n_shingles"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    j = join_auto(counts, sz_a, on=("doc_a",))
+    j = join_auto(j, sz_b, on=("doc_b",))
+
+    def _directed(t: pa.Table) -> pa.Table:
+        a = t["doc_a"].to_numpy(zero_copy_only=False)
+        b = t["doc_b"].to_numpy(zero_copy_only=False)
+        c = t["c"].to_numpy(zero_copy_only=False)
+        na = t["n_a"].to_numpy(zero_copy_only=False)
+        nb = t["n_b"].to_numpy(zero_copy_only=False)
+        ka = (threshold_den * c >= threshold_num * na) & (na > 0)
+        kb = (threshold_den * c >= threshold_num * nb) & (nb > 0)
+        return pa.table(
+            {
+                "doc_sub": pa.array(
+                    np.concatenate([a[ka], b[kb]]), pa.int64()
+                ),
+                "doc_sup": pa.array(
+                    np.concatenate([b[ka], a[kb]]), pa.int64()
+                ),
+            }
+        )
+
+    cand = j.map_batches(
+        _directed, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    # exact re-verify on string shingle sets (broadcast fast path: the
+    # candidate set is ≪ corpus; join fallback mirrors
+    # verify_jaccard_pairs at catalog scale)
+    ptbl = dataset_to_table(cand)
+    ids = np.unique(
+        np.concatenate(
+            [
+                ptbl["doc_sub"].to_numpy(zero_copy_only=False),
+                ptbl["doc_sup"].to_numpy(zero_copy_only=False),
+            ]
+        )
+        if ptbl.num_rows
+        else np.empty(0, dtype=np.int64)
+    )
+    id_ref = ray.put(ids) if ray.is_initialized() else ids
+
+    def _reduce_side(t: pa.Table) -> pa.Table:
+        want = ray.get(id_ref) if isinstance(id_ref, ray.ObjectRef) else id_ref
+        keep = np.isin(t["doc_id"].to_numpy(zero_copy_only=False), want)
+        f = t.filter(pa.array(keep))
+        return pa.table(
+            {
+                "doc_id": f["doc_id"],
+                "sh": pc.binary_join(f["shingles"], "\x1f"),
+            }
+        )
+
+    side = dataset_to_table(
+        shingled.map_batches(
+            _reduce_side, batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+    sets = {
+        i: frozenset(s.split("\x1f")) if s else frozenset()
+        for i, s in zip(
+            side["doc_id"].to_pylist(), side["sh"].to_pylist()
+        )
+    }
+    sets_ref = ray.put(sets) if ray.is_initialized() else sets
+
+    def _verify(t: pa.Table) -> pa.Table:
+        ss = ray.get(sets_ref) if isinstance(sets_ref, ray.ObjectRef) else sets_ref
+        subs = t["doc_sub"].to_pylist()
+        sups = t["doc_sup"].to_pylist()
+        out_sub, out_sup, out_c, out_n = [], [], [], []
+        for s_id, p_id in zip(subs, sups):
+            a, b = ss.get(s_id, frozenset()), ss.get(p_id, frozenset())
+            c = len(a & b)
+            if a and threshold_den * c >= threshold_num * len(a):
+                out_sub.append(s_id)
+                out_sup.append(p_id)
+                out_c.append(c)
+                out_n.append(len(a))
+        return pa.table(
+            {
+                "doc_sub": pa.array(out_sub, pa.int64()),
+                "doc_sup": pa.array(out_sup, pa.int64()),
+                "inter": pa.array(out_c, pa.int64()),
+                "n_sub": pa.array(out_n, pa.int64()),
+            }
+        )
+
+    return cand.map_batches(
+        _verify, batch_format="pyarrow", zero_copy_batch=True
+    ).sort(["doc_sub", "doc_sup"])
 
 
 # ---------------------------------------------------------------------------

@@ -68,20 +68,33 @@ def ann_topk(
     queries: pa.Table,
     *,
     k: int = 5,
+    metric: str = "cosine",
 ) -> ray.data.Dataset:
-    """Exact cosine top-k per query vector → (query_id, neighbor_id, rank).
+    """Exact brute-force top-k per query vector → (query_id,
+    neighbor_id, rank).
 
     `queries`: (vec_id, embedding) rows. Self-matches (same vec_id) are
     excluded. Ties break on neighbor_id ascending (deterministic).
-    """
+    ``metric``: "cosine" (similarity desc) or "l2" (Euclidean distance
+    asc — internally ranked by NEGATED squared distance, the same
+    ordering as the sqrt'd distance, so no square roots in the
+    dataflow)."""
+    if metric not in ("cosine", "l2"):
+        raise ValueError(f"unknown metric {metric!r}")
     qids, qmat = _emb_matrix(queries)
-    qn = _norm_rows(qmat)
+    qn = _norm_rows(qmat) if metric == "cosine" else qmat
     ref = ray.put((qids, qn)) if ray.is_initialized() else (qids, qn)
 
     def _partial(t: pa.Table) -> pa.Table:
         q_ids, q = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
         ids, m = _emb_matrix(t)
-        s = q @ _norm_rows(m).T  # (Q, B)
+        if metric == "cosine":
+            s = q @ _norm_rows(m).T  # (Q, B)
+        else:
+            # direct -Σ(q−x)² (NOT the dot-product expansion: the
+            # expansion's cancellation error can flip near-tie ranks vs
+            # the oracle's direct sum; low-dim vectors make this cheap)
+            s = -((q[:, None, :] - m[None, :, :]) ** 2).sum(axis=-1)
         out_q, out_n, out_s = [], [], []
         kk = min(k + 1, s.shape[1])  # +1 headroom for a self-match
         for qi in range(s.shape[0]):
@@ -678,6 +691,82 @@ def embedding_cov_stats(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partials, "i", _merge, num_buckets=num_buckets)
+
+
+def rrf_fusion(
+    emb: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k_each: int = 20,
+    k_out: int = 10,
+    rrf_k: int = 60,
+) -> ray.data.Dataset:
+    """Reciprocal-rank fusion of two exact retrieval rankings (cosine
+    and Euclidean) over the same query set → ``(query_id, neighbor_id,
+    rrf_pts, rank)``, top ``k_out`` fused per query.
+
+    The standard hybrid-retrieval merge (Cormack et al.: RRF
+    outperforms either ranking alone): each ranking contributes
+    ``1/(rrf_k + rank)`` for its top ``k_each``; here the contribution
+    is the EXACT integer ``1_000_000 // (rrf_k + rank)`` so the fused
+    scores — and the DuckDB oracle compare — are float-free. Ties on
+    fused points break on neighbor_id ascending.
+
+    Dataflow: both rankings are already O(n_queries × k) after their
+    own partial-top-k merges, so fusion is a union of two tiny ranked
+    lists + one bucketed per-query merge — the corpus is scanned twice
+    (once per metric), never joined."""
+    import polars as pl
+
+    r_cos = ann_topk(emb, queries, k=k_each, metric="cosine")
+    r_l2 = ann_topk(emb, queries, k=k_each, metric="l2")
+
+    def _pts(t: pa.Table) -> pa.Table:
+        r = t["rank"].to_numpy(zero_copy_only=False)
+        return pa.table(
+            {
+                "query_id": t["query_id"],
+                "neighbor_id": t["neighbor_id"],
+                "pts": pa.array(1_000_000 // (rrf_k + r), pa.int64()),
+            }
+        )
+
+    both = r_cos.map_batches(
+        _pts, batch_format="pyarrow", zero_copy_batch=True
+    ).union(r_l2.map_batches(_pts, batch_format="pyarrow", zero_copy_batch=True))
+
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("neighbor_id", pa.int64()),
+            ("rrf_pts", pa.int64()),
+            ("rank", pa.int64()),
+        ]
+    )
+
+    def _fuse(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by(["query_id", "neighbor_id"])
+            .agg(pl.col("pts").sum().alias("rrf_pts"))
+            .sort(
+                ["query_id", "rrf_pts", "neighbor_id"],
+                descending=[False, True, False],
+            )
+            .with_columns(
+                (pl.int_range(pl.len()).over("query_id") + 1).alias("rank")
+            )
+            .filter(pl.col("rank") <= k_out)
+            .select(["query_id", "neighbor_id", "rrf_pts", "rank"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    return bucket_group_apply(both, "query_id", _fuse, num_buckets=4).sort(
+        ["query_id", "rank"]
+    )
 
 
 def lexical_topk(

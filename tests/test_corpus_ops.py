@@ -138,6 +138,48 @@ def test_ngram_jaccard_exact_matches_bruteforce(ray_session):
     assert want  # planted dups actually exercised the join
 
 
+def test_containment_finds_embedded_doc(ray_session):
+    """A short doc embedded verbatim in a long one: containment ≥ 0.8
+    (directed sub→sup only), while Jaccard at 0.5 misses the pair
+    because the union is dominated by the long side. Brute-force
+    set-containment oracle over every ordered pair."""
+    rng = np.random.default_rng(11)
+    vocab = [f"w{i}" for i in range(40)]
+    long_doc = " ".join(rng.choice(vocab, size=120))
+    short_doc = " ".join(long_doc.split()[30:45])  # verbatim excerpt
+    texts = [long_doc, short_doc]
+    texts += [" ".join(rng.choice(vocab, size=30)) for _ in range(10)]
+    texts.append("")  # no shingles: must never pair
+    ds = _docs(texts)
+    out = _collect(dedup.containment_pairs(ds))
+    got = set(zip(out["doc_sub"], out["doc_sup"]))
+    sh = [set(textstats.word_shingles(t)) for t in texts]
+    want = set()
+    for i in range(len(texts)):
+        for j in range(len(texts)):
+            if i != j and sh[i] and 5 * len(sh[i] & sh[j]) >= 4 * len(sh[i]):
+                want.add((i, j))
+    assert got == want
+    assert (1, 0) in got  # the excerpt is contained in the long doc
+    assert (0, 1) not in got  # but not vice versa (asymmetric)
+    # and the exact counts ride along
+    row = {
+        (s, p): (c, n)
+        for s, p, c, n in zip(
+            out["doc_sub"], out["doc_sup"], out["inter"], out["n_sub"]
+        )
+    }
+    assert row[(1, 0)] == (
+        len(sh[1] & sh[0]),
+        len(sh[1]),
+    )
+    # Jaccard at the symmetric threshold misses the embedded pair
+    # (empty result loses its columns in pandas — use .get)
+    jac = _collect(dedup.ngram_jaccard_pairs(ds, threshold=0.5))
+    jpairs = set(zip(jac.get("doc_a", []), jac.get("doc_b", [])))
+    assert (0, 1) not in jpairs and (1, 0) not in jpairs
+
+
 def test_ngram_jaccard_large_side_join_path(ray_session, monkeypatch):
     from joint_entity_and_relation_extraction_ray.stages import dedup as dd
 
@@ -206,6 +248,67 @@ def test_ann_topk_matches_numpy(ray_session):
         order = [i for i in np.lexsort((np.arange(50), -scores)) if i != qi][:3]
         got = out[out["query_id"] == qi].sort_values("rank")["neighbor_id"]
         assert list(got) == order
+
+
+def test_rrf_fusion_matches_bruteforce(ray_session):
+    """RRF over the cosine and L2 rankings vs a numpy brute-force
+    oracle with the same integer 1e6 // (60 + rank) contributions."""
+    rng = np.random.default_rng(5)
+    mat = rng.standard_normal((60, 4))
+    ds = _emb_ds(mat)
+    q = pa.table(
+        {
+            "vec_id": pa.array([0, 1], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, mat[0])), list(map(float, mat[1]))],
+                pa.list_(pa.float32()),
+            ),
+        }
+    )
+    out = _collect(similarity.rrf_fusion(ds, q, k_each=10, k_out=5))
+    m = mat.astype(np.float32).astype(np.float64)
+    mn = m / np.linalg.norm(m, axis=1, keepdims=True)
+    for qi in (0, 1):
+        cos = mn @ mn[qi]
+        l2 = ((m - m[qi]) ** 2).sum(axis=1)
+        pts: dict[int, int] = {}
+        for scores, sign in ((cos, -1), (l2, 1)):
+            order = [
+                i
+                for i in np.lexsort((np.arange(60), sign * scores))
+                if i != qi
+            ][:10]
+            for r, nid in enumerate(order, start=1):
+                pts[nid] = pts.get(nid, 0) + 1_000_000 // (60 + r)
+        want = sorted(pts.items(), key=lambda kv: (-kv[1], kv[0]))[:5]
+        got = out[out["query_id"] == qi].sort_values("rank")
+        assert list(got["neighbor_id"]) == [n for n, _ in want]
+        assert list(got["rrf_pts"]) == [p for _, p in want]
+
+
+def test_ann_topk_l2_metric(ray_session):
+    """metric="l2" ranks by true Euclidean distance (nid tiebreak) and
+    rejects unknown metrics."""
+    import pytest as _pytest
+
+    rng = np.random.default_rng(9)
+    mat = rng.standard_normal((40, 4))
+    ds = _emb_ds(mat)
+    q = pa.table(
+        {
+            "vec_id": pa.array([3], pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, mat[3]))], pa.list_(pa.float32())
+            ),
+        }
+    )
+    out = _collect(similarity.ann_topk(ds, q, k=4, metric="l2"))
+    m = mat.astype(np.float32).astype(np.float64)
+    d = ((m - m[3]) ** 2).sum(axis=1)
+    order = [i for i in np.lexsort((np.arange(40), d)) if i != 3][:4]
+    assert list(out.sort_values("rank")["neighbor_id"]) == order
+    with _pytest.raises(ValueError):
+        similarity.ann_topk(ds, q, k=4, metric="dot")
 
 
 def test_ann_ivf_subset_quality(ray_session):
