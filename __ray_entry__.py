@@ -961,6 +961,19 @@ def _q_kg_embeddedness(sf_dir: str):
     return edge_support(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_eff_diameter(sf_dir: str):
+    """Effective diameter (90th-percentile pair distance) read off the
+    HyperBall neighborhood function — `stages/graph.effective_diameter`
+    (rows-only: HLL estimates; the HLL machinery's exactness contract
+    is pinned in test_sketch / test_graph hyperball tests)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        effective_diameter,
+    )
+
+    return effective_diameter(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_lift(sf_dir: str):
     """Association-strength (lift) triple confidence: per edge, how
     much more often its endpoints are asserted together than
@@ -2115,6 +2128,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q20_dominant_suppliers": co.q_q20_dominant_suppliers,
         "q21_waiting_suppliers": co.q_q21_waiting_suppliers,
         "kg_lift": _q_kg_lift,
+        "collocations": co.q_collocations,
+        "kg_eff_diameter": _q_kg_eff_diameter,  # rows-only (HLL estimates)
     }
 
 
@@ -4637,6 +4652,41 @@ def oracle_sql() -> dict[str, str]:
             FROM grams
             GROUP BY 1
             ORDER BY n_occurrences DESC, gram
+            LIMIT 100
+        """,
+        # bigram LIFT collocations: margins over ALL bigrams, support
+        # filter on output only; same fixed-point integer division as
+        # kg_lift (tokens are \\S+, so split_part on ' ' is lossless)
+        "collocations": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            grams AS (
+                SELECT unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM toks WHERE len(t) >= 2),
+            e AS (
+                SELECT split_part(gram, ' ', 1) AS w1,
+                       split_part(gram, ' ', 2) AS w2,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM grams GROUP BY 1, 2),
+            lm AS (SELECT w1, CAST(sum(c) AS BIGINT) AS n_left
+                   FROM e GROUP BY 1),
+            rm AS (SELECT w2, CAST(sum(c) AS BIGINT) AS n_right
+                   FROM e GROUP BY 1),
+            tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM e)
+            SELECT w1, w2, c, n_left, n_right,
+                   CAST((c * tot.n * 1000000) // (n_left * n_right)
+                        AS BIGINT) AS lift_e6
+            FROM e
+            JOIN lm USING (w1)
+            JOIN rm USING (w2)
+            CROSS JOIN tot
+            WHERE c >= 5
+            ORDER BY lift_e6 DESC, w1, w2
             LIMIT 100
         """,
         # robust median + MAD per group (stages/relational.group_mad):

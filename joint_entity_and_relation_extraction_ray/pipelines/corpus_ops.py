@@ -1124,6 +1124,79 @@ def q_ngram_counts(sf_dir: str, k: int = 100) -> ray.data.Dataset:
     return ngram_counts(read_documents(sf_dir), n=2, k=k)
 
 
+def q_collocations(sf_dir: str) -> ray.data.Dataset:
+    """PMI-style collocation mining: the 100 highest-LIFT corpus word
+    bigrams with support ≥ 5 → ``(w1, w2, c, n_left, n_right,
+    lift_e6)``. Raw frequency (`ngram_counts`) surfaces stop-word
+    pairs; LIFT — how much more often w2 follows w1 than the unigram
+    margins predict — surfaces true collocations, the phrase-mining
+    score behind word2phrase/Gensim's Phrases.
+
+    A corpus bigram table IS a weighted word graph (w1 → w2, weight =
+    count), so the score reuses :func:`stages.graph.edge_lift`
+    verbatim: one combiner collapses each block's bigrams before the
+    single bucketed merge (the corpus never shuffles), the margins
+    re-aggregate the collapsed table, and the fixed-point
+    ``c·N·10⁶ // (n_left·n_right)`` is float-free on both engines.
+    Masses are computed over ALL bigrams; the support filter applies
+    only to the emitted rows (so lift values are corpus-true)."""
+    import polars as pl
+
+    from ..stages.graph import edge_lift
+    from ..stages.relational import grouped_summary
+
+    def _bigrams(t: pa.Table) -> pa.Table:
+        toks = (
+            pl.from_arrow(t.select(["doc_id", "text"]))
+            .select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("tok"),
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        grams = toks.with_columns(
+            nxt=pl.col("tok").shift(-1).over("doc_id")
+        ).drop_nulls("nxt")
+        per = grams.group_by(["tok", "nxt"]).agg(
+            pl.len().cast(pl.Int64).alias("weight")
+        )
+        return per.select(
+            pl.col("tok").alias("subj_id"),
+            pl.lit("", dtype=pl.String).alias("pred"),
+            pl.col("nxt").alias("obj_id"),
+            pl.col("weight"),
+        ).to_arrow()
+
+    partials = read_documents(sf_dir).map_batches(
+        _bigrams, batch_format="pyarrow", zero_copy_batch=True
+    )
+    edges = grouped_summary(
+        partials,
+        by=["subj_id", "pred", "obj_id"],
+        aggs={"weight": ("weight", "sum")},
+        num_buckets=8,
+    )
+    scored = edge_lift(edges)  # sorted (lift_e6 DESC, w1, w2) already
+
+    def _shape(t: pa.Table) -> pa.Table:
+        f = t.filter(pc.greater_equal(t["weight"], 5))
+        return pa.table(
+            {
+                "w1": f["subj_id"],
+                "w2": f["obj_id"],
+                "c": f["weight"],
+                "n_left": f["n_s"],
+                "n_right": f["n_o"],
+                "lift_e6": f["lift_e6"],
+            }
+        )
+
+    return scored.map_batches(
+        _shape, batch_format="pyarrow", zero_copy_batch=True
+    ).limit(100)
+
+
 def q_above_nation_avg(sf_dir: str) -> ray.data.Dataset:
     """Correlated-subquery shape: customers whose AVERAGE order value
     exceeds their NATION's average order value — the "compare each row

@@ -1112,6 +1112,46 @@ def neighborhood_function(
     )
 
 
+def effective_diameter(
+    edges: ray.data.Dataset,
+    *,
+    hops: int = 6,
+    p: int = 10,
+    q_frac: tuple[int, int] = (9, 10),
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Effective diameter at quantile ``q_frac`` (default 9/10): the
+    smallest hop t with N(t)·den ≥ num·N(hops), read off the HyperBall
+    neighborhood function — the standard "how far apart are typical
+    node pairs" summary (Boldi–Vigna). One row: ``(eff_diameter,
+    nf_at_diameter, nf_max)``; integer hop granularity and an integer
+    cross-multiplied threshold keep the readout float-free. The N(t)
+    curve is ≤ hops+1 scalars, so the readout is a documented tiny
+    driver-side reduction over :func:`neighborhood_function`'s
+    already-reduced output (approximate by construction → rows-only in
+    the driver contract)."""
+    nf = neighborhood_function(
+        edges, hops=hops, p=p, num_buckets=num_buckets
+    ).take_all()  # <= hops+1 rows
+    curve = sorted((r["hop"], r["nf_est"]) for r in nf)
+    nf_max = curve[-1][1] if curve else 0
+    num, den = q_frac
+    eff, nf_at = hops, nf_max
+    for h, v in curve:
+        if v * den >= num * nf_max:
+            eff, nf_at = h, v
+            break
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "eff_diameter": pa.array([eff], pa.int64()),
+                "nf_at_diameter": pa.array([nf_at], pa.int64()),
+                "nf_max": pa.array([nf_max], pa.int64()),
+            }
+        )
+    )
+
+
 def triangle_count(
     edges: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:

@@ -1832,3 +1832,52 @@ def test_edge_lift_closed_form(ray_session):
     # sorted desc by lift, and the masses ride along
     assert [r["lift_e6"] for r in out] == [2_000_000, 1_200_000, 800_000]
     assert {(r["subj_id"], r["n_s"]) for r in out} == {("a", 5), ("d", 1)}
+
+
+def test_effective_diameter_clique_and_bounds(ray_session):
+    """On a directed clique every ball saturates at hop 1, and the
+    HyperBall registers are IDENTICAL from hop 1 on — so the 9/10
+    threshold is crossed at t=1 regardless of HLL estimation error.
+    On a random digraph the readout stays within [0, hops] and
+    nf_max equals the neighborhood function's last value."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        effective_diameter,
+        neighborhood_function,
+    )
+
+    names = [f"c{i}" for i in range(8)]
+    pairs = [(u, v) for u in names for v in names if u != v]
+    clique = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([p[0] for p in pairs]),
+                "obj_id": pa.array([p[1] for p in pairs]),
+            }
+        )
+    ).repartition(3)
+    row = effective_diameter(clique, hops=3, num_buckets=4).take_all()[0]
+    assert row["eff_diameter"] == 1
+    assert row["nf_at_diameter"] == row["nf_max"]
+
+    rng = np.random.default_rng(17)
+    subj = rng.integers(0, 20, 50)
+    obj = rng.integers(0, 20, 50)
+    g = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array([f"n{i}" for i in subj]),
+                "obj_id": pa.array([f"n{i}" for i in obj]),
+            }
+        )
+    ).repartition(3)
+    row = effective_diameter(g, hops=4, num_buckets=4).take_all()[0]
+    assert 0 <= row["eff_diameter"] <= 4
+    nf = {
+        r["hop"]: r["nf_est"]
+        for r in neighborhood_function(g, hops=4, num_buckets=4).take_all()
+    }
+    assert row["nf_max"] == nf[4]
