@@ -961,6 +961,20 @@ def _q_kg_embeddedness(sf_dir: str):
     return edge_support(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_betweenness(sf_dir: str):
+    """Sampled Brandes betweenness centrality (8 deterministic pivots,
+    ≤6 hops) over the undirected simple KG —
+    `stages/graph.betweenness_centrality`; rows-only (float δ sums,
+    sampled); exactness with all-nodes sources is pinned against an
+    in-process Brandes oracle in test_graph."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        betweenness_centrality,
+    )
+
+    return betweenness_centrality(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_eff_diameter(sf_dir: str):
     """Effective diameter (90th-percentile pair distance) read off the
     HyperBall neighborhood function — `stages/graph.effective_diameter`
@@ -2130,6 +2144,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_lift": _q_kg_lift,
         "collocations": co.q_collocations,
         "kg_eff_diameter": _q_kg_eff_diameter,  # rows-only (HLL estimates)
+        "kg_betweenness": _q_kg_betweenness,  # rows-only (sampled, float δ)
     }
 
 

@@ -1881,3 +1881,78 @@ def test_effective_diameter_clique_and_bounds(ray_session):
         for r in neighborhood_function(g, hops=4, num_buckets=4).take_all()
     }
     assert row["nf_max"] == nf[4]
+
+
+def test_betweenness_matches_exact_brandes(ray_session):
+    """With every node as a source the sampled operator IS exact
+    Brandes — compare against an in-process implementation (directed-
+    pair accumulation over the same undirected simple graph, identical
+    source set) on a random graph; nonzero sets and values must agree."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        betweenness_centrality,
+    )
+
+    rng = np.random.default_rng(23)
+    n_nodes, n_edges = 14, 26
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"v{i:02d}" for i in range(n_nodes)])
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+            }
+        )
+    ).repartition(3)
+
+    # undirected simple adjacency
+    adj: dict[str, set[str]] = {}
+    for u, v in zip(names[subj], names[obj]):
+        if u != v:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+    present = sorted(adj)
+
+    got = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            ds, n_sources=len(present), max_hops=8, num_buckets=4
+        ).take_all()
+    }
+
+    # exact Brandes (directed-pair accumulation, all sources)
+    from collections import deque
+
+    bc = {v: 0.0 for v in present}
+    for s in present:
+        dist = {s: 0}
+        sigma = {s: 1}
+        order = []
+        dq = deque([s])
+        while dq:
+            u = dq.popleft()
+            order.append(u)
+            for w in sorted(adj[u]):
+                if w not in dist:
+                    dist[w] = dist[u] + 1
+                    sigma[w] = 0
+                    dq.append(w)
+                if dist[w] == dist[u] + 1:
+                    sigma[w] += sigma[u]
+        delta = {v: 0.0 for v in order}
+        for w in reversed(order):
+            for u in adj[w]:
+                if dist.get(u, -2) == dist[w] - 1:
+                    delta[u] += sigma[u] / sigma[w] * (1 + delta[w])
+            if w != s:
+                bc[w] += delta[w]
+
+    want = {v: b for v, b in bc.items() if b > 0}
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
