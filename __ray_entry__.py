@@ -471,6 +471,19 @@ def _q_kg_two_hop(sf_dir: str):
     return two_hop_pred_counts(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_temporal_two_hop(sf_dir: str):
+    """Time-respecting 2-hop path counts per predicate pair: of the
+    a->b->c paths, how many have hop-1 first asserted no later than
+    hop-2 (graph.py temporal_two_hop_counts; same co-bucketed self-join
+    as kg_two_hop with the int64 first_ts riding the shuffle)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        temporal_two_hop_counts,
+    )
+
+    return temporal_two_hop_counts(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_triangles(sf_dir: str):
     """Exact triangle count of the undirected KG graph — degree-ordered
     wedge counting (each out-neighborhood bounded by O(sqrt(m)) after
@@ -1917,6 +1930,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "bpe_merges": co.q_bpe_merges,
         "bpe_encode": co.q_bpe_encode,
         "event_journeys": co.q_event_journeys,
+        "attribution": co.q_attribution,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "kg_sssp": _q_kg_sssp,
@@ -1935,6 +1949,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "canonicalize": _q_canonicalize,
         "kg_edges": _q_kg_edges,
         "kg_two_hop": _q_kg_two_hop,
+        "kg_temporal_two_hop": _q_kg_temporal_two_hop,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_asof": _q_kg_asof,
@@ -2620,6 +2635,39 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT e1.pred AS pred1, e2.pred AS pred2,
                    count(*) AS n_paths
+            FROM edges e1 JOIN edges e2 ON e1.obj_id = e2.subj_id
+            GROUP BY 1, 2
+        """,
+        "kg_temporal_two_hop": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, min(t.ts) AS first_ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            )
+            SELECT e1.pred AS pred1, e2.pred AS pred2,
+                   CAST(count(*) AS BIGINT) AS n_paths,
+                   CAST(sum(CASE WHEN e1.first_ts <= e2.first_ts
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_temporal
             FROM edges e1 JOIN edges e2 ON e1.obj_id = e2.subj_id
             GROUP BY 1, 2
         """,
@@ -4008,6 +4056,25 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT s.user_id, s.t1_us, p.t2_us
             FROM s LEFT JOIN p ON s.user_id = p.user_id
+        """,
+        "attribution": """
+            WITH att AS (
+                SELECT c.event_id, c.value,
+                       (SELECT e.event_type FROM events e
+                        WHERE e.user_id = c.user_id
+                          AND e.event_type <> 'purchase'
+                          AND (e.ts < c.ts
+                               OR (e.ts = c.ts AND e.event_id < c.event_id))
+                          AND epoch_us(e.ts)
+                              >= epoch_us(c.ts) - 7 * 86400000000
+                        ORDER BY e.ts DESC, e.event_id DESC
+                        LIMIT 1) AS channel
+                FROM events c WHERE c.event_type = 'purchase')
+            SELECT coalesce(channel, '(none)') AS channel,
+                   CAST(count(*) AS BIGINT) AS n_conversions,
+                   CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+                       AS revenue_cents
+            FROM att GROUP BY 1
         """,
         "retention": """
             WITH d AS (

@@ -1836,6 +1836,22 @@ def q_funnel(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_attribution(sf_dir: str) -> ray.data.Dataset:
+    """Last-touch attribution: purchases credited to the user's latest
+    preceding non-purchase event within 7 days — see
+    `stages/events.attribute_conversions` (windowed as-of self-join in
+    one user-bucketed shuffle)."""
+    from ..stages.events import attribute_conversions, read_events
+
+    return attribute_conversions(
+        read_events(
+            sf_dir, columns=["user_id", "event_id", "ts", "event_type", "value"]
+        ),
+        conversion="purchase",
+        window_us=7 * 86_400_000_000,
+    )
+
+
 def q_retention(sf_dir: str) -> ray.data.Dataset:
     """Cohort retention (distinct users per first-seen-day × day-offset)
     — see `stages/events.retention_cohorts`."""

@@ -1340,3 +1340,97 @@ def disorder_rollup(
     return bucket_group_apply(
         events, "user_id", _per_user, num_buckets=num_buckets
     ).sort("user_id")
+
+
+def attribute_conversions(
+    events: ray.data.Dataset,
+    *,
+    conversion: str = "purchase",
+    window_us: int = 7 * 86_400_000_000,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Last-touch marketing attribution: every *conversion* event is
+    credited to the same user's latest strictly-preceding
+    NON-conversion event (total order ``(ts, event_id)``) whose ``ts``
+    is within ``window_us`` of the conversion; conversions with no such
+    touch fall under channel ``'(none)'``. Output is one row per
+    channel: ``(channel, n_conversions, revenue_cents)`` with revenue
+    in exact int64 cents so the sum is layout-independent.
+
+    This is a windowed AS-OF SELF-join — the shape Ray Data has no
+    primitive for — done in ONE user-bucketed shuffle: a user's whole
+    history lands in a single reducer, where the as-of lookup is a
+    vectorized forward-fill over the ``(ts, event_id)`` sort (the
+    latest preceding non-conversion is, by construction, the last
+    non-null above each row). Per-bucket partials are disjoint channel
+    counts that merge by plain sum in a tiny second shuffle; raw events
+    never move twice. Partitioning assumption: one user's events fit in
+    a reducer — the same assumption as `sessionize`.
+    """
+    import polars as pl
+
+    OUT = pa.schema(
+        [
+            ("channel", pa.string()),
+            ("n_conversions", pa.int64()),
+            ("revenue_cents", pa.int64()),
+        ]
+    )
+
+    def _per_user(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        is_conv = pl.col("event_type") == conversion
+        df = (
+            pl.from_arrow(
+                t.select(["user_id", "event_id", "ts", "event_type", "value"])
+            )
+            .sort(["user_id", "ts", "event_id"])
+            .with_columns(ts_us=pl.col("ts").cast(pl.Int64))
+            .with_columns(
+                nc_ts=pl.when(~is_conv).then(pl.col("ts_us")),
+                nc_type=pl.when(~is_conv).then(pl.col("event_type")),
+            )
+            .with_columns(
+                nc_ts=pl.col("nc_ts").forward_fill().over("user_id"),
+                nc_type=pl.col("nc_type").forward_fill().over("user_id"),
+            )
+        )
+        conv = df.filter(is_conv).with_columns(
+            channel=pl.when(
+                pl.col("nc_ts").is_not_null()
+                & (pl.col("nc_ts") >= pl.col("ts_us") - window_us)
+            )
+            .then(pl.col("nc_type"))
+            .otherwise(pl.lit("(none)")),
+            cents=(pl.col("value") * 100.0).round(0).cast(pl.Int64),
+        )
+        return (
+            conv.group_by("channel")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_conversions"),
+                pl.col("cents").sum().cast(pl.Int64).alias("revenue_cents"),
+            )
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    partials = bucket_group_apply(
+        events, "user_id", _per_user, num_buckets=num_buckets
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("channel")
+            .agg(
+                pl.col("n_conversions").sum(),
+                pl.col("revenue_cents").sum(),
+            )
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    return bucket_group_apply(partials, "channel", _merge, num_buckets=4)

@@ -643,3 +643,54 @@ def test_disorder_rollup_counts_late_arrivals(ray_session):
         for r in disorder_rollup(ds, num_buckets=2).take_all()
     }
     assert got == {"u1": (5, 2, 5_000_000), "u2": (2, 0, 0)}
+
+
+def test_attribution_last_touch(ray_session):
+    """Closed-form last-touch attribution: window exclusion, '(none)'
+    fallback, same-ts tiebreak by event_id, exact cent sums — and the
+    answer is identical across block layouts."""
+    W = 100  # window, seconds
+    rows = [
+        # user 1: touch inside window → credited to 'click'
+        (1, 10, "click", 0.0, 100),
+        (1, 50, "purchase", 10.0, 101),
+        # user 1 second purchase: latest preceding non-purchase is still
+        # the click at t=10, now 90s back — inside the window
+        (1, 100, "purchase", 5.0, 102),
+        # user 2: only touch is OUTSIDE the window → '(none)'
+        (2, 0, "view", 0.0, 200),
+        (2, 200, "purchase", 7.0, 201),
+        # user 3: no touch at all → '(none)'
+        (3, 10, "purchase", 1.5, 300),
+        # user 4: same-ts tie — non-purchase with SMALLER event_id counts
+        # (strict (ts, event_id) order), larger id does not
+        (4, 30, "signup", 0.0, 400),
+        (4, 30, "purchase", 2.0, 401),
+        (4, 30, "click", 0.0, 402),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "ts": pa.array(
+                [int(r[1] * 1_000_000) for r in rows], pa.timestamp("us")
+            ),
+            "event_type": [r[2] for r in rows],
+            "value": pa.array([float(r[3]) for r in rows], pa.float64()),
+            "event_id": pa.array([r[4] for r in rows], pa.int64()),
+        }
+    )
+    expect = {
+        "click": (2, 1500),   # 10.00 + 5.00
+        "(none)": (2, 850),   # 7.00 + 1.50
+        "signup": (1, 200),
+    }
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = events.attribute_conversions(
+            ds, conversion="purchase", window_us=W * 1_000_000
+        ).to_pandas()
+        got = {
+            r.channel: (r.n_conversions, r.revenue_cents)
+            for r in out.itertuples()
+        }
+        assert got == expect, (blocks, got)

@@ -1956,3 +1956,40 @@ def test_betweenness_matches_exact_brandes(ray_session):
     assert set(got) == set(want)
     for v in want:
         assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def test_temporal_two_hop_counts(ray_session):
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        temporal_two_hop_counts,
+    )
+
+    us = 1_000_000
+    # a -p(t=10)-> b -q(t=20)-> c   temporal (10 <= 20)
+    # a -p(t=10)-> b -q(t=5)->  d   NOT temporal (10 > 5)
+    # x -q(t=7)->  a -p(t=10)-> b   temporal; equality counts: e -r(t=3)->
+    # a with hop2 at t=3 too
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": ["a", "b", "b", "x", "e", "a2"],
+                "pred": ["p", "q", "q", "q", "r", "r"],
+                "obj_id": ["b", "c", "d", "a", "a2", "z"],
+                "first_ts": pa.array(
+                    [10 * us, 20 * us, 5 * us, 7 * us, 3 * us, 3 * us],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    ).repartition(3)
+    got = {
+        (r["pred1"], r["pred2"]): (r["n_paths"], r["n_temporal"])
+        for r in temporal_two_hop_counts(edges, num_buckets=4).take_all()
+    }
+    assert got == {
+        ("p", "q"): (2, 1),   # b->c temporal, b->d not
+        ("q", "p"): (1, 1),   # x->a->b, 7 <= 10
+        ("r", "r"): (1, 1),   # e->a2->z, 3 <= 3 (ties are traversable)
+    }
