@@ -2017,6 +2017,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "dedup_exact": co.q_dedup_exact,
         "dedup_minhash": co.q_dedup_minhash,
         "dedup_minhash_apply": co.q_dedup_minhash_apply,
+        "dedup_cluster_sizes": co.q_dedup_cluster_sizes,
         "fuzzy_match": co.q_fuzzy_match,
         "dedup_incremental": co.q_dedup_incremental,
         "order_global_rank": co.q_order_global_rank,
@@ -5163,6 +5164,41 @@ def oracle_sql() -> dict[str, str]:
             lbl AS (SELECT v, min(r) AS l FROM reach GROUP BY v)
             SELECT doc_id FROM documents
             WHERE doc_id NOT IN (SELECT v FROM lbl WHERE l < v)
+        """,
+        "dedup_cluster_sizes": """
+            WITH RECURSIVE toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            sh AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, greatest(len(t) - 1, 2)),
+                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS s
+                FROM toks),
+            sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+            inter AS (
+                SELECT a.doc_id AS i, b.doc_id AS j, count(*) AS c
+                FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+                GROUP BY 1, 2),
+            pairs AS (
+                SELECT i AS a, j AS b FROM inter
+                JOIN sizes sa ON sa.doc_id = i
+                JOIN sizes sb ON sb.doc_id = j
+                WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5),
+            sym AS (SELECT a, b FROM pairs
+                    UNION ALL SELECT b, a FROM pairs),
+            reach(v, r) AS (
+                SELECT a AS v, a AS r FROM sym
+                UNION
+                SELECT reach.v, sym.b FROM reach JOIN sym ON sym.a = reach.r),
+            lbl AS (SELECT v, min(r) AS l FROM reach GROUP BY v),
+            cl AS (SELECT l, count(*) AS sz FROM lbl GROUP BY l)
+            SELECT CAST(sz AS BIGINT) AS cluster_size,
+                   CAST(count(*) AS BIGINT) AS n_clusters
+            FROM cl GROUP BY sz
         """,
         # SimHash is SQL-computable since the feature hash moved to
         # md5-60/64-bit: the full sign-sum per bit is mirrored below, so

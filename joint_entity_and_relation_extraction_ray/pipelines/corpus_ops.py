@@ -177,6 +177,16 @@ def q_dedup_minhash_apply(sf_dir: str) -> ray.data.Dataset:
     return dedup.dedup_apply(docs.select_columns(["doc_id"]), pairs)
 
 
+def q_dedup_cluster_sizes(sf_dir: str) -> ray.data.Dataset:
+    """Near-dup cluster-size histogram over the MinHash pair graph —
+    see `stages/dedup.dedup_cluster_sizes` (CC on the pair graph only;
+    the corpus is never read)."""
+    pairs = dedup.minhash_dedup_pairs(
+        read_documents(sf_dir), threshold=JACCARD_THRESHOLD
+    )
+    return dedup.dedup_cluster_sizes(pairs)
+
+
 def q_dedup_incremental(sf_dir: str) -> ray.data.Dataset:
     """Incremental near-dup join: near-dups of the 'arriving' shard (odd
     doc_ids) against the 'standing' corpus (even doc_ids) — old-old and

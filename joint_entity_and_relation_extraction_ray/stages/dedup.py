@@ -1402,3 +1402,73 @@ def minhash_cross_pairs(
     return verify_jaccard_pairs(
         cand, sh_old.union(sh_new), threshold=threshold
     )
+
+
+CLUSTER_SIZES = pa.schema(
+    [("cluster_size", pa.int64()), ("n_clusters", pa.int64())]
+)
+
+
+def dedup_cluster_sizes(
+    pairs: ray.data.Dataset,
+    *,
+    pair_cols: tuple[str, str] = ("doc_a", "doc_b"),
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Near-dup cluster-size histogram: ``(cluster_size, n_clusters)``
+    over the connected components of the pair graph — the curation
+    diagnostic that distinguishes "dedup is trimming isolated pairs"
+    from "one boilerplate template collapsed half the crawl" (the giant
+    clusters are where aggressive keep-one dedup silently deletes
+    coverage, so they get eyeballed before `dedup_apply` runs).
+
+    Scale shape: CC runs on the pair graph only (nodes = docs appearing
+    in ≥1 pair); sizes are one label-bucketed count shuffle over the
+    (node, label) int64 table — each label lands in exactly one bucket,
+    so per-label counts are final, not partial — and the histogram is a
+    second tiny shuffle over the distinct sizes. The corpus itself is
+    never read, let alone shuffled.
+    """
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+    from .canonical import connected_components
+
+    a, b = pair_cols
+    pairs = pairs.materialize()  # count guard + edge build
+    if pairs.count() == 0:
+        return ray.data.from_arrow(CLUSTER_SIZES.empty_table())
+
+    edges = pairs.map_batches(
+        lambda t: pa.table({"src": t[a], "dst": t[b]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    labels = connected_components(edges).select_columns(["label"])
+
+    def _sizes(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("label")
+            .agg(pl.len().cast(pl.Int64).alias("cluster_size"))
+            .to_arrow()
+        )
+
+    sizes = bucket_group_apply(labels, "label", _sizes, num_buckets=num_buckets)
+
+    def _hist(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("cluster_size")
+            .agg(pl.len().cast(pl.Int64).alias("n_clusters"))
+            .select(["cluster_size", "n_clusters"])
+            .to_arrow()
+            .cast(CLUSTER_SIZES)
+        )
+
+    return bucket_group_apply(
+        sizes.select_columns(["cluster_size"]),
+        "cluster_size",
+        _hist,
+        num_buckets=4,
+    )

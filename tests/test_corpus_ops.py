@@ -970,3 +970,30 @@ def test_pq_encode_shape_and_determinism(ray_session):
         .sort_values("vec_id")
     )
     assert codes.tolist() == list(map(list, out2["codes"]))
+
+
+def test_dedup_cluster_sizes_histogram(ray_session):
+    """Closed-form CC size histogram: {1,2,3} + {5,6} + {8,9,10,11} →
+    one cluster each of sizes 3, 2, 4 — identical across pair-block
+    layouts; no pairs → empty histogram."""
+    pairs_t = pa.table(
+        {
+            "doc_a": pa.array([1, 2, 5, 8, 9, 10], pa.int64()),
+            "doc_b": pa.array([2, 3, 6, 9, 10, 11], pa.int64()),
+        }
+    )
+    for blocks in (1, 3):
+        got = {
+            r["cluster_size"]: r["n_clusters"]
+            for r in dedup.dedup_cluster_sizes(
+                ray.data.from_arrow(pairs_t).repartition(blocks),
+                num_buckets=4,
+            ).take_all()
+        }
+        assert got == {2: 1, 3: 1, 4: 1}, (blocks, got)
+
+    empty = dedup.dedup_cluster_sizes(
+        ray.data.from_arrow(pairs_t.slice(0, 0))
+    )
+    assert empty.count() == 0
+    assert empty.schema().names == ["cluster_size", "n_clusters"]
