@@ -1931,6 +1931,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "bpe_encode": co.q_bpe_encode,
         "event_journeys": co.q_event_journeys,
         "attribution": co.q_attribution,
+        "event_rules": co.q_event_rules,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "kg_sssp": _q_kg_sssp,
@@ -4057,6 +4058,29 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT s.user_id, s.t1_us, p.t2_us
             FROM s LEFT JOIN p ON s.user_id = p.user_id
+        """,
+        "event_rules": """
+            WITH b AS (SELECT DISTINCT user_id, event_type FROM events),
+            nu AS (SELECT count(DISTINCT user_id) AS n FROM b),
+            supp AS (SELECT event_type, count(*) AS n FROM b GROUP BY 1),
+            pairs AS (
+                SELECT x.event_type AS antecedent,
+                       y.event_type AS consequent,
+                       count(*) AS n_both
+                FROM b x JOIN b y ON x.user_id = y.user_id
+                                 AND x.event_type <> y.event_type
+                GROUP BY 1, 2)
+            SELECT p.antecedent, p.consequent,
+                   CAST(p.n_both AS BIGINT) AS n_both,
+                   CAST(sa.n AS BIGINT) AS n_ante,
+                   CAST(p.n_both * 1000000 // sa.n AS BIGINT)
+                       AS confidence_ppm,
+                   CAST(p.n_both * nu.n * 1000000 // (sa.n * sb.n)
+                        AS BIGINT) AS lift_ppm
+            FROM pairs p
+            JOIN supp sa ON sa.event_type = p.antecedent
+            JOIN supp sb ON sb.event_type = p.consequent
+            CROSS JOIN nu
         """,
         "attribution": """
             WITH att AS (

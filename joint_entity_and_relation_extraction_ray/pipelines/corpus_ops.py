@@ -1846,6 +1846,17 @@ def q_funnel(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_event_rules(sf_dir: str) -> ray.data.Dataset:
+    """Association rules over per-user distinct-event-type baskets
+    (support / confidence / lift in exact integer ppm) — see
+    `stages/events.association_rules`."""
+    from ..stages.events import association_rules, read_events
+
+    return association_rules(
+        read_events(sf_dir, columns=["user_id", "event_type"])
+    )
+
+
 def q_attribution(sf_dir: str) -> ray.data.Dataset:
     """Last-touch attribution: purchases credited to the user's latest
     preceding non-purchase event within 7 days — see

@@ -1434,3 +1434,137 @@ def attribute_conversions(
         )
 
     return bucket_group_apply(partials, "channel", _merge, num_buckets=4)
+
+
+def association_rules(
+    events: ray.data.Dataset,
+    *,
+    min_support: int = 1,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Market-basket association rules over per-user baskets: basket =
+    the set of DISTINCT event types a user ever fired; for every ordered
+    type pair (a, b) with co-support ≥ ``min_support`` emit
+    ``(antecedent, consequent, n_both, n_ante, confidence_ppm,
+    lift_ppm)`` — confidence = P(b|a), lift = P(a,b)/(P(a)·P(b)), both
+    as exact integer parts-per-million (``//`` floor division) so the
+    result is bit-identical across engines and block layouts.
+
+    Differs from :func:`event_cooccurrence` (temporal window pairs,
+    order matters, multiplicity counts): baskets are set-semantic and
+    window-free — the Apriori pair statistic.
+
+    One user-bucketed shuffle of (user_id, event_type) pairs: a user's
+    basket lands whole in one reducer, so per-bucket distinct baskets
+    are disjoint and their pair/item counts are partials that merge by
+    plain sum (|types|²-bounded, tiny). The user count N rides along as
+    a per-bucket distinct-user partial. No second pass over the corpus.
+    """
+    import polars as pl
+
+    OUT = pa.schema(
+        [
+            ("antecedent", pa.string()),
+            ("consequent", pa.string()),
+            ("n_both", pa.int64()),
+            ("n_ante", pa.int64()),
+            ("confidence_ppm", pa.int64()),
+            ("lift_ppm", pa.int64()),
+        ]
+    )
+    PARTIAL = pa.schema(
+        [("a", pa.string()), ("b", pa.string()), ("n", pa.int64())]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        # distinct (user, type); emit pair rows (a,b), item rows (a,""),
+        # and one ("","") row per user — all merge by sum downstream
+        df = (
+            pl.from_arrow(t.select(["user_id", "event_type"]))
+            .unique()
+            .sort(["user_id", "event_type"])
+        )
+        if df.height == 0:
+            return PARTIAL.empty_table()
+        pairs = (
+            df.join(df, on="user_id")
+            .filter(pl.col("event_type") != pl.col("event_type_right"))
+            .group_by(["event_type", "event_type_right"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"event_type": "a", "event_type_right": "b"})
+        )
+        items = (
+            df.group_by("event_type")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .rename({"event_type": "a"})
+            .with_columns(pl.lit("").alias("b"))
+            .select(["a", "b", "n"])
+        )
+        users = pl.DataFrame(
+            {"a": [""], "b": [""], "n": [df["user_id"].n_unique()]}
+        ).with_columns(pl.col("n").cast(pl.Int64))
+        return pl.concat(
+            [pairs.select(["a", "b", "n"]), items, users]
+        ).to_arrow().cast(PARTIAL)
+
+    partials = bucket_group_apply(
+        events.select_columns(["user_id", "event_type"]),
+        "user_id",
+        _partial,
+        num_buckets=num_buckets,
+    )
+
+    def _with_key(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_gkey", pc.binary_join_element_wise(t["a"], t["b"], "\x00")
+        )
+
+    keyed = partials.map_batches(
+        _with_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _sum(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.drop_columns(["_gkey"]))
+            .group_by(["a", "b"])
+            .agg(pl.col("n").sum())
+            .to_arrow()
+            .cast(PARTIAL)
+        )
+
+    # counts are |types|² + |types| + 1 rows — tiny; finish driver-side
+    merged = bucket_group_apply(keyed, "_gkey", _sum, num_buckets=4)
+    cdf = pl.from_arrow(
+        pa.concat_tables(
+            [ray.get(r) for r in merged.to_arrow_refs()],
+            promote_options="default",
+        )
+    )
+    n_users = int(cdf.filter((pl.col("a") == "") & (pl.col("b") == ""))["n"][0])
+    supp = {
+        r["a"]: r["n"]
+        for r in cdf.filter(
+            (pl.col("b") == "") & (pl.col("a") != "")
+        ).iter_rows(named=True)
+    }
+    rows = []
+    for r in cdf.filter((pl.col("b") != "")).iter_rows(named=True):
+        if r["n"] < min_support:
+            continue
+        na = supp[r["a"]]
+        rows.append(
+            {
+                "antecedent": r["a"],
+                "consequent": r["b"],
+                "n_both": r["n"],
+                "n_ante": na,
+                "confidence_ppm": r["n"] * 1_000_000 // na,
+                "lift_ppm": r["n"] * n_users * 1_000_000
+                // (na * supp[r["b"]]),
+            }
+        )
+    if not rows:
+        return ray.data.from_arrow(OUT.empty_table())
+    return ray.data.from_arrow(
+        pa.Table.from_pylist(rows, schema=OUT)
+    )

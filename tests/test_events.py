@@ -694,3 +694,42 @@ def test_attribution_last_touch(ray_session):
             for r in out.itertuples()
         }
         assert got == expect, (blocks, got)
+
+
+def test_association_rules_closed_form(ray_session):
+    """4 users: baskets {a,b}, {a,b}, {a}, {b,c}. Rule a->b: n_both=2,
+    n_ante=3, conf=666666 ppm, lift = 2*4/(3*3) = 888888 ppm. Exact
+    across block layouts; duplicate events collapse to set semantics."""
+    rows = [
+        (1, "a"), (1, "b"), (1, "a"),      # dup 'a' must not inflate
+        (2, "a"), (2, "b"),
+        (3, "a"),
+        (4, "b"), (4, "c"),
+    ]
+    t = pa.table(
+        {
+            "user_id": pa.array([r[0] for r in rows], pa.int64()),
+            "event_type": [r[1] for r in rows],
+        }
+    )
+    expect = {
+        ("a", "b"): (2, 3, 666666, 888888),
+        ("b", "a"): (2, 3, 666666, 888888),
+        ("b", "c"): (1, 3, 333333, 1333333),
+        ("c", "b"): (1, 1, 1000000, 1333333),
+        ("a", "c"): None,  # never co-occur → absent
+    }
+    for blocks in (1, 4):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        out = events.association_rules(ds, num_buckets=4).to_pandas()
+        got = {
+            (r.antecedent, r.consequent): (
+                r.n_both, r.n_ante, r.confidence_ppm, r.lift_ppm
+            )
+            for r in out.itertuples()
+        }
+        assert ("a", "c") not in got
+        for k, v in expect.items():
+            if v is not None:
+                assert got[k] == v, (blocks, k, got.get(k))
+        assert len(got) == 4
