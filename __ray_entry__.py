@@ -1932,6 +1932,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "event_journeys": co.q_event_journeys,
         "attribution": co.q_attribution,
         "event_rules": co.q_event_rules,
+        "embed_rp": co.q_embed_rp,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "kg_sssp": _q_kg_sssp,
@@ -4058,6 +4059,29 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT s.user_id, s.t1_us, p.t2_us
             FROM s LEFT JOIN p ON s.user_id = p.user_id
+        """,
+        "embed_rp": """
+            WITH flat AS (
+                SELECT vec_id,
+                       unnest(list_transform(
+                           range(1, len(embedding) + 1),
+                           i -> {'i': i,
+                                 'q': CAST(round(
+                                     CAST(embedding[i] AS DOUBLE) * 1000)
+                                     AS BIGINT)})) AS u
+                FROM embeddings),
+            f AS (SELECT vec_id, u.i AS i, u.q AS q FROM flat),
+            dims AS (SELECT unnest(range(0, 8)) AS j),
+            terms AS (
+                SELECT f.vec_id, d.j,
+                       CASE WHEN contains('02468ace',
+                                substr(md5(CAST(d.j AS VARCHAR) || ':' ||
+                                           CAST(f.i AS VARCHAR)), 1, 1))
+                            THEN f.q ELSE -f.q END AS term
+                FROM f CROSS JOIN dims d)
+            SELECT vec_id, j AS out_dim,
+                   CAST(sum(term) AS BIGINT) AS value
+            FROM terms GROUP BY 1, 2
         """,
         "event_rules": """
             WITH b AS (SELECT DISTINCT user_id, event_type FROM events),

@@ -1846,6 +1846,18 @@ def q_funnel(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_embed_rp(sf_dir: str) -> ray.data.Dataset:
+    """Signed random projection of the embeddings to 8 dims in exact
+    int64 arithmetic (md5-derived ±1 signs) — see
+    `stages/similarity.random_projection`."""
+    from ..stages.similarity import random_projection
+
+    emb = ray.data.read_parquet(
+        f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"]
+    )
+    return random_projection(emb, k=8, scale=1000)
+
+
 def q_event_rules(sf_dir: str) -> ray.data.Dataset:
     """Association rules over per-user distinct-event-type baskets
     (support / confidence / lift in exact integer ppm) — see

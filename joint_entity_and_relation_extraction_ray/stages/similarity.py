@@ -1158,3 +1158,74 @@ def pq_recall(
         )
 
     return bucket_group_apply(both, "query_id", _score, num_buckets=4)
+
+
+_RP_SCHEMA = pa.schema(
+    [
+        ("vec_id", pa.int64()),
+        ("out_dim", pa.int64()),
+        ("value", pa.int64()),
+    ]
+)
+
+
+def _rp_signs(dim: int, k: int) -> np.ndarray:
+    """Deterministic ±1 sign matrix (dim × k): entry (i, j) is +1 when
+    the first hex char of md5("j:i") is even (i is 1-based to match the
+    SQL mirror's range(1, len+1)). Seedless-but-fixed, so any engine —
+    including the DuckDB oracle — reproduces it bit-for-bit."""
+    import hashlib
+
+    even = set("02468ace")
+    s = np.empty((dim, k), dtype=np.int64)
+    for j in range(k):
+        for i in range(1, dim + 1):
+            h = hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0]
+            s[i - 1, j] = 1 if h in even else -1
+    return s
+
+
+def random_projection(
+    embeddings: ray.data.Dataset,
+    *,
+    k: int = 8,
+    scale: int = 1000,
+) -> ray.data.Dataset:
+    """Signed random projection (Johnson–Lindenstrauss / SimHash-family
+    dimensionality reduction) of the embedding column to ``k`` dims —
+    IN EXACT INTEGER ARITHMETIC: components quantize to int64 at
+    ``scale`` (round half-away-from-zero, SQL's ``round``), the ±1
+    sign matrix derives from md5 so every engine regenerates it, and
+    the output is the exact int64 matmul ``Q @ S`` in long format
+    ``(vec_id, out_dim, value)``. The sketch preserves cosine geometry
+    in expectation (Achlioptas-style signs) while being hash-exact
+    against a SQL oracle — the property the rest of this repo's
+    embedding family (LSH dedup, IVF probes) is built on.
+
+    Stateless vectorized map — no shuffle anywhere: each batch reshapes
+    the list column zero-copy to (n, dim), quantizes, multiplies by the
+    (dim × k) broadcast-free constant matrix (md5 of dim·k strings,
+    memoized per process), and emits n·k long rows.
+    """
+    def _rp(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return _RP_SCHEMA.empty_table()
+        ids, mat = _emb_matrix(t)
+        y = mat.astype(np.float64) * scale
+        q = np.trunc(y + np.copysign(0.5, y)).astype(np.int64)
+        # dim·k md5 calls (~512) per batch — noise next to the matmul;
+        # a cross-process memo would have to pickle, not worth it
+        s = _rp_signs(mat.shape[1], k)
+        out = q @ s  # exact: |out| <= dim * scale * max|x|, far under 2^63
+        n = len(ids)
+        return pa.table(
+            {
+                "vec_id": pa.array(np.repeat(ids, k), pa.int64()),
+                "out_dim": pa.array(np.tile(np.arange(k), n), pa.int64()),
+                "value": pa.array(out.ravel(), pa.int64()),
+            }
+        )
+
+    return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
+        _rp, batch_format="pyarrow", zero_copy_batch=True
+    )

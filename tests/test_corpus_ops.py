@@ -997,3 +997,50 @@ def test_dedup_cluster_sizes_histogram(ray_session):
     )
     assert empty.count() == 0
     assert empty.schema().names == ["cluster_size", "n_clusters"]
+
+
+def test_random_projection_exact_bruteforce(ray_session):
+    """Pure-Python brute force (independent md5 sign derivation, exact
+    half-away-from-zero quantization) equals the vectorized op, across
+    layouts; negative-.5 rounding pinned (-0.0005*1000 = -0.5 → -1)."""
+    import hashlib
+
+    from joint_entity_and_relation_extraction_ray.stages.similarity import (
+        random_projection,
+    )
+
+    vecs = [
+        [0.1, -0.25, 0.0005, -0.0005],
+        [1.5, 0.0, -2.0, 0.75],
+        [0.0, 0.0, 0.0, 0.0],
+    ]
+    t = pa.table(
+        {
+            "vec_id": pa.array([10, 11, 12], pa.int64()),
+            "embedding": pa.array(vecs, pa.list_(pa.float32())),
+        }
+    )
+
+    def brute(x, j_max=3):
+        out = {}
+        for vid, v in zip([10, 11, 12], x):
+            q = []
+            for c in v:
+                y = float(np.float32(c)) * 1000
+                q.append(int(np.trunc(y + np.copysign(0.5, y))))
+            for j in range(j_max):
+                s = 0
+                for i, qi in enumerate(q, start=1):
+                    hex0 = hashlib.md5(f"{j}:{i}".encode()).hexdigest()[0]
+                    s += qi if hex0 in "02468ace" else -qi
+                out[(vid, j)] = s
+        return out
+
+    want = brute(vecs)
+    for blocks in (1, 3):
+        ds = ray.data.from_arrow(t).repartition(blocks)
+        got = {
+            (r["vec_id"], r["out_dim"]): r["value"]
+            for r in random_projection(ds, k=3).take_all()
+        }
+        assert got == want, (blocks, got)
