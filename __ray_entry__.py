@@ -471,6 +471,83 @@ def _q_kg_two_hop(sf_dir: str):
     return two_hop_pred_counts(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_pred_roles(sf_dir: str):
+    """Provenance rollup: per (pred, role) the number of supporting
+    triple assertions — triples join BACK to the T0 transcripts on
+    (conv_id, turn_idx), the per-row invariant key every intermediate
+    row carries (SURVEY §1.2). One conv-co-bucketed shuffle joins the
+    two sides, each bucket reduces to |preds|×|roles| partials, a tiny
+    second shuffle sums them; neither table is ever collected."""
+    import polars as pl
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+        cobucket_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    triples = kg.stage(sf_dir, "triples").select_columns(
+        ["conv_id", "turn_idx", "pred"]
+    )
+    turns = read_transcripts(
+        str(kg.corpus_for_sf_dir(sf_dir) / "transcripts")
+    ).select_columns(["conv_id", "turn_idx", "role"])
+
+    OUT = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("role", pa.string()),
+            ("n_assertions", pa.int64()),
+        ]
+    )
+
+    def _join(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        if not lt.num_rows or not rt.num_rows:
+            return OUT.empty_table()
+        out = (
+            pl.from_arrow(lt)
+            .join(pl.from_arrow(rt), on=["conv_id", "turn_idx"])
+            .group_by(["pred", "role"])
+            .agg(pl.len().cast(pl.Int64).alias("n_assertions"))
+        )
+        return out.select(["pred", "role", "n_assertions"]).to_arrow().cast(OUT)
+
+    partials = cobucket_apply(
+        triples,
+        turns,
+        lambda t: t["conv_id"].combine_chunks(),
+        lambda t: t["conv_id"].combine_chunks(),
+        _join,
+        num_buckets=32,
+    )
+
+    def _with_key(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+
+        return t.append_column(
+            "_gkey", pc.binary_join_element_wise(t["pred"], t["role"], "\x00")
+        )
+
+    keyed = partials.map_batches(
+        _with_key, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.drop_columns(["_gkey"]))
+            .group_by(["pred", "role"])
+            .agg(pl.col("n_assertions").sum())
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    return bucket_group_apply(keyed, "_gkey", _merge, num_buckets=4)
+
+
 def _q_kg_temporal_two_hop(sf_dir: str):
     """Time-respecting 2-hop path counts per predicate pair: of the
     a->b->c paths, how many have hop-1 first asserted no later than
@@ -1952,6 +2029,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_edges": _q_kg_edges,
         "kg_two_hop": _q_kg_two_hop,
         "kg_temporal_two_hop": _q_kg_temporal_two_hop,
+        "kg_pred_roles": _q_kg_pred_roles,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_asof": _q_kg_asof,
@@ -2639,6 +2717,13 @@ def oracle_sql() -> dict[str, str]:
             SELECT e1.pred AS pred1, e2.pred AS pred2,
                    count(*) AS n_paths
             FROM edges e1 JOIN edges e2 ON e1.obj_id = e2.subj_id
+            GROUP BY 1, 2
+        """,
+        "kg_pred_roles": f"""
+            SELECT t.pred, x.role, CAST(count(*) AS BIGINT) AS n_assertions
+            FROM read_parquet('{g}/golden_triples/*.parquet') t
+            JOIN read_parquet('{g}/transcripts/*.parquet') x
+              ON t.conv_id = x.conv_id AND t.turn_idx = x.turn_idx
             GROUP BY 1, 2
         """,
         "kg_temporal_two_hop": f"""
