@@ -220,3 +220,83 @@ def test_checkpointed_pipeline_resume(tmp_path, ray_session):
         edges1.sort_values(key).reset_index(drop=True)[key + ["weight"]]
         .equals(edges3.sort_values(key).reset_index(drop=True)[key + ["weight"]])
     )
+
+
+def test_upsert_partitioned_touches_only_affected_parts(
+    ray_session, tmp_path
+):
+    """MERGE INTO semantics: keep-latest per key with update-wins ties,
+    and partitions the update batch does not route to are byte-
+    untouched (same file set, same mtimes)."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        upsert_partitioned,
+    )
+
+    base_dir = tmp_path / "tbl"
+    keys = [f"k{i}" for i in range(40)]
+    base = pa.table(
+        {
+            "k": keys,
+            "ts": pa.array([100] * 40, pa.int64()),
+            "v": pa.array(list(range(40)), pa.int64()),
+        }
+    )
+    r = upsert_partitioned(
+        base_dir,
+        ray.data.from_arrow(base),
+        key="k",
+        order_col="ts",
+        num_parts=8,
+    )
+    assert r["rows_written"] == 40
+
+    def snapshot():
+        return {
+            d.name: sorted(
+                (f.name, f.stat().st_mtime_ns)
+                for f in d.iterdir()
+            )
+            for d in base_dir.glob("part=*")
+        }
+
+    before = snapshot()
+    # updates: k3 newer (wins), k5 same-ts tie (update wins), k100 new key
+    upd = pa.table(
+        {
+            "k": ["k3", "k5", "k100"],
+            "ts": pa.array([200, 100, 50], pa.int64()),
+            "v": pa.array([333, 555, 1000], pa.int64()),
+        }
+    )
+    r2 = upsert_partitioned(
+        base_dir,
+        ray.data.from_arrow(upd),
+        key="k",
+        order_col="ts",
+        num_parts=8,
+    )
+    after = snapshot()
+
+    from joint_entity_and_relation_extraction_ray.schema import stable_bucket
+
+    touched = {f"part={p}" for p in stable_bucket(["k3", "k5", "k100"], 8)}
+    assert set(r2["parts_touched"]) == {
+        int(p.split("=")[1]) for p in touched
+    }
+    for name, files in before.items():
+        if name not in touched:
+            assert after[name] == files, f"{name} rewritten needlessly"
+        else:
+            assert after[name] != files
+
+    got = {
+        r["k"]: (r["ts"], r["v"])
+        for r in ray.data.read_parquet(str(base_dir)).take_all()
+    }
+    assert len(got) == 41
+    assert got["k3"] == (200, 333)
+    assert got["k5"] == (100, 555)   # tie -> update wins
+    assert got["k100"] == (50, 1000)
+    assert got["k7"] == (100, 7)     # untouched survives
