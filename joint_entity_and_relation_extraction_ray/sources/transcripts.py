@@ -30,12 +30,31 @@ def _validate_batch(batch: pa.Table) -> pa.Table:
 
 
 def read_transcripts(
-    path: str | list[str], *, override_num_blocks: int | None = None
+    path: str | list[str],
+    *,
+    override_num_blocks: int | None = None,
+    evolve_schema: bool = False,
 ) -> ray.data.Dataset:
     """T0 source: pruned parquet read + validate/coerce/filter stage.
 
     ``path`` may be a directory or an explicit file list (the
-    partition-level resume path feeds one file shard at a time)."""
+    partition-level resume path feeds one file shard at a time).
+
+    ``evolve_schema=True`` accepts heterogeneous shard layouts — legacy
+    files missing NULLABLE T0 columns (``tool``, ``ts``) read as nulls,
+    and each block coerces to T0 before validation. The cost is losing
+    read-level column pruning on those directories (the scanner can't
+    project columns a file lacks), so it is opt-in: point it at mixed
+    old/new shard directories during a migration, not at clean tables.
+    Files missing a REQUIRED column (conv_id/turn_idx/role/text) still
+    fail loudly in the coerce step."""
+    if evolve_schema:
+        ds = ray.data.read_parquet(
+            path, override_num_blocks=override_num_blocks
+        )
+        return ds.map_batches(
+            _coerce_evolving, batch_format="pyarrow", zero_copy_batch=True
+        )
     ds = ray.data.read_parquet(
         path,
         columns=list(TRANSCRIPTS.names),
@@ -44,6 +63,22 @@ def read_transcripts(
     return ds.map_batches(
         _validate_batch, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+_REQUIRED = ("conv_id", "turn_idx", "role", "text")
+
+
+def _coerce_evolving(batch: pa.Table) -> pa.Table:
+    """Schema-evolution coerce: null-fill absent nullable T0 columns,
+    then the standard M1/M2 pass."""
+    missing = [f.name for f in TRANSCRIPTS if f.name not in batch.column_names]
+    bad = [m for m in missing if m in _REQUIRED]
+    if bad:
+        raise ValueError(f"transcript shard missing required columns {bad}")
+    for m in missing:
+        f = TRANSCRIPTS.field(m)
+        batch = batch.append_column(m, pa.nulls(batch.num_rows, f.type))
+    return _validate_batch(batch)
 
 
 def ordered_turns(ds: ray.data.Dataset) -> ray.data.Dataset:
@@ -228,3 +263,67 @@ def write_transcripts_csv(ds: ray.data.Dataset, path: str) -> None:
     ds.map_batches(
         _iso, batch_format="pyarrow", zero_copy_batch=True
     ).write_csv(path)
+
+
+def split_valid(
+    ds: ray.data.Dataset, *, materialize: bool = True
+) -> tuple[ray.data.Dataset, ray.data.Dataset]:
+    """Dead-letter split: route rows M1 would silently drop into a
+    QUARANTINE dataset instead → ``(valid, quarantine)`` where valid is
+    the byte-identical T0 stream `read_transcripts` would produce and
+    quarantine carries every rejected row plus an ``_m1_reason`` column
+    (``'null_key'`` | ``'empty_text'``). A 100-TB ingest wants the bad
+    rows auditable (written next to the run's metrics), not vanished.
+
+    One flagging pass, vectorized; the upstream is materialized once by
+    default so the two filtered views don't recompute the read — pass
+    ``materialize=False`` if the caller will only consume one side.
+    """
+
+    def _flag(t: pa.Table) -> pa.Table:
+        arrays = [t[f.name].cast(f.type) for f in TRANSCRIPTS]
+        tt = pa.Table.from_arrays(arrays, schema=TRANSCRIPTS)
+        null_key = pc.or_(
+            pc.is_null(tt["conv_id"]), pc.is_null(tt["turn_idx"])
+        )
+        empty = pc.equal(
+            pc.utf8_length(
+                pc.utf8_trim_whitespace(pc.coalesce(tt["text"], ""))
+            ),
+            0,
+        )
+        reason = pc.if_else(
+            null_key,
+            pa.scalar("null_key", pa.string()),
+            pc.if_else(
+                empty,
+                pa.scalar("empty_text", pa.string()),
+                pa.scalar(None, pa.string()),
+            ),
+        )
+        return tt.append_column("_m1_reason", reason)
+
+    flagged = ds.map_batches(
+        _flag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    if materialize:
+        flagged = flagged.materialize()
+
+    def _valid(t: pa.Table) -> pa.Table:
+        out = t.filter(pc.is_null(t["_m1_reason"])).drop_columns(
+            ["_m1_reason"]
+        )
+        validate_schema(out, TRANSCRIPTS, "transcripts")
+        return out
+
+    def _quarantine(t: pa.Table) -> pa.Table:
+        return t.filter(pc.is_valid(t["_m1_reason"]))
+
+    return (
+        flagged.map_batches(
+            _valid, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        flagged.map_batches(
+            _quarantine, batch_format="pyarrow", zero_copy_batch=True
+        ),
+    )

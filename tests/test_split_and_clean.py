@@ -395,3 +395,72 @@ def test_read_transcripts_jsonl_gzip(ray_session, tmp_path):
     )
     assert [r["text"] for r in out] == ["compressed hello", "compressed reply"]
     assert out[1]["tool"] == "search" and out[0]["ts"].year == 2024
+
+
+def test_read_transcripts_schema_evolution(ray_session, tmp_path):
+    """Legacy shards missing the nullable `tool` column read as nulls
+    under evolve_schema=True; missing a REQUIRED column fails loudly."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    full = pa.table(
+        {
+            "conv_id": ["a"],
+            "turn_idx": pa.array([0], pa.int32()),
+            "role": ["user"],
+            "text": ["hi"],
+            "tool": ["t"],
+            "ts": pa.array([0], pa.timestamp("us")),
+        }
+    )
+    pq.write_table(full, tmp_path / "new.parquet")
+    pq.write_table(full.drop_columns(["tool"]), tmp_path / "old.parquet")
+
+    out = read_transcripts(str(tmp_path), evolve_schema=True).take_all()
+    assert len(out) == 2
+    assert sorted(str(r["tool"]) for r in out) == ["None", "t"]
+
+    bad_dir = tmp_path / "bad"
+    bad_dir.mkdir()
+    pq.write_table(full.drop_columns(["text"]), bad_dir / "b.parquet")
+    import pytest as _pytest
+
+    with _pytest.raises(Exception, match="required columns"):
+        read_transcripts(str(bad_dir), evolve_schema=True).take_all()
+
+
+def test_split_valid_quarantines_bad_rows(ray_session):
+    """Dead-letter routing: the valid side equals M1's output; the
+    quarantine side keeps every rejected row with its reason."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        split_valid,
+    )
+
+    t = pa.table(
+        {
+            "conv_id": ["a", None, "c", "d", "e"],
+            "turn_idx": pa.array([0, 1, None, 3, 4], pa.int32()),
+            "role": ["user"] * 5,
+            "text": ["ok", "also ok", "ok too", "", "   "],
+            "tool": pa.array([None] * 5, pa.string()),
+            "ts": pa.array([0] * 5, pa.timestamp("us")),
+        }
+    )
+    valid, quar = split_valid(ray.data.from_arrow(t).repartition(2))
+    v = valid.take_all()
+    assert sorted(r["conv_id"] for r in v) == ["a"]
+    q = sorted(
+        (str(r["conv_id"]), r["_m1_reason"]) for r in quar.take_all()
+    )
+    assert q == [
+        ("None", "null_key"),
+        ("c", "null_key"),
+        ("d", "empty_text"),
+        ("e", "empty_text"),
+    ]
