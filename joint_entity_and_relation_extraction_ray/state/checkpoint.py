@@ -488,3 +488,83 @@ def upsert_partitioned(
     }
     (base / "_last_upsert.json").write_text(json.dumps(manifest))
     return {"parts_touched": touched, "rows_written": rows}
+
+
+def forget_convs(
+    out_root: str | Path, conv_ids: list[str], *, key: str = "conv_id"
+) -> dict:
+    """Right-to-be-forgotten over a checkpointed run: purge every row of
+    the given conversations from the DERIVED stage checkpoints under
+    ``out_root``, and invalidate the aggregate stages so the next
+    :func:`~..pipelines.run.run_checkpointed` rebuilds them from the
+    purged row-level data.
+
+    Mechanics — two classes of stage, decided by schema:
+
+    * row-level (schema carries ``conv_id``: combined/mentions/triples/
+      linked): each parquet file is probed by reading ONLY the key
+      column; files containing a target conv rewrite in place
+      (atomic ``os.replace``), untouched files are not rewritten. The
+      stage manifest stays — the filtered checkpoint is deliberate and
+      must keep its skip-if-done status.
+    * aggregate (no ``conv_id``: canon/edges/nodes): their counts can
+      embed the forgotten conversations, so their manifests are deleted
+      — fingerprints still match on the next run, but ``is_done`` fails
+      and they recompute from the purged upstream.
+
+    Scope: DERIVED data only. The source transcript shards are the
+    caller's storage to purge — if they still contain the conversation
+    and an input-content change invalidates ``combined``, the data
+    legitimately reappears (that is lineage working, not a leak). An
+    audit entry appends to ``_forgotten.jsonl``.
+    """
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    root = Path(out_root)
+    targets = pa.array(sorted(set(conv_ids)), pa.string())
+    rewritten: list[str] = []
+    removed = 0
+    aggregate_stages: list[str] = []
+
+    for sdir in sorted(p for p in root.iterdir() if p.is_dir()):
+        files = sorted(sdir.glob("**/*.parquet"))
+        if not files:
+            continue
+        if key not in pq.read_schema(files[0]).names:
+            aggregate_stages.append(sdir.name)
+            continue
+        for f in files:
+            col = pq.read_table(f, columns=[key])[key]
+            hit = pc.sum(
+                pc.is_in(col.combine_chunks(), value_set=targets)
+            ).as_py()
+            if not hit:
+                continue
+            t = pq.read_table(f)
+            keep = pc.invert(
+                pc.is_in(t[key].combine_chunks(), value_set=targets)
+            )
+            tmp = f.with_name(f.name + ".tmp")
+            pq.write_table(t.filter(keep), tmp)
+            os.replace(tmp, f)
+            rewritten.append(str(f.relative_to(root)))
+            removed += int(hit)
+
+    invalidated: list[str] = []
+    if removed:
+        for stage in aggregate_stages:
+            for m in root.glob(f"{stage}*.manifest.json"):
+                m.unlink()
+                invalidated.append(m.name)
+
+    entry = {
+        "conv_ids": sorted(set(conv_ids)),
+        "rows_removed": removed,
+        "files_rewritten": rewritten,
+        "invalidated": sorted(invalidated),
+        "ts": time.time(),
+    }
+    with open(root / "_forgotten.jsonl", "a") as fh:
+        fh.write(json.dumps(entry) + "\n")
+    return entry

@@ -300,3 +300,78 @@ def test_upsert_partitioned_touches_only_affected_parts(
     assert got["k5"] == (100, 555)   # tie -> update wins
     assert got["k100"] == (50, 1000)
     assert got["k7"] == (100, 7)     # untouched survives
+
+
+def test_forget_convs_equals_never_ingested(ray_session, tmp_path):
+    """Right-to-be-forgotten contract: purge a conversation from a
+    checkpointed run, rerun — every stage output must equal a pipeline
+    that NEVER saw that conversation; row-level checkpoints keep their
+    skip status (only aggregates recompute)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.pipelines.run import (
+        run_checkpointed,
+    )
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        forget_convs,
+    )
+
+    corpus = ensure_corpus("sf0.001")
+    out = tmp_path / "out"
+    kw = dict(
+        aliases_path=str(corpus / "aliases.parquet"),
+        entities_path=str(corpus / "entities.parquet"),
+    )
+    run_checkpointed(
+        transcripts_dir=str(corpus / "transcripts"), out_root=str(out), **kw
+    )
+    victim = ray.data.read_parquet(str(out / "mentions")).take(1)[0]["conv_id"]
+
+    entry = forget_convs(out, [victim])
+    assert entry["rows_removed"] > 0
+    # purged from every row-level checkpoint
+    for stage in ("combined", "mentions", "triples", "linked"):
+        t = ray.data.read_parquet(str(out / stage))
+        assert t.filter(expr=f"conv_id == '{victim}'").count() == 0, stage
+    # aggregates invalidated, row-level manifests intact
+    assert not (out / "edges.manifest.json").exists()
+    assert (out / "mentions.manifest.json").exists()
+
+    run_checkpointed(
+        transcripts_dir=str(corpus / "transcripts"), out_root=str(out), **kw
+    )
+
+    # ground truth: a pipeline over transcripts that never had the conv
+    clean_src = tmp_path / "clean_transcripts"
+    clean_src.mkdir()
+    import pyarrow.compute as pc
+
+    for f in sorted((corpus / "transcripts").glob("*.parquet")):
+        t = pq.read_table(f)
+        pq.write_table(
+            t.filter(pc.invert(pc.equal(t["conv_id"], victim))),
+            clean_src / f.name,
+        )
+    run_checkpointed(
+        transcripts_dir=str(clean_src), out_root=str(tmp_path / "ref"), **kw
+    )
+
+    for stage, key in (
+        ("edges", ["subj_id", "pred", "obj_id"]),
+        ("nodes", ["entity_id"]),
+    ):
+        a = (
+            ray.data.read_parquet(str(out / stage))
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        b = (
+            ray.data.read_parquet(str(tmp_path / "ref" / stage))
+            .to_pandas()
+            .sort_values(key)
+            .reset_index(drop=True)
+        )
+        cols = [c for c in a.columns if c != "aliases"]
+        assert a[cols].equals(b[cols]), stage
