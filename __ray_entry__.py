@@ -2010,6 +2010,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "attribution": co.q_attribution,
         "event_rules": co.q_event_rules,
         "embed_rp": co.q_embed_rp,
+        "doc_hash_features": co.q_doc_hash_features,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "kg_sssp": _q_kg_sssp,
@@ -4144,6 +4145,26 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT s.user_id, s.t1_us, p.t2_us
             FROM s LEFT JOIN p ON s.user_id = p.user_id
+        """,
+        "doc_hash_features": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            ex AS (SELECT doc_id, unnest(t) AS tok FROM toks),
+            routed AS (
+                SELECT doc_id,
+                       (strpos('0123456789abcdef',
+                               substr(md5(tok), 1, 1)) - 1) // 2 AS dim,
+                       CASE WHEN contains('02468ace', substr(md5(tok), 2, 1))
+                            THEN 1 ELSE -1 END AS s
+                FROM ex)
+            SELECT doc_id, CAST(dim AS BIGINT) AS dim,
+                   CAST(sum(s) AS BIGINT) AS value
+            FROM routed GROUP BY 1, 2
+            HAVING sum(s) <> 0
         """,
         "embed_rp": """
             WITH flat AS (

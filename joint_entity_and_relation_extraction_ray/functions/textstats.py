@@ -335,3 +335,61 @@ def chunk_tokens(batch: pa.Table, *, chunk_size: int = 50) -> pa.Table:
         .select(["doc_id", "chunk_idx", "n_tokens", "chunk_text"])
     )
     return out.to_arrow()
+
+
+HASH_FEATURES = pa.schema(
+    [
+        ("doc_id", pa.int64()),
+        ("dim", pa.int64()),
+        ("value", pa.int64()),
+    ]
+)
+
+
+def hash_features(batch: pa.Table, *, k: int = 8) -> pa.Table:
+    """The hashing trick (Weinberger et al. 2009): sparse bag-of-words →
+    a k-dim signed-count integer vector, long format ``(doc_id, dim,
+    value)`` with all-zero dims omitted. Token routing is md5-derived so
+    any engine reproduces it exactly: ``dim = hexdigit_0(md5(tok)) // (16/k)``
+    (range split of the hash space — no modulus, so a SQL mirror needs
+    only substr+strpos), ``sign = +1`` iff hexdigit_1 is even. Tokens are
+    maximal \\S+ runs, same as every token op in this module.
+
+    Stateless vectorized-ish map (md5 per DISTINCT token per batch,
+    memoized in a dict — Zipf makes the memo hit rate high); no shuffle.
+    The dense companion for embeddings is
+    `stages/similarity.random_projection`.
+    """
+    import hashlib
+
+    assert 16 % k == 0, "k must divide 16 (range-split of one hex digit)"
+    span = 16 // k
+    hexpos = "0123456789abcdef"
+    memo: dict[str, tuple[int, int]] = {}
+    ids, dims, vals = [], [], []
+    for did, text in zip(
+        batch["doc_id"].to_pylist(), batch["text"].to_pylist()
+    ):
+        acc = [0] * k
+        for tok in (text or "").split():
+            hit = memo.get(tok)
+            if hit is None:
+                h = hashlib.md5(tok.encode()).hexdigest()
+                hit = (
+                    hexpos.index(h[0]) // span,
+                    1 if h[1] in "02468ace" else -1,
+                )
+                memo[tok] = hit
+            acc[hit[0]] += hit[1]
+        for j, v in enumerate(acc):
+            if v:
+                ids.append(did)
+                dims.append(j)
+                vals.append(v)
+    return pa.table(
+        {
+            "doc_id": pa.array(ids, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "value": pa.array(vals, pa.int64()),
+        }
+    )

@@ -1846,6 +1846,16 @@ def q_funnel(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_doc_hash_features(sf_dir: str) -> ray.data.Dataset:
+    """Feature-hashing-trick doc vectors (signed token counts routed by
+    md5 into 8 dims, exact ints) — see `functions/textstats.hash_features`."""
+    from ..functions.textstats import hash_features
+
+    return read_documents(sf_dir).map_batches(
+        hash_features, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_embed_rp(sf_dir: str) -> ray.data.Dataset:
     """Signed random projection of the embeddings to 8 dims in exact
     int64 arithmetic (md5-derived ±1 signs) — see

@@ -1044,3 +1044,37 @@ def test_random_projection_exact_bruteforce(ray_session):
             for r in random_projection(ds, k=3).take_all()
         }
         assert got == want, (blocks, got)
+
+
+def test_hash_features_bruteforce(ray_session):
+    """Feature-hashing trick equals an independent per-token brute force;
+    zero-sum dims are omitted; empty docs emit nothing."""
+    import hashlib
+
+    t = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": ["alpha beta alpha", "  ", "gamma"],
+        }
+    )
+    out = {
+        (r["doc_id"], r["dim"]): r["value"]
+        for r in ray.data.from_arrow(t)
+        .map_batches(
+            textstats.hash_features,
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        .take_all()
+    }
+
+    want: dict = {}
+    for did, txt in [(1, "alpha beta alpha"), (3, "gamma")]:
+        for tok in txt.split():
+            hh = hashlib.md5(tok.encode()).hexdigest()
+            d = "0123456789abcdef".index(hh[0]) // 2
+            s = 1 if hh[1] in "02468ace" else -1
+            want[(did, d)] = want.get((did, d), 0) + s
+    want = {k: v for k, v in want.items() if v}
+    assert out == want
+    assert not any(k[0] == 2 for k in out)
