@@ -2011,6 +2011,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "event_rules": co.q_event_rules,
         "embed_rp": co.q_embed_rp,
         "doc_hash_features": co.q_doc_hash_features,
+        "kfold_assign": co.q_kfold_assign,
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "kg_sssp": _q_kg_sssp,
@@ -4145,6 +4146,19 @@ def oracle_sql() -> dict[str, str]:
                 GROUP BY 1, 2)
             SELECT s.user_id, s.t1_us, p.t2_us
             FROM s LEFT JOIN p ON s.user_id = p.user_id
+        """,
+        "kfold_assign": """
+            SELECT doc_id,
+                   CAST(CASE WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                  < '33' THEN 0
+                             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                  < '66' THEN 1
+                             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                  < '9a' THEN 2
+                             WHEN substr(md5(CAST(doc_id AS VARCHAR)), 1, 2)
+                                  < 'cd' THEN 3
+                             ELSE 4 END AS BIGINT) AS fold
+            FROM documents
         """,
         "doc_hash_features": """
             WITH toks AS (

@@ -2071,6 +2071,33 @@ def q_split_assign(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_kfold_assign(sf_dir: str) -> ray.data.Dataset:
+    """Deterministic 5-fold cross-validation assignment — split_assign's
+    companion for eval protocols. Same engine-portable rule: md5(doc_id)
+    2-hex-char prefix compared against the VARCHAR boundaries
+    '33'/'66'/'9a'/'cd' (51-51-52-51-51 of the 256 prefixes), stateless
+    per batch, reproducible across engines and block layouts."""
+    import hashlib
+
+    def _assign(t: pa.Table) -> pa.Table:
+        folds = []
+        for d in t["doc_id"].to_pylist():
+            h = hashlib.md5(str(d).encode()).hexdigest()[:2]
+            folds.append(
+                0 if h < "33" else
+                1 if h < "66" else
+                2 if h < "9a" else
+                3 if h < "cd" else 4
+            )
+        return pa.table(
+            {"doc_id": t["doc_id"], "fold": pa.array(folds, pa.int64())}
+        )
+
+    return read_documents(sf_dir).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
     """The COMPOSITE curation pipeline every pretraining corpus goes
     through, end-to-end ORACLE-EXACT: quality gate (integer heuristics)
