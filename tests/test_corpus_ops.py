@@ -1078,3 +1078,23 @@ def test_hash_features_bruteforce(ray_session):
     want = {k: v for k, v in want.items() if v}
     assert out == want
     assert not any(k[0] == 2 for k in out)
+
+
+def test_kfold_assign_layout_independent(ray_session):
+    """Fold assignment depends only on doc_id (layout-independent) and
+    uses all 5 folds on the driver corpus boundaries."""
+    import hashlib
+
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        q_kfold_assign,
+    )
+
+    got = {
+        r["doc_id"]: r["fold"]
+        for r in q_kfold_assign("/root/testdata/sf0.001").take_all()
+    }
+    for did, fold in list(got.items())[:50]:
+        h = hashlib.md5(str(did).encode()).hexdigest()[:2]
+        want = 0 if h < "33" else 1 if h < "66" else 2 if h < "9a" else \
+            3 if h < "cd" else 4
+        assert fold == want
