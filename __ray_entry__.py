@@ -548,6 +548,30 @@ def _q_kg_pred_roles(sf_dir: str):
     return bucket_group_apply(keyed, "_gkey", _merge, num_buckets=4)
 
 
+def _q_kg_pred_rules(sf_dir: str):
+    """Association rules over per-CONVERSATION predicate baskets — the
+    generic basket-rules operator (`stages/events.association_rules`)
+    re-instantiated on KG triples by column projection alone: basket =
+    the set of predicates asserted in a conversation; confidence/lift in
+    exact integer ppm say which relation types travel together."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        association_rules,
+    )
+
+    triples = kg.stage(sf_dir, "triples")
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table({"user_id": t["conv_id"], "event_type": t["pred"]})
+
+    baskets = triples.map_batches(
+        _proj, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return association_rules(baskets)
+
+
 def _q_kg_temporal_two_hop(sf_dir: str):
     """Time-respecting 2-hop path counts per predicate pair: of the
     a->b->c paths, how many have hop-1 first asserted no later than
@@ -2032,6 +2056,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_two_hop": _q_kg_two_hop,
         "kg_temporal_two_hop": _q_kg_temporal_two_hop,
         "kg_pred_roles": _q_kg_pred_roles,
+        "kg_pred_rules": _q_kg_pred_rules,
         "kg_triangles": _q_kg_triangles,
         "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
         "kg_asof": _q_kg_asof,
@@ -2720,6 +2745,30 @@ def oracle_sql() -> dict[str, str]:
                    count(*) AS n_paths
             FROM edges e1 JOIN edges e2 ON e1.obj_id = e2.subj_id
             GROUP BY 1, 2
+        """,
+        "kg_pred_rules": f"""
+            WITH b AS (
+                SELECT DISTINCT conv_id, pred
+                FROM read_parquet('{g}/golden_triples/*.parquet')),
+            nu AS (SELECT count(DISTINCT conv_id) AS n FROM b),
+            supp AS (SELECT pred, count(*) AS n FROM b GROUP BY 1),
+            pairs AS (
+                SELECT x.pred AS antecedent, y.pred AS consequent,
+                       count(*) AS n_both
+                FROM b x JOIN b y ON x.conv_id = y.conv_id
+                                 AND x.pred <> y.pred
+                GROUP BY 1, 2)
+            SELECT p.antecedent, p.consequent,
+                   CAST(p.n_both AS BIGINT) AS n_both,
+                   CAST(sa.n AS BIGINT) AS n_ante,
+                   CAST(p.n_both * 1000000 // sa.n AS BIGINT)
+                       AS confidence_ppm,
+                   CAST(p.n_both * nu.n * 1000000 // (sa.n * sb.n)
+                        AS BIGINT) AS lift_ppm
+            FROM pairs p
+            JOIN supp sa ON sa.pred = p.antecedent
+            JOIN supp sb ON sb.pred = p.consequent
+            CROSS JOIN nu
         """,
         "kg_pred_roles": f"""
             SELECT t.pred, x.role, CAST(count(*) AS BIGINT) AS n_assertions
