@@ -1158,6 +1158,33 @@ def _q_kg_paths(sf_dir: str):
     return path_counts(kg.stage(sf_dir, "edges"), max_hops=3)
 
 
+def _q_kg_validity(sf_dir: str):
+    """Temporal-KG SCD-2 timeline: change-point object history per
+    (subj, pred) with LEAD-based validity windows —
+    `stages/graph.validity_intervals` over the rewritten assertion
+    stream (per-block min combiner → one subj-bucketed shuffle →
+    vectorized polars window)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        validity_intervals,
+    )
+
+    return validity_intervals(kg.stage(sf_dir, "rewritten"))
+
+
+def _q_kg_rpq(sf_dir: str):
+    """Regular path query p1·p2* (SPARQL property path) with min-hop
+    semantics from pair frontiers — `stages/graph.regular_path_pairs`;
+    p1/p2 = lexicographic min/max predicate so the query is
+    parameter-free; hop-capped recursive-CTE oracle."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        regular_path_pairs,
+    )
+
+    return regular_path_pairs(kg.stage(sf_dir, "edges"), max_star_hops=3)
+
+
 def _q_kg_widest(sf_dir: str):
     """Bounded-hop widest-path (max-min bottleneck) widths from the
     lexicographic-min entity over the undirected weighted KG (≤4 hops)
@@ -2259,6 +2286,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": co.q_q19_disjunctive_revenue,
         "q12_late_shipments": co.q_q12_late_shipments,
         "kg_paths": _q_kg_paths,
+        "kg_rpq": _q_kg_rpq,
+        "kg_validity": _q_kg_validity,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -5775,6 +5804,97 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(count(*) AS BIGINT) AS n_paths
             FROM walks WHERE hops >= 1 GROUP BY node
+        """,
+        # SCD-2 change-point timeline over the same rewritten stream as
+        # kg_latest_assertion: one object per (subj, pred, ts) (min
+        # tie-break), keep first/changed objects ordered by ts, LEAD for
+        # the validity window (graph.py validity_intervals)
+        "kg_validity": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            d AS (
+                SELECT subj_id, pred, ts, min(obj_id) AS obj_id
+                FROM rt GROUP BY 1, 2, 3
+            ),
+            c AS (
+                SELECT *, lag(obj_id) OVER (
+                    PARTITION BY subj_id, pred ORDER BY ts
+                ) AS prev FROM d
+            ),
+            k AS (
+                SELECT subj_id, pred, obj_id, ts AS valid_from
+                FROM c WHERE prev IS NULL OR obj_id <> prev
+            )
+            SELECT subj_id, pred, obj_id, valid_from,
+                   lead(valid_from) OVER (
+                       PARTITION BY subj_id, pred ORDER BY valid_from
+                   ) AS valid_to
+            FROM k
+        """,
+        # RPQ p1·p2* (p1 = min pred, p2 = max pred): UNION ALL recursion
+        # capped at 1 + 3 star hops, min(hops) per reachable pair — the
+        # engine's pair-frontier min-merge computes the same fixpoint
+        "kg_rpq": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e2 AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS subj_id, t.pred,
+                                o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            p AS MATERIALIZED (
+                SELECT min(pred) AS p1, max(pred) AS p2 FROM e2
+            ),
+            walk(src, dst, hops) AS (
+                SELECT subj_id, obj_id, 1 FROM e2 JOIN p ON e2.pred = p.p1
+                UNION ALL
+                SELECT w.src, e.obj_id, w.hops + 1
+                FROM walk w
+                JOIN e2 e ON e.subj_id = w.dst
+                JOIN p ON e.pred = p.p2
+                WHERE w.hops < 4
+            )
+            SELECT src, dst, CAST(min(hops) AS BIGINT) AS hops
+            FROM walk GROUP BY 1, 2
         """,
         "split_leakage": f"""
             WITH pairs AS ({_JACCARD_ORACLE_SQL})

@@ -4852,3 +4852,206 @@ def betweenness_centrality(
         num_buckets=num_buckets,
     )
     return out.sort(["betweenness", "node"], descending=[True, False])
+
+
+def validity_intervals(
+    rewritten: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Temporal-KG SCD-2 timeline: for every (subj_id, pred) the
+    CHANGE-POINT history of its object — rows ``(subj_id, pred, obj_id,
+    valid_from, valid_to)`` where ``valid_from`` is the assertion ts
+    that switched the object and ``valid_to`` is the next switch's ts
+    (null for the currently-valid row). The longitudinal "what did the
+    KG believe when" view that complements ``latest_assertion``'s
+    point-in-time compaction (SCD-1).
+
+    Exact, deterministic semantics (SQL-mirrorable):
+      1. assertions collapse to one object per (subj, pred, ts) — min
+         ``obj_id`` tie-break (same rule as ``latest_assertion``);
+      2. ordered by ts within (subj, pred), a row is a change point iff
+         it is the first assertion or its object differs from the
+         previous assertion's object;
+      3. ``valid_to`` = LEAD(valid_from) over the kept change points.
+
+    Step 1's min is decomposable, so a per-block combiner shrinks the
+    stream to ≤ one row per (subj, pred, ts) per block BEFORE the one
+    subj-bucketed shuffle; steps 2–3 are vectorized polars window ops
+    inside the reduce (every row of a (subj, pred) group is local by
+    construction — subj_id is the bucket key). Nothing else moves and
+    nothing materializes on the driver."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    sch = rewritten.schema()
+    TS = dict(zip(sch.names, sch.types))["ts"]
+
+    def _combine(t: pa.Table) -> pa.Table:
+        out = (
+            pl.from_arrow(t.select(["subj_id", "pred", "obj_id", "ts"]))
+            .group_by(["subj_id", "pred", "ts"])
+            .agg(pl.col("obj_id").min())
+            .select(["subj_id", "pred", "obj_id", "ts"])
+            .to_arrow()
+        )
+        return out.cast(
+            pa.schema(
+                [
+                    ("subj_id", pa.string()),
+                    ("pred", pa.string()),
+                    ("obj_id", pa.string()),
+                    ("ts", TS),
+                ]
+            )
+        )
+
+    OUT = pa.schema(
+        [
+            ("subj_id", pa.string()),
+            ("pred", pa.string()),
+            ("obj_id", pa.string()),
+            ("valid_from", TS),
+            ("valid_to", TS),
+        ]
+    )
+
+    def _intervals(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        key = ["subj_id", "pred"]
+        df = (
+            pl.from_arrow(t)
+            .group_by(["subj_id", "pred", "ts"])
+            .agg(pl.col("obj_id").min())  # re-apply: ≤1 row/key/block arrived
+            .sort(["subj_id", "pred", "ts"])
+            .with_columns(prev=pl.col("obj_id").shift(1).over(key))
+            .filter(
+                pl.col("prev").is_null()
+                | (pl.col("prev") != pl.col("obj_id"))
+            )
+            .with_columns(valid_to=pl.col("ts").shift(-1).over(key))
+            .rename({"ts": "valid_from"})
+            .select(["subj_id", "pred", "obj_id", "valid_from", "valid_to"])
+        )
+        return df.to_arrow().cast(OUT)
+
+    partial = rewritten.map_batches(
+        _combine, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partial, "subj_id", _intervals, num_buckets=num_buckets
+    )
+
+
+def regular_path_pairs(
+    edges: ray.data.Dataset,
+    *,
+    first_pred: str | None = None,
+    star_pred: str | None = None,
+    max_star_hops: int = 3,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Regular path query (RPQ) ``p1 · p2*`` over the DIRECTED KG:
+    every (src, dst) pair connected by a path whose first edge has
+    predicate ``p1`` followed by 0..``max_star_hops`` edges with
+    predicate ``p2``, with the MINIMAL matching path length — rows
+    ``(src, dst, hops:int64)``. Defaults make the query parameter-free
+    and deterministic: p1 = lexicographic min predicate, p2 = max.
+    The property-path primitive (SPARQL ``p1/p2*``) a KG query engine
+    serves for "X managed-by chain", "supply-chain reachability" etc.
+
+    Dataflow = the bfs_distances skeleton lifted from node frontiers to
+    PAIR frontiers: the p2 edge subset is materialized once; each round
+    joins the frontier's dst against it (``join_auto``: broadcast under
+    the guard, hash-shuffle above) and a subj-bucketed polars min-merge
+    dedups pairs — per round only (src, dst, hops) triples move, never
+    edge payloads, and UNION-ALL walk blowup is cut off at each merge
+    (pairs, not walks, survive rounds). Partitioning assumption: the
+    answer SET (distinct reachable pairs) fits the cluster like any
+    pair-valued query result; hop caps bound the rounds."""
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+    from .canonical import default_partitions
+
+    num_partitions = num_partitions or default_partitions()
+
+    if first_pred is None or star_pred is None:
+        # tiny distinct-pred reduction: per-block distinct → driver min/max
+        pd_ = edges.map_batches(
+            lambda t: pa.table(
+                {
+                    "lo": pa.array([pc.min(t["pred"]).as_py()], pa.string()),
+                    "hi": pa.array([pc.max(t["pred"]).as_py()], pa.string()),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()  # one row per block — tiny by construction
+        first_pred = first_pred or min(
+            r["lo"] for r in pd_ if r["lo"] is not None
+        )
+        star_pred = star_pred or max(r["hi"] for r in pd_ if r["hi"] is not None)
+
+    OUT = pa.schema(
+        [("src", pa.string()), ("dst", pa.string()), ("hops", pa.int64())]
+    )
+
+    def _pairs_of(pred_name: str, src_col: str = "src", dst_col: str = "dst"):
+        return edges.map_batches(
+            lambda t, p=pred_name, s=src_col, d=dst_col: (
+                lambda f: pa.table({s: f["subj_id"], d: f["obj_id"]})
+            )(t.filter(pc.equal(t["pred"], p))),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def _min_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by(["src", "dst"])
+            .agg(pl.col("hops").min())
+            .select(["src", "dst", "hops"])
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    star_edges = _pairs_of(star_pred, "hop_src", "hop_dst").materialize()
+
+    labels = bucket_group_apply(
+        _pairs_of(first_pred).map_batches(
+            lambda t: t.append_column(
+                "hops", pa.array([1] * t.num_rows, pa.int64())
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "src",
+        _min_merge,
+    ).materialize()
+
+    for _ in range(max_star_hops):
+        prop = join_auto(
+            labels,
+            star_edges,
+            on=("dst",),
+            right_on=("hop_src",),
+            num_partitions=num_partitions,
+        ).map_batches(
+            lambda t: pa.table(
+                {
+                    "src": t["src"],
+                    "dst": t["hop_dst"],
+                    "hops": pc.add(t["hops"], 1),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+        labels = bucket_group_apply(
+            labels.union(prop), "src", _min_merge
+        ).materialize()
+    return labels

@@ -568,3 +568,86 @@ def forget_convs(
     with open(root / "_forgotten.jsonl", "a") as fh:
         fh.write(json.dumps(entry) + "\n")
     return entry
+
+
+def compact_partitioned(
+    base_dir: str | Path,
+    *,
+    target_rows_per_file: int = 1_000_000,
+    min_files: int = 2,
+    parts: list[int] | None = None,
+) -> dict:
+    """Small-file compaction for a hash-partitioned parquet table
+    (``base_dir/part=<k>/*.parquet`` — the layout `upsert_partitioned`
+    and `write_graph` produce). Incremental ingestion leaves each
+    partition with one file per batch; at 100 TB that is millions of
+    KB-sized files whose open/footer costs dominate every scan.
+    Compaction rewrites a partition's files into
+    ``ceil(rows / target_rows_per_file)`` right-sized files.
+
+    Discipline (what makes it safe to run concurrently with readers):
+    - row content is preserved EXACTLY (the row multiset of the
+      partition is unchanged; order = input files sorted by name, rows
+      in file order — deterministic);
+    - partitions with fewer than ``min_files`` files are never touched
+      (their directories stay byte-identical — no gratuitous churn, and
+      a second compaction pass is a no-op);
+    - the swap is atomic per partition (tmp build → trash-rename →
+      rename), the same crash discipline as `upsert_partitioned`;
+    - one Ray task per partition — compaction parallelism scales with
+      partition count, and a failed run leaves every partition either
+      old or new, never mixed.
+
+    Returns ``{"parts_compacted": [...], "files_before": n,
+    "files_after": n, "rows": n}``.
+    """
+    import uuid
+
+    base = Path(base_dir)
+    todo = []
+    for pdir in sorted(base.glob("part=*")):
+        if not pdir.is_dir():
+            continue
+        k = int(pdir.name.split("=", 1)[1])
+        if parts is not None and k not in parts:
+            continue
+        files = sorted(f for f in pdir.glob("*.parquet"))
+        if len(files) >= min_files:
+            todo.append((k, len(files)))
+
+    @ray.remote
+    def _compact(k: int) -> tuple[int, int]:
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        part_dir = base / f"part={k}"
+        files = sorted(part_dir.glob("*.parquet"))
+        tbl = pa.concat_tables(
+            [pq.read_table(f) for f in files], promote_options="default"
+        )
+        n_out = max(1, -(-tbl.num_rows // target_rows_per_file))
+        step = -(-tbl.num_rows // n_out)
+        tmp = base / f".part={k}.tmp-{uuid.uuid4().hex[:8]}"
+        tmp.mkdir(parents=True)
+        for i in range(n_out):
+            pq.write_table(
+                tbl.slice(i * step, step), tmp / f"compacted-{i:05d}.parquet"
+            )
+        trash = base / f".part={k}.trash-{uuid.uuid4().hex[:8]}"
+        os.rename(part_dir, trash)
+        os.rename(tmp, part_dir)
+        shutil.rmtree(trash, ignore_errors=True)
+        return tbl.num_rows, n_out
+
+    results = ray.get([_compact.remote(k) for k, _ in todo])
+    manifest = {
+        "op": "compact",
+        "parts_compacted": [k for k, _ in todo],
+        "files_before": sum(n for _, n in todo),
+        "files_after": sum(n for _, n in results),
+        "rows": sum(r for r, _ in results),
+        "ts": time.time(),
+    }
+    (base / "_last_compact.json").write_text(json.dumps(manifest))
+    return {k: manifest[k] for k in
+            ("parts_compacted", "files_before", "files_after", "rows")}

@@ -375,3 +375,144 @@ def test_forget_convs_equals_never_ingested(ray_session, tmp_path):
         )
         cols = [c for c in a.columns if c != "aliases"]
         assert a[cols].equals(b[cols]), stage
+
+
+def test_compact_partitioned_preserves_rows_and_skips_clean_parts(
+    ray_session, tmp_path
+):
+    """Small-file compaction: the row multiset of every partition is
+    unchanged, file counts drop to ceil(rows/target), partitions already
+    at one file are byte-untouched, and a second pass is a no-op."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        compact_partitioned,
+    )
+
+    base = tmp_path / "tbl"
+    # part=0: five small files (needs compaction); part=1: one file (clean)
+    (base / "part=0").mkdir(parents=True)
+    (base / "part=1").mkdir(parents=True)
+    for i in range(5):
+        pq.write_table(
+            pa.table({"k": [f"a{i}", f"b{i}"], "v": [i, 10 + i]}),
+            base / "part=0" / f"batch-{i}.parquet",
+        )
+    pq.write_table(
+        pa.table({"k": ["z0", "z1", "z2"], "v": [100, 101, 102]}),
+        base / "part=1" / "batch-0.parquet",
+    )
+
+    def rows_of(part):
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(str(base / f"part={part}")).to_table()
+        return sorted(zip(t["k"].to_pylist(), t["v"].to_pylist()))
+
+    def snap(part):
+        return sorted(
+            (f.name, f.stat().st_mtime_ns)
+            for f in (base / f"part={part}").iterdir()
+        )
+
+    before0, before1 = rows_of(0), rows_of(1)
+    clean1 = snap(1)
+
+    r = compact_partitioned(base, target_rows_per_file=4)
+    assert r["parts_compacted"] == [0]
+    assert r["files_before"] == 5
+    # 10 rows @ target 4 -> 3 files
+    assert r["files_after"] == 3
+    assert len(list((base / "part=0").glob("*.parquet"))) == 3
+    assert rows_of(0) == before0 and rows_of(1) == before1
+    assert snap(1) == clean1  # untouched partition byte-identical
+
+    # idempotence: everything now at/below min_files thresholds? part=0
+    # has 3 files (>= min_files 2) but re-compacting must preserve rows
+    # and keep the file count at the target-derived 3
+    r2 = compact_partitioned(base, target_rows_per_file=4)
+    assert r2["files_after"] == 3 and rows_of(0) == before0
+
+    # and with min_files above the current count it is a pure no-op
+    after0 = snap(0)
+    r3 = compact_partitioned(base, target_rows_per_file=4, min_files=4)
+    assert r3["parts_compacted"] == [] and snap(0) == after0
+
+
+def test_zonemap_prunes_disjoint_files_and_keeps_statless(
+    ray_session, tmp_path
+):
+    """Zone-map skipping: a ts-range read plans ONLY the files whose
+    [min, max] overlaps the range; rows equal a brute-force full-scan
+    filter; a file with no statistics is always kept (safety); the
+    typed index round-trips timestamps."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        build_zonemap,
+        prune_files,
+        read_pruned,
+    )
+
+    base = tmp_path / "events"
+    base.mkdir()
+
+    def ts(h):
+        return dt.datetime(2024, 1, 1, h)
+
+    # four files covering disjoint hour ranges [0-2], [3-5], [6-8], [9-11]
+    all_rows = []
+    for i in range(4):
+        hours = [3 * i, 3 * i + 1, 3 * i + 2]
+        t = pa.table(
+            {
+                "ts": pa.array([ts(h) for h in hours], pa.timestamp("us")),
+                "v": pa.array([100 * i + h for h in hours], pa.int64()),
+            }
+        )
+        pq.write_table(t, base / f"f{i}.parquet")
+        all_rows += list(zip([ts(h) for h in hours], t["v"].to_pylist()))
+    # plus one file written WITHOUT statistics — must never be skipped
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array([ts(23)], pa.timestamp("us")),
+                "v": pa.array([999], pa.int64()),
+            }
+        ),
+        base / "nostats.parquet",
+        write_statistics=False,
+    )
+    all_rows.append((ts(23), 999))
+
+    build_zonemap(base, "ts")
+
+    kept = prune_files(base, "ts", lo=ts(4), hi=ts(7))
+    names = [p.rsplit("/", 1)[-1] for p in kept]
+    # f1 [3-5] and f2 [6-8] overlap; f0/f3 provably disjoint -> skipped;
+    # nostats kept for safety
+    assert names == ["f1.parquet", "f2.parquet", "nostats.parquet"]
+
+    got = sorted(
+        (r["ts"], r["v"])
+        for r in read_pruned(base, "ts", lo=ts(4), hi=ts(7)).take_all()
+    )
+    want = sorted((t0, v) for t0, v in all_rows if ts(4) <= t0 <= ts(7))
+    assert got == want  # residual filter removes in-file misses (h=3, h=8)
+
+    # projection that drops the stat column still filters correctly
+    got_v = sorted(
+        r["v"]
+        for r in read_pruned(
+            base, "ts", lo=ts(4), hi=ts(7), columns=["v"]
+        ).take_all()
+    )
+    assert got_v == [v for _, v in want]
+
+    # disjoint-range read: zero surviving files, empty-but-typed result
+    nothing = read_pruned(base, "ts", lo=ts(12), hi=ts(20))
+    assert nothing.count() == 0

@@ -1993,3 +1993,106 @@ def test_temporal_two_hop_counts(ray_session):
         ("q", "p"): (1, 1),   # x->a->b, 7 <= 10
         ("r", "r"): (1, 1),   # e->a2->z, 3 <= 3 (ties are traversable)
     }
+
+
+def test_validity_intervals_scd2_semantics(ray_session):
+    """SCD-2 change-point timeline: same-ts collisions collapse to the
+    min obj BEFORE change detection; runs of the same object compress to
+    one interval; valid_to = next change's ts (null on the open row);
+    groups split across blocks still stitch into one ordered timeline."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        validity_intervals,
+    )
+
+    rows = [
+        # (subj, pred, obj, ts)
+        ("a", "p", "x", 10),
+        ("a", "p", "x", 20),   # same obj -> compressed into [10, 30)
+        ("a", "p", "y", 30),   # change -> x closes at 30
+        ("a", "p", "y", 30),   # duplicate assertion, no-op
+        ("a", "p", "z", 40),   # same-ts tie below:
+        ("a", "p", "w", 40),   # min('w','z') = 'w' wins ts=40 entirely
+        ("a", "q", "k", 5),    # different pred: own open interval
+        ("b", "p", "m", 1),
+    ]
+
+    def tbl(rs):
+        return pa.table(
+            {
+                "subj_id": [r[0] for r in rs],
+                "pred": [r[1] for r in rs],
+                "obj_id": [r[2] for r in rs],
+                "ts": pa.array([r[3] for r in rs], pa.timestamp("us")),
+            }
+        )
+
+    # split the hot (a, p) group across blocks on purpose
+    ds = ray.data.from_arrow([tbl(rows[:3]), tbl(rows[3:])])
+    got = sorted(
+        (
+            r["subj_id"],
+            r["pred"],
+            r["obj_id"],
+            int(r["valid_from"].timestamp() * 1e6),
+            None
+            if r["valid_to"] is None
+            else int(r["valid_to"].timestamp() * 1e6),
+        )
+        for r in validity_intervals(ds, num_buckets=4).take_all()
+    )
+    assert got == [
+        ("a", "p", "w", 40, None),
+        ("a", "p", "x", 10, 30),
+        ("a", "p", "y", 30, 40),
+        ("a", "q", "k", 5, None),
+        ("b", "p", "m", 1, None),
+    ]
+
+
+def test_regular_path_pairs_min_hop_semantics(ray_session):
+    """RPQ p1·p2* on a hand graph: paths must START with a p1 edge, then
+    0..K p2 edges; other predicates never traverse; hops = MINIMAL
+    matching length even when a longer walk reaches the same pair; the
+    star cap truncates deeper targets."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        regular_path_pairs,
+    )
+
+    # p1 = "follows", p2 = "knows" (lexicographic min/max of the preds)
+    edges = [
+        ("s", "follows", "a"),
+        ("a", "knows", "b"),
+        ("b", "knows", "c"),
+        ("c", "knows", "d"),
+        ("d", "knows", "e"),    # 5 hops total from s -> beyond cap 1+3
+        ("s", "knows", "b"),    # p2 FIRST edge: must NOT start a match
+        ("a", "ignored", "z"),  # middle predicate: never traversed
+        ("b", "follows", "c"),  # second p1 source: pairs from b too
+    ]
+    t = pa.table(
+        {
+            "subj_id": [e[0] for e in edges],
+            "pred": [e[1] for e in edges],
+            "obj_id": [e[2] for e in edges],
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(edges), 2)])
+    got = sorted(
+        (r["src"], r["dst"], r["hops"])
+        for r in regular_path_pairs(ds, max_star_hops=3).take_all()
+    )
+    assert got == [
+        ("b", "c", 1),          # follows
+        ("b", "d", 2),          # follows.knows
+        ("b", "e", 3),          # follows.knows.knows
+        ("s", "a", 1),          # follows
+        ("s", "b", 2),
+        ("s", "c", 3),
+        ("s", "d", 4),          # cap = 1 + 3 hops; e is out of reach
+    ]
