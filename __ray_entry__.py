@@ -1185,6 +1185,18 @@ def _q_kg_rpq(sf_dir: str):
     return regular_path_pairs(kg.stage(sf_dir, "edges"), max_star_hops=3)
 
 
+def _q_kg_snapshot(sf_dir: str):
+    """Point-in-time KG (time travel): the assertion set believed at the
+    deterministic midpoint cutoff — `stages/graph.belief_snapshot` over
+    `validity_intervals`' SCD-2 timeline."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        belief_snapshot,
+    )
+
+    return belief_snapshot(kg.stage(sf_dir, "rewritten"))
+
+
 def _q_kg_widest(sf_dir: str):
     """Bounded-hop widest-path (max-min bottleneck) widths from the
     lexicographic-min entity over the undirected weighted KG (≤4 hops)
@@ -2287,6 +2299,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q12_late_shipments": co.q_q12_late_shipments,
         "kg_paths": _q_kg_paths,
         "kg_rpq": _q_kg_rpq,
+        "kg_snapshot": _q_kg_snapshot,
         "kg_validity": _q_kg_validity,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
@@ -5852,6 +5865,63 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY subj_id, pred ORDER BY valid_from
                    ) AS valid_to
             FROM k
+        """,
+        # time travel: the validity-interval row covering the midpoint
+        # cutoff (integer-µs arithmetic on both sides; graph.py
+        # belief_snapshot over validity_intervals)
+        "kg_snapshot": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            d AS (
+                SELECT subj_id, pred, ts, min(obj_id) AS obj_id
+                FROM rt GROUP BY 1, 2, 3
+            ),
+            c AS (
+                SELECT *, lag(obj_id) OVER (
+                    PARTITION BY subj_id, pred ORDER BY ts
+                ) AS prev FROM d
+            ),
+            k AS (
+                SELECT subj_id, pred, obj_id, ts AS valid_from
+                FROM c WHERE prev IS NULL OR obj_id <> prev
+            ),
+            iv AS (
+                SELECT subj_id, pred, obj_id, valid_from,
+                       lead(valid_from) OVER (
+                           PARTITION BY subj_id, pred ORDER BY valid_from
+                       ) AS valid_to
+                FROM k
+            ),
+            cut AS (
+                SELECT (epoch_us(min(ts)) + epoch_us(max(ts))) // 2 AS t
+                FROM rt
+            )
+            SELECT subj_id, pred, obj_id, valid_from
+            FROM iv, cut
+            WHERE epoch_us(valid_from) <= cut.t
+              AND (valid_to IS NULL OR epoch_us(valid_to) > cut.t)
         """,
         # RPQ p1·p2* (p1 = min pred, p2 = max pred): UNION ALL recursion
         # capped at 1 + 3 star hops, min(hops) per reachable pair — the

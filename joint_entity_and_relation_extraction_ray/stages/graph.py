@@ -5055,3 +5055,62 @@ def regular_path_pairs(
             labels.union(prop), "src", _min_merge
         ).materialize()
     return labels
+
+
+def belief_snapshot(
+    rewritten: ray.data.Dataset,
+    *,
+    at_us: int | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Point-in-time KG: the assertion set the graph BELIEVED at time
+    ``at_us`` (epoch microseconds) — rows ``(subj_id, pred, obj_id,
+    valid_from)``, one per (subj, pred) whose validity interval covers
+    the cutoff (``valid_from <= at < valid_to``, open rows extend to
+    +inf). Time-travel over `validity_intervals`' SCD-2 timeline — the
+    query a KG serves for "rerun yesterday's report on yesterday's
+    graph".
+
+    Default cutoff is the midpoint ``(min_ts + max_ts) // 2`` of the
+    assertion stream in integer microseconds — deterministic and
+    SQL-mirrorable, so the query is parameter-free. The cutoff scan is
+    a tiny per-block min/max reduction; the snapshot itself is one
+    vectorized filter over the streamed intervals — no extra shuffle
+    beyond the one validity_intervals already does."""
+    if at_us is None:
+        mm = rewritten.map_batches(
+            lambda t: pa.table(
+                {
+                    "lo": pa.array(
+                        [pc.min(t["ts"]).cast(pa.int64()).as_py()],
+                        pa.int64(),
+                    ),
+                    "hi": pa.array(
+                        [pc.max(t["ts"]).cast(pa.int64()).as_py()],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()  # one row per block — tiny by construction
+        lo = min(r["lo"] for r in mm if r["lo"] is not None)
+        hi = max(r["hi"] for r in mm if r["hi"] is not None)
+        at_us = (lo + hi) // 2
+
+    intervals = validity_intervals(rewritten, num_buckets=num_buckets)
+
+    def _covering(t: pa.Table) -> pa.Table:
+        vf = t["valid_from"].cast(pa.int64())
+        vt = t["valid_to"].cast(pa.int64())
+        mask = pc.and_kleene(
+            pc.less_equal(vf, at_us),
+            pc.or_kleene(pc.is_null(vt), pc.greater(vt, at_us)),
+        )
+        return t.filter(mask).select(
+            ["subj_id", "pred", "obj_id", "valid_from"]
+        )
+
+    return intervals.map_batches(
+        _covering, batch_format="pyarrow", zero_copy_batch=True
+    )

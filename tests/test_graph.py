@@ -2096,3 +2096,50 @@ def test_regular_path_pairs_min_hop_semantics(ray_session):
         ("s", "c", 3),
         ("s", "d", 4),          # cap = 1 + 3 hops; e is out of reach
     ]
+
+
+def test_belief_snapshot_point_in_time(ray_session):
+    """Time travel: the snapshot at T returns exactly the interval
+    covering T per (subj, pred) — closed rows need valid_to > T, open
+    rows extend to +inf, groups first asserted AFTER T are absent, and
+    a cutoff exactly ON a change ts sees the NEW object."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        belief_snapshot,
+    )
+
+    rows = [
+        # (subj, pred, obj, ts): a/p changes x@10 -> y@30 -> z@50
+        ("a", "p", "x", 10),
+        ("a", "p", "y", 30),
+        ("a", "p", "z", 50),
+        ("b", "p", "m", 5),    # open interval, covers everything >= 5
+        ("c", "p", "n", 40),   # first asserted after T=30 -> absent
+    ]
+    t = pa.table(
+        {
+            "subj_id": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj_id": [r[2] for r in rows],
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(rows), 2)])
+
+    def snap(at):
+        return sorted(
+            (r["subj_id"], r["obj_id"])
+            for r in belief_snapshot(ds, at_us=at, num_buckets=4).take_all()
+        )
+
+    assert snap(30) == [("a", "y"), ("b", "m")]   # boundary: new obj wins
+    assert snap(29) == [("a", "x"), ("b", "m")]
+    assert snap(60) == [("a", "z"), ("b", "m"), ("c", "n")]
+    assert snap(4) == []
+    # default cutoff = (5 + 50) // 2 = 27 -> x still believed
+    assert sorted(
+        (r["subj_id"], r["obj_id"])
+        for r in belief_snapshot(ds, num_buckets=4).take_all()
+    ) == [("a", "x"), ("b", "m")]
