@@ -1185,6 +1185,19 @@ def _q_kg_rpq(sf_dir: str):
     return regular_path_pairs(kg.stage(sf_dir, "edges"), max_star_hops=3)
 
 
+def _q_kg_diff(sf_dir: str):
+    """Temporal-KG release diff between the quartile cutoffs: added /
+    removed / changed assertions — `stages/graph.snapshot_diff` (both
+    covering rows flagged in one pass, per-group compare in the same
+    subj-bucketed shuffle)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        snapshot_diff,
+    )
+
+    return snapshot_diff(kg.stage(sf_dir, "rewritten"))
+
+
 def _q_kg_snapshot(sf_dir: str):
     """Point-in-time KG (time travel): the assertion set believed at the
     deterministic midpoint cutoff — `stages/graph.belief_snapshot` over
@@ -2298,6 +2311,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": co.q_q19_disjunctive_revenue,
         "q12_late_shipments": co.q_q12_late_shipments,
         "kg_paths": _q_kg_paths,
+        "kg_diff": _q_kg_diff,
         "kg_rpq": _q_kg_rpq,
         "kg_snapshot": _q_kg_snapshot,
         "kg_validity": _q_kg_validity,
@@ -5865,6 +5879,87 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY subj_id, pred ORDER BY valid_from
                    ) AS valid_to
             FROM k
+        """,
+        # release diff between the two quartile cutoffs: FULL JOIN of the
+        # covering rows, unchanged objects drop out (graph.py
+        # snapshot_diff; integer-µs cutoff arithmetic mirrors the engine)
+        "kg_diff": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            d AS (
+                SELECT subj_id, pred, ts, min(obj_id) AS obj_id
+                FROM rt GROUP BY 1, 2, 3
+            ),
+            c AS (
+                SELECT *, lag(obj_id) OVER (
+                    PARTITION BY subj_id, pred ORDER BY ts
+                ) AS prev FROM d
+            ),
+            k AS (
+                SELECT subj_id, pred, obj_id, ts AS valid_from
+                FROM c WHERE prev IS NULL OR obj_id <> prev
+            ),
+            iv AS (
+                SELECT subj_id, pred, obj_id, valid_from,
+                       lead(valid_from) OVER (
+                           PARTITION BY subj_id, pred ORDER BY valid_from
+                       ) AS valid_to
+                FROM k
+            ),
+            cut AS (
+                SELECT epoch_us(min(ts))
+                           + (epoch_us(max(ts)) - epoch_us(min(ts))) // 4
+                           AS t1,
+                       epoch_us(min(ts))
+                           + (3 * (epoch_us(max(ts)) - epoch_us(min(ts))))
+                             // 4 AS t2
+                FROM rt
+            ),
+            s1 AS (
+                SELECT subj_id, pred, obj_id AS obj_before
+                FROM iv, cut
+                WHERE epoch_us(valid_from) <= cut.t1
+                  AND (valid_to IS NULL OR epoch_us(valid_to) > cut.t1)
+            ),
+            s2 AS (
+                SELECT subj_id, pred, obj_id AS obj_after
+                FROM iv, cut
+                WHERE epoch_us(valid_from) <= cut.t2
+                  AND (valid_to IS NULL OR epoch_us(valid_to) > cut.t2)
+            )
+            SELECT COALESCE(s1.subj_id, s2.subj_id) AS subj_id,
+                   COALESCE(s1.pred, s2.pred) AS pred,
+                   obj_before, obj_after,
+                   CASE WHEN obj_before IS NULL THEN 'added'
+                        WHEN obj_after IS NULL THEN 'removed'
+                        ELSE 'changed' END AS change
+            FROM s1
+            FULL JOIN s2
+              ON s1.subj_id = s2.subj_id AND s1.pred = s2.pred
+            WHERE obj_before IS NULL OR obj_after IS NULL
+               OR obj_before <> obj_after
         """,
         # time travel: the validity-interval row covering the midpoint
         # cutoff (integer-µs arithmetic on both sides; graph.py

@@ -5114,3 +5114,116 @@ def belief_snapshot(
     return intervals.map_batches(
         _covering, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def snapshot_diff(
+    rewritten: ray.data.Dataset,
+    *,
+    t1_us: int | None = None,
+    t2_us: int | None = None,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Temporal-KG release diff: what changed between the graph believed
+    at ``t1`` and at ``t2`` — rows ``(subj_id, pred, obj_before,
+    obj_after, change)`` with change ∈ {'added', 'removed', 'changed'}.
+    The review artifact a KG pipeline publishes with every rebuild
+    ("this refresh added 12k CEO edges, retracted 3k").
+
+    Defaults are the deterministic quartile cutoffs ``lo + (hi-lo)//4``
+    and ``lo + 3*(hi-lo)//4`` of the assertion stream (integer µs), so
+    the query is parameter-free. A (subj, pred) has at most ONE covering
+    interval per cutoff, so the diff is a per-group compare: both
+    covering rows are flagged in one vectorized pass over
+    `validity_intervals`' output and meet in the SAME subj-bucketed
+    shuffle that built the timeline — groups whose object is unchanged
+    (or absent at both cutoffs) emit nothing."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    if t1_us is None or t2_us is None:
+        mm = rewritten.map_batches(
+            lambda t: pa.table(
+                {
+                    "lo": pa.array(
+                        [pc.min(t["ts"]).cast(pa.int64()).as_py()],
+                        pa.int64(),
+                    ),
+                    "hi": pa.array(
+                        [pc.max(t["ts"]).cast(pa.int64()).as_py()],
+                        pa.int64(),
+                    ),
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()  # one row per block — tiny by construction
+        lo = min(r["lo"] for r in mm if r["lo"] is not None)
+        hi = max(r["hi"] for r in mm if r["hi"] is not None)
+        t1_us = t1_us if t1_us is not None else lo + (hi - lo) // 4
+        t2_us = t2_us if t2_us is not None else lo + 3 * (hi - lo) // 4
+
+    intervals = validity_intervals(rewritten, num_buckets=num_buckets)
+
+    OUT = pa.schema(
+        [
+            ("subj_id", pa.string()),
+            ("pred", pa.string()),
+            ("obj_before", pa.string()),
+            ("obj_after", pa.string()),
+            ("change", pa.string()),
+        ]
+    )
+
+    def _covers(t: pa.Table, at: int):
+        vf = t["valid_from"].cast(pa.int64())
+        vt = t["valid_to"].cast(pa.int64())
+        return pc.and_kleene(
+            pc.less_equal(vf, at),
+            pc.or_kleene(pc.is_null(vt), pc.greater(vt, at)),
+        )
+
+    def _flag(t: pa.Table) -> pa.Table:
+        c1, c2 = _covers(t, t1_us), _covers(t, t2_us)
+        keep = pc.or_kleene(c1, c2)
+        flagged = t.append_column("c1", c1).append_column("c2", c2)
+        return flagged.filter(keep).select(
+            ["subj_id", "pred", "obj_id", "c1", "c2"]
+        )
+
+    def _diff(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        df = pl.from_arrow(t)
+        before = (
+            df.filter(pl.col("c1"))
+            .select(["subj_id", "pred", pl.col("obj_id").alias("obj_before")])
+        )
+        after = (
+            df.filter(pl.col("c2"))
+            .select(["subj_id", "pred", pl.col("obj_id").alias("obj_after")])
+        )
+        out = (
+            before.join(after, on=["subj_id", "pred"], how="full", coalesce=True)
+            .with_columns(
+                change=pl.when(pl.col("obj_before").is_null())
+                .then(pl.lit("added"))
+                .when(pl.col("obj_after").is_null())
+                .then(pl.lit("removed"))
+                .otherwise(pl.lit("changed"))
+            )
+            .filter(
+                pl.col("obj_before").is_null()
+                | pl.col("obj_after").is_null()
+                | (pl.col("obj_before") != pl.col("obj_after"))
+            )
+            .select(
+                ["subj_id", "pred", "obj_before", "obj_after", "change"]
+            )
+        )
+        return out.to_arrow().cast(OUT)
+
+    flagged = intervals.map_batches(
+        _flag, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(flagged, "subj_id", _diff, num_buckets=num_buckets)

@@ -2143,3 +2143,55 @@ def test_belief_snapshot_point_in_time(ray_session):
         (r["subj_id"], r["obj_id"])
         for r in belief_snapshot(ds, num_buckets=4).take_all()
     ) == [("a", "x"), ("b", "m")]
+
+
+def test_snapshot_diff_added_changed_and_reverse(ray_session):
+    """Release diff: unchanged groups emit nothing; a group first
+    asserted between the cutoffs is 'added'; an object switch between
+    them is 'changed' with both sides; swapping the cutoffs flips the
+    diff ('added' becomes 'removed' — timelines only ever extend, so a
+    forward diff can never remove)."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        snapshot_diff,
+    )
+
+    rows = [
+        ("a", "p", "x", 10),   # changed: x@t1 -> y@t2
+        ("a", "p", "y", 30),
+        ("b", "p", "m", 5),    # unchanged across both cutoffs -> silent
+        ("c", "p", "n", 25),   # added between t1=20 and t2=40
+    ]
+    t = pa.table(
+        {
+            "subj_id": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj_id": [r[2] for r in rows],
+            "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(rows), 2)])
+
+    got = sorted(
+        (r["subj_id"], r["obj_before"], r["obj_after"], r["change"])
+        for r in snapshot_diff(
+            ds, t1_us=20, t2_us=40, num_buckets=4
+        ).take_all()
+    )
+    assert got == [
+        ("a", "x", "y", "changed"),
+        ("c", None, "n", "added"),
+    ]
+
+    rev = sorted(
+        (r["subj_id"], r["obj_before"], r["obj_after"], r["change"])
+        for r in snapshot_diff(
+            ds, t1_us=40, t2_us=20, num_buckets=4
+        ).take_all()
+    )
+    assert rev == [
+        ("a", "y", "x", "changed"),
+        ("c", "n", None, "removed"),
+    ]
