@@ -576,6 +576,7 @@ def compact_partitioned(
     target_rows_per_file: int = 1_000_000,
     min_files: int = 2,
     parts: list[int] | None = None,
+    sort_by: str | list[str] | None = None,
 ) -> dict:
     """Small-file compaction for a hash-partitioned parquet table
     (``base_dir/part=<k>/*.parquet`` — the layout `upsert_partitioned`
@@ -589,6 +590,13 @@ def compact_partitioned(
     - row content is preserved EXACTLY (the row multiset of the
       partition is unchanged; order = input files sorted by name, rows
       in file order — deterministic);
+    - ``sort_by`` additionally CLUSTERS each rewritten partition
+      (stable sort on the given column(s) before slicing into files) so
+      the output files carry disjoint value ranges — what turns a
+      `sources/zonemap.py` index from best-effort into near-perfect
+      file skipping on that column. Clustering changes row order only,
+      never content, and forces min_files down to 1 (a single unsorted
+      file still needs the rewrite);
     - partitions with fewer than ``min_files`` files are never touched
       (their directories stay byte-identical — no gratuitous churn, and
       a second compaction pass is a no-op);
@@ -602,6 +610,12 @@ def compact_partitioned(
     "files_after": n, "rows": n}``.
     """
     import uuid
+
+    if sort_by is not None:
+        min_files = min(min_files, 1)
+    sort_cols = (
+        [sort_by] if isinstance(sort_by, str) else list(sort_by or [])
+    )
 
     base = Path(base_dir)
     todo = []
@@ -625,6 +639,8 @@ def compact_partitioned(
         tbl = pa.concat_tables(
             [pq.read_table(f) for f in files], promote_options="default"
         )
+        if sort_cols:
+            tbl = tbl.sort_by([(c, "ascending") for c in sort_cols])
         n_out = max(1, -(-tbl.num_rows // target_rows_per_file))
         step = -(-tbl.num_rows // n_out)
         tmp = base / f".part={k}.tmp-{uuid.uuid4().hex[:8]}"

@@ -516,3 +516,56 @@ def test_zonemap_prunes_disjoint_files_and_keeps_statless(
     # disjoint-range read: zero surviving files, empty-but-typed result
     nothing = read_pruned(base, "ts", lo=ts(12), hi=ts(20))
     assert nothing.count() == 0
+
+
+def test_compact_with_sort_clusters_for_zonemap(ray_session, tmp_path):
+    """sort_by clustering: compaction with a sort column yields files
+    with DISJOINT value ranges, so a zone-map range probe prunes to
+    exactly one file; the row multiset is still unchanged."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        build_zonemap,
+        prune_files,
+    )
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        compact_partitioned,
+    )
+
+    base = tmp_path / "tbl"
+    (base / "part=0").mkdir(parents=True)
+    # three files with interleaved ts values: every file spans the whole
+    # range, so pre-clustering a zonemap can prune nothing
+    for i in range(3):
+        pq.write_table(
+            pa.table(
+                {
+                    "ts": pa.array([i, i + 10, i + 20], pa.int64()),
+                    "v": pa.array([i, 100 + i, 200 + i], pa.int64()),
+                }
+            ),
+            base / "part=0" / f"batch-{i}.parquet",
+        )
+
+    def rows():
+        import pyarrow.dataset as pads
+
+        t = pads.dataset(str(base / "part=0")).to_table()
+        return sorted(zip(t["ts"].to_pylist(), t["v"].to_pylist()))
+
+    before = rows()
+    build_zonemap(base, "ts")
+    assert len(prune_files(base, "ts", lo=0, hi=2)) == 3  # no pruning
+
+    r = compact_partitioned(base, target_rows_per_file=3, sort_by="ts")
+    assert r["files_after"] == 3 and rows() == before
+
+    build_zonemap(base, "ts")  # rebuild over the clustered files
+    kept = prune_files(base, "ts", lo=0, hi=2)
+    assert len(kept) == 1  # [0,1,2] now lives in exactly one file
+
+    # a single ALREADY-sorted file is still rewritten when sort_by is
+    # set (min_files drops to 1) — idempotent content either way
+    r2 = compact_partitioned(base, target_rows_per_file=9, sort_by="ts")
+    assert r2["files_after"] == 1 and rows() == before
