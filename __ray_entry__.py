@@ -1198,6 +1198,19 @@ def _q_kg_diff(sf_dir: str):
     return snapshot_diff(kg.stage(sf_dir, "rewritten"))
 
 
+def _q_kg_descendants(sf_dir: str):
+    """Transitive-closure rollup p+ on the min predicate: per ancestor
+    the distinct-descendant count and max depth within 4 hops —
+    `stages/graph.closure_rollup` (pure reuse of regular_path_pairs +
+    one src-bucketed rollup)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        closure_rollup,
+    )
+
+    return closure_rollup(kg.stage(sf_dir, "edges"), max_hops=4)
+
+
 def _q_kg_snapshot(sf_dir: str):
     """Point-in-time KG (time travel): the assertion set believed at the
     deterministic midpoint cutoff — `stages/graph.belief_snapshot` over
@@ -2311,6 +2324,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q19_disjunctive_revenue": co.q_q19_disjunctive_revenue,
         "q12_late_shipments": co.q_q12_late_shipments,
         "kg_paths": _q_kg_paths,
+        "kg_descendants": _q_kg_descendants,
         "kg_diff": _q_kg_diff,
         "kg_rpq": _q_kg_rpq,
         "kg_snapshot": _q_kg_snapshot,
@@ -5879,6 +5893,51 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY subj_id, pred ORDER BY valid_from
                    ) AS valid_to
             FROM k
+        """,
+        # p+ closure rollup on the min predicate: distinct pairs with
+        # min hops (≤4), then count/max per ancestor (graph.py
+        # closure_rollup = regular_path_pairs(p, p) + rollup)
+        "kg_descendants": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e2 AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS subj_id, t.pred,
+                                o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            p AS MATERIALIZED (SELECT min(pred) AS p1 FROM e2),
+            walk(src, dst, hops) AS (
+                SELECT subj_id, obj_id, 1 FROM e2 JOIN p ON e2.pred = p.p1
+                UNION ALL
+                SELECT w.src, e.obj_id, w.hops + 1
+                FROM walk w
+                JOIN e2 e ON e.subj_id = w.dst
+                JOIN p ON e.pred = p.p1
+                WHERE w.hops < 4
+            ),
+            mp AS (
+                SELECT src, dst, min(hops) AS hops FROM walk GROUP BY 1, 2
+            )
+            SELECT src, CAST(count(*) AS BIGINT) AS n_desc,
+                   CAST(max(hops) AS BIGINT) AS depth
+            FROM mp GROUP BY 1
         """,
         # release diff between the two quartile cutoffs: FULL JOIN of the
         # covering rows, unchanged objects drop out (graph.py

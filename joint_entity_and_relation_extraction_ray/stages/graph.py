@@ -5227,3 +5227,67 @@ def snapshot_diff(
         _flag, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(flagged, "subj_id", _diff, num_buckets=num_buckets)
+
+
+def closure_rollup(
+    edges: ray.data.Dataset,
+    *,
+    pred: str | None = None,
+    max_hops: int = 4,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Hierarchy rollup over one predicate's transitive closure ``p+``:
+    per ancestor, how many distinct entities it reaches within
+    ``max_hops`` directed p-edges and how deep the farthest one sits —
+    rows ``(src, n_desc:int64, depth:int64)``. The org-chart /
+    part-explosion query ("everyone under this manager, and how many
+    levels down"). Default predicate = the lexicographic min
+    (parameter-free, same convention as regular_path_pairs).
+
+    Pure reuse: ``p+ = p·p*``, so the pair set IS
+    `regular_path_pairs(first_pred=p, star_pred=p)` — one frontier loop
+    whose min-merge already dedups pairs — followed by a single
+    src-bucketed count/max rollup. Self-reachability through cycles
+    counts (a pair (s, s) at hops ≥ 1), matching the SQL closure."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    if pred is None:
+        mm = edges.map_batches(
+            lambda t: pa.table(
+                {"lo": pa.array([pc.min(t["pred"]).as_py()], pa.string())}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).take_all()  # one row per block — tiny by construction
+        pred = min(r["lo"] for r in mm if r["lo"] is not None)
+
+    pairs = regular_path_pairs(
+        edges,
+        first_pred=pred,
+        star_pred=pred,
+        max_star_hops=max_hops - 1,
+        num_partitions=None,
+    )
+
+    OUT = pa.schema(
+        [("src", pa.string()), ("n_desc", pa.int64()), ("depth", pa.int64())]
+    )
+
+    def _rollup(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("src")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_desc"),
+                pl.col("hops").max().alias("depth"),
+            )
+            .select(["src", "n_desc", "depth"])
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    return bucket_group_apply(pairs, "src", _rollup, num_buckets=num_buckets)

@@ -2195,3 +2195,46 @@ def test_snapshot_diff_added_changed_and_reverse(ray_session):
         ("a", "y", "x", "changed"),
         ("c", "n", None, "removed"),
     ]
+
+
+def test_closure_rollup_counts_and_depth(ray_session):
+    """p+ rollup on a chain with a branch and an off-predicate edge:
+    n_desc = distinct reachable within the hop cap, depth = farthest
+    min-hop; the other predicate contributes nothing; a 2-cycle makes a
+    node its own descendant."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        closure_rollup,
+    )
+
+    edges = [
+        # manages-chain a -> b -> c -> d, branch b -> e
+        ("a", "manages", "b"),
+        ("b", "manages", "c"),
+        ("c", "manages", "d"),
+        ("b", "manages", "e"),
+        ("a", "other", "z"),    # different predicate: invisible to p+
+        ("x", "manages", "y"),  # 2-cycle: both reach themselves
+        ("y", "manages", "x"),
+    ]
+    t = pa.table(
+        {
+            "subj_id": [e[0] for e in edges],
+            "pred": [e[1] for e in edges],
+            "obj_id": [e[2] for e in edges],
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(edges), 2)])
+    got = sorted(
+        (r["src"], r["n_desc"], r["depth"])
+        for r in closure_rollup(ds, pred="manages", max_hops=4).take_all()
+    )
+    assert got == [
+        ("a", 4, 3),  # b, c, d, e; d at depth 3
+        ("b", 3, 2),  # c, e, d
+        ("c", 1, 1),
+        ("x", 2, 2),  # y at 1, itself at 2
+        ("y", 2, 2),
+    ]
