@@ -2213,6 +2213,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "multimodal_resize": co.q_multimodal_resize,
         "multimodal_frames": co.q_multimodal_frames,
         "sessionize": co.q_sessionize,
+        "event_trends": co.q_event_trends,
         "events_daily": co.q_events_daily,
         "events_daily_approx": co.q_events_daily_approx,  # rows-only (HLL)
         "events_json": co.q_events_json,
@@ -3995,6 +3996,28 @@ def oracle_sql() -> dict[str, str]:
             FROM daily dd JOIN st USING (event_type)
             WHERE (st.d * dd.n - st.s) * (st.d * dd.n - st.s)
                   > 4 * (st.d * st.q - st.s * st.s)
+        """,
+        # exact-integer least-squares slope of daily counts per type:
+        # x = days since epoch, num/den un-divided (events.event_trends)
+        "event_trends": """
+            WITH dc AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM events GROUP BY 1, 2
+            ),
+            xy AS (
+                SELECT event_type,
+                       CAST(day - DATE '1970-01-01' AS BIGINT) AS x,
+                       n AS y
+                FROM dc
+            )
+            SELECT event_type,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+                       AS slope_num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                       AS slope_den
+            FROM xy GROUP BY 1
         """,
         "events_daily": """
             SELECT event_type, CAST(ts AS DATE) AS day,

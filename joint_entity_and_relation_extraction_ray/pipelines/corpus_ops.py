@@ -4517,3 +4517,14 @@ def bench_ops():
         "profile_orders": _consume(q_profile_orders),
         "latest_event": _consume(q_latest_event),
     }
+
+
+def q_event_trends(sf_dir: str) -> ray.data.Dataset:
+    """Exact-integer least-squares trend of daily volume per event type
+    (`stages/events.event_trends`): slope kept as the un-divided
+    num/den pair so the oracle comparison is bit-exact."""
+    from ..stages import events
+
+    return events.event_trends(
+        events.read_events(sf_dir, ["event_type", "ts"])
+    )

@@ -1568,3 +1568,91 @@ def association_rules(
     return ray.data.from_arrow(
         pa.Table.from_pylist(rows, schema=OUT)
     )
+
+
+def event_trends(
+    events: ray.data.Dataset, *, num_buckets: int = 16
+) -> ray.data.Dataset:
+    """Per-event-type linear trend of daily volume, in EXACT integer
+    arithmetic: least-squares slope over (day, daily_count) points kept
+    as the un-divided pair ``slope_num = n·Σxy − Σx·Σy`` /
+    ``slope_den = n·Σx² − (Σx)²`` — rows ``(event_type, n_days,
+    slope_num, slope_den)``. The drift monitor ("is tool-call volume
+    trending down?") without floats: sign(slope) = sign(slope_num) since
+    the denominator is ≥ 0, and any consumer can divide at display
+    time. Days with zero events are NOT gap-filled (compose with
+    `fill_date_gaps` when they should be); x = days since epoch.
+
+    Fully decomposable: per-block partial (event_type, day, n) counts
+    shrink the stream before the single event_type-bucketed shuffle;
+    the per-type reduce merges day counts and computes the four sums
+    vectorized. Σ terms stay in int64 (x ~ 2·10⁴, centuries of daily
+    counts fit with 10⁵× headroom)."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    PARTIAL = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("day", pa.date32()),
+            ("n", pa.int64()),
+        ]
+    )
+    OUT = pa.schema(
+        [
+            ("event_type", pa.string()),
+            ("n_days", pa.int64()),
+            ("slope_num", pa.int64()),
+            ("slope_den", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["event_type", "ts"]))
+        return (
+            df.with_columns(pl.col("ts").dt.date().alias("day"))
+            .group_by(["event_type", "day"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(["event_type", "day", "n"])
+            .to_arrow()
+            .cast(PARTIAL)
+        )
+
+    def _trend(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by(["event_type", "day"])
+            .agg(pl.col("n").sum())
+            .with_columns(
+                x=pl.col("day").cast(pl.Int32).cast(pl.Int64),
+                y=pl.col("n"),
+            )
+            .group_by("event_type")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_days"),
+                pl.col("x").sum().alias("sx"),
+                pl.col("y").sum().alias("sy"),
+                (pl.col("x") * pl.col("y")).sum().alias("sxy"),
+                (pl.col("x") * pl.col("x")).sum().alias("sxx"),
+            )
+            .select(
+                "event_type",
+                "n_days",
+                (pl.col("n_days") * pl.col("sxy") - pl.col("sx") * pl.col("sy"))
+                .alias("slope_num"),
+                (pl.col("n_days") * pl.col("sxx") - pl.col("sx") * pl.col("sx"))
+                .alias("slope_den"),
+            )
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    partial = events.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partial, "event_type", _trend, num_buckets=num_buckets
+    )

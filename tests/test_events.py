@@ -733,3 +733,45 @@ def test_association_rules_closed_form(ray_session):
             if v is not None:
                 assert got[k] == v, (blocks, k, got.get(k))
         assert len(got) == 4
+
+
+def test_event_trends_exact_integer_slope(ray_session):
+    """Least-squares slope partials: a perfectly linear rising type has
+    slope_num/slope_den == its slope exactly; a flat type has
+    slope_num == 0; blocks split mid-day still merge the day counts
+    before the regression (decomposability)."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        event_trends,
+    )
+
+    def d(i, k):
+        # k events on day i for the rising type
+        return [dt.datetime(2024, 1, 1 + i, 12)] * k
+
+    ts, et = [], []
+    # "up": counts 1, 3, 5 on days 0, 1, 2 -> slope exactly 2
+    for i, k in enumerate([1, 3, 5]):
+        ts += d(i, k); et += ["up"] * k
+    # "flat": 2, 2, 2 -> slope_num 0
+    for i in range(3):
+        ts += d(i, 2); et += ["flat"] * 2
+    t = pa.table(
+        {
+            "event_type": et,
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    # split so day-1 "up" events straddle two blocks
+    ds = ray.data.from_arrow([t.slice(0, 2), t.slice(2, 100)])
+    got = {
+        r["event_type"]: (r["n_days"], r["slope_num"], r["slope_den"])
+        for r in event_trends(ds, num_buckets=4).take_all()
+    }
+    n, num, den = got["up"]
+    assert n == 3 and den > 0 and num * 1 == 2 * den  # slope == 2
+    assert got["flat"][1] == 0
