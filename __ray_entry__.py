@@ -1211,6 +1211,22 @@ def _q_kg_descendants(sf_dir: str):
     return closure_rollup(kg.stage(sf_dir, "edges"), max_hops=4)
 
 
+def _q_kg_pred_trend(sf_dir: str):
+    """Predicate-assertion drift: exact-integer least-squares slope of
+    daily assertion volume per predicate — `stages/events.event_trends`
+    re-instantiated on the rewritten KG stream by projection alone
+    (key='pred'), the same operator that serves event_trends."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        event_trends,
+    )
+
+    return event_trends(
+        kg.stage(sf_dir, "rewritten").select_columns(["pred", "ts"]),
+        key="pred",
+    )
+
+
 def _q_kg_snapshot(sf_dir: str):
     """Point-in-time KG (time travel): the assertion set believed at the
     deterministic midpoint cutoff — `stages/graph.belief_snapshot` over
@@ -2327,6 +2343,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_paths": _q_kg_paths,
         "kg_descendants": _q_kg_descendants,
         "kg_diff": _q_kg_diff,
+        "kg_pred_trend": _q_kg_pred_trend,
         "kg_rpq": _q_kg_rpq,
         "kg_snapshot": _q_kg_snapshot,
         "kg_validity": _q_kg_validity,
@@ -5916,6 +5933,52 @@ def oracle_sql() -> dict[str, str]:
                        PARTITION BY subj_id, pred ORDER BY valid_from
                    ) AS valid_to
             FROM k
+        """,
+        # predicate drift: the event_trends regression re-applied to the
+        # rewritten assertion stream (events.event_trends key='pred')
+        "kg_pred_trend": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            dc AS (
+                SELECT pred, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM rt GROUP BY 1, 2
+            ),
+            xy AS (
+                SELECT pred,
+                       CAST(day - DATE '1970-01-01' AS BIGINT) AS x,
+                       n AS y
+                FROM dc
+            )
+            SELECT pred,
+                   CAST(count(*) AS BIGINT) AS n_days,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+                       AS slope_num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                       AS slope_den
+            FROM xy GROUP BY 1
         """,
         # p+ closure rollup on the min predicate: distinct pairs with
         # min hops (≤4), then count/max per ancestor (graph.py

@@ -1571,7 +1571,10 @@ def association_rules(
 
 
 def event_trends(
-    events: ray.data.Dataset, *, num_buckets: int = 16
+    events: ray.data.Dataset,
+    *,
+    key: str = "event_type",
+    num_buckets: int = 16,
 ) -> ray.data.Dataset:
     """Per-event-type linear trend of daily volume, in EXACT integer
     arithmetic: least-squares slope over (day, daily_count) points kept
@@ -1587,21 +1590,23 @@ def event_trends(
     shrink the stream before the single event_type-bucketed shuffle;
     the per-type reduce merges day counts and computes the four sums
     vectorized. Σ terms stay in int64 (x ~ 2·10⁴, centuries of daily
-    counts fit with 10⁵× headroom)."""
+    counts fit with 10⁵× headroom). ``key`` generalizes the group
+    column — the same operator serves predicate-assertion drift on the
+    KG stream (kg_pred_trend) by projection alone."""
     import polars as pl
 
     from ..functions.shuffle import bucket_group_apply
 
     PARTIAL = pa.schema(
         [
-            ("event_type", pa.string()),
+            (key, pa.string()),
             ("day", pa.date32()),
             ("n", pa.int64()),
         ]
     )
     OUT = pa.schema(
         [
-            ("event_type", pa.string()),
+            (key, pa.string()),
             ("n_days", pa.int64()),
             ("slope_num", pa.int64()),
             ("slope_den", pa.int64()),
@@ -1609,12 +1614,12 @@ def event_trends(
     )
 
     def _partial(t: pa.Table) -> pa.Table:
-        df = pl.from_arrow(t.select(["event_type", "ts"]))
+        df = pl.from_arrow(t.select([key, "ts"]))
         return (
             df.with_columns(pl.col("ts").dt.date().alias("day"))
-            .group_by(["event_type", "day"])
+            .group_by([key, "day"])
             .agg(pl.len().cast(pl.Int64).alias("n"))
-            .select(["event_type", "day", "n"])
+            .select([key, "day", "n"])
             .to_arrow()
             .cast(PARTIAL)
         )
@@ -1624,13 +1629,13 @@ def event_trends(
             return OUT.empty_table()
         return (
             pl.from_arrow(t)
-            .group_by(["event_type", "day"])
+            .group_by([key, "day"])
             .agg(pl.col("n").sum())
             .with_columns(
                 x=pl.col("day").cast(pl.Int32).cast(pl.Int64),
                 y=pl.col("n"),
             )
-            .group_by("event_type")
+            .group_by(key)
             .agg(
                 pl.len().cast(pl.Int64).alias("n_days"),
                 pl.col("x").sum().alias("sx"),
@@ -1639,7 +1644,7 @@ def event_trends(
                 (pl.col("x") * pl.col("x")).sum().alias("sxx"),
             )
             .select(
-                "event_type",
+                key,
                 "n_days",
                 (pl.col("n_days") * pl.col("sxy") - pl.col("sx") * pl.col("sy"))
                 .alias("slope_num"),
@@ -1654,5 +1659,5 @@ def event_trends(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(
-        partial, "event_type", _trend, num_buckets=num_buckets
+        partial, key, _trend, num_buckets=num_buckets
     )
