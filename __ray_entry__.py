@@ -2239,6 +2239,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": co.q_pack_sequences,  # rows-only (greedy FFD)
         "asof_join": co.q_asof_join,
         "group_topk": co.q_group_topk,
+        "value_bins": co.q_value_bins,
         "value_quantiles": co.q_value_quantiles,
         "group_quantiles": co.q_group_quantiles,
         "group_mad": co.q_group_mad,
@@ -4453,6 +4454,20 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_orderkey = l.l_orderkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        # global equi-depth histogram: ntile(8) over (price, orderkey)
+        # with per-bin count/min/max (relational.equidepth_histogram)
+        "value_bins": """
+            WITH r AS (
+                SELECT o_totalprice,
+                       ntile(8) OVER (
+                           ORDER BY o_totalprice, o_orderkey
+                       ) AS tile
+                FROM orders
+            )
+            SELECT tile, CAST(count(*) AS BIGINT) AS n,
+                   min(o_totalprice) AS lo, max(o_totalprice) AS hi
+            FROM r GROUP BY 1
         """,
         "value_quantiles_cont": """
             WITH v AS (SELECT CAST(round(l_extendedprice * 100) AS BIGINT)

@@ -4528,3 +4528,17 @@ def q_event_trends(sf_dir: str) -> ray.data.Dataset:
     return events.event_trends(
         events.read_events(sf_dir, ["event_type", "ts"])
     )
+
+
+def q_value_bins(sf_dir: str) -> ray.data.Dataset:
+    """Equi-depth histogram of order totals: global ntile(8) boundaries
+    with per-bin count/min/max (`stages/relational.equidepth_histogram`
+    — global_rank reuse, no single-reducer sort)."""
+    from ..stages.relational import equidepth_histogram
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_orderkey", "o_totalprice"]
+    )
+    return equidepth_histogram(
+        orders, value_col="o_totalprice", tie_col="o_orderkey", k=8
+    )

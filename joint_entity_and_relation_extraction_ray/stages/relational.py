@@ -2281,6 +2281,7 @@ def global_rank(
     num_buckets: int = 64,
     out_rank: str = "rnk",
     out_tile: str = "tile",
+    keep_order: bool = False,
 ) -> ray.data.Dataset:
     """Exact GLOBAL ``row_number() OVER (ORDER BY order_col, tie_col)``
     (and, with ``k``, ``ntile(k)`` over the same order) — the TeraSort
@@ -2354,7 +2355,12 @@ def global_rank(
         import polars as pl
 
         out_schema = pa.schema(
-            [
+            (
+                [(order_col, t.schema.field(order_col).type)]
+                if keep_order
+                else []
+            )
+            + [
                 (tie_col, t.schema.field(tie_col).type),
                 (out_rank, pa.int64()),
             ]
@@ -2398,4 +2404,94 @@ def global_rank(
     )
     return bucket_group_apply(
         with_bkt, "_bkt", _rank_bucket, num_buckets=num_buckets
+    )
+
+
+def equidepth_histogram(
+    ds: ray.data.Dataset,
+    *,
+    value_col: str,
+    tie_col: str,
+    k: int = 8,
+    num_buckets: int = 64,
+) -> ray.data.Dataset:
+    """Equi-DEPTH histogram: SQL ``ntile(k) OVER (ORDER BY value, tie)``
+    bucket boundaries — rows ``(tile, n:int64, lo, hi)`` with lo/hi the
+    exact min/max VALUE inside each tile (selections, bit-exact for any
+    type). The optimizer-statistics shape: equal-count bins expose
+    skew that equal-width bins hide (one hot value fills whole tiles).
+
+    Reuse of :func:`global_rank`'s rank machinery (range-partitioned,
+    no single-reducer sort) with ``keep_order`` — the per-tile rollup
+    is a per-block combiner over at most k partial rows followed by a
+    k-row merge, so nothing but partials moves after the rank."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    ranked = global_rank(
+        ds,
+        order_col=value_col,
+        tie_col=tie_col,
+        k=k,
+        num_buckets=num_buckets,
+        keep_order=True,
+    )
+
+    def _schema(t: pa.Table) -> pa.Schema:
+        return pa.schema(
+            [
+                ("tile", pa.int64()),
+                ("n", pa.int64()),
+                ("lo", t.schema.field(value_col).type),
+                ("hi", t.schema.field(value_col).type),
+            ]
+        )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        out_schema = _schema(t)
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t.select(["tile", value_col]))
+            .group_by("tile")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col(value_col).min().alias("lo"),
+                pl.col(value_col).max().alias("hi"),
+            )
+            .select(["tile", "n", "lo", "hi"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        out_schema = pa.schema(
+            [
+                ("tile", pa.int64()),
+                ("n", pa.int64()),
+                ("lo", t.schema.field("lo").type),
+                ("hi", t.schema.field("hi").type),
+            ]
+        )
+        if not t.num_rows:
+            return out_schema.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("tile")
+            .agg(
+                pl.col("n").sum(),
+                pl.col("lo").min(),
+                pl.col("hi").max(),
+            )
+            .select(["tile", "n", "lo", "hi"])
+            .to_arrow()
+            .cast(out_schema)
+        )
+
+    partial = ranked.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partial, "tile", _merge, num_buckets=min(k, 16)
     )

@@ -1737,3 +1737,37 @@ def test_membership_join_empty_right(ray_session):
     none = membership_join(left, right, on="k", anti=False)
     assert none.take_all() == []
     assert none.schema().names == ["k", "v"]
+
+
+def test_equidepth_histogram_ntile_semantics(ray_session):
+    """ntile(k) rule: 10 rows over k=3 -> tile sizes 4, 3, 3; a hot
+    value spanning a boundary lands in both neighboring tiles (ranks
+    decide, not values); lo/hi are exact per-tile selections."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        equidepth_histogram,
+    )
+
+    # values: 1,2,3,5,5,5,5,8,9,10 with unique tie ids
+    vals = [1, 2, 3, 5, 5, 5, 5, 8, 9, 10]
+    t = pa.table(
+        {
+            "v": pa.array(vals, pa.int64()),
+            "id": pa.array(list(range(10)), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 3) for i in range(0, 10, 3)])
+    got = sorted(
+        (r["tile"], r["n"], r["lo"], r["hi"])
+        for r in equidepth_histogram(
+            ds, value_col="v", tie_col="id", k=3, num_buckets=4
+        ).take_all()
+    )
+    # sorted order: 1 2 3 5 | 5 5 5 | 8 9 10
+    assert got == [
+        (1, 4, 1, 5),
+        (2, 3, 5, 5),
+        (3, 3, 8, 10),
+    ]
