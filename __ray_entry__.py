@@ -2249,6 +2249,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "anti_join": co.q_anti_join,
         "pricing_summary": co.q_pricing_summary,
         "ngram_counts": co.q_ngram_counts,
+        "phrase_search": co.q_phrase_search,
         "revenue_by_nation": co.q_revenue_by_nation,
         "above_nation_avg": co.q_above_nation_avg,
         "profit_by_nation_brand": co.q_profit_by_nation_brand,
@@ -5057,6 +5058,26 @@ def oracle_sql() -> dict[str, str]:
                              (PARTITION BY user_id ORDER BY ts) AS gap
                   FROM events)
             WHERE gap IS NOT NULL
+            GROUP BY 1
+        """,
+        # docs containing the corpus top bigram, with occurrence counts
+        # (corpus_ops.q_phrase_search: ngram_counts top-1 + stateless scan)
+        "phrase_search": """
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_transform(range(1, len(t)),
+                              i -> t[i] || ' ' || t[i + 1])) AS gram
+                FROM toks WHERE len(t) >= 2),
+            cnt AS (SELECT gram, count(*) AS c FROM grams GROUP BY 1),
+            top AS (SELECT gram FROM cnt ORDER BY c DESC, gram LIMIT 1)
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hits
+            FROM grams JOIN top USING (gram)
             GROUP BY 1
         """,
         "ngram_counts": """

@@ -4542,3 +4542,48 @@ def q_value_bins(sf_dir: str) -> ray.data.Dataset:
     return equidepth_histogram(
         orders, value_col="o_totalprice", tie_col="o_orderkey", k=8
     )
+
+
+def q_phrase_search(sf_dir: str) -> ray.data.Dataset:
+    """Exact phrase search: every document containing the corpus's most
+    frequent word bigram (ties to the lexicographic min — the
+    `ngram_counts` top-1, a documented one-row driver reduction), with
+    its occurrence count. The positional-retrieval primitive: stage 1
+    mines the phrase distributed, stage 2 is a stateless vectorized
+    scan counting adjacent-token matches — the corpus never shuffles."""
+    import polars as pl
+
+    from ..stages.curation import ngram_counts
+
+    docs = read_documents(sf_dir)
+    top = ngram_counts(docs, n=2, k=1).take_all()  # one row by construction
+    phrase = top[0]["gram"]
+
+    def _count(t: pa.Table) -> pa.Table:
+        toks = (
+            pl.from_arrow(t.select(["doc_id", "text"]))
+            .select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("tok"),
+            )
+            .explode("tok")
+            .drop_nulls("tok")
+        )
+        hits = (
+            toks.with_columns(
+                pl.concat_str(
+                    [pl.col("tok"), pl.col("tok").shift(-1).over("doc_id")],
+                    separator=" ",
+                ).alias("gram")
+            )
+            .filter(pl.col("gram") == phrase)
+            .group_by("doc_id")
+            .agg(pl.len().cast(pl.Int64).alias("n_hits"))
+        )
+        return hits.select(["doc_id", "n_hits"]).to_arrow().cast(
+            pa.schema([("doc_id", pa.int64()), ("n_hits", pa.int64())])
+        )
+
+    return docs.map_batches(
+        _count, batch_format="pyarrow", zero_copy_batch=True
+    )

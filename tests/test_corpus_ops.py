@@ -1098,3 +1098,31 @@ def test_kfold_assign_layout_independent(ray_session):
         want = 0 if h < "33" else 1 if h < "66" else 2 if h < "9a" else \
             3 if h < "cd" else 4
         assert fold == want
+
+
+def test_phrase_search_counts_overlapping_occurrences(ray_session, tmp_path):
+    """The scan counts every adjacent-token occurrence (overlaps
+    included): 'a a a' holds the bigram 'a a' twice; docs without the
+    top phrase are absent from the result."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        q_phrase_search,
+    )
+
+    d = tmp_path
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": ["a a a", "a a b", "b c d"],
+            }
+        ),
+        d / "documents.parquet",
+    )
+    got = {
+        r["doc_id"]: r["n_hits"] for r in q_phrase_search(str(d)).take_all()
+    }
+    # corpus bigram counts: 'a a' x3, 'a b' x1, 'b c' x1, 'c d' x1
+    assert got == {1: 2, 2: 1}
