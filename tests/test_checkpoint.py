@@ -569,3 +569,66 @@ def test_compact_with_sort_clusters_for_zonemap(ray_session, tmp_path):
     # set (min_files drops to 1) — idempotent content either way
     r2 = compact_partitioned(base, target_rows_per_file=9, sort_by="ts")
     assert r2["files_after"] == 1 and rows() == before
+
+
+def test_storage_maintenance_loop_on_graph_output(ray_session, tmp_path):
+    """End-to-end storage maintenance on the engine's own edge output:
+    partitioned write (many small files) → clustered compaction on
+    subj_id → zone-map build → a single-entity point lookup provably
+    opens at most one file per touched partition and returns exactly
+    that entity's edges."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.schema import stable_bucket
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        build_zonemap,
+        prune_files,
+        read_pruned,
+    )
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        compact_partitioned,
+    )
+
+    subjects = [f"E{i:03d}" for i in range(24)]
+    rows = [(s, "knows", f"O{j}") for s in subjects for j in range(3)]
+    part = stable_bucket([r[0] for r in rows], 4)
+    t = pa.table(
+        {
+            "subj_id": [r[0] for r in rows],
+            "pred": [r[1] for r in rows],
+            "obj_id": [r[2] for r in rows],
+            "part": pa.array(part, pa.int32()),
+        }
+    )
+    out = tmp_path / "edges"
+    # many tiny blocks -> many small files per partition
+    ray.data.from_arrow(
+        [t.slice(i, 6) for i in range(0, t.num_rows, 6)]
+    ).repartition(12).write_parquet(str(out), partition_cols=["part"])
+
+    files_before = len(list(out.rglob("*.parquet")))
+    # small target -> several files per partition, each covering a
+    # DISJOINT subj range thanks to sort_by clustering
+    r = compact_partitioned(out, target_rows_per_file=6, sort_by="subj_id")
+    files_after = sum(1 for _ in out.rglob("*.parquet"))
+    assert r["rows"] == len(rows)
+
+    build_zonemap(out, "subj_id")
+    target = subjects[7]
+    kept = prune_files(out, "subj_id", lo=target, hi=target)
+    # within a partition ranges are disjoint -> at most ONE file per
+    # partition survives the probe; the rest are provably skipped
+    assert 1 <= len(kept) <= 4 < files_after
+    by_part = {}
+    for p in kept:
+        part_name = p.rsplit("/part=", 1)[1].split("/", 1)[0]
+        by_part[part_name] = by_part.get(part_name, 0) + 1
+    assert all(v == 1 for v in by_part.values())
+    got = sorted(
+        (x["subj_id"], x["obj_id"])
+        for x in read_pruned(
+            out, "subj_id", lo=target, hi=target
+        ).take_all()
+    )
+    assert got == sorted((target, f"O{j}") for j in range(3))
