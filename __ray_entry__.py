@@ -2239,6 +2239,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": co.q_pack_sequences,  # rows-only (greedy FFD)
         "asof_join": co.q_asof_join,
         "group_topk": co.q_group_topk,
+        "group_corr": co.q_group_corr,
         "value_bins": co.q_value_bins,
         "value_quantiles": co.q_value_quantiles,
         "group_quantiles": co.q_group_quantiles,
@@ -4455,6 +4456,25 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_orderkey = l.l_orderkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        # exact-integer Pearson partials per group: n*Sxy - Sx*Sy and
+        # the two den factors (relational.group_corr_parts)
+        "group_corr": """
+            WITH xy AS (
+                SELECT l_returnflag,
+                       CAST(round(l_quantity) AS BIGINT) AS x,
+                       CAST(round(l_discount * 100) AS BIGINT) AS y
+                FROM lineitem
+            )
+            SELECT l_returnflag,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+                       AS corr_num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                       AS corr_den_x,
+                   CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT)
+                       AS corr_den_y
+            FROM xy GROUP BY 1
         """,
         # global equi-depth histogram: ntile(8) over (price, orderkey)
         # with per-bin count/min/max (relational.equidepth_histogram)

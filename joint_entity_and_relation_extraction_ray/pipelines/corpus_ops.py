@@ -4587,3 +4587,23 @@ def q_phrase_search(sf_dir: str) -> ray.data.Dataset:
     return docs.map_batches(
         _count, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+def q_group_corr(sf_dir: str) -> ray.data.Dataset:
+    """Exact-integer Pearson partials per return flag: does discount
+    track quantity? (`stages/relational.group_corr_parts` — un-divided
+    moments, sign(r) = sign(corr_num).)"""
+    from ..stages.relational import group_corr_parts
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_quantity", "l_discount"],
+    )
+    return group_corr_parts(
+        li,
+        by="l_returnflag",
+        x_col="l_quantity",
+        y_col="l_discount",
+        x_scale=1,
+        y_scale=100,
+    )

@@ -1771,3 +1771,40 @@ def test_equidepth_histogram_ntile_semantics(ray_session):
         (2, 3, 5, 5),
         (3, 3, 8, 10),
     ]
+
+
+def test_group_corr_parts_exact_moments(ray_session):
+    """Pearson partials: a perfectly linear group satisfies
+    corr_num² == den_x·den_y exactly (r = ±1); anti-correlation flips
+    the sign; groups split across blocks merge their six sums."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_corr_parts,
+    )
+
+    rows = [
+        # g1: y = 2x + 1 -> r = +1
+        ("g1", 1, 3), ("g1", 2, 5), ("g1", 3, 7), ("g1", 4, 9),
+        # g2: y = -x -> r = -1
+        ("g2", 1, -1), ("g2", 2, -2), ("g2", 3, -3),
+    ]
+    t = pa.table(
+        {
+            "g": [r[0] for r in rows],
+            "x": pa.array([r[1] for r in rows], pa.float64()),
+            "y": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(rows), 2)])
+    got = {
+        r["g"]: (r["n"], r["corr_num"], r["corr_den_x"], r["corr_den_y"])
+        for r in group_corr_parts(
+            ds, by="g", x_col="x", y_col="y", num_buckets=4
+        ).take_all()
+    }
+    n1, num1, dx1, dy1 = got["g1"]
+    assert n1 == 4 and num1 > 0 and num1 * num1 == dx1 * dy1
+    n2, num2, dx2, dy2 = got["g2"]
+    assert n2 == 3 and num2 < 0 and num2 * num2 == dx2 * dy2
