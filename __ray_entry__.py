@@ -2240,6 +2240,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "asof_join": co.q_asof_join,
         "group_topk": co.q_group_topk,
         "group_corr": co.q_group_corr,
+        "group_wmedian": co.q_group_wmedian,
         "value_bins": co.q_value_bins,
         "value_quantiles": co.q_value_quantiles,
         "group_quantiles": co.q_group_quantiles,
@@ -4456,6 +4457,28 @@ def oracle_sql() -> dict[str, str]:
             WHERE NOT EXISTS (SELECT 1 FROM orders o
                               WHERE o.o_orderkey = l.l_orderkey
                                 AND o.o_orderpriority = '1-URGENT')
+        """,
+        # exact lower weighted median per group via a RANGE-framed
+        # cumulative window (relational.group_weighted_median)
+        "group_wmedian": """
+            WITH s AS (
+                SELECT l_returnflag,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) AS v,
+                       CAST(round(l_quantity) AS BIGINT) AS w
+                FROM lineitem
+            ),
+            c AS (
+                SELECT l_returnflag, v,
+                       sum(w) OVER (
+                           PARTITION BY l_returnflag ORDER BY v
+                       ) AS cw,
+                       sum(w) OVER (PARTITION BY l_returnflag) AS tw
+                FROM s
+            )
+            SELECT l_returnflag,
+                   CAST(min(v) AS BIGINT) AS wmedian,
+                   CAST(min(tw) AS BIGINT) AS total_w
+            FROM c WHERE 2 * cw >= tw GROUP BY 1
         """,
         # exact-integer Pearson partials per group: n*Sxy - Sx*Sy and
         # the two den factors (relational.group_corr_parts)

@@ -4607,3 +4607,21 @@ def q_group_corr(sf_dir: str) -> ray.data.Dataset:
         x_scale=1,
         y_scale=100,
     )
+
+
+def q_group_wmedian(sf_dir: str) -> ray.data.Dataset:
+    """Quantity-weighted median price (exact cents) per return flag —
+    `stages/relational.group_weighted_median`."""
+    from ..stages.relational import group_weighted_median
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_returnflag", "l_extendedprice", "l_quantity"],
+    )
+    return group_weighted_median(
+        li,
+        by="l_returnflag",
+        value_col="l_extendedprice",
+        weight_col="l_quantity",
+        value_scale=100,
+    )

@@ -2586,3 +2586,76 @@ def group_corr_parts(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(partial, by, _merge, num_buckets=num_buckets)
+
+
+def group_weighted_median(
+    ds: ray.data.Dataset,
+    *,
+    by: str,
+    value_col: str,
+    weight_col: str,
+    value_scale: int = 1,
+    num_buckets: int = 16,
+) -> ray.data.Dataset:
+    """Exact LOWER weighted median per group: the smallest scaled value
+    v with ``2 · Σ_{u≤v} w(u) ≥ Σ w`` — rows ``(by, wmedian:int64,
+    total_w:int64)``. The robust-statistics sibling of group_quantiles
+    when observations carry multiplicities (revenue-weighted price
+    centers, token-weighted doc stats) — no floats, no interpolation,
+    SQL-mirrorable as a RANGE-framed cumulative window.
+
+    Decomposable: per-block (group, value, Σw) partials collapse
+    duplicates BEFORE the one group-bucketed shuffle (distinct values
+    per group move, not rows); the reduce re-sums, sorts each group
+    once and reads the crossing point off a vectorized cumsum."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    PARTIAL = pa.schema(
+        [(by, pa.string()), ("v", pa.int64()), ("w", pa.int64())]
+    )
+    OUT = pa.schema(
+        [(by, pa.string()), ("wmedian", pa.int64()), ("total_w", pa.int64())]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select([by, value_col, weight_col]))
+            .with_columns(
+                v=(pl.col(value_col) * value_scale).round(0).cast(pl.Int64),
+                w=pl.col(weight_col).round(0).cast(pl.Int64),
+            )
+            .group_by([by, "v"])
+            .agg(pl.col("w").sum())
+            .select([by, "v", "w"])
+            .to_arrow()
+            .cast(PARTIAL)
+        )
+
+    def _median(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .group_by([by, "v"])
+            .agg(pl.col("w").sum())
+            .sort([by, "v"])
+            .with_columns(
+                cw=pl.col("w").cum_sum().over(by),
+                tw=pl.col("w").sum().over(by),
+            )
+            .filter(2 * pl.col("cw") >= pl.col("tw"))
+            .group_by(by)
+            .agg(
+                pl.col("v").min().alias("wmedian"),
+                pl.col("tw").first().alias("total_w"),
+            )
+            .select([by, "wmedian", "total_w"])
+        )
+        return df.to_arrow().cast(OUT)
+
+    partial = ds.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(partial, by, _median, num_buckets=num_buckets)

@@ -1808,3 +1808,40 @@ def test_group_corr_parts_exact_moments(ray_session):
     assert n1 == 4 and num1 > 0 and num1 * num1 == dx1 * dy1
     n2, num2, dx2, dy2 = got["g2"]
     assert n2 == 3 and num2 < 0 and num2 * num2 == dx2 * dy2
+
+
+def test_group_weighted_median_lower_semantics(ray_session):
+    """Lower weighted median: the smallest v whose cumulative weight
+    doubles to >= the total; duplicate values split across blocks sum
+    their weights first; an exact 50/50 crossing picks the LOWER value."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_weighted_median,
+    )
+
+    rows = [
+        # g1: v=1 w=1, v=2 w=1+1 (split), v=9 w=1 -> total 4,
+        # cum at 2 is 3 -> 6 >= 4 -> but cum at 1 is 1 (2 < 4): median 2
+        ("g1", 1, 1), ("g1", 2, 1), ("g1", 2, 1), ("g1", 9, 1),
+        # g2: v=1 w=2, v=5 w=2 -> exact 50/50 -> lower median 1
+        ("g2", 1, 2), ("g2", 5, 2),
+        # g3: one heavy value dominates
+        ("g3", 7, 100), ("g3", 3, 1),
+    ]
+    t = pa.table(
+        {
+            "g": [r[0] for r in rows],
+            "v": pa.array([r[1] for r in rows], pa.float64()),
+            "w": pa.array([r[2] for r in rows], pa.float64()),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(rows), 2)])
+    got = {
+        r["g"]: (r["wmedian"], r["total_w"])
+        for r in group_weighted_median(
+            ds, by="g", value_col="v", weight_col="w", num_buckets=4
+        ).take_all()
+    }
+    assert got == {"g1": (2, 4), "g2": (1, 4), "g3": (7, 101)}
