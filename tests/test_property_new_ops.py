@@ -226,3 +226,114 @@ def test_event_bursts_property(ray_session, data, nblocks):
             sum(1 for x in ss if s <= x <= s + 3600) for s in ss
         )
     assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(SMALL, SMALL, st.integers(0, 2), st.integers(0, 8)),
+        min_size=1,
+        max_size=50,
+    ),
+    nblocks=st.integers(1, 4),
+)
+def test_validity_intervals_property(ray_session, data, nblocks):
+    """Change-point timeline == brute force for arbitrary (subj, pred,
+    obj, ts) streams with duplicate timestamps and objects, at any
+    block layout."""
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        validity_intervals,
+    )
+
+    subj = [f"s{d[0]}" for d in data]
+    pred = [f"p{d[1]}" for d in data]
+    obj = [f"o{d[2]}" for d in data]
+    ts = [d[3] for d in data]
+    t = pa.table(
+        {
+            "subj_id": subj,
+            "pred": pred,
+            "obj_id": obj,
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    got = sorted(
+        (
+            r["subj_id"],
+            r["pred"],
+            r["obj_id"],
+            int(r["valid_from"].timestamp() * 1e6),
+            None
+            if r["valid_to"] is None
+            else int(r["valid_to"].timestamp() * 1e6),
+        )
+        for r in validity_intervals(ds, num_buckets=3).take_all()
+    )
+
+    # brute force: dedup min obj per (s, p, ts); keep change points;
+    # lead() for valid_to
+    best = {}
+    for s, p, o, x in zip(subj, pred, obj, ts):
+        k = (s, p, x)
+        best[k] = o if k not in best else min(best[k], o)
+    per_group = {}
+    for (s, p, x), o in sorted(best.items()):
+        per_group.setdefault((s, p), []).append((x, o))
+    want = []
+    for (s, p), seq in per_group.items():
+        kept = [
+            (x, o)
+            for i, (x, o) in enumerate(seq)
+            if i == 0 or o != seq[i - 1][1]
+        ]
+        for i, (x, o) in enumerate(kept):
+            vt = kept[i + 1][0] if i + 1 < len(kept) else None
+            want.append((s, p, o, x, vt))
+    assert got == sorted(want)
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(SMALL, st.integers(0, 1), SMALL), min_size=1, max_size=40
+    ),
+    nblocks=st.integers(1, 4),
+)
+def test_regular_path_pairs_property(ray_session, edges, nblocks):
+    """RPQ p1·p2* min-hop pairs == brute-force BFS over pair frontiers
+    for arbitrary directed multigraphs at any block layout."""
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        regular_path_pairs,
+    )
+
+    subj = [f"n{e[0]}" for e in edges]
+    pred = [f"p{e[1]}" for e in edges]
+    obj = [f"n{e[2]}" for e in edges]
+    t = pa.table({"subj_id": subj, "pred": pred, "obj_id": obj})
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    K = 3
+    got = sorted(
+        (r["src"], r["dst"], r["hops"])
+        for r in regular_path_pairs(ds, max_star_hops=K).take_all()
+    )
+
+    p1 = min(pred)
+    p2 = max(pred)
+    first = {(s, o) for s, p, o in zip(subj, pred, obj) if p == p1}
+    star = {}
+    for s, p, o in zip(subj, pred, obj):
+        if p == p2:
+            star.setdefault(s, set()).add(o)
+    dist = {pair: 1 for pair in first}
+    frontier = dict(dist)
+    for h in range(2, K + 2):
+        nxt = {}
+        for (s, d), _ in frontier.items():
+            for o in star.get(d, ()):
+                if (s, o) not in dist:
+                    nxt[(s, o)] = h
+        dist.update(nxt)
+        frontier = nxt
+    want = sorted((s, d, h) for (s, d), h in dist.items())
+    assert got == want
