@@ -337,3 +337,77 @@ def test_regular_path_pairs_property(ray_session, edges, nblocks):
         frontier = nxt
     want = sorted((s, d, h) for (s, d), h in dist.items())
     assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(SMALL, st.integers(0, 9), st.integers(1, 5)),
+        min_size=1,
+        max_size=60,
+    ),
+    nblocks=st.integers(1, 4),
+)
+def test_group_weighted_median_property(ray_session, data, nblocks):
+    """Lower weighted median == the SQL RANGE-framed cumulative-window
+    crossing for arbitrary grouped weighted data at any block layout."""
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_weighted_median,
+    )
+
+    gs = [f"g{d[0]}" for d in data]
+    vs = [float(d[1]) for d in data]
+    ws = [float(d[2]) for d in data]
+    ds = _ds({"g": gs, "v": vs, "w": ws}, nblocks)
+    got = {
+        r["g"]: (r["wmedian"], r["total_w"])
+        for r in group_weighted_median(
+            ds, by="g", value_col="v", weight_col="w", num_buckets=3
+        ).take_all()
+    }
+    want = {
+        g: (m, tw)
+        for g, m, tw in duckdb.sql(
+            "WITH s AS (SELECT unnest(?) g, CAST(round(unnest(?)) AS "
+            "BIGINT) v, CAST(round(unnest(?)) AS BIGINT) w), "
+            "c AS (SELECT g, v, sum(w) OVER (PARTITION BY g ORDER BY v)"
+            " cw, sum(w) OVER (PARTITION BY g) tw FROM s) "
+            "SELECT g, min(v), min(tw) FROM c WHERE 2*cw >= tw GROUP BY 1",
+            params=[gs, vs, ws],
+        ).fetchall()
+    }
+    assert got == want
+
+
+@settings(max_examples=12, deadline=None)
+@given(
+    data=st.lists(st.integers(0, 9), min_size=1, max_size=60),
+    k=st.integers(1, 5),
+    nblocks=st.integers(1, 4),
+)
+def test_equidepth_histogram_property(ray_session, data, k, nblocks):
+    """Per-tile (n, lo, hi) == DuckDB ntile(k) for arbitrary values with
+    heavy ties, at any block layout."""
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        equidepth_histogram,
+    )
+
+    vs = [float(v) for v in data]
+    ids = list(range(len(data)))
+    ds = _ds({"v": vs, "id": ids}, nblocks)
+    got = sorted(
+        (r["tile"], r["n"], r["lo"], r["hi"])
+        for r in equidepth_histogram(
+            ds, value_col="v", tie_col="id", k=k, num_buckets=3
+        ).take_all()
+    )
+    want = sorted(
+        duckdb.sql(
+            "WITH r AS (SELECT v, ntile(?) OVER (ORDER BY v, id) tile "
+            "FROM (SELECT unnest(?) v, unnest(?) id)) "
+            "SELECT tile, CAST(count(*) AS BIGINT), min(v), max(v) "
+            "FROM r GROUP BY 1",
+            params=[k, vs, ids],
+        ).fetchall()
+    )
+    assert got == want
