@@ -2239,6 +2239,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "pack_sequences": co.q_pack_sequences,  # rows-only (greedy FFD)
         "asof_join": co.q_asof_join,
         "group_topk": co.q_group_topk,
+        "dedup_blocking_stats": co.q_dedup_blocking_stats,  # rows-only (perm-dependent candidates)
         "group_corr": co.q_group_corr,
         "group_wmedian": co.q_group_wmedian,
         "value_bins": co.q_value_bins,

@@ -4625,3 +4625,13 @@ def q_group_wmedian(sf_dir: str) -> ray.data.Dataset:
         weight_col="l_quantity",
         value_scale=100,
     )
+
+
+def q_dedup_blocking_stats(sf_dir: str) -> ray.data.Dataset:
+    """One-row LSH blocking-quality report (reduction + precision in
+    exact ppm) — `stages/dedup.minhash_blocking_stats`. Rows-only: the
+    candidate set depends on MinHash permutations (no SQL mirror); the
+    verified-set count it contains IS oracle-checked via dedup_minhash."""
+    return dedup.minhash_blocking_stats(
+        read_documents(sf_dir), threshold=JACCARD_THRESHOLD
+    )

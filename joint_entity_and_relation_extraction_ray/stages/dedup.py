@@ -1472,3 +1472,60 @@ def dedup_cluster_sizes(
         _hist,
         num_buckets=4,
     )
+
+
+def minhash_blocking_stats(
+    docs: ray.data.Dataset,
+    *,
+    threshold: float = 0.5,
+    k: int = 3,
+    num_perm: int = 128,
+    rows_per_band: int = 2,
+    max_bucket: int | None = None,
+) -> ray.data.Dataset:
+    """Blocking-quality report for the MinHash+LSH pipeline — the two
+    numbers every entity-resolution / dedup deployment tunes against,
+    as ONE exact-integer row:
+
+    - ``reduction_ppm``: candidate pairs as ppm of all n·(n-1)/2
+      pairs — how much work LSH saved vs the quadratic join (lower is
+      better; the blocking literature's reduction ratio);
+    - ``precision_ppm``: verified pairs as ppm of candidates — how
+      much of the shuffled candidate volume was real (higher is
+      better; low precision means bands are too wide for the corpus).
+
+    Pure reuse of the verified pipeline stages (`shingle_docs` →
+    `minhash_candidate_pairs` → `verify_jaccard_pairs`); the three
+    counts are streamed Dataset counts, nothing new materializes on
+    the driver. Rows-only by design: the candidate set depends on the
+    MinHash permutations, which have no SQL mirror (the VERIFIED set
+    does — that is the dedup_minhash query)."""
+    shingled = shingle_docs(docs, k=k).materialize()
+    cand = minhash_candidate_pairs(
+        shingled,
+        num_perm=num_perm,
+        rows_per_band=rows_per_band,
+        max_bucket=max_bucket,
+    ).materialize()
+    verified = verify_jaccard_pairs(cand, shingled, threshold=threshold)
+    n_docs = docs.count()
+    n_cand = cand.count()
+    n_ver = verified.count()
+    total_pairs = n_docs * (n_docs - 1) // 2
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_docs": pa.array([n_docs], pa.int64()),
+                "n_candidate_pairs": pa.array([n_cand], pa.int64()),
+                "n_verified_pairs": pa.array([n_ver], pa.int64()),
+                "reduction_ppm": pa.array(
+                    [n_cand * 1_000_000 // total_pairs if total_pairs else 0],
+                    pa.int64(),
+                ),
+                "precision_ppm": pa.array(
+                    [n_ver * 1_000_000 // n_cand if n_cand else 0],
+                    pa.int64(),
+                ),
+            }
+        )
+    )

@@ -1126,3 +1126,36 @@ def test_phrase_search_counts_overlapping_occurrences(ray_session, tmp_path):
     }
     # corpus bigram counts: 'a a' x3, 'a b' x1, 'b c' x1, 'c d' x1
     assert got == {1: 2, 2: 1}
+
+
+def test_minhash_blocking_stats_closed_form(ray_session, tmp_path):
+    """Closed-form corpus: three identical docs + one unrelated ->
+    3 verified pairs among 6 possible; candidates are a superset of
+    verified and a subset of all pairs; ppm fields are exact integers
+    of those counts."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        q_dedup_blocking_stats,
+    )
+
+    same = "the quick brown fox jumps over the lazy dog again and again"
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3, 4], pa.int64()),
+                "text": [same, same, same, "completely different words here xyz"],
+            }
+        ),
+        tmp_path / "documents.parquet",
+    )
+    row = q_dedup_blocking_stats(str(tmp_path)).take_all()[0]
+    assert row["n_docs"] == 4
+    assert row["n_verified_pairs"] == 3
+    assert 3 <= row["n_candidate_pairs"] <= 6
+    assert row["reduction_ppm"] == row["n_candidate_pairs"] * 1_000_000 // 6
+    assert (
+        row["precision_ppm"]
+        == 3 * 1_000_000 // row["n_candidate_pairs"]
+    )
