@@ -175,3 +175,153 @@ def read_pruned(
     return ds.map_batches(
         _residual, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# --------------------------------------------------------------------------
+# Bloom-filter file skipping (point probes on unclustered high-cardinality
+# columns — the complement of the min/max zone map, which needs clustering
+# to bite)
+# --------------------------------------------------------------------------
+
+_BLOOM_K = 6
+_HASH_KEY_1 = "0123456789123456"  # pandas' documented default key
+_HASH_KEY_2 = "6543210987654321"
+
+
+def _bloom_positions(values, m: int):
+    """k deterministic bit positions per value via double hashing
+    (h1 + i·h2 mod m) — vectorized `pandas.util.hash_array` with two
+    fixed keys, the same cross-process-stable hash family as
+    `schema.stable_bucket`. Returns an (n, k) int64 array."""
+    import numpy as np
+    import pandas as pd
+
+    arr = np.asarray(values, dtype=object)
+    h1 = pd.util.hash_array(arr, hash_key=_HASH_KEY_1, categorize=False)
+    h2 = pd.util.hash_array(arr, hash_key=_HASH_KEY_2, categorize=False)
+    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(
+        np.int64
+    )
+
+
+def _bloom_path(base_dir: str | Path, col: str) -> Path:
+    return Path(base_dir) / f"{ZONEMAP_PREFIX}.bloom.{col}.parquet"
+
+
+def build_bloom_index(
+    base_dir: str | Path, col: str, *, bits_per_row: int = 16
+) -> Path:
+    """Per-file Bloom filters on ``col``: one row per parquet file with
+    ``(file, n_rows, m, bits)`` where ``bits`` is an m-bit filter of the
+    file's values (k=6 double hashing, ~0.05% false-positive rate at 16
+    bits/row). Point probes on a column the table is NOT clustered by —
+    entity ids in an ingest-ordered edge log — skip every file whose
+    filter provably excludes the key, no sort required. Build cost is
+    one column-pruned scan per file, fanned out as Ray tasks; the index
+    is a tiny parquet table read once per probe."""
+    import numpy as np
+
+    files = _data_files(base_dir)
+    if not files:
+        raise FileNotFoundError(f"no parquet files under {base_dir}")
+
+    @ray.remote
+    def _filters(paths: list[str]):
+        out = []
+        for p in paths:
+            t = pq.read_table(p, columns=[col])
+            vals = t[col].cast(pa.string()).to_numpy(zero_copy_only=False)
+            n = len(vals)
+            m = max(64, ((n * bits_per_row + 63) // 64) * 64)
+            bits = np.zeros(m // 8, dtype=np.uint8)
+            if n:
+                pos = _bloom_positions(vals, m).ravel()
+                np.bitwise_or.at(bits, pos >> 3, 1 << (pos & 7).astype(np.uint8))
+            out.append((p, n, m, bits.tobytes()))
+        return out
+
+    chunk = max(1, len(files) // 64)
+    rows = [
+        r
+        for part in ray.get(
+            [
+                _filters.remote(files[i : i + chunk])
+                for i in range(0, len(files), chunk)
+            ]
+        )
+        for r in part
+    ]
+    tbl = pa.table(
+        {
+            "file": pa.array([r[0] for r in rows], pa.string()),
+            "n_rows": pa.array([r[1] for r in rows], pa.int64()),
+            "m": pa.array([r[2] for r in rows], pa.int64()),
+            "bits": pa.array([r[3] for r in rows], pa.binary()),
+        }
+    )
+    out = _bloom_path(base_dir, col)
+    pq.write_table(tbl, out)
+    return out
+
+
+def prune_files_bloom(base_dir: str | Path, col: str, value) -> list[str]:
+    """Files that MAY contain ``col == value`` per the Bloom index —
+    a file is dropped only when at least one of the key's k bits is
+    unset in its filter (provable absence; false positives only ever
+    KEEP a file, the safe direction)."""
+    import numpy as np
+
+    bp = _bloom_path(base_dir, col)
+    if not bp.exists():
+        raise FileNotFoundError(
+            f"bloom index {bp} not built — call build_bloom_index first"
+        )
+    t = pq.read_table(bp)
+    keep = []
+    sval = str(value)
+    for f, m, bits in zip(
+        t["file"].to_pylist(), t["m"].to_pylist(), t["bits"].to_pylist()
+    ):
+        arr = np.frombuffer(bits, dtype=np.uint8)
+        pos = _bloom_positions([sval], m).ravel()
+        if np.all(arr[pos >> 3] & (1 << (pos & 7).astype(np.uint8))):
+            keep.append(f)
+    return sorted(keep)
+
+
+def read_point(
+    base_dir: str | Path,
+    col: str,
+    value,
+    *,
+    columns: list[str] | None = None,
+) -> ray.data.Dataset:
+    """Bloom-pruned point read: plan ``read_parquet`` over only the
+    files whose filter admits the key, then re-apply the exact equality
+    predicate (Bloom keeps are probabilistic; the residual filter is
+    one vectorized compare). Empty survivor set → typed empty Dataset."""
+    import pyarrow.compute as pc
+
+    files = prune_files_bloom(base_dir, col, value)
+    if not files:
+        schema = pq.read_schema(_data_files(base_dir)[0])
+        if columns:
+            schema = pa.schema([schema.field(c) for c in columns])
+        return ray.data.from_arrow(schema.empty_table())
+    read_cols = columns
+    drop_after = False
+    if columns is not None and col not in columns:
+        read_cols = [*columns, col]
+        drop_after = True
+    ds = ray.data.read_parquet(files, columns=read_cols)
+
+    def _residual(t: pa.Table) -> pa.Table:
+        out = t.filter(
+            pc.equal(pc.cast(t[col], pa.string()), str(value))
+        )
+        return out.drop_columns([col]) if drop_after else out
+
+    return ds.map_batches(
+        _residual, batch_format="pyarrow", zero_copy_batch=True
+    )

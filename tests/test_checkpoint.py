@@ -632,3 +632,51 @@ def test_storage_maintenance_loop_on_graph_output(ray_session, tmp_path):
         ).take_all()
     )
     assert got == sorted((target, f"O{j}") for j in range(3))
+
+
+def test_bloom_index_point_probe(ray_session, tmp_path):
+    """Bloom skipping: the file holding the probed key is ALWAYS kept
+    (no false negatives by construction); foreign files are dropped at
+    ~0.05% FP rate (assert < half survive across 40 probes); read_point
+    returns exactly the matching rows, and a never-seen key yields zero
+    rows whether or not a false positive keeps a file."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        build_bloom_index,
+        prune_files_bloom,
+        read_point,
+    )
+
+    base = tmp_path / "edges"
+    base.mkdir()
+    # 8 files x 50 distinct entities each, ingest-ordered (NOT clustered)
+    for f in range(8):
+        ids = [f"E{f:02d}_{i:03d}" for i in range(50)]
+        pq.write_table(
+            pa.table(
+                {
+                    "subj_id": ids,
+                    "w": pa.array([f * 100 + i for i in range(50)], pa.int64()),
+                }
+            ),
+            base / f"ingest-{f}.parquet",
+        )
+
+    build_bloom_index(base, "subj_id")
+
+    kept_counts = []
+    for f in range(8):
+        for i in range(0, 50, 10):
+            key = f"E{f:02d}_{i:03d}"
+            kept = prune_files_bloom(base, "subj_id", key)
+            assert str(base / f"ingest-{f}.parquet") in kept  # never lost
+            kept_counts.append(len(kept))
+    # across 40 probes, pruning must actually bite (FP rate ~5e-4)
+    assert sum(kept_counts) < 40 * 4
+
+    got = read_point(base, "subj_id", "E03_020").take_all()
+    assert [(r["subj_id"], r["w"]) for r in got] == [("E03_020", 320)]
+
+    assert read_point(base, "subj_id", "NOPE").count() == 0
