@@ -411,3 +411,112 @@ def test_equidepth_histogram_property(ray_session, data, k, nblocks):
         ).fetchall()
     )
     assert got == want
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    data=st.lists(
+        st.tuples(SMALL, st.integers(0, 1), st.integers(0, 2), st.integers(0, 8)),
+        min_size=1,
+        max_size=40,
+    ),
+    cuts=st.tuples(st.integers(0, 8), st.integers(0, 8)),
+    nblocks=st.integers(1, 4),
+)
+def test_snapshot_diff_property(ray_session, data, cuts, nblocks):
+    """snapshot_diff == (brute-force snapshot at t1) FULL JOIN (at t2)
+    with unchanged pairs dropped, for arbitrary assertion streams and
+    arbitrary cutoffs (including reversed and equal)."""
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        snapshot_diff,
+    )
+
+    subj = [f"s{d[0]}" for d in data]
+    pred = [f"p{d[1]}" for d in data]
+    obj = [f"o{d[2]}" for d in data]
+    ts = [d[3] for d in data]
+    t1, t2 = cuts
+    t = pa.table(
+        {
+            "subj_id": subj,
+            "pred": pred,
+            "obj_id": obj,
+            "ts": pa.array(ts, pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    got = sorted(
+        (r["subj_id"], r["pred"], r["obj_before"], r["obj_after"], r["change"])
+        for r in snapshot_diff(
+            ds, t1_us=t1, t2_us=t2, num_buckets=3
+        ).take_all()
+    )
+
+    def snapshot(at):
+        best = {}
+        for s, p, o, x in zip(subj, pred, obj, ts):
+            k = (s, p, x)
+            best[k] = o if k not in best else min(best[k], o)
+        out = {}
+        for (s, p, x), o in sorted(best.items()):
+            if x <= at:
+                out[(s, p)] = o  # later x overwrites: covering interval
+        return out
+
+    s1, s2 = snapshot(t1), snapshot(t2)
+    want = []
+    for k in set(s1) | set(s2):
+        b, a = s1.get(k), s2.get(k)
+        if b == a:
+            continue
+        change = "added" if b is None else "removed" if a is None else "changed"
+        want.append((k[0], k[1], b, a, change))
+    assert got == sorted(want)
+
+
+@settings(max_examples=8, deadline=None)
+@given(
+    edges=st.lists(
+        st.tuples(SMALL, st.integers(0, 1), SMALL), min_size=1, max_size=30
+    ),
+    nblocks=st.integers(1, 4),
+)
+def test_closure_rollup_property(ray_session, edges, nblocks):
+    """closure_rollup == brute-force p+ BFS rollup (distinct reach count
+    and max min-hop depth) on the MIN predicate for arbitrary
+    multigraphs."""
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        closure_rollup,
+    )
+
+    subj = [f"n{e[0]}" for e in edges]
+    pred = [f"p{e[1]}" for e in edges]
+    obj = [f"n{e[2]}" for e in edges]
+    t = pa.table({"subj_id": subj, "pred": pred, "obj_id": obj})
+    ds = ray.data.from_arrow(t).repartition(nblocks)
+    K = 4
+    got = sorted(
+        (r["src"], r["n_desc"], r["depth"])
+        for r in closure_rollup(ds, max_hops=K).take_all()
+    )
+
+    p = min(pred)
+    adj = {}
+    for s, pr, o in zip(subj, pred, obj):
+        if pr == p:
+            adj.setdefault(s, set()).add(o)
+    want = []
+    for src in sorted(adj):
+        dist = {}
+        frontier = {src}
+        for h in range(1, K + 1):
+            nxt = set()
+            for u in frontier:
+                for v in adj.get(u, ()):
+                    if v not in dist:
+                        dist[v] = h
+                        nxt.add(v)
+            frontier = nxt
+        if dist:
+            want.append((src, len(dist), max(dist.values())))
+    assert got == sorted(want)
