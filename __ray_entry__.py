@@ -1227,6 +1227,49 @@ def _q_kg_pred_trend(sf_dir: str):
     )
 
 
+def _q_kg_validity_incremental(sf_dir: str):
+    """Incremental-maintenance invariant for the SCD-2 timeline: the
+    rewritten stream splits into two deterministic batches (content-
+    hash parity, so LATE data lands in the delta), the base builds its
+    timeline, `graph.validity_intervals_incremental` folds the delta —
+    and the result must equal the full-recompute kg_validity oracle
+    EXACTLY (touched groups recompute, untouched pass through)."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.schema import stable_bucket
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        validity_intervals,
+        validity_intervals_incremental,
+    )
+
+    rewritten = kg.stage(sf_dir, "rewritten")
+
+    def _half(parity: int):
+        def _f(t):
+            key = _pc.binary_join_element_wise(
+                t["subj_id"],
+                t["pred"],
+                t["obj_id"],
+                _pc.cast(_pc.cast(t["ts"], pa.int64()), pa.string()),
+                "\x1f",
+            )
+            b = stable_bucket(key.to_numpy(zero_copy_only=False), 2)
+            return t.filter(_pc.equal(pa.array(b), parity))
+
+        return _f
+
+    base = rewritten.map_batches(
+        _half(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    delta = rewritten.map_batches(
+        _half(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+    old = validity_intervals(base)
+    return validity_intervals_incremental(base, delta, old)
+
+
 def _q_kg_snapshot(sf_dir: str):
     """Point-in-time KG (time travel): the assertion set believed at the
     deterministic midpoint cutoff — `stages/graph.belief_snapshot` over
@@ -2352,6 +2395,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_rpq": _q_kg_rpq,
         "kg_snapshot": _q_kg_snapshot,
         "kg_validity": _q_kg_validity,
+        "kg_validity_incremental": _q_kg_validity_incremental,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -2451,7 +2495,7 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT start, walk, step, node FROM wk ORDER BY 1, 2, 3
         """  # shared by kg_walks and kg_skipgrams
-    return {
+    out = {
         # The pipeline's emitted span/triple sets must equal the closed-form
         # goldens of the seeded grammar (P/R contract, BASELINE.json:14).
         "extract_mentions": f"""
@@ -6793,3 +6837,6 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY lift_e6 DESC, e.subj_id, e.pred, e.obj_id
         """,
     }
+    # incremental-fold invariant: same answer as the full recompute
+    out["kg_validity_incremental"] = out["kg_validity"]
+    return out

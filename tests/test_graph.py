@@ -2238,3 +2238,62 @@ def test_closure_rollup_counts_and_depth(ray_session):
         ("x", 2, 2),  # y at 1, itself at 2
         ("y", 2, 2),
     ]
+
+
+def test_validity_intervals_incremental_equals_full(ray_session):
+    """Incremental maintenance contract: folding a delta (including
+    LATE data that rewrites history mid-group) into an existing
+    timeline equals the full recompute; untouched groups pass through."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        validity_intervals,
+        validity_intervals_incremental,
+    )
+
+    def tbl(rows):
+        return pa.table(
+            {
+                "subj_id": [r[0] for r in rows],
+                "pred": [r[1] for r in rows],
+                "obj_id": [r[2] for r in rows],
+                "ts": pa.array([r[3] for r in rows], pa.timestamp("us")),
+            }
+        )
+
+    base = [
+        ("a", "p", "x", 10), ("a", "p", "y", 30),
+        ("b", "p", "m", 5), ("b", "p", "n", 20),
+        ("c", "q", "k", 7),
+    ]
+    # delta: late-arriving a@20 (splits the x interval) + new group d
+    delta = [("a", "p", "z", 20), ("d", "p", "w", 1)]
+
+    base_ds = ray.data.from_arrow(tbl(base))
+    delta_ds = ray.data.from_arrow(tbl(delta))
+    old = validity_intervals(base_ds, num_buckets=4)
+
+    def norm(ds):
+        return sorted(
+            (
+                r["subj_id"], r["pred"], r["obj_id"],
+                int(r["valid_from"].timestamp() * 1e6),
+                None if r["valid_to"] is None
+                else int(r["valid_to"].timestamp() * 1e6),
+            )
+            for r in ds.take_all()
+        )
+
+    inc = validity_intervals_incremental(
+        base_ds, delta_ds, old, num_buckets=4
+    )
+    full = validity_intervals(
+        ray.data.from_arrow(tbl(base + delta)), num_buckets=4
+    )
+    got, want = norm(inc), norm(full)
+    assert got == want
+    # the late row really rewrote history: x now closes at 20, z at 30
+    assert ("a", "p", "x", 10, 20) in got and ("a", "p", "z", 20, 30) in got
+    # untouched groups intact
+    assert ("b", "p", "m", 5, 20) in got and ("c", "q", "k", 7, None) in got
