@@ -1270,6 +1270,18 @@ def _q_kg_validity_incremental(sf_dir: str):
     return validity_intervals_incremental(base, delta, old)
 
 
+def _q_kg_volatility(sf_dir: str):
+    """Predicate churn over the SCD-2 timeline: intervals, closures and
+    total closed lifetime in exact integer µs per predicate —
+    `stages/graph.pred_volatility`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        pred_volatility,
+    )
+
+    return pred_volatility(kg.stage(sf_dir, "rewritten"))
+
+
 def _q_kg_snapshot(sf_dir: str):
     """Point-in-time KG (time travel): the assertion set believed at the
     deterministic midpoint cutoff — `stages/graph.belief_snapshot` over
@@ -2396,6 +2408,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_snapshot": _q_kg_snapshot,
         "kg_validity": _q_kg_validity,
         "kg_validity_incremental": _q_kg_validity_incremental,
+        "kg_volatility": _q_kg_volatility,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -6229,6 +6242,61 @@ def oracle_sql() -> dict[str, str]:
               ON s1.subj_id = s2.subj_id AND s1.pred = s2.pred
             WHERE obj_before IS NULL OR obj_after IS NULL
                OR obj_before <> obj_after
+        """,
+        # predicate churn: interval/closure counts + closed lifetime µs
+        # over the same SCD-2 timeline (graph.py pred_volatility)
+        "kg_volatility": f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            d AS (
+                SELECT subj_id, pred, ts, min(obj_id) AS obj_id
+                FROM rt GROUP BY 1, 2, 3
+            ),
+            c AS (
+                SELECT *, lag(obj_id) OVER (
+                    PARTITION BY subj_id, pred ORDER BY ts
+                ) AS prev FROM d
+            ),
+            k AS (
+                SELECT subj_id, pred, obj_id, ts AS valid_from
+                FROM c WHERE prev IS NULL OR obj_id <> prev
+            ),
+            iv AS (
+                SELECT subj_id, pred, valid_from,
+                       lead(valid_from) OVER (
+                           PARTITION BY subj_id, pred ORDER BY valid_from
+                       ) AS valid_to
+                FROM k
+            )
+            SELECT pred,
+                   CAST(count(*) AS BIGINT) AS n_intervals,
+                   CAST(count(valid_to) AS BIGINT) AS n_closed,
+                   CAST(coalesce(sum(
+                       epoch_us(valid_to) - epoch_us(valid_from)
+                   ), 0) AS BIGINT) AS closed_dur_us
+            FROM iv GROUP BY 1
         """,
         # time travel: the validity-interval row covering the midpoint
         # cutoff (integer-µs arithmetic on both sides; graph.py

@@ -5347,3 +5347,73 @@ def validity_intervals_incremental(
         old_k, delta_k, on="_k", anti=True, num_buckets=num_buckets
     ).drop_columns(["_k"])
     return untouched.union(recomputed)
+
+
+def pred_volatility(
+    rewritten: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Predicate churn report over the SCD-2 timeline: per predicate,
+    how many validity intervals its groups produced, how many CLOSED
+    (object later overwritten), and the total closed lifetime in exact
+    integer microseconds — rows ``(pred, n_intervals, n_closed,
+    closed_dur_us)``. High n_closed/n_intervals marks volatile
+    predicates (employer, location); ~zero marks immutable facts — the
+    signal a KG uses to schedule re-extraction. One decomposable
+    combiner over `validity_intervals`' stream; partials per (block,
+    pred) are all that shuffle."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    OUT = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("n_intervals", pa.int64()),
+            ("n_closed", pa.int64()),
+            ("closed_dur_us", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t.select(["pred", "valid_from", "valid_to"]))
+            .with_columns(
+                closed=pl.col("valid_to").is_not_null(),
+                dur=(
+                    pl.col("valid_to").cast(pl.Int64)
+                    - pl.col("valid_from").cast(pl.Int64)
+                ).fill_null(0),
+            )
+            .group_by("pred")
+            .agg(
+                pl.len().cast(pl.Int64).alias("n_intervals"),
+                pl.col("closed").sum().cast(pl.Int64).alias("n_closed"),
+                pl.col("dur").sum().alias("closed_dur_us"),
+            )
+            .select(["pred", "n_intervals", "n_closed", "closed_dur_us"])
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("pred")
+            .agg(
+                pl.col("n_intervals").sum(),
+                pl.col("n_closed").sum(),
+                pl.col("closed_dur_us").sum(),
+            )
+            .select(["pred", "n_intervals", "n_closed", "closed_dur_us"])
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    partial = validity_intervals(
+        rewritten, num_buckets=num_buckets
+    ).map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
+    return bucket_group_apply(partial, "pred", _merge, num_buckets=8)
