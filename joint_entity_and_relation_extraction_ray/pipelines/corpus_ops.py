@@ -4556,7 +4556,13 @@ def q_phrase_search(sf_dir: str) -> ray.data.Dataset:
     from ..stages.curation import ngram_counts
 
     docs = read_documents(sf_dir)
-    top = ngram_counts(docs, n=2, k=1).take_all()  # one row by construction
+    top = ngram_counts(docs, n=2, k=1).take_all()  # ≤ one row
+    if not top:  # no doc has 2+ tokens: no bigram, empty result (as SQL)
+        return ray.data.from_arrow(
+            pa.schema(
+                [("doc_id", pa.int64()), ("n_hits", pa.int64())]
+            ).empty_table()
+        )
     phrase = top[0]["gram"]
 
     def _count(t: pa.Table) -> pa.Table:

@@ -36,10 +36,16 @@ def _zonemap_path(base_dir: str | Path, col: str) -> Path:
 
 
 def _data_files(base_dir: str | Path) -> list[str]:
+    base = Path(base_dir)
     return sorted(
         str(f)
-        for f in Path(base_dir).rglob("*.parquet")
+        for f in base.rglob("*.parquet")
         if not f.name.startswith(ZONEMAP_PREFIX)
+        # skip hidden dirs: a crashed compaction's .part=k.tmp-*/.trash-*
+        # hold a full COPY of a partition — indexing them double-counts
+        and not any(
+            part.startswith(".") for part in f.relative_to(base).parts
+        )
     )
 
 
@@ -104,6 +110,21 @@ def build_zonemap(base_dir: str | Path, col: str) -> Path:
     return out
 
 
+def _check_fresh(base_dir: str | Path, indexed_files, index_path: Path):
+    """Raise if the index's file set differs from the table's current
+    listing — new ingests or a compaction make a skipping index WRONG
+    (silently missing rows / dead paths), which is worse than the scan
+    it saves. One listing per probe is the single-node price of the
+    check; a production deployment versions the index with the table
+    manifest instead and skips the listing."""
+    current = set(_data_files(base_dir))
+    if set(indexed_files) != current:
+        raise RuntimeError(
+            f"skipping index {index_path} is STALE (file set changed "
+            f"since build) — rebuild it"
+        )
+
+
 def prune_files(
     base_dir: str | Path, col: str, lo=None, hi=None
 ) -> list[str]:
@@ -120,6 +141,7 @@ def prune_files(
             f"zone map {zm} not built — call build_zonemap first"
         )
     t = pq.read_table(zm)
+    _check_fresh(base_dir, t["file"].to_pylist(), zm)
     statless = pc.is_null(t["vmin"])
     keep = pc.cast(pa.array([True] * t.num_rows), pa.bool_())
     if lo is not None:
@@ -182,6 +204,17 @@ def read_pruned(
 # columns — the complement of the min/max zone map, which needs clustering
 # to bite)
 # --------------------------------------------------------------------------
+
+def _probe_string(sample_file: str, col: str, value) -> str:
+    """The probe value rendered EXACTLY as the index build rendered the
+    column: cast to the column's own Arrow type, then to string. Python
+    str() of a datetime ('2024-01-01 00:00:00') differs from Arrow's
+    cast of a timestamp[us] ('2024-01-01 00:00:00.000000') — hashing
+    the former against an index built from the latter would prune every
+    file, a silent false NEGATIVE."""
+    vtype = pq.read_schema(sample_file).field(col).type
+    return pa.scalar(value).cast(vtype).cast(pa.string()).as_py()
+
 
 _BLOOM_K = 6
 _HASH_KEY_1 = "0123456789123456"  # pandas' documented default key
@@ -278,8 +311,9 @@ def prune_files_bloom(base_dir: str | Path, col: str, value) -> list[str]:
             f"bloom index {bp} not built — call build_bloom_index first"
         )
     t = pq.read_table(bp)
+    _check_fresh(base_dir, t["file"].to_pylist(), bp)
     keep = []
-    sval = str(value)
+    sval = _probe_string(_data_files(base_dir)[0], col, value)
     for f, m, bits in zip(
         t["file"].to_pylist(), t["m"].to_pylist(), t["bits"].to_pylist()
     ):
@@ -317,8 +351,10 @@ def read_point(
     ds = ray.data.read_parquet(files, columns=read_cols)
 
     def _residual(t: pa.Table) -> pa.Table:
+        # typed equality: cast the PROBE to the column's type, never the
+        # column to a string (same false-negative trap as the hash)
         out = t.filter(
-            pc.equal(pc.cast(t[col], pa.string()), str(value))
+            pc.equal(t[col], pa.scalar(value).cast(t.schema.field(col).type))
         )
         return out.drop_columns([col]) if drop_after else out
 

@@ -4854,6 +4854,53 @@ def betweenness_centrality(
     return out.sort(["betweenness", "node"], descending=[True, False])
 
 
+def _ts_minmax_us(ds: ray.data.Dataset) -> tuple[int, int]:
+    """Tiny driver reduction: (min, max) of the ``ts`` column in epoch
+    microseconds — one int pair per block moves, nothing else. Raises
+    ValueError on an all-null/empty stream (a cutoff over no data has
+    no meaning; callers pass explicit cutoffs for empty inputs)."""
+    mm = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array(
+                    [pc.min(t["ts"]).cast(pa.int64()).as_py()], pa.int64()
+                ),
+                "hi": pa.array(
+                    [pc.max(t["ts"]).cast(pa.int64()).as_py()], pa.int64()
+                ),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # one row per block — tiny by construction
+    los = [r["lo"] for r in mm if r["lo"] is not None]
+    his = [r["hi"] for r in mm if r["hi"] is not None]
+    if not los:
+        raise ValueError("ts min/max over an empty or all-null stream")
+    return min(los), max(his)
+
+
+def _pred_bounds(ds: ray.data.Dataset) -> tuple[str, str]:
+    """Tiny driver reduction: (min, max) predicate of an edge stream —
+    the parameter-free defaults regular_path_pairs / closure_rollup
+    document. Same ValueError contract as :func:`_ts_minmax_us`."""
+    mm = ds.map_batches(
+        lambda t: pa.table(
+            {
+                "lo": pa.array([pc.min(t["pred"]).as_py()], pa.string()),
+                "hi": pa.array([pc.max(t["pred"]).as_py()], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # one row per block — tiny by construction
+    los = [r["lo"] for r in mm if r["lo"] is not None]
+    his = [r["hi"] for r in mm if r["hi"] is not None]
+    if not los:
+        raise ValueError("pred bounds over an empty or all-null stream")
+    return min(los), max(his)
+
+
 def validity_intervals(
     rewritten: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:
@@ -4978,21 +5025,9 @@ def regular_path_pairs(
     num_partitions = num_partitions or default_partitions()
 
     if first_pred is None or star_pred is None:
-        # tiny distinct-pred reduction: per-block distinct → driver min/max
-        pd_ = edges.map_batches(
-            lambda t: pa.table(
-                {
-                    "lo": pa.array([pc.min(t["pred"]).as_py()], pa.string()),
-                    "hi": pa.array([pc.max(t["pred"]).as_py()], pa.string()),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).take_all()  # one row per block — tiny by construction
-        first_pred = first_pred or min(
-            r["lo"] for r in pd_ if r["lo"] is not None
-        )
-        star_pred = star_pred or max(r["hi"] for r in pd_ if r["hi"] is not None)
+        lo, hi = _pred_bounds(edges)
+        first_pred = first_pred or lo
+        star_pred = star_pred or hi
 
     OUT = pa.schema(
         [("src", pa.string()), ("dst", pa.string()), ("hops", pa.int64())]
@@ -5033,9 +5068,17 @@ def regular_path_pairs(
         _min_merge,
     ).materialize()
 
-    for _ in range(max_star_hops):
+    # BFS frontier discipline: only pairs FIRST reached in the previous
+    # round expand (a pair with merged hops == r was new at round r —
+    # min-merge would have kept a smaller value otherwise), so each pair
+    # joins star_edges exactly once over the whole loop instead of once
+    # per remaining round
+    frontier = labels
+    for r in range(1, max_star_hops + 1):
+        if frontier.count() == 0:
+            break  # closure converged early — cheap: frontier is materialized
         prop = join_auto(
-            labels,
+            frontier,
             star_edges,
             on=("dst",),
             right_on=("hop_src",),
@@ -5053,6 +5096,10 @@ def regular_path_pairs(
         )
         labels = bucket_group_apply(
             labels.union(prop), "src", _min_merge
+        ).materialize()
+        nxt = r + 1
+        frontier = labels.filter(
+            expr=f"hops == {nxt}"
         ).materialize()
     return labels
 
@@ -5078,24 +5125,7 @@ def belief_snapshot(
     vectorized filter over the streamed intervals — no extra shuffle
     beyond the one validity_intervals already does."""
     if at_us is None:
-        mm = rewritten.map_batches(
-            lambda t: pa.table(
-                {
-                    "lo": pa.array(
-                        [pc.min(t["ts"]).cast(pa.int64()).as_py()],
-                        pa.int64(),
-                    ),
-                    "hi": pa.array(
-                        [pc.max(t["ts"]).cast(pa.int64()).as_py()],
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).take_all()  # one row per block — tiny by construction
-        lo = min(r["lo"] for r in mm if r["lo"] is not None)
-        hi = max(r["hi"] for r in mm if r["hi"] is not None)
+        lo, hi = _ts_minmax_us(rewritten)
         at_us = (lo + hi) // 2
 
     intervals = validity_intervals(rewritten, num_buckets=num_buckets)
@@ -5142,24 +5172,7 @@ def snapshot_diff(
     from ..functions.shuffle import bucket_group_apply
 
     if t1_us is None or t2_us is None:
-        mm = rewritten.map_batches(
-            lambda t: pa.table(
-                {
-                    "lo": pa.array(
-                        [pc.min(t["ts"]).cast(pa.int64()).as_py()],
-                        pa.int64(),
-                    ),
-                    "hi": pa.array(
-                        [pc.max(t["ts"]).cast(pa.int64()).as_py()],
-                        pa.int64(),
-                    ),
-                }
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).take_all()  # one row per block — tiny by construction
-        lo = min(r["lo"] for r in mm if r["lo"] is not None)
-        hi = max(r["hi"] for r in mm if r["hi"] is not None)
+        lo, hi = _ts_minmax_us(rewritten)
         t1_us = t1_us if t1_us is not None else lo + (hi - lo) // 4
         t2_us = t2_us if t2_us is not None else lo + 3 * (hi - lo) // 4
 
@@ -5254,14 +5267,7 @@ def closure_rollup(
     from ..functions.shuffle import bucket_group_apply
 
     if pred is None:
-        mm = edges.map_batches(
-            lambda t: pa.table(
-                {"lo": pa.array([pc.min(t["pred"]).as_py()], pa.string())}
-            ),
-            batch_format="pyarrow",
-            zero_copy_batch=True,
-        ).take_all()  # one row per block — tiny by construction
-        pred = min(r["lo"] for r in mm if r["lo"] is not None)
+        pred, _ = _pred_bounds(edges)
 
     pairs = regular_path_pairs(
         edges,

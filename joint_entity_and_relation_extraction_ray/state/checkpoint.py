@@ -656,6 +656,13 @@ def compact_partitioned(
         return tbl.num_rows, n_out
 
     results = ray.get([_compact.remote(k) for k, _ in todo])
+    if todo:
+        # compaction renames every file it touches — any skipping index
+        # (sources/zonemap.py) built over the old listing is now wrong;
+        # delete rather than leave a stale index that prunes to dead
+        # paths (the probes also self-check, this makes rebuilds obvious)
+        for idx in base.glob("_zonemap.*"):
+            idx.unlink()
     manifest = {
         "op": "compact",
         "parts_compacted": [k for k, _ in todo],

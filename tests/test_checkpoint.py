@@ -680,3 +680,97 @@ def test_bloom_index_point_probe(ray_session, tmp_path):
     assert [(r["subj_id"], r["w"]) for r in got] == [("E03_020", 320)]
 
     assert read_point(base, "subj_id", "NOPE").count() == 0
+
+
+def test_bloom_point_probe_on_timestamp_column(ray_session, tmp_path):
+    """Review regression: the Bloom probe must render the key exactly as
+    the build rendered the column (Arrow cast, not Python str), or a
+    timestamp probe silently prunes every file — a false NEGATIVE."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        build_bloom_index,
+        read_point,
+    )
+
+    base = tmp_path / "t"
+    base.mkdir()
+    times = [dt.datetime(2024, 1, 1, h) for h in range(4)]
+    pq.write_table(
+        pa.table(
+            {
+                "ts": pa.array(times, pa.timestamp("us")),
+                "v": pa.array([10, 11, 12, 13], pa.int64()),
+            }
+        ),
+        base / "a.parquet",
+    )
+    build_bloom_index(base, "ts")
+    got = read_point(base, "ts", dt.datetime(2024, 1, 1, 2)).take_all()
+    assert [(r["v"]) for r in got] == [12]
+
+
+def test_skipping_indexes_detect_staleness(ray_session, tmp_path):
+    """Review regression: a new file landing after the index build makes
+    every probe raise (stale index = silently missing rows), and
+    compaction deletes the indexes it invalidates."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        build_bloom_index,
+        build_zonemap,
+        prune_files,
+        prune_files_bloom,
+    )
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        compact_partitioned,
+    )
+
+    base = tmp_path / "t"
+    (base / "part=0").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"k": pa.array([1, 2], pa.int64())}),
+        base / "part=0" / "a.parquet",
+    )
+    build_zonemap(base, "k")
+    build_bloom_index(base, "k")
+    assert prune_files(base, "k", lo=1, hi=1)  # fresh: works
+
+    # new ingest lands -> both indexes are stale -> probes refuse
+    pq.write_table(
+        pa.table({"k": pa.array([3], pa.int64())}),
+        base / "part=0" / "b.parquet",
+    )
+    with pytest.raises(RuntimeError, match="STALE"):
+        prune_files(base, "k", lo=1, hi=1)
+    with pytest.raises(RuntimeError, match="STALE"):
+        prune_files_bloom(base, "k", 1)
+
+    # compaction removes the now-wrong indexes entirely
+    compact_partitioned(base, target_rows_per_file=10)
+    assert not list(base.glob("_zonemap.*"))
+
+
+def test_data_files_skip_crashed_compaction_dirs(ray_session, tmp_path):
+    """Review regression: leftover .part=k.tmp-*/.trash-* copies from a
+    crashed compaction must not be indexed (double-counted rows)."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        _data_files,
+    )
+
+    base = tmp_path / "t"
+    (base / "part=0").mkdir(parents=True)
+    (base / ".part=0.trash-dead").mkdir(parents=True)
+    t = pa.table({"k": pa.array([1], pa.int64())})
+    pq.write_table(t, base / "part=0" / "a.parquet")
+    pq.write_table(t, base / ".part=0.trash-dead" / "a.parquet")
+    files = _data_files(base)
+    assert files == [str(base / "part=0" / "a.parquet")]
