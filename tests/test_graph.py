@@ -2297,3 +2297,31 @@ def test_validity_intervals_incremental_equals_full(ray_session):
     assert ("a", "p", "x", 10, 20) in got and ("a", "p", "z", 20, 30) in got
     # untouched groups intact
     assert ("b", "p", "m", 5, 20) in got and ("c", "q", "k", 7, None) in got
+
+
+def test_cutoff_helpers_raise_on_empty_stream(ray_session):
+    """Parameter-free cutoffs over an empty assertion stream must fail
+    loudly (a midpoint of nothing is meaningless), not emit a bogus
+    snapshot."""
+    import pyarrow as pa
+    import pytest
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        belief_snapshot,
+    )
+
+    empty = ray.data.from_arrow(
+        pa.schema(
+            [
+                ("subj_id", pa.string()),
+                ("pred", pa.string()),
+                ("obj_id", pa.string()),
+                ("ts", pa.timestamp("us")),
+            ]
+        ).empty_table()
+    )
+    with pytest.raises(ValueError, match="empty"):
+        belief_snapshot(empty).take_all()
+    # explicit cutoff over empty input is fine: empty result, no error
+    assert belief_snapshot(empty, at_us=5).take_all() == []
