@@ -480,6 +480,11 @@ def upsert_partitioned(
     base.mkdir(parents=True, exist_ok=True)
     rows = sum(ray.get([_merge_part.remote(k) for k in touched]))
     shutil.rmtree(staging, ignore_errors=True)
+    if touched:
+        # like compaction, an upsert rewrites files — any skipping index
+        # (sources/zonemap.py) over the old listing is stale; delete it
+        for idx in base.glob("_zonemap.*"):
+            idx.unlink()
     manifest = {
         "op": "upsert",
         "parts_touched": touched,

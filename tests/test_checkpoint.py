@@ -774,3 +774,49 @@ def test_data_files_skip_crashed_compaction_dirs(ray_session, tmp_path):
     pq.write_table(t, base / ".part=0.trash-dead" / "a.parquet")
     files = _data_files(base)
     assert files == [str(base / "part=0" / "a.parquet")]
+
+
+def test_upsert_invalidates_skipping_indexes(ray_session, tmp_path):
+    """An upsert rewrites partition files, so skipping indexes built
+    over the old listing are deleted rather than left stale."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        build_zonemap,
+    )
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        upsert_partitioned,
+    )
+
+    base = tmp_path / "tbl"
+    (base / "part=0").mkdir(parents=True)
+    pq.write_table(
+        pa.table(
+            {
+                "k": ["a", "b"],
+                "ts": pa.array([1, 1], pa.int64()),
+                "v": pa.array([1, 2], pa.int64()),
+            }
+        ),
+        base / "part=0" / "x.parquet",
+    )
+    build_zonemap(base, "ts")
+    assert list(base.glob("_zonemap.*"))
+
+    upsert_partitioned(
+        base,
+        ray.data.from_arrow(
+            pa.table(
+                {
+                    "k": ["a"],
+                    "ts": pa.array([2], pa.int64()),
+                    "v": pa.array([10], pa.int64()),
+                }
+            )
+        ),
+        key="k",
+        order_col="ts",
+        num_parts=1,
+    )
+    assert not list(base.glob("_zonemap.*"))
