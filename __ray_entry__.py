@@ -1270,6 +1270,83 @@ def _q_kg_validity_incremental(sf_dir: str):
     return validity_intervals_incremental(base, delta, old)
 
 
+def _q_kg_conv_hist(sf_dir: str):
+    """Extraction-yield distribution: how many conversations produced
+    k candidate triples, for each k — the coverage histogram an
+    extraction pipeline monitors (count-of-counts: per-block conv
+    partials → one conv shuffle → tiny k-bucket merge)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    triples = kg.triples_of(kg.extract_for_sf_dir(sf_dir))
+    PARTIAL = pa.schema([("conv_id", pa.string()), ("n", pa.int64())])
+    OUT = pa.schema([("n_assertions", pa.int64()), ("n_convs", pa.int64())])
+
+    def _per_conv(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["conv_id"]))
+            .group_by("conv_id")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+            .cast(PARTIAL)
+        )
+
+    def _conv_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return PARTIAL.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("conv_id")
+            .agg(pl.col("n").sum())
+            .to_arrow()
+            .cast(PARTIAL)
+        )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("n")
+            .agg(pl.len().cast(pl.Int64).alias("n_convs"))
+            .rename({"n": "n_assertions"})
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    per_conv = bucket_group_apply(
+        triples.map_batches(
+            _per_conv, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "conv_id",
+        _conv_merge,
+    )
+    def _hist_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("n_assertions")
+            .agg(pl.col("n_convs").sum())
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    return bucket_group_apply(
+        per_conv.map_batches(
+            _hist, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "n_assertions",
+        _hist_merge,
+        num_buckets=4,
+    )
+
+
 def _q_kg_volatility(sf_dir: str):
     """Predicate churn over the SCD-2 timeline: intervals, closures and
     total closed lifetime in exact integer µs per predicate —
@@ -2409,6 +2486,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_validity": _q_kg_validity,
         "kg_validity_incremental": _q_kg_validity_incremental,
         "kg_volatility": _q_kg_volatility,
+        "kg_conv_hist": _q_kg_conv_hist,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -6242,6 +6320,18 @@ def oracle_sql() -> dict[str, str]:
               ON s1.subj_id = s2.subj_id AND s1.pred = s2.pred
             WHERE obj_before IS NULL OR obj_after IS NULL
                OR obj_before <> obj_after
+        """,
+        # extraction-yield count-of-counts over golden triples
+        # (__ray_entry__ _q_kg_conv_hist)
+        "kg_conv_hist": f"""
+            WITH per_conv AS (
+                SELECT conv_id, CAST(count(*) AS BIGINT) AS n
+                FROM read_parquet('{g}/golden_triples/*.parquet')
+                GROUP BY 1
+            )
+            SELECT n AS n_assertions,
+                   CAST(count(*) AS BIGINT) AS n_convs
+            FROM per_conv GROUP BY 1
         """,
         # predicate churn: interval/closure counts + closed lifetime µs
         # over the same SCD-2 timeline (graph.py pred_volatility)
