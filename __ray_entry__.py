@@ -1347,6 +1347,19 @@ def _q_kg_conv_hist(sf_dir: str):
     )
 
 
+def _q_kg_bowtie(sf_dir: str):
+    """Broder bow-tie structure of the KG (core/in/out/other node
+    counts) — `stages/graph.bowtie_decomposition` (SCC + multi-source
+    reachability reuse). Rows-only: SCC has no monotone recursive SQL
+    form; the closed-form pytest is the contract."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        bowtie_decomposition,
+    )
+
+    return bowtie_decomposition(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_volatility(sf_dir: str):
     """Predicate churn over the SCD-2 timeline: intervals, closures and
     total closed lifetime in exact integer µs per predicate —
@@ -2487,6 +2500,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_validity_incremental": _q_kg_validity_incremental,
         "kg_volatility": _q_kg_volatility,
         "kg_conv_hist": _q_kg_conv_hist,
+        "kg_bowtie": _q_kg_bowtie,  # rows-only (SCC fixpoint, no SQL form)
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,

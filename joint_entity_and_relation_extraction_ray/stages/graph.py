@@ -5423,3 +5423,120 @@ def pred_volatility(
         rewritten, num_buckets=num_buckets
     ).map_batches(_partial, batch_format="pyarrow", zero_copy_batch=True)
     return bucket_group_apply(partial, "pred", _merge, num_buckets=8)
+
+
+def bowtie_decomposition(
+    edges: ray.data.Dataset,
+    *,
+    max_iters: int = 30,
+    num_buckets: int = 32,
+    num_partitions: int | None = None,
+) -> ray.data.Dataset:
+    """Broder bow-tie decomposition of the DIRECTED KG: per class, how
+    many nodes are CORE (the largest SCC, ties to min scc_id), IN
+    (reach the core but sit outside it), OUT (reached from the core),
+    or OTHER (tendrils/disconnected) — rows ``(cls, n_nodes)``. The
+    structural health report web-scale graphs run first: a KG whose OUT
+    dwarfs IN usually has a directionality bug in extraction.
+
+    Reuse all the way down: `strongly_connected_components` labels the
+    graph; the largest SCC is one count shuffle + a tiny driver pick;
+    IN/OUT are multi-source reachability fixpoints seeded with the
+    whole core — per round one (src)-keyed `join_auto` against the
+    frontier and a `membership_join` anti-filter against the visited
+    set, exactly the bfs_distances dataflow lifted to a seed SET.
+    Rows-only by design (SCC has no monotone recursive SQL form); the
+    pytest pins a closed-form bow-tie."""
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+    from .canonical import default_partitions
+    from .relational import membership_join
+
+    num_partitions = num_partitions or default_partitions()
+
+    scc = strongly_connected_components(
+        edges, num_buckets=num_buckets
+    ).materialize()
+
+    def _cnt(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [("scc_id", pa.string()), ("n", pa.int64())]
+            ).empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("scc_id")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+            .cast(pa.schema([("scc_id", pa.string()), ("n", pa.int64())]))
+        )
+
+    sizes = bucket_group_apply(scc, "scc_id", _cnt).take_all()
+    core_id = min(
+        (r["scc_id"] for r in sizes if r["n"] == max(x["n"] for x in sizes)),
+    )
+    core = scc.map_batches(
+        lambda t: t.filter(pc.equal(t["scc_id"], core_id)).select(["node"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+
+    def _reach(direction: str) -> ray.data.Dataset:
+        """Nodes outside the core that reach (direction='in') or are
+        reached from (direction='out') the core."""
+        src, dst = (
+            ("obj_id", "subj_id") if direction == "in" else ("subj_id", "obj_id")
+        )
+        hop = edges.map_batches(
+            lambda t, s=src, d=dst: pa.table(
+                {"from_n": t[s], "to_n": t[d]}
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ).materialize()
+        visited = core
+        frontier = core
+        for _ in range(max_iters):
+            if frontier.count() == 0:
+                break
+            step = join_auto(
+                hop,
+                frontier.rename_columns(["from_n"]),
+                on=("from_n",),
+                num_partitions=num_partitions,
+            ).map_batches(
+                lambda t: pa.table({"node": t["to_n"]}),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            from .relational import distinct_keys
+
+            frontier = distinct_keys(
+                membership_join(step, visited, on="node", anti=True),
+                "node",
+            )
+            visited = visited.union(frontier).materialize()
+        return membership_join(visited, core, on="node", anti=True)
+
+    reach_in = _reach("in").materialize()
+    reach_out = _reach("out").materialize()
+
+    n_core = core.count()
+    n_in = reach_in.count()
+    n_out = reach_out.count()
+    # OUT may overlap IN only through the core (they'd be in the core
+    # then), so the three classes are disjoint by construction
+    n_total = scc.count()
+    n_other = n_total - n_core - n_in - n_out
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "cls": pa.array(["core", "in", "out", "other"], pa.string()),
+                "n_nodes": pa.array(
+                    [n_core, n_in, n_out, n_other], pa.int64()
+                ),
+            }
+        )
+    )

@@ -2325,3 +2325,42 @@ def test_cutoff_helpers_raise_on_empty_stream(ray_session):
         belief_snapshot(empty).take_all()
     # explicit cutoff over empty input is fine: empty result, no error
     assert belief_snapshot(empty, at_us=5).take_all() == []
+
+
+def test_bowtie_decomposition_closed_form(ray_session):
+    """Broder bow-tie on a hand graph: a 3-cycle core, a 2-chain IN, a
+    2-chain OUT, a tendril hanging off the IN path (never reaches the
+    core), and a disconnected pair — exact class counts."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        bowtie_decomposition,
+    )
+
+    edges = [
+        # core: c1 -> c2 -> c3 -> c1
+        ("c1", "p", "c2"), ("c2", "p", "c3"), ("c3", "p", "c1"),
+        # IN: i1 -> i2 -> c1
+        ("i1", "p", "i2"), ("i2", "p", "c1"),
+        # OUT: c2 -> o1 -> o2
+        ("c2", "p", "o1"), ("o1", "p", "o2"),
+        # tendril off the IN path: i1 -> t1 (t1 reaches nothing)
+        ("i1", "p", "t1"),
+        # disconnected: d1 -> d2
+        ("d1", "p", "d2"),
+    ]
+    t = pa.table(
+        {
+            "subj_id": [e[0] for e in edges],
+            "pred": [e[1] for e in edges],
+            "obj_id": [e[2] for e in edges],
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 3) for i in range(0, len(edges), 3)])
+    got = {
+        r["cls"]: r["n_nodes"]
+        for r in bowtie_decomposition(ds, num_buckets=4).take_all()
+    }
+    # core {c1,c2,c3}; in {i1,i2}; out {o1,o2}; other {t1,d1,d2}
+    assert got == {"core": 3, "in": 2, "out": 2, "other": 3}
