@@ -1360,6 +1360,17 @@ def _q_kg_bowtie(sf_dir: str):
     return bowtie_decomposition(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_richclub(sf_dir: str):
+    """Rich-club cohesion of the top-20 hubs (exact integer edge
+    counts) — `stages/graph.rich_club_edges`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        rich_club_edges,
+    )
+
+    return rich_club_edges(kg.stage(sf_dir, "edges"), k=20)
+
+
 def _q_kg_volatility(sf_dir: str):
     """Predicate churn over the SCD-2 timeline: intervals, closures and
     total closed lifetime in exact integer µs per predicate —
@@ -2501,6 +2512,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_volatility": _q_kg_volatility,
         "kg_conv_hist": _q_kg_conv_hist,
         "kg_bowtie": _q_kg_bowtie,  # rows-only (SCC fixpoint, no SQL form)
+        "kg_richclub": _q_kg_richclub,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -6334,6 +6346,54 @@ def oracle_sql() -> dict[str, str]:
               ON s1.subj_id = s2.subj_id AND s1.pred = s2.pred
             WHERE obj_before IS NULL OR obj_after IS NULL
                OR obj_before <> obj_after
+        """,
+        # rich-club: undirected simple edges among the 20 highest-degree
+        # nodes (graph.py rich_club_edges)
+        "kg_richclub": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e2 AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS subj_id,
+                                o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM e2 WHERE subj_id <> obj_id
+            ),
+            deg AS (
+                SELECT node, count(*) AS deg FROM (
+                    SELECT a AS node FROM und
+                    UNION ALL SELECT b FROM und
+                ) GROUP BY 1
+            ),
+            club AS MATERIALIZED (
+                SELECT node FROM deg ORDER BY deg DESC, node LIMIT 20
+            )
+            SELECT (SELECT CAST(count(*) AS BIGINT) FROM club) AS n_club,
+                   (SELECT CAST(count(*) AS BIGINT) FROM und
+                     WHERE a IN (SELECT node FROM club)
+                       AND b IN (SELECT node FROM club)) AS n_within,
+                   (SELECT CAST(count(*) * (count(*) - 1) // 2 AS BIGINT)
+                      FROM club) AS n_possible
         """,
         # extraction-yield count-of-counts over golden triples
         # (__ray_entry__ _q_kg_conv_hist)

@@ -5540,3 +5540,131 @@ def bowtie_decomposition(
             }
         )
     )
+
+
+def rich_club_edges(
+    edges: ray.data.Dataset,
+    *,
+    k: int = 20,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Rich-club report: among the ``k`` highest-degree nodes of the
+    UNDIRECTED simple KG (distinct neighbors, self-loops ignored, ties
+    to min node id), how densely do they link to EACH OTHER — one row
+    ``(n_club, n_within, n_possible)`` where n_within counts undirected
+    club-internal edges and n_possible = k·(k-1)/2. The hub-cohesion
+    diagnostic (Colizza et al.): a rich club near n_possible means the
+    hubs form an elite clique; near 0 they are independent stars.
+    Exact integers end to end.
+
+    Dataflow reuse: per-block distinct-neighbor combiner → one bucketed
+    degree merge → sort+limit k (tiny) → broadcast club membership →
+    one vectorized both-endpoints filter over the undirected simple
+    edge set. The corpus-scale edge stream is scanned twice and never
+    shuffled beyond the degree merge."""
+    import polars as pl
+
+    DEG = pa.schema([("node", pa.string()), ("deg", pa.int64())])
+
+    def _sym_pairs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        return (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                a=pl.min_horizontal("subj_id", "obj_id"),
+                b=pl.max_horizontal("subj_id", "obj_id"),
+            )
+            .unique()
+            .to_arrow()
+            .cast(pa.schema([("a", pa.string()), ("b", pa.string())]))
+        )
+
+    und = edges.map_batches(
+        _sym_pairs, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    from ..functions.shuffle import bucket_group_apply
+
+    def _und_dedup(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [("a", pa.string()), ("b", pa.string())]
+            ).empty_table()
+        return (
+            pl.from_arrow(t)
+            .unique(["a", "b"])
+            .to_arrow()
+            .cast(pa.schema([("a", pa.string()), ("b", pa.string())]))
+        )
+
+    simple = bucket_group_apply(
+        und, "a", _und_dedup, num_buckets=num_buckets
+    ).materialize()
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        both = pl.concat(
+            [
+                df.select(node=pl.col("a"), nbr=pl.col("b")),
+                df.select(node=pl.col("b"), nbr=pl.col("a")),
+            ]
+        )
+        return (
+            both.unique()
+            .group_by("node")
+            .agg(pl.len().cast(pl.Int64).alias("deg"))
+            .to_arrow()
+            .cast(DEG)
+        )
+
+    def _deg_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return DEG.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("node")
+            .agg(pl.col("deg").sum())
+            .to_arrow()
+            .cast(DEG)
+        )
+
+    # NOTE: per-block partials count distinct neighbors PER BLOCK; after
+    # the simple-edge dedup above each (a, b) exists exactly once
+    # globally, so the merge's sum is the exact distinct-neighbor degree
+    deg = bucket_group_apply(
+        simple.map_batches(
+            _deg_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "node",
+        _deg_merge,
+        num_buckets=num_buckets,
+    )
+    club_rows = (
+        deg.sort(["deg", "node"], descending=[True, False]).limit(k).take_all()
+    )  # k rows — tiny by construction
+    club = {r["node"] for r in club_rows}
+
+    def _within(t: pa.Table) -> pa.Table:
+        mask = pc.and_(
+            pc.is_in(t["a"], value_set=pa.array(sorted(club))),
+            pc.is_in(t["b"], value_set=pa.array(sorted(club))),
+        )
+        n = pc.sum(mask).as_py() or 0
+        return pa.table({"n": pa.array([n], pa.int64())})
+
+    parts = simple.map_batches(
+        _within, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one row per block — tiny by construction
+    n_within = sum(r["n"] for r in parts)
+    n_club = len(club)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_club": pa.array([n_club], pa.int64()),
+                "n_within": pa.array([n_within], pa.int64()),
+                "n_possible": pa.array(
+                    [n_club * (n_club - 1) // 2], pa.int64()
+                ),
+            }
+        )
+    )

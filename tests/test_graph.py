@@ -2364,3 +2364,33 @@ def test_bowtie_decomposition_closed_form(ray_session):
     }
     # core {c1,c2,c3}; in {i1,i2}; out {o1,o2}; other {t1,d1,d2}
     assert got == {"core": 3, "in": 2, "out": 2, "other": 3}
+
+
+def test_rich_club_edges_closed_form(ray_session):
+    """Rich club on a hand graph: k=3 selects the triangle hubs (degree
+    3) over the pendant spokes (degree 1); all 3 within-club edges
+    found; duplicate/reversed/self-loop edges collapse first."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        rich_club_edges,
+    )
+
+    edges = [
+        # triangle of hubs (each also gets a pendant -> degree 3)
+        ("h1", "p", "h2"), ("h2", "p", "h3"), ("h3", "p", "h1"),
+        ("h2", "p", "h1"),   # reverse duplicate: must not double-count
+        ("h1", "p", "h1"),   # self-loop: ignored
+        ("h1", "p", "s1"), ("h2", "p", "s2"), ("h3", "p", "s3"),
+    ]
+    t = pa.table(
+        {
+            "subj_id": [e[0] for e in edges],
+            "pred": [e[1] for e in edges],
+            "obj_id": [e[2] for e in edges],
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 3) for i in range(0, len(edges), 3)])
+    r = rich_club_edges(ds, k=3, num_buckets=4).take_all()[0]
+    assert (r["n_club"], r["n_within"], r["n_possible"]) == (3, 3, 3)
