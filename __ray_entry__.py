@@ -1371,6 +1371,18 @@ def _q_kg_richclub(sf_dir: str):
     return rich_club_edges(kg.stage(sf_dir, "edges"), k=20)
 
 
+def _q_kg_triadic_closure(sf_dir: str):
+    """Temporal triangles: exact count + closure-time stats (max-min of
+    the three first-assertion timestamps, integer µs) —
+    `stages/graph.triadic_closure_times`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        triadic_closure_times,
+    )
+
+    return triadic_closure_times(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_volatility(sf_dir: str):
     """Predicate churn over the SCD-2 timeline: intervals, closures and
     total closed lifetime in exact integer µs per predicate —
@@ -2513,6 +2525,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_conv_hist": _q_kg_conv_hist,
         "kg_bowtie": _q_kg_bowtie,  # rows-only (SCC fixpoint, no SQL form)
         "kg_richclub": _q_kg_richclub,
+        "kg_triadic_closure": _q_kg_triadic_closure,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -6346,6 +6359,53 @@ def oracle_sql() -> dict[str, str]:
               ON s1.subj_id = s2.subj_id AND s1.pred = s2.pred
             WHERE obj_before IS NULL OR obj_after IS NULL
                OR obj_before <> obj_after
+        """,
+        # temporal triangles: closure-time stats over the 3-way join of
+        # min-ts undirected edges (graph.py triadic_closure_times)
+        "kg_triadic_closure": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT least(subj_id, obj_id) AS a,
+                       greatest(subj_id, obj_id) AS b,
+                       min(epoch_us(ts)) AS ts
+                FROM rt WHERE subj_id <> obj_id
+                GROUP BY 1, 2
+            ),
+            tri AS MATERIALIZED (
+                SELECT greatest(e1.ts, e2.ts, e3.ts)
+                         - least(e1.ts, e2.ts, e3.ts) AS close_us
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+                   CAST(coalesce(sum(close_us), 0) AS BIGINT)
+                       AS sum_close_us,
+                   CAST(coalesce(max(close_us), 0) AS BIGINT)
+                       AS max_close_us
+            FROM tri
         """,
         # rich-club: undirected simple edges among the 20 highest-degree
         # nodes (graph.py rich_club_edges)

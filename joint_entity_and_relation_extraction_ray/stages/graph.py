@@ -5668,3 +5668,215 @@ def rich_club_edges(
             }
         )
     )
+
+
+def triadic_closure_times(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Temporal-motif report: exact triangle count plus how long
+    triangles took to CLOSE — one row ``(n_triangles, sum_close_us,
+    max_close_us)`` where close time = max − min of the three edges'
+    first-assertion timestamps (exact integer µs; an undirected pair's
+    ts is the min over its directed/multi-pred assertions). The
+    triadic-closure speed of a KG — how quickly a wedge's third side
+    gets asserted — a standard temporal-graph statistic.
+
+    Same degree-ordered wedge pipeline as :func:`triangle_count`
+    (orientation bounds out-neighborhoods by O(√m), each triangle
+    found once at its min-rank vertex), with two changes: edge ts ride
+    the orientation, and the wedge→edge step is an inner ``join_auto``
+    (fetching the closing edge's ts) instead of a semi join. The final
+    reduce is a per-block (n, Σ, max) partial + tiny driver fold."""
+    import numpy as np
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+
+    SEP = "\x00"
+
+    def _canon(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id", "first_ts"]))
+        return (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                a=pl.min_horizontal("subj_id", "obj_id"),
+                b=pl.max_horizontal("subj_id", "obj_id"),
+                ts=pl.col("first_ts").cast(pl.Int64),
+            )
+            .group_by(["a", "b"])
+            .agg(pl.col("ts").min())
+            .with_columns(key=pl.col("a") + pl.lit(SEP) + pl.col("b"))
+            .to_arrow()
+        )
+
+    def _min_ts(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema(
+                [
+                    ("a", pa.string()),
+                    ("b", pa.string()),
+                    ("ts", pa.int64()),
+                    ("key", pa.string()),
+                ]
+            ).empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by(["a", "b", "key"])
+            .agg(pl.col("ts").min())
+            .select(["a", "b", "ts", "key"])
+            .to_arrow()
+        )
+
+    und = bucket_group_apply(
+        edges.map_batches(_canon, batch_format="pyarrow", zero_copy_batch=True),
+        "key",
+        _min_ts,
+        num_buckets=num_buckets,
+    ).materialize()
+
+    def _deg_partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["a", "b"]))
+        v = pl.concat([df.select(v=pl.col("a")), df.select(v=pl.col("b"))])
+        return (
+            v.group_by("v").agg(pl.len().cast(pl.Int64).alias("deg")).to_arrow()
+        )
+
+    def _deg_sum(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t).group_by("v").agg(pl.col("deg").sum()).to_arrow()
+        )
+
+    deg = bucket_group_apply(
+        und.map_batches(
+            _deg_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "v",
+        _deg_sum,
+        num_buckets=min(num_buckets, 16),
+    )
+    da = deg.map_batches(
+        lambda t: t.rename_columns(["a", "deg_a"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    db = deg.map_batches(
+        lambda t: t.rename_columns(["b", "deg_b"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    withdeg = join_auto(join_auto(und, da, on=("a",)), db, on=("b",))
+
+    def _orient(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t)
+        a_first = (pl.col("deg_a") < pl.col("deg_b")) | (
+            (pl.col("deg_a") == pl.col("deg_b")) & (pl.col("a") < pl.col("b"))
+        )
+        return (
+            df.select(
+                src=pl.when(a_first).then(pl.col("a")).otherwise(pl.col("b")),
+                dst=pl.when(a_first).then(pl.col("b")).otherwise(pl.col("a")),
+                dst_deg=pl.when(a_first)
+                .then(pl.col("deg_b"))
+                .otherwise(pl.col("deg_a")),
+                ts=pl.col("ts"),
+            )
+            .with_columns(key=pl.col("src") + pl.lit(SEP) + pl.col("dst"))
+            .to_arrow()
+        )
+
+    oriented = withdeg.map_batches(
+        _orient, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+
+    WEDGE = pa.schema(
+        [("key", pa.string()), ("t1", pa.int64()), ("t2", pa.int64())]
+    )
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        if t.num_rows == 0:
+            return WEDGE.empty_table()
+        df = pl.from_arrow(t.select(["src", "dst", "dst_deg", "ts"])).sort(
+            ["src", "dst_deg", "dst"]
+        )
+        src = df["src"].to_numpy()
+        dst = df["dst"].to_numpy()
+        ets = df["ts"].to_numpy()
+        starts = np.flatnonzero(
+            np.concatenate(([True], src[1:] != src[:-1]))
+        )
+        ends = np.concatenate((starts[1:], [len(src)]))
+        los, his, t1s, t2s = [], [], [], []
+        for s, e in zip(starts, ends):  # O(#groups); pair-gen is numpy
+            k = e - s
+            if k < 2:
+                continue
+            i, j = np.triu_indices(k, 1)
+            los.append(dst[s:e][i])
+            his.append(dst[s:e][j])
+            t1s.append(ets[s:e][i])
+            t2s.append(ets[s:e][j])
+        if not los:
+            return WEDGE.empty_table()
+        lo = pa.array(np.concatenate(los), pa.string())
+        hi = pa.array(np.concatenate(his), pa.string())
+        return pa.table(
+            {
+                "key": pc.binary_join_element_wise(lo, hi, SEP),
+                "t1": pa.array(np.concatenate(t1s), pa.int64()),
+                "t2": pa.array(np.concatenate(t2s), pa.int64()),
+            }
+        )
+
+    wedges = bucket_group_apply(
+        oriented, "src", _wedges, num_buckets=num_buckets
+    )
+    closed = join_auto(
+        wedges,
+        oriented.map_batches(
+            lambda t: pa.table({"key": t["key"], "t3": t["ts"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        on=("key",),
+    )
+
+    def _agg(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.table(
+                {
+                    "n": pa.array([0], pa.int64()),
+                    "s": pa.array([0], pa.int64()),
+                    "m": pa.array([0], pa.int64()),
+                }
+            )
+        df = pl.from_arrow(t.select(["t1", "t2", "t3"])).with_columns(
+            close=pl.max_horizontal("t1", "t2", "t3")
+            - pl.min_horizontal("t1", "t2", "t3")
+        )
+        return pa.table(
+            {
+                "n": pa.array([df.height], pa.int64()),
+                "s": pa.array([int(df["close"].sum())], pa.int64()),
+                "m": pa.array([int(df["close"].max())], pa.int64()),
+            }
+        )
+
+    parts = closed.map_batches(
+        _agg, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one row per block — tiny by construction
+    n = sum(r["n"] for r in parts)
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_triangles": pa.array([n], pa.int64()),
+                "sum_close_us": pa.array(
+                    [sum(r["s"] for r in parts)], pa.int64()
+                ),
+                "max_close_us": pa.array(
+                    [max((r["m"] for r in parts if r["n"]), default=0)],
+                    pa.int64(),
+                ),
+            }
+        )
+    )

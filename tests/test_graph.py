@@ -2394,3 +2394,42 @@ def test_rich_club_edges_closed_form(ray_session):
     ds = ray.data.from_arrow([t.slice(i, 3) for i in range(0, len(edges), 3)])
     r = rich_club_edges(ds, k=3, num_buckets=4).take_all()[0]
     assert (r["n_club"], r["n_within"], r["n_possible"]) == (3, 3, 3)
+
+
+def test_triadic_closure_times_closed_form(ray_session):
+    """Temporal triangles: two triangles with known edge timestamps ->
+    exact (count, sum, max) closure stats; reversed-duplicate edges
+    take the MIN ts; the pendant edge creates no triangle."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        triadic_closure_times,
+    )
+
+    def ts(v):
+        return v
+
+    edges = [
+        # triangle 1: ts 10, 20, 35 -> close 25
+        ("a", "p", "b", 10), ("b", "p", "c", 20), ("a", "p", "c", 35),
+        ("c", "p", "a", 50),   # reverse dup: min(35, 50) = 35 stands
+        # triangle 2: ts 100, 100, 107 -> close 7
+        ("x", "p", "y", 100), ("y", "p", "z", 100), ("x", "p", "z", 107),
+        ("a", "p", "q", 1),    # pendant: no triangle
+    ]
+    t = pa.table(
+        {
+            "subj_id": [e[0] for e in edges],
+            "pred": [e[1] for e in edges],
+            "obj_id": [e[2] for e in edges],
+            "first_ts": pa.array([e[3] for e in edges], pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 3) for i in range(0, len(edges), 3)])
+    r = triadic_closure_times(ds, num_buckets=4).take_all()[0]
+    assert (r["n_triangles"], r["sum_close_us"], r["max_close_us"]) == (
+        2,
+        32,
+        25,
+    )
