@@ -1383,6 +1383,18 @@ def _q_kg_triadic_closure(sf_dir: str):
     return triadic_closure_times(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_reciprocity_lag(sf_dir: str):
+    """Temporal reciprocity: lag stats between the two directions'
+    first assertions over mutually-asserted pairs —
+    `stages/graph.reciprocity_lag` (exact integer µs)."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        reciprocity_lag,
+    )
+
+    return reciprocity_lag(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_volatility(sf_dir: str):
     """Predicate churn over the SCD-2 timeline: intervals, closures and
     total closed lifetime in exact integer µs per predicate —
@@ -2526,6 +2538,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_bowtie": _q_kg_bowtie,  # rows-only (SCC fixpoint, no SQL form)
         "kg_richclub": _q_kg_richclub,
         "kg_triadic_closure": _q_kg_triadic_closure,
+        "kg_reciprocity_lag": _q_kg_reciprocity_lag,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -6359,6 +6372,49 @@ def oracle_sql() -> dict[str, str]:
               ON s1.subj_id = s2.subj_id AND s1.pred = s2.pred
             WHERE obj_before IS NULL OR obj_after IS NULL
                OR obj_before <> obj_after
+        """,
+        # reciprocal-assertion lag over mutually-asserted pairs
+        # (graph.py reciprocity_lag)
+        "kg_reciprocity_lag": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            dm AS MATERIALIZED (
+                SELECT least(subj_id, obj_id) AS a,
+                       greatest(subj_id, obj_id) AS b,
+                       subj_id < obj_id AS fwd,
+                       min(epoch_us(ts)) AS ts
+                FROM rt WHERE subj_id <> obj_id
+                GROUP BY 1, 2, 3
+            ),
+            lags AS (
+                SELECT a, b, max(ts) - min(ts) AS lag
+                FROM dm GROUP BY 1, 2 HAVING count(*) = 2
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_pairs,
+                   CAST(coalesce(sum(lag), 0) AS BIGINT) AS sum_lag_us,
+                   CAST(coalesce(max(lag), 0) AS BIGINT) AS max_lag_us
+            FROM lags
         """,
         # temporal triangles: closure-time stats over the 3-way join of
         # min-ts undirected edges (graph.py triadic_closure_times)

@@ -2433,3 +2433,34 @@ def test_triadic_closure_times_closed_form(ray_session):
         32,
         25,
     )
+
+
+def test_reciprocity_lag_closed_form(ray_session):
+    """Reciprocal lag: only mutually-asserted pairs count; lag = |first
+    fwd − first bwd| with min over multi-pred duplicates; one-way pairs
+    and self-loops contribute nothing."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        reciprocity_lag,
+    )
+
+    edges = [
+        ("a", "p", "b", 10), ("b", "p", "a", 25),   # lag 15
+        ("b", "q", "a", 40),                        # dup direction: min 25 stands
+        ("c", "p", "d", 5), ("d", "p", "c", 5),     # lag 0
+        ("e", "p", "f", 7),                         # one-way: ignored
+        ("g", "p", "g", 1),                         # self-loop: ignored
+    ]
+    t = pa.table(
+        {
+            "subj_id": [e[0] for e in edges],
+            "pred": [e[1] for e in edges],
+            "obj_id": [e[2] for e in edges],
+            "first_ts": pa.array([e[3] for e in edges], pa.timestamp("us")),
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(edges), 2)])
+    r = reciprocity_lag(ds, num_buckets=4).take_all()[0]
+    assert (r["n_pairs"], r["sum_lag_us"], r["max_lag_us"]) == (2, 15, 15)
