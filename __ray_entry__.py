@@ -1395,6 +1395,80 @@ def _q_kg_reciprocity_lag(sf_dir: str):
     return reciprocity_lag(kg.stage(sf_dir, "edges"))
 
 
+def _q_kg_entity_lifetimes(sf_dir: str):
+    """Per-entity activity window over the assertion stream: first/last
+    assertion (epoch µs) and assertion count, counting subject and
+    object roles — decomposable (min, max, sum) combiner, one
+    entity-bucketed merge."""
+    import polars as pl
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    OUT = pa.schema(
+        [
+            ("entity_id", pa.string()),
+            ("first_us", pa.int64()),
+            ("last_us", pa.int64()),
+            ("n_assertions", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id", "ts"]))
+        both = pl.concat(
+            [
+                df.select(
+                    entity_id=pl.col("subj_id"),
+                    us=pl.col("ts").cast(pl.Int64),
+                ),
+                df.select(
+                    entity_id=pl.col("obj_id"),
+                    us=pl.col("ts").cast(pl.Int64),
+                ),
+            ]
+        )
+        return (
+            both.group_by("entity_id")
+            .agg(
+                pl.col("us").min().alias("first_us"),
+                pl.col("us").max().alias("last_us"),
+                pl.len().cast(pl.Int64).alias("n_assertions"),
+            )
+            .select(["entity_id", "first_us", "last_us", "n_assertions"])
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("entity_id")
+            .agg(
+                pl.col("first_us").min(),
+                pl.col("last_us").max(),
+                pl.col("n_assertions").sum(),
+            )
+            .select(["entity_id", "first_us", "last_us", "n_assertions"])
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    rewritten = kg.stage(sf_dir, "rewritten")
+    return bucket_group_apply(
+        rewritten.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "entity_id",
+        _merge,
+    )
+
+
 def _q_kg_volatility(sf_dir: str):
     """Predicate churn over the SCD-2 timeline: intervals, closures and
     total closed lifetime in exact integer µs per predicate —
@@ -2539,6 +2613,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_richclub": _q_kg_richclub,
         "kg_triadic_closure": _q_kg_triadic_closure,
         "kg_reciprocity_lag": _q_kg_reciprocity_lag,
+        "kg_entity_lifetimes": _q_kg_entity_lifetimes,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -6372,6 +6447,43 @@ def oracle_sql() -> dict[str, str]:
               ON s1.subj_id = s2.subj_id AND s1.pred = s2.pred
             WHERE obj_before IS NULL OR obj_after IS NULL
                OR obj_before <> obj_after
+        """,
+        # per-entity activity window (subject OR object role) over the
+        # rewritten stream (__ray_entry__ _q_kg_entity_lifetimes)
+        "kg_entity_lifetimes": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            roles AS (
+                SELECT subj_id AS entity_id, epoch_us(ts) AS us FROM rt
+                UNION ALL
+                SELECT obj_id, epoch_us(ts) FROM rt
+            )
+            SELECT entity_id,
+                   CAST(min(us) AS BIGINT) AS first_us,
+                   CAST(max(us) AS BIGINT) AS last_us,
+                   CAST(count(*) AS BIGINT) AS n_assertions
+            FROM roles GROUP BY 1
         """,
         # reciprocal-assertion lag over mutually-asserted pairs
         # (graph.py reciprocity_lag)
