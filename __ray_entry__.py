@@ -1469,6 +1469,65 @@ def _q_kg_entity_lifetimes(sf_dir: str):
     )
 
 
+def _q_kg_belief_curve(sf_dir: str):
+    """KG size over time: believed-assertion count at 8 evenly spaced
+    cutoffs (integer-µs arithmetic) — one pass over the SCD-2 timeline,
+    each interval vectorized against all 8 cutoffs, per-block partial
+    counts folded on the driver (8 ints per block)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        _ts_minmax_us,
+        validity_intervals,
+    )
+
+    rewritten = kg.stage(sf_dir, "rewritten")
+    lo, hi = _ts_minmax_us(rewritten)
+    cuts = [lo + k * (hi - lo) // 8 for k in range(1, 9)]
+    iv = validity_intervals(rewritten)
+
+    def _counts(t: pa.Table) -> pa.Table:
+        vf = t["valid_from"].cast(pa.int64()).to_numpy(zero_copy_only=False)
+        vt_arr = t["valid_to"].cast(pa.int64())
+        vt = vt_arr.to_numpy(zero_copy_only=False)
+        open_ = np.asarray(pa.compute.is_null(vt_arr).to_numpy(
+            zero_copy_only=False
+        ))
+        ns = []
+        for at in cuts:
+            cov = (vf <= at) & (open_ | (np.nan_to_num(vt, nan=0) > at))
+            ns.append(int(cov.sum()))
+        return pa.table(
+            {
+                "k": pa.array(list(range(1, 9)), pa.int64()),
+                "n": pa.array(ns, pa.int64()),
+            }
+        )
+
+    parts = iv.map_batches(
+        _counts, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # 8 rows per block — tiny by construction
+    agg = {}
+    for r in parts:
+        agg[r["k"]] = agg.get(r["k"], 0) + r["n"]
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "k": pa.array(sorted(agg), pa.int64()),
+                "at_us": pa.array(
+                    [cuts[k - 1] for k in sorted(agg)], pa.int64()
+                ),
+                "n_believed": pa.array(
+                    [agg[k] for k in sorted(agg)], pa.int64()
+                ),
+            }
+        )
+    )
+
+
 def _q_kg_volatility(sf_dir: str):
     """Predicate churn over the SCD-2 timeline: intervals, closures and
     total closed lifetime in exact integer µs per predicate —
@@ -2614,6 +2673,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_triadic_closure": _q_kg_triadic_closure,
         "kg_reciprocity_lag": _q_kg_reciprocity_lag,
         "kg_entity_lifetimes": _q_kg_entity_lifetimes,
+        "kg_belief_curve": _q_kg_belief_curve,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -6447,6 +6507,70 @@ def oracle_sql() -> dict[str, str]:
               ON s1.subj_id = s2.subj_id AND s1.pred = s2.pred
             WHERE obj_before IS NULL OR obj_after IS NULL
                OR obj_before <> obj_after
+        """,
+        # believed-assertion count at 8 evenly spaced cutoffs over the
+        # SCD-2 timeline (__ray_entry__ _q_kg_belief_curve)
+        "kg_belief_curve": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, t.pred,
+                       o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            d AS (
+                SELECT subj_id, pred, ts, min(obj_id) AS obj_id
+                FROM rt GROUP BY 1, 2, 3
+            ),
+            c AS (
+                SELECT *, lag(obj_id) OVER (
+                    PARTITION BY subj_id, pred ORDER BY ts
+                ) AS prev FROM d
+            ),
+            kk AS (
+                SELECT subj_id, pred, obj_id, ts AS valid_from
+                FROM c WHERE prev IS NULL OR obj_id <> prev
+            ),
+            iv AS (
+                SELECT subj_id, pred, valid_from,
+                       lead(valid_from) OVER (
+                           PARTITION BY subj_id, pred ORDER BY valid_from
+                       ) AS valid_to
+                FROM kk
+            ),
+            bounds AS (
+                SELECT epoch_us(min(ts)) AS lo, epoch_us(max(ts)) AS hi
+                FROM rt
+            ),
+            cuts AS (
+                SELECT k, lo + k * (hi - lo) // 8 AS at_us
+                FROM bounds, unnest(range(1, 9)) AS t(k)
+            )
+            SELECT c2.k, c2.at_us,
+                   CAST(count(iv.valid_from) AS BIGINT) AS n_believed
+            FROM cuts c2
+            LEFT JOIN iv
+              ON epoch_us(iv.valid_from) <= c2.at_us
+             AND (iv.valid_to IS NULL
+                  OR epoch_us(iv.valid_to) > c2.at_us)
+            GROUP BY 1, 2
         """,
         # per-entity activity window (subject OR object role) over the
         # rewritten stream (__ray_entry__ _q_kg_entity_lifetimes)
