@@ -994,6 +994,129 @@ def _q_kg_components(sf_dir: str):
     )
 
 
+def _q_kg_component_sizes(sf_dir: str):
+    """Component-size histogram (size → n_components) over the
+    undirected KG — the fragmentation diagnostic: one giant component
+    plus dust is healthy, many mid-size islands means linking is
+    under-merging. Two tiny count shuffles over the CC labels."""
+    import polars as pl
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+
+    labels = _q_kg_components(sf_dir)
+    SIZE = pa.schema([("component", pa.string()), ("n", pa.int64())])
+    OUT = pa.schema([("size", pa.int64()), ("n_components", pa.int64())])
+
+    def _sz_partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["component"]))
+            .group_by("component")
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .to_arrow()
+            .cast(SIZE)
+        )
+
+    def _sz_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return SIZE.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("component")
+            .agg(pl.col("n").sum())
+            .to_arrow()
+            .cast(SIZE)
+        )
+
+    def _hist(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("n")
+            .agg(pl.len().cast(pl.Int64).alias("n_components"))
+            .rename({"n": "size"})
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    def _hist_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("size")
+            .agg(pl.col("n_components").sum())
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    sizes = bucket_group_apply(
+        labels.map_batches(
+            _sz_partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "component",
+        _sz_merge,
+    )
+    return bucket_group_apply(
+        sizes.map_batches(
+            _hist, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "size",
+        _hist_merge,
+        num_buckets=4,
+    )
+
+
+def _q_kg_hop_hist(sf_dir: str):
+    """Hop-distance histogram from the deterministic BFS seed (dist →
+    n_nodes) — the reachability profile; derivative of kg_bfs."""
+    import polars as pl
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        bfs_distances,
+    )
+
+    OUT = pa.schema([("dist", pa.int64()), ("n_nodes", pa.int64())])
+
+    def _hist(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t.select(["dist"]))
+            .group_by("dist")
+            .agg(pl.len().cast(pl.Int64).alias("n_nodes"))
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("dist")
+            .agg(pl.col("n_nodes").sum())
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    d = bfs_distances(kg.stage(sf_dir, "edges"), max_hops=6)
+    return bucket_group_apply(
+        d.map_batches(_hist, batch_format="pyarrow", zero_copy_batch=True),
+        "dist",
+        _merge,
+        num_buckets=4,
+    )
+
+
 def _q_kg_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED KG (node → scc_id =
     lexicographic min entity id among mutually-reachable nodes) — the
@@ -2674,6 +2797,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_reciprocity_lag": _q_kg_reciprocity_lag,
         "kg_entity_lifetimes": _q_kg_entity_lifetimes,
         "kg_belief_curve": _q_kg_belief_curve,
+        "kg_component_sizes": _q_kg_component_sizes,
+        "kg_hop_hist": _q_kg_hop_hist,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -4210,6 +4335,95 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        # component-size count-of-counts over the same CC oracle
+        # (__ray_entry__ _q_kg_component_sizes)
+        "kg_component_sizes": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS src, o.entity_id AS dst
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT src, dst FROM edges
+                UNION SELECT dst, src FROM edges
+            ),
+            reach(node, lbl) AS (
+                SELECT src, src FROM sym
+                UNION
+                SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
+            ),
+            comp AS (
+                SELECT node, min(lbl) AS component FROM reach GROUP BY node
+            ),
+            sz AS (
+                SELECT component, CAST(count(*) AS BIGINT) AS n
+                FROM comp GROUP BY 1
+            )
+            SELECT n AS size, CAST(count(*) AS BIGINT) AS n_components
+            FROM sz GROUP BY 1
+        """,
+        # hop-distance count-of-counts over the same BFS oracle
+        # (__ray_entry__ _q_kg_hop_hist)
+        "kg_hop_hist": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS src, o.entity_id AS dst
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT src, dst FROM edges
+                UNION SELECT dst, src FROM edges
+            ),
+            reach(node, d) AS (
+                SELECT (SELECT min(src) FROM sym), 0
+                UNION
+                SELECT s.dst, r.d + 1
+                FROM reach r JOIN sym s ON s.src = r.node
+                WHERE r.d < 6
+            ),
+            dists AS (
+                SELECT node, CAST(min(d) AS BIGINT) AS dist
+                FROM reach GROUP BY node
+            )
+            SELECT dist, CAST(count(*) AS BIGINT) AS n_nodes
+            FROM dists GROUP BY 1
         """,
         # SCC: directed transitive closure, mutual pairs, min label —
         # exact at oracle scale (~400 linked entities); engine side is
