@@ -1117,6 +1117,67 @@ def _q_kg_hop_hist(sf_dir: str):
     )
 
 
+def _q_kg_rpq_typed(sf_dir: str):
+    """Typed property path (SPARQL `?s a :T1 . ?s p1/p2* ?o . ?o a :T2`
+    shape): the kg_rpq pair set annotated with endpoint entity types
+    and restricted to the lexicographic-min OBSERVED source and
+    destination types — parameter-free and non-empty by construction.
+    regular_path_pairs + two type-fetch joins (join_auto: broadcast
+    under the guard) + a tiny min reduction for the type pick."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    from joint_entity_and_relation_extraction_ray.functions.joins import (
+        join_auto,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        regular_path_pairs,
+    )
+
+    nodes = kg.stage(sf_dir, "nodes").select_columns(
+        ["entity_id", "ent_type"]
+    ).materialize()
+
+    pairs = regular_path_pairs(kg.stage(sf_dir, "edges"), max_star_hops=3)
+    st = nodes.map_batches(
+        lambda t: pa.table({"src": t["entity_id"], "st": t["ent_type"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    dt = nodes.map_batches(
+        lambda t: pa.table({"dst": t["entity_id"], "dt": t["ent_type"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    typed = join_auto(
+        join_auto(pairs, st, on=("src",)), dt, on=("dst",)
+    ).materialize()
+
+    mins = typed.map_batches(
+        lambda t: pa.table(
+            {
+                "lo_s": pa.array([_pc.min(t["st"]).as_py()], pa.string()),
+                "lo_d": pa.array([_pc.min(t["dt"]).as_py()], pa.string()),
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # one row per block — tiny by construction
+    want_s = min(r["lo_s"] for r in mins if r["lo_s"] is not None)
+    want_d = min(r["lo_d"] for r in mins if r["lo_d"] is not None)
+
+    return typed.map_batches(
+        lambda t: t.filter(
+            _pc.and_(
+                _pc.equal(t["st"], want_s), _pc.equal(t["dt"], want_d)
+            )
+        ).select(["src", "dst", "hops"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _q_kg_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED KG (node → scc_id =
     lexicographic min entity id among mutually-reachable nodes) — the
@@ -2799,6 +2860,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_belief_curve": _q_kg_belief_curve,
         "kg_component_sizes": _q_kg_component_sizes,
         "kg_hop_hist": _q_kg_hop_hist,
+        "kg_rpq_typed": _q_kg_rpq_typed,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -4335,6 +4397,61 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        # typed property path: rpq pairs with min/max-typed endpoints
+        # (__ray_entry__ _q_kg_rpq_typed)
+        "kg_rpq_typed": f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id, m.ent_type
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e2 AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS subj_id, t.pred,
+                                o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            types AS MATERIALIZED (
+                SELECT entity_id, min(ent_type) AS ent_type
+                FROM lm GROUP BY 1
+            ),
+            p AS MATERIALIZED (
+                SELECT min(pred) AS p1, max(pred) AS p2 FROM e2
+            ),
+            walk(src, dst, hops) AS (
+                SELECT subj_id, obj_id, 1 FROM e2 JOIN p ON e2.pred = p.p1
+                UNION ALL
+                SELECT w.src, e.obj_id, w.hops + 1
+                FROM walk w
+                JOIN e2 e ON e.subj_id = w.dst
+                JOIN p ON e.pred = p.p2
+                WHERE w.hops < 4
+            ),
+            mp AS MATERIALIZED (
+                SELECT w.src, w.dst, min(w.hops) AS hops,
+                       min(ts.ent_type) AS st, min(td.ent_type) AS dt
+                FROM walk w
+                JOIN types ts ON ts.entity_id = w.src
+                JOIN types td ON td.entity_id = w.dst
+                GROUP BY 1, 2
+            ),
+            tb AS (SELECT min(st) AS lo_s, min(dt) AS lo_d FROM mp)
+            SELECT src, dst, CAST(hops AS BIGINT) AS hops
+            FROM mp JOIN tb ON mp.st = tb.lo_s AND mp.dt = tb.lo_d
         """,
         # component-size count-of-counts over the same CC oracle
         # (__ray_entry__ _q_kg_component_sizes)
