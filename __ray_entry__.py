@@ -1178,6 +1178,27 @@ def _q_kg_rpq_typed(sf_dir: str):
     )
 
 
+def _q_kg_closure_quantiles(sf_dir: str):
+    """Exact quartiles of triangle closure time: the composable
+    `graph.triangle_close_stream` feeding the distributed exact
+    discrete-quantile operator (`relational.value_quantiles` — the
+    quantile_disc contract) — raw closure values never leave their
+    blocks, only the (value, count) histogram shuffles."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        triangle_close_stream,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        value_quantiles,
+    )
+
+    return value_quantiles(
+        triangle_close_stream(kg.stage(sf_dir, "edges")),
+        "close_us",
+        [0.25, 0.5, 0.75],
+    )
+
+
 def _q_kg_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED KG (node → scc_id =
     lexicographic min entity id among mutually-reachable nodes) — the
@@ -2861,6 +2882,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_component_sizes": _q_kg_component_sizes,
         "kg_hop_hist": _q_kg_hop_hist,
         "kg_rpq_typed": _q_kg_rpq_typed,
+        "kg_closure_quantiles": _q_kg_closure_quantiles,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -4397,6 +4419,56 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        # exact quartiles of triangle closure time (quantile_disc over
+        # the same tri CTE as kg_triadic_closure)
+        "kg_closure_quantiles": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT least(subj_id, obj_id) AS a,
+                       greatest(subj_id, obj_id) AS b,
+                       min(epoch_us(ts)) AS ts
+                FROM rt WHERE subj_id <> obj_id
+                GROUP BY 1, 2
+            ),
+            tri AS MATERIALIZED (
+                SELECT greatest(e1.ts, e2.ts, e3.ts)
+                         - least(e1.ts, e2.ts, e3.ts) AS close_us
+                FROM und e1
+                JOIN und e2 ON e2.a = e1.b
+                JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
+            )
+            SELECT 0.25 AS q,
+                   CAST(quantile_disc(close_us, 0.25) AS BIGINT) AS value
+            FROM tri
+            UNION ALL
+            SELECT 0.5, CAST(quantile_disc(close_us, 0.5) AS BIGINT)
+            FROM tri
+            UNION ALL
+            SELECT 0.75, CAST(quantile_disc(close_us, 0.75) AS BIGINT)
+            FROM tri
         """,
         # typed property path: rpq pairs with min/max-typed endpoints
         # (__ray_entry__ _q_kg_rpq_typed)

@@ -5670,7 +5670,22 @@ def rich_club_edges(
     )
 
 
-def triadic_closure_times(
+def triangle_close_stream(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-triangle closure times as a STREAM — rows ``(close_us)``,
+    one per triangle (max − min of the three edges' first-assertion µs).
+    The enumeration core of :func:`triadic_closure_times`, exposed so
+    downstream exact aggregates (quantiles, histograms) can compose
+    with it without re-walking the wedge pipeline."""
+    return _triadic_closed(edges, num_buckets=num_buckets).map_batches(
+        lambda t: t.select(["close_us"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
+def _triadic_closed(
     edges: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:
     """Temporal-motif report: exact triangle count plus how long
@@ -5841,6 +5856,29 @@ def triadic_closure_times(
         on=("key",),
     )
 
+    def _close(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return pa.schema([("close_us", pa.int64())]).empty_table()
+        df = pl.from_arrow(t.select(["t1", "t2", "t3"])).select(
+            close_us=pl.max_horizontal("t1", "t2", "t3")
+            - pl.min_horizontal("t1", "t2", "t3")
+        )
+        return df.to_arrow().cast(pa.schema([("close_us", pa.int64())]))
+
+    return closed.map_batches(
+        _close, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+def triadic_closure_times(
+    edges: ray.data.Dataset, *, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Temporal-motif report: exact triangle count plus closure-time
+    sum/max in integer µs — one row ``(n_triangles, sum_close_us,
+    max_close_us)`` folded from per-block partials over
+    :func:`triangle_close_stream` (see there for the enumeration)."""
+    closed = _triadic_closed(edges, num_buckets=num_buckets)
+
     def _agg(t: pa.Table) -> pa.Table:
         if not t.num_rows:
             return pa.table(
@@ -5850,15 +5888,12 @@ def triadic_closure_times(
                     "m": pa.array([0], pa.int64()),
                 }
             )
-        df = pl.from_arrow(t.select(["t1", "t2", "t3"])).with_columns(
-            close=pl.max_horizontal("t1", "t2", "t3")
-            - pl.min_horizontal("t1", "t2", "t3")
-        )
+        c = t["close_us"]
         return pa.table(
             {
-                "n": pa.array([df.height], pa.int64()),
-                "s": pa.array([int(df["close"].sum())], pa.int64()),
-                "m": pa.array([int(df["close"].max())], pa.int64()),
+                "n": pa.array([t.num_rows], pa.int64()),
+                "s": pa.array([pc.sum(c).as_py() or 0], pa.int64()),
+                "m": pa.array([pc.max(c).as_py() or 0], pa.int64()),
             }
         )
 
