@@ -1199,6 +1199,36 @@ def _q_kg_closure_quantiles(sf_dir: str):
     )
 
 
+def _q_kg_pred_anomalies(sf_dir: str):
+    """Assertion-volume anomaly days per predicate: the exact-integer
+    2σ inequality from q_event_anomalies re-instantiated on the
+    rewritten KG stream by projection (corpus_ops.daily_anomalies_over
+    with pred as the key)."""
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.pipelines.corpus_ops import (
+        daily_anomalies_over,
+    )
+
+    proj = kg.stage(sf_dir, "rewritten").map_batches(
+        lambda t: pa.table({"event_type": t["pred"], "ts": t["ts"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    return daily_anomalies_over(proj).map_batches(
+        lambda t: pa.table(
+            {
+                "pred": t["event_type"],
+                "day": t["day"],
+                "n_assertions": t["n_events"],
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+
 def _q_kg_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED KG (node → scc_id =
     lexicographic min entity id among mutually-reachable nodes) — the
@@ -2883,6 +2913,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_hop_hist": _q_kg_hop_hist,
         "kg_rpq_typed": _q_kg_rpq_typed,
         "kg_closure_quantiles": _q_kg_closure_quantiles,
+        "kg_pred_anomalies": _q_kg_pred_anomalies,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -4419,6 +4450,47 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        # per-pred >2-sigma assertion days: exact-integer inequality over
+        # the rewritten stream (corpus_ops.daily_anomalies_over reuse)
+        "kg_pred_anomalies": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            rt AS MATERIALIZED (
+                SELECT t.pred, t.ts
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            dd AS (
+                SELECT pred, CAST(ts AS DATE) AS day,
+                       CAST(count(*) AS BIGINT) AS n
+                FROM rt GROUP BY 1, 2
+            ),
+            st AS (
+                SELECT pred, CAST(count(*) AS BIGINT) AS d,
+                       sum(n) AS s, sum(n * n) AS q
+                FROM dd GROUP BY 1
+            )
+            SELECT dd.pred, dd.day, dd.n AS n_assertions
+            FROM dd JOIN st USING (pred)
+            WHERE (st.d * dd.n - st.s) * (st.d * dd.n - st.s)
+                  > 4 * (st.d * st.q - st.s * st.s)
         """,
         # exact quartiles of triangle closure time (quantile_disc over
         # the same tri CTE as kg_triadic_closure)

@@ -429,10 +429,20 @@ def q_event_anomalies(sf_dir: str) -> ray.data.Dataset:
     One shuffle of tiny (type, day, n) per-block partials; each type's
     days land in one bucket, so the merge computes D/S/Q AND applies the
     filter in the same vectorized pass — raw events never shuffle."""
+    from ..stages import events
+
+    ev = events.read_events(sf_dir, ["event_type", "ts"])
+    return daily_anomalies_over(ev)
+
+
+def daily_anomalies_over(ds: ray.data.Dataset) -> ray.data.Dataset:
+    """The reusable core of q_event_anomalies: input columns
+    (event_type, ts) → per-type >2σ days via the exact-integer
+    (D·x − S)² > 4(DQ − S²) inequality. Re-instantiated on the KG
+    assertion stream (kg_pred_anomalies) by projection alone."""
     import polars as pl
 
     from ..functions.shuffle import bucket_group_apply
-    from ..stages import events
 
     part_schema = pa.schema(
         [
@@ -492,8 +502,7 @@ def q_event_anomalies(sf_dir: str) -> ray.data.Dataset:
             .cast(out_schema)
         )
 
-    ev = events.read_events(sf_dir, ["event_type", "ts"])
-    partials = ev.map_batches(
+    partials = ds.map_batches(
         _partial, batch_format="pyarrow", zero_copy_batch=True
     )
     return bucket_group_apply(
