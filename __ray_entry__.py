@@ -1229,6 +1229,78 @@ def _q_kg_pred_anomalies(sf_dir: str):
     )
 
 
+def _q_conv_first_assertion(sf_dir: str):
+    """Latency-to-signal per conversation: microseconds from the
+    conversation's first turn to its first extracted triple (convs
+    without triples excluded) — two decomposable min combiners meeting
+    in one conv-bucketed merge."""
+    import polars as pl
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+
+    PART = pa.schema(
+        [
+            ("conv_id", pa.string()),
+            ("kind", pa.int32()),  # 0 = turn, 1 = triple
+            ("us", pa.int64()),
+        ]
+    )
+
+    def _mins(kind: int):
+        def _f(t: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(t.select(["conv_id", "ts"]))
+                .group_by("conv_id")
+                .agg(pl.col("ts").cast(pl.Int64).min().alias("us"))
+                .with_columns(kind=pl.lit(kind, dtype=pl.Int32))
+                .select(["conv_id", "kind", "us"])
+                .to_arrow()
+                .cast(PART)
+            )
+
+        return _f
+
+    corpus = kg.corpus_for_sf_dir(sf_dir)
+    t0 = read_transcripts(str(corpus / "transcripts")).map_batches(
+        _mins(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    tr = kg.triples_of(kg.extract_for_sf_dir(sf_dir)).map_batches(
+        _mins(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    OUT = pa.schema([("conv_id", pa.string()), ("latency_us", pa.int64())])
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .group_by(["conv_id", "kind"])
+            .agg(pl.col("us").min())
+            .pivot(on="kind", index="conv_id", values="us")
+        )
+        cols = df.columns
+        if "1" not in cols:
+            return OUT.empty_table()
+        out = (
+            df.filter(pl.col("1").is_not_null())
+            .select(
+                pl.col("conv_id"),
+                (pl.col("1") - pl.col("0")).alias("latency_us"),
+            )
+        )
+        return out.to_arrow().cast(OUT)
+
+    return bucket_group_apply(t0.union(tr), "conv_id", _merge)
+
+
 def _q_kg_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED KG (node → scc_id =
     lexicographic min entity id among mutually-reachable nodes) — the
@@ -2914,6 +2986,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_rpq_typed": _q_kg_rpq_typed,
         "kg_closure_quantiles": _q_kg_closure_quantiles,
         "kg_pred_anomalies": _q_kg_pred_anomalies,
+        "conv_first_assertion": _q_conv_first_assertion,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -4450,6 +4523,23 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        # latency from first turn to first extracted triple per conv
+        # (__ray_entry__ _q_conv_first_assertion)
+        "conv_first_assertion": f"""
+            WITH ft AS (
+                SELECT conv_id, min(epoch_us(ts)) AS t0
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                GROUP BY 1
+            ),
+            fa AS (
+                SELECT conv_id, min(epoch_us(ts)) AS t1
+                FROM read_parquet('{g}/golden_triples/*.parquet')
+                GROUP BY 1
+            )
+            SELECT ft.conv_id,
+                   CAST(fa.t1 - ft.t0 AS BIGINT) AS latency_us
+            FROM ft JOIN fa USING (conv_id)
         """,
         # per-pred >2-sigma assertion days: exact-integer inequality over
         # the rewritten stream (corpus_ops.daily_anomalies_over reuse)
