@@ -2987,6 +2987,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_closure_quantiles": _q_kg_closure_quantiles,
         "kg_pred_anomalies": _q_kg_pred_anomalies,
         "conv_first_assertion": _q_conv_first_assertion,
+        "decontaminate_bloom": co.q_decontaminate_bloom,  # rows-only (bloom FP over-flags)
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,

@@ -4650,3 +4650,30 @@ def q_dedup_blocking_stats(sf_dir: str) -> ray.data.Dataset:
     return dedup.minhash_blocking_stats(
         read_documents(sf_dir), threshold=JACCARD_THRESHOLD
     )
+
+
+def q_decontaminate_bloom(sf_dir: str) -> ray.data.Dataset:
+    """Unguarded Bloom-filter decontamination over the same
+    benchmark/corpus split as q_decontaminate — rows-only (FP can
+    over-flag; the superset contract vs the exact scan is
+    pytest-pinned). See `stages/curation.decontaminate_bloom`."""
+    from ..stages.curation import decontaminate_bloom
+
+    def _mod_filter(is_bench: bool):
+        def _f(t: pa.Table) -> pa.Table:
+            import numpy as np
+
+            rem = t["doc_id"].to_numpy(zero_copy_only=False) % BENCH_MODULUS
+            keep = rem == 0 if is_bench else rem != 0
+            return t.filter(pa.array(keep))
+
+        return _f
+
+    docs = read_documents(sf_dir)
+    bench = docs.map_batches(
+        _mod_filter(True), batch_format="pyarrow", zero_copy_batch=True
+    )
+    corpus = docs.map_batches(
+        _mod_filter(False), batch_format="pyarrow", zero_copy_batch=True
+    )
+    return decontaminate_bloom(corpus, bench, n=DECONTAM_NGRAM)

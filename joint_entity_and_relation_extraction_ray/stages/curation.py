@@ -1465,3 +1465,134 @@ def bpe_encode(
         zero_copy_batch=True,
         concurrency=concurrency or default_pool_size(),
     )
+
+
+# ---------------------------------------------------------------------------
+# bloom-filter decontamination (the no-guard scale path)
+# ---------------------------------------------------------------------------
+
+
+def _bloom_bits_ref(
+    bench: ray.data.Dataset, n: int, *, bits_per_gram: int = 16
+):
+    """Bloom filter of the benchmark's word-n-gram set, built
+    distributed: each block folds its grams into an m-bit partial
+    (m sized from a cheap distinct-count pre-pass), partials OR-merge
+    on the driver (m/8 bytes each), one `ray.put` broadcasts the final
+    bits. Unlike `_gram_set_ref` there is NO size guard: at 16
+    bits/gram a 10⁹-gram benchmark side is a 2 GB filter where the
+    string set would be ~50 GB of Python objects — and the filter never
+    leaves plasma."""
+    import numpy as np
+
+    from ..sources.zonemap import _bloom_positions
+
+    # distinct-gram estimate: per-block distinct counts (upper bound)
+    cnt_rows = bench.map_batches(
+        lambda t: pa.table(
+            {
+                "n": pa.array(
+                    [
+                        len(
+                            {
+                                s
+                                for x in t["text"].to_pylist()
+                                for s in textstats.word_shingles(x, n)
+                            }
+                        )
+                    ],
+                    pa.int64(),
+                )
+            }
+        ),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).take_all()  # one row per block — tiny by construction
+    n_est = max(1, sum(r["n"] for r in cnt_rows))
+    m = max(64, ((n_est * bits_per_gram + 63) // 64) * 64)
+
+    def _fold(t: pa.Table) -> pa.Table:
+        grams = sorted(
+            {s for x in t["text"].to_pylist() for s in textstats.word_shingles(x, n)}
+        )
+        bits = np.zeros(m // 8, dtype=np.uint8)
+        if grams:
+            pos = _bloom_positions(grams, m).ravel()
+            np.bitwise_or.at(bits, pos >> 3, 1 << (pos & 7).astype(np.uint8))
+        return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
+
+    merged = np.zeros(m // 8, dtype=np.uint8)
+    for b in bench.map_batches(
+        _fold, batch_format="pyarrow", zero_copy_batch=True
+    ).iter_batches(batch_format="pyarrow"):
+        for chunk in b["bits"].to_pylist():
+            merged |= np.frombuffer(chunk, dtype=np.uint8)
+    return ray.put((merged, m))
+
+
+class _BloomContaminationScan:
+    """Actor-pool Bloom membership scan: bits fetched once per actor;
+    each doc's grams probe the filter vectorized. False positives can
+    only OVER-flag (safe for decontamination — a flagged-clean doc is
+    dropped needlessly at ~2⁻ᵏ rate); misses are impossible."""
+
+    def __init__(self, bloom_ref, n: int):
+        import numpy as np  # noqa: F401 (actor env)
+
+        self._bits, self._m = ray.get(bloom_ref)
+        self._n = n
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        import numpy as np
+
+        from ..sources.zonemap import _bloom_positions
+
+        ids = t["doc_id"].to_pylist()
+        texts = t["text"].to_pylist()
+        out_id: list[int] = []
+        out_hits: list[int] = []
+        bits, m = self._bits, self._m
+        for i, x in zip(ids, texts):
+            grams = sorted(set(textstats.word_shingles(x, self._n)))
+            if not grams:
+                continue
+            pos = _bloom_positions(grams, m)  # (g, k)
+            hit = np.all(
+                bits[pos >> 3] & (1 << (pos & 7).astype(np.uint8)) != 0,
+                axis=1,
+            )
+            hits = int(hit.sum())
+            if hits:
+                out_id.append(i)
+                out_hits.append(hits)
+        return pa.table(
+            {
+                "doc_id": pa.array(out_id, pa.int64()),
+                "n_hit_grams": pa.array(out_hits, pa.int64()),
+            }
+        )
+
+
+def decontaminate_bloom(
+    docs: ray.data.Dataset,
+    bench: ray.data.Dataset,
+    *,
+    n: int = 8,
+    bits_per_gram: int = 16,
+    concurrency: int | None = None,
+) -> ray.data.Dataset:
+    """`decontaminate`'s unguarded scale path: the benchmark gram set
+    becomes a Bloom filter (built distributed, OR-merged, broadcast
+    once), so benchmark sides far beyond MAX_BENCH_GRAMS fit in plasma.
+    Output is a SUPERSET of the exact scan's (false positives over-flag
+    at ~0.05% per gram at 16 bits/gram; never under-flag) — rows-only
+    by construction, with the superset + FP-rate contract pinned in
+    pytest against the exact operator."""
+    ref = _bloom_bits_ref(bench, n, bits_per_gram=bits_per_gram)
+    return docs.map_batches(
+        _BloomContaminationScan,
+        fn_constructor_kwargs={"bloom_ref": ref, "n": n},
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+        concurrency=concurrency or default_pool_size(),
+    )

@@ -516,3 +516,49 @@ def test_bpe_encode_counts(ray_session):
     }
     # "ab" → ["ab</w>"] = 1; "xy" → x,y,</w> = 3; "zz" → z,z,</w> = 3
     assert out == {0: 2, 1: 4, 2: 3}
+
+
+def test_decontaminate_bloom_superset_of_exact(ray_session, tmp_path):
+    """Bloom decontamination: every doc the exact scan flags is flagged
+    by the bloom scan with AT LEAST the same hit count (no false
+    negatives by construction); on a small corpus the outputs are
+    identical (FP ~0.05% per gram)."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.curation import (
+        decontaminate,
+        decontaminate_bloom,
+    )
+
+    bench_text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array([1, 2, 3], pa.int64()),
+                "text": [
+                    bench_text + " extra tail words here",  # contaminated
+                    "totally unrelated clean document text with many words",
+                    "alpha beta gamma delta epsilon zeta eta theta done",
+                ],
+            }
+        )
+    )
+    bench = ray.data.from_arrow(
+        pa.table({"doc_id": pa.array([100], pa.int64()), "text": [bench_text]})
+    )
+    exact = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in decontaminate(docs, bench, n=8, concurrency=2).take_all()
+    }
+    bloom = {
+        r["doc_id"]: r["n_hit_grams"]
+        for r in decontaminate_bloom(
+            docs, bench, n=8, concurrency=2
+        ).take_all()
+    }
+    assert set(exact) <= set(bloom)
+    for k, v in exact.items():
+        assert bloom[k] >= v
+    assert exact == bloom  # no FP expected at this scale
+    assert 1 in exact and 2 not in exact
