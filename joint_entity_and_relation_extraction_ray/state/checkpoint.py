@@ -679,3 +679,109 @@ def compact_partitioned(
     (base / "_last_compact.json").write_text(json.dumps(manifest))
     return {k: manifest[k] for k in
             ("parts_compacted", "files_before", "files_after", "rows")}
+
+
+def write_sorted(
+    ds: "ray.data.Dataset",
+    col: str,
+    out_dir: str | Path,
+    *,
+    tie_cols: list[str] | None = None,
+    num_files: int = 32,
+) -> dict:
+    """Globally-sorted parquet export (the TeraSort sink): range-
+    partition on ``col`` (numeric/timestamp), sort each range locally,
+    write one file per range named in range order — concatenating
+    ``sorted-00000..N`` reads back the GLOBAL sort without any merge,
+    and a `sources/zonemap.py` index over the output prunes any range
+    probe to one file. No single-reducer sort anywhere: boundaries come
+    from per-block quantile candidates (balance only, never
+    correctness — equal values always share a range), rows move once.
+
+    Writes ``_sorted_manifest.json`` with per-file (rows, lo, hi);
+    returns ``{"files": n, "rows": n}``. Ties within ``col`` are
+    ordered by ``tie_cols`` (optional — omit for nondeterministic tie
+    order within a file, the usual sink contract)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from ..functions.shuffle import _split_refs
+
+    out = Path(out_dir)
+    out.mkdir(parents=True, exist_ok=True)
+
+    def _cand(t: "pa.Table") -> "pa.Table":
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        if not len(v):
+            return pa.table({"c": pa.array([], pa.float64())})
+        qs = np.quantile(v, np.linspace(0.0, 1.0, 33))
+        return pa.table({"c": pa.array(qs, pa.float64())})
+
+    cand_rows = ds.select_columns([col]).map_batches(
+        _cand, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # O(blocks × 33) floats — tiny by construction
+    cand = np.sort(np.asarray([r["c"] for r in cand_rows], dtype=np.float64))
+    if len(cand):
+        idx = np.linspace(0, len(cand) - 1, num_files + 1)[1:-1]
+        bnd = np.unique(cand[idx.astype(np.int64)])
+    else:
+        bnd = np.empty(0, dtype=np.float64)
+    nb = len(bnd) + 1
+
+    # _split_refs treats a STRING key as a precomputed bucket column and
+    # uses it verbatim (a callable key gets HASHED — wrong for ranges)
+    def _stamp(t: "pa.Table") -> "pa.Table":
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_range",
+            pa.array(np.searchsorted(bnd, v, side="right"), pa.int64()),
+        )
+
+    stamped = ds.map_batches(
+        _stamp, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    per_block, schema = _split_refs(stamped, "_range", nb)
+
+    sort_by = [(col, "ascending")] + [
+        (c, "ascending") for c in (tie_cols or [])
+    ]
+
+    @ray.remote
+    def _write(b: int, *tables):
+        tt = [t for t in tables if t.num_rows]
+        if not tt:
+            return None
+        tbl = (
+            pa.concat_tables(tt, promote_options="default")
+            .drop_columns(["_range"])
+            .sort_by(sort_by)
+        )
+        path = out / f"sorted-{b:05d}.parquet"
+        pq.write_table(tbl, path)
+        c = tbl[col]
+        lo = c[0].as_py()
+        hi = c[-1].as_py()
+        return (b, tbl.num_rows, str(lo), str(hi))
+
+    infos = [
+        r
+        for r in ray.get(
+            [
+                _write.remote(b, *[pb[b] for pb in per_block])
+                for b in range(nb)
+            ]
+        )
+        if r is not None
+    ]
+    manifest = {
+        "op": "write_sorted",
+        "col": col,
+        "files": [
+            {"bucket": b, "rows": n, "lo": lo, "hi": hi}
+            for b, n, lo, hi in sorted(infos)
+        ],
+        "ts": time.time(),
+    }
+    (out / "_sorted_manifest.json").write_text(json.dumps(manifest))
+    return {"files": len(infos), "rows": sum(n for _, n, _, _ in infos)}

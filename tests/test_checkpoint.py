@@ -820,3 +820,61 @@ def test_upsert_invalidates_skipping_indexes(ray_session, tmp_path):
         num_parts=1,
     )
     assert not list(base.glob("_zonemap.*"))
+
+
+def test_write_sorted_global_order_and_zonemap_synergy(
+    ray_session, tmp_path
+):
+    """TeraSort sink: concatenating the output files in name order reads
+    back the exact global sort; per-file ranges are non-overlapping (a
+    value never straddles files); a zone map over the output prunes a
+    range probe to one file."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        build_zonemap,
+        prune_files,
+    )
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        write_sorted,
+    )
+
+    import random
+
+    rng = random.Random(7)
+    vals = [rng.randrange(0, 10_000) for _ in range(5_000)]
+    t = pa.table(
+        {
+            "v": pa.array(vals, pa.int64()),
+            "id": pa.array(list(range(len(vals))), pa.int64()),
+        }
+    )
+    ds = ray.data.from_arrow(
+        [t.slice(i, 500) for i in range(0, len(vals), 500)]
+    )
+    out = tmp_path / "sorted"
+    r = write_sorted(ds, "v", out, tie_cols=["id"], num_files=8)
+    assert r["rows"] == len(vals)
+    files = sorted(out.glob("sorted-*.parquet"))
+    assert 2 <= len(files) == r["files"]
+
+    seen = []
+    prev_hi = None
+    for f in files:
+        tf = pads.dataset(str(f)).to_table()
+        col = tf["v"].to_pylist()
+        assert col == sorted(col)  # sorted within file
+        if prev_hi is not None:
+            assert col[0] >= prev_hi  # ranges ordered across files
+        prev_hi = col[-1]
+        seen += col
+    assert seen == sorted(vals)  # concatenation IS the global sort
+
+    build_zonemap(out, "v")
+    probe = sorted(vals)[len(vals) // 2]
+    kept = prune_files(out, "v", lo=probe, hi=probe)
+    # a single value lives in exactly one file unless it sits on a
+    # boundary shared by adjacent ranges
+    assert 1 <= len(kept) <= 2 < len(files)
