@@ -1301,6 +1301,98 @@ def _q_conv_first_assertion(sf_dir: str):
     return bucket_group_apply(t0.union(tr), "conv_id", _merge)
 
 
+def _q_kg_dyad_census(sf_dir: str):
+    """Holland–Leinhardt dyad census of the directed KG: mutual,
+    asymmetric and null unordered pairs (null = all-pairs minus
+    connected) — one row of exact integers. One canonical-pair-bucketed
+    count shuffle + a distinct-node count; no pair enumeration for the
+    null term (it is arithmetic)."""
+    import polars as pl
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        distinct_keys,
+    )
+
+    edges = kg.stage(sf_dir, "edges").materialize()
+    SEP = "\x00"
+    PART = pa.schema([("key", pa.string()), ("fwd", pa.bool_())])
+
+    def _dirs(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        return (
+            df.filter(pl.col("subj_id") != pl.col("obj_id"))
+            .select(
+                key=pl.min_horizontal("subj_id", "obj_id")
+                + pl.lit(SEP)
+                + pl.max_horizontal("subj_id", "obj_id"),
+                fwd=pl.col("subj_id") < pl.col("obj_id"),
+            )
+            .unique()
+            .to_arrow()
+            .cast(PART)
+        )
+
+    CNT = pa.schema([("mutual", pa.int64()), ("asym", pa.int64())])
+
+    def _census(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return CNT.empty_table()
+        d = (
+            pl.from_arrow(t)
+            .unique()
+            .group_by("key")
+            .agg(pl.len().alias("nd"))
+        )
+        return pa.table(
+            {
+                "mutual": pa.array(
+                    [int((d["nd"] == 2).sum())], pa.int64()
+                ),
+                "asym": pa.array([int((d["nd"] == 1).sum())], pa.int64()),
+            }
+        )
+
+    parts = bucket_group_apply(
+        edges.map_batches(
+            _dirs, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "key",
+        _census,
+    ).take_all()  # ≤ num_buckets rows — tiny by construction
+    mutual = sum(r["mutual"] for r in parts)
+    asym = sum(r["asym"] for r in parts)
+
+    # distinct nodes over both endpoints for the null term
+    subj = edges.map_batches(
+        lambda t: pa.table({"node": t["subj_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    obj = edges.map_batches(
+        lambda t: pa.table({"node": t["obj_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+    n_nodes = distinct_keys(subj.union(obj), "node").count()
+    null = n_nodes * (n_nodes - 1) // 2 - mutual - asym
+    return ray.data.from_arrow(
+        pa.table(
+            {
+                "n_nodes": pa.array([n_nodes], pa.int64()),
+                "mutual": pa.array([mutual], pa.int64()),
+                "asym": pa.array([asym], pa.int64()),
+                "null_dyads": pa.array([null], pa.int64()),
+            }
+        )
+    )
+
+
 def _q_kg_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED KG (node → scc_id =
     lexicographic min entity id among mutually-reachable nodes) — the
@@ -2988,6 +3080,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_pred_anomalies": _q_kg_pred_anomalies,
         "conv_first_assertion": _q_conv_first_assertion,
         "decontaminate_bloom": co.q_decontaminate_bloom,  # rows-only (bloom FP over-flags)
+        "kg_dyad_census": _q_kg_dyad_census,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -4524,6 +4617,58 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        # dyad census: mutual / asymmetric / null unordered pairs
+        # (__ray_entry__ _q_kg_dyad_census)
+        "kg_dyad_census": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e2 AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS subj_id,
+                                o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            dy AS (
+                SELECT least(subj_id, obj_id) AS a,
+                       greatest(subj_id, obj_id) AS b,
+                       CAST(count(DISTINCT subj_id < obj_id) AS BIGINT)
+                           AS nd
+                FROM e2 WHERE subj_id <> obj_id
+                GROUP BY 1, 2
+            ),
+            nn AS (
+                SELECT CAST(count(*) AS BIGINT) AS n FROM (
+                    SELECT DISTINCT node FROM (
+                        SELECT subj_id AS node FROM e2
+                        UNION ALL SELECT obj_id FROM e2
+                    )
+                )
+            )
+            SELECT nn.n AS n_nodes,
+                   (SELECT CAST(count(*) AS BIGINT) FROM dy WHERE nd = 2)
+                       AS mutual,
+                   (SELECT CAST(count(*) AS BIGINT) FROM dy WHERE nd = 1)
+                       AS asym,
+                   nn.n * (nn.n - 1) // 2
+                     - (SELECT count(*) FROM dy) AS null_dyads
+            FROM nn
         """,
         # latency from first turn to first extracted triple per conv
         # (__ray_entry__ _q_conv_first_assertion)
