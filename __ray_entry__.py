@@ -1393,6 +1393,17 @@ def _q_kg_dyad_census(sf_dir: str):
     )
 
 
+def _q_kg_triad_census(sf_dir: str):
+    """Reduced directed-triad census (mutual-containing / cyclic /
+    transitive closed triangles) — `stages/graph.triad_census`."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        triad_census,
+    )
+
+    return triad_census(kg.stage(sf_dir, "edges"))
+
+
 def _q_kg_scc(sf_dir: str):
     """Strongly connected components of the DIRECTED KG (node → scc_id =
     lexicographic min entity id among mutually-reachable nodes) — the
@@ -3081,6 +3092,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "conv_first_assertion": _q_conv_first_assertion,
         "decontaminate_bloom": co.q_decontaminate_bloom,  # rows-only (bloom FP over-flags)
         "kg_dyad_census": _q_kg_dyad_census,
+        "kg_triad_census": _q_kg_triad_census,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -4617,6 +4629,70 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        # reduced triad census: mutual-containing / cyclic / transitive
+        # closed triangles (graph.py triad_census)
+        "kg_triad_census": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e2 AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS subj_id,
+                                o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            dy AS MATERIALIZED (
+                SELECT least(subj_id, obj_id) AS a,
+                       greatest(subj_id, obj_id) AS b,
+                       max(CASE WHEN subj_id < obj_id THEN 1 ELSE 0 END)
+                         + 2 * max(CASE WHEN subj_id > obj_id
+                                        THEN 1 ELSE 0 END) AS flag
+                FROM e2 WHERE subj_id <> obj_id
+                GROUP BY 1, 2
+            ),
+            tri AS MATERIALIZED (
+                SELECT d1.a AS x, d1.b AS y, d2.b AS z,
+                       d1.flag AS f1, d2.flag AS f2, d3.flag AS f3
+                FROM dy d1
+                JOIN dy d2 ON d2.a = d1.b
+                JOIN dy d3 ON d3.a = d1.a AND d3.b = d2.b
+            ),
+            cls AS (
+                SELECT f1, f2, f3,
+                       CASE WHEN f1 = 1 THEN y ELSE x END AS t1,
+                       CASE WHEN f2 = 1 THEN z ELSE y END AS t2,
+                       CASE WHEN f3 = 1 THEN z ELSE x END AS t3
+                FROM tri
+            )
+            SELECT CAST(count(*) AS BIGINT) AS n_triangles,
+                   CAST(count(*) FILTER (
+                       WHERE f1 = 3 OR f2 = 3 OR f3 = 3
+                   ) AS BIGINT) AS n_with_mutual,
+                   CAST(count(*) FILTER (
+                       WHERE f1 <> 3 AND f2 <> 3 AND f3 <> 3
+                         AND t1 <> t2 AND t1 <> t3 AND t2 <> t3
+                   ) AS BIGINT) AS n_cyclic,
+                   CAST(count(*) FILTER (
+                       WHERE f1 <> 3 AND f2 <> 3 AND f3 <> 3
+                         AND NOT (t1 <> t2 AND t1 <> t3 AND t2 <> t3)
+                   ) AS BIGINT) AS n_transitive
+            FROM cls
         """,
         # dyad census: mutual / asymmetric / null unordered pairs
         # (__ray_entry__ _q_kg_dyad_census)

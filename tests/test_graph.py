@@ -2464,3 +2464,41 @@ def test_reciprocity_lag_closed_form(ray_session):
     ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(edges), 2)])
     r = reciprocity_lag(ds, num_buckets=4).take_all()[0]
     assert (r["n_pairs"], r["sum_lag_us"], r["max_lag_us"]) == (2, 15, 15)
+
+
+def test_triad_census_closed_form(ray_session):
+    """Directed motif classes on hand triangles: one cyclic
+    (a→b→c→a), one transitive (x→y, y→z, x→z), one with a mutual dyad;
+    opposite directions split across blocks must still merge to a
+    mutual flag."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        triad_census,
+    )
+
+    edges = [
+        # cyclic triangle
+        ("a", "p", "b"), ("b", "p", "c"), ("c", "p", "a"),
+        # transitive triangle
+        ("x", "p", "y"), ("y", "p", "z"), ("x", "p", "z"),
+        # mutual-dyad triangle: m<->n (directions in DIFFERENT blocks), n->o, m->o
+        ("m", "p", "n"), ("o", "p", "m"),
+        ("n", "p", "m"), ("n", "p", "o"),
+    ]
+    t = pa.table(
+        {
+            "subj_id": [e[0] for e in edges],
+            "pred": [e[1] for e in edges],
+            "obj_id": [e[2] for e in edges],
+        }
+    )
+    ds = ray.data.from_arrow([t.slice(i, 2) for i in range(0, len(edges), 2)])
+    r = triad_census(ds, num_buckets=4).take_all()[0]
+    assert (
+        r["n_triangles"],
+        r["n_with_mutual"],
+        r["n_cyclic"],
+        r["n_transitive"],
+    ) == (3, 1, 1, 1)
