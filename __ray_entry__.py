@@ -1393,6 +1393,42 @@ def _q_kg_dyad_census(sf_dir: str):
     )
 
 
+def _q_kg_squares(sf_dir: str):
+    """Exact 4-cycle count of the undirected simple KG via the
+    diagonal-pair identity N_C4 = Σ_{u<v} C(cn(u,v), 2) / 2 (every
+    square is counted once per diagonal pair; the sum is even by
+    construction) — pure reuse of `graph.common_neighbor_counts`
+    (min_common=2 loses nothing: C(0..1, 2) = 0), one per-block partial
+    fold on top. n_triangles' quadrilateral sibling."""
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        common_neighbor_counts,
+    )
+
+    cn = common_neighbor_counts(kg.stage(sf_dir, "edges"), min_common=2)
+
+    def _partial(t: pa.Table) -> pa.Table:
+        c = t["n_common"]
+        pairs = _pc.divide(
+            _pc.multiply(c, _pc.subtract(c, 1)), 2
+        )
+        return pa.table(
+            {"s": pa.array([_pc.sum(pairs).as_py() or 0], pa.int64())}
+        )
+
+    parts = cn.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    ).take_all()  # one row per block — tiny by construction
+    total = sum(r["s"] for r in parts)
+    return ray.data.from_arrow(
+        pa.table({"n_squares": pa.array([total // 2], pa.int64())})
+    )
+
+
 def _q_kg_triad_census(sf_dir: str):
     """Reduced directed-triad census (mutual-containing / cyclic /
     transitive closed triangles) — `stages/graph.triad_census`."""
@@ -3093,6 +3129,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "decontaminate_bloom": co.q_decontaminate_bloom,  # rows-only (bloom FP over-flags)
         "kg_dyad_census": _q_kg_dyad_census,
         "kg_triad_census": _q_kg_triad_census,
+        "kg_squares": _q_kg_squares,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -4629,6 +4666,52 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        # exact 4-cycle count: diagonal-pair identity over the same
+        # common-neighbor pairs (__ray_entry__ _q_kg_squares)
+        "kg_squares": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM edges WHERE subj_id <> obj_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und
+            ),
+            cn AS (
+                SELECT x.src AS u, y.src AS v,
+                       CAST(count(*) AS BIGINT) AS c
+                FROM sym x JOIN sym y
+                  ON x.dst = y.dst AND x.src < y.src
+                GROUP BY 1, 2
+            )
+            SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) // 2 AS BIGINT)
+                       AS n_squares
+            FROM cn
         """,
         # reduced triad census: mutual-containing / cyclic / transitive
         # closed triangles (graph.py triad_census)

@@ -2502,3 +2502,38 @@ def test_triad_census_closed_form(ray_session):
         r["n_cyclic"],
         r["n_transitive"],
     ) == (3, 1, 1, 1)
+
+
+def test_kg_squares_closed_forms(ray_session):
+    """4-cycle identity: a plain square counts 1; K4 counts 3; a
+    pendant edge adds none; direction and duplicate edges are
+    irrelevant (undirected simple collapse)."""
+    import pyarrow as pa
+    import ray.data
+
+    def run(edge_list):
+        t = pa.table(
+            {
+                "subj_id": [e[0] for e in edge_list],
+                "pred": ["p"] * len(edge_list),
+                "obj_id": [e[1] for e in edge_list],
+            }
+        )
+        # go through the same derivation as the query, but on a local
+        # edge table: reuse the stage function directly
+        from joint_entity_and_relation_extraction_ray.stages.graph import (
+            common_neighbor_counts,
+        )
+
+        cn = common_neighbor_counts(
+            ray.data.from_arrow(t), min_common=2
+        ).take_all()
+        s = sum(r["n_common"] * (r["n_common"] - 1) // 2 for r in cn)
+        return s // 2
+
+    square = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    assert run(square) == 1
+    assert run(square + [("x", "a")]) == 1          # pendant adds none
+    k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
+    assert run(k4) == 3
+    assert run(k4 + [("b", "a"), ("a", "b")]) == 3  # dups/direction ignored
