@@ -785,3 +785,100 @@ def write_sorted(
     }
     (out / "_sorted_manifest.json").write_text(json.dumps(manifest))
     return {"files": len(infos), "rows": sum(n for _, n, _, _ in infos)}
+
+
+def merge_sorted(
+    base_dir: str | Path,
+    delta: "ray.data.Dataset",
+    col: str,
+    *,
+    tie_cols: list[str] | None = None,
+) -> dict:
+    """LSM-style merge into a `write_sorted` table: route the delta's
+    rows to the existing range files by the manifest's boundaries,
+    merge-sort ONLY the touched files, leave every other file
+    byte-identical — the global sort order survives without rewriting
+    the table. The sorted-table sibling of `upsert_partitioned`
+    (hash layout) and `compact_partitioned` (size maintenance).
+
+    Routing: delta values ≤ file k's recorded ``hi`` (and > file k−1's)
+    merge into file k; values beyond the last hi append to the LAST
+    file (its range extends — recorded back into the manifest).
+    One Ray merge task per touched file; atomic per-file tmp→rename.
+    Returns ``{"files_touched": n, "rows_added": n}``."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    out = Path(base_dir)
+    mpath = out / "_sorted_manifest.json"
+    manifest = json.loads(mpath.read_text())
+    files = sorted(manifest["files"], key=lambda f: f["bucket"])
+    if not files:
+        raise ValueError(f"{mpath} lists no files")
+    # routing boundaries: file k takes values in (hi_{k-1}, hi_k];
+    # the last file is open-ended
+    his = np.asarray([float(f["hi"]) for f in files[:-1]], dtype=np.float64)
+
+    def _route(t: "pa.Table") -> "pa.Table":
+        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        return t.append_column(
+            "_file",
+            pa.array(np.searchsorted(his, v, side="left"), pa.int64()),
+        )
+
+    from ..functions.shuffle import _split_refs
+
+    routed = delta.map_batches(
+        _route, batch_format="pyarrow", zero_copy_batch=True
+    ).materialize()
+    per_block, schema = _split_refs(routed, "_file", len(files))
+
+    sort_by = [(col, "ascending")] + [
+        (c, "ascending") for c in (tie_cols or [])
+    ]
+
+    @ray.remote
+    def _merge_file(idx: int, *tables):
+        tt = [t for t in tables if t.num_rows]
+        if not tt:
+            return None
+        add = pa.concat_tables(tt, promote_options="default").drop_columns(
+            ["_file"]
+        )
+        path = out / f"sorted-{files[idx]['bucket']:05d}.parquet"
+        merged = pa.concat_tables(
+            [pq.read_table(path), add], promote_options="default"
+        ).sort_by(sort_by)
+        tmp = path.with_suffix(".tmp")
+        pq.write_table(merged, tmp)
+        os.replace(tmp, path)
+        c = merged[col]
+        return (idx, add.num_rows, merged.num_rows, str(c[0].as_py()),
+                str(c[-1].as_py()))
+
+    results = [
+        r
+        for r in ray.get(
+            [
+                _merge_file.remote(i, *[pb[i] for pb in per_block])
+                for i in range(len(files))
+            ]
+        )
+        if r is not None
+    ]
+    for idx, _, rows, lo, hi in results:
+        files[idx]["rows"] = rows
+        files[idx]["lo"] = lo
+        files[idx]["hi"] = hi
+    manifest["files"] = files
+    manifest["ts"] = time.time()
+    mpath.write_text(json.dumps(manifest))
+    # zone maps over the old listing are stale only if file CONTENT
+    # matters to them — ranges changed, so drop them like compaction does
+    for idx_file in out.glob("_zonemap.*"):
+        idx_file.unlink()
+    return {
+        "files_touched": len(results),
+        "rows_added": sum(r[1] for r in results),
+    }

@@ -878,3 +878,64 @@ def test_write_sorted_global_order_and_zonemap_synergy(
     # a single value lives in exactly one file unless it sits on a
     # boundary shared by adjacent ranges
     assert 1 <= len(kept) <= 2 < len(files)
+
+
+def test_merge_sorted_touches_only_overlapping_files(ray_session, tmp_path):
+    """LSM merge into a sorted table: delta rows land in their range
+    files, global order still holds across ALL files afterwards,
+    out-of-range values extend the last file, and files no delta routes
+    to stay byte-identical."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        merge_sorted,
+        write_sorted,
+    )
+
+    vals = list(range(0, 1000, 2))  # evens 0..998
+    t = pa.table(
+        {
+            "v": pa.array(vals, pa.int64()),
+            "id": pa.array(list(range(len(vals))), pa.int64()),
+        }
+    )
+    out = tmp_path / "sorted"
+    write_sorted(
+        ray.data.from_arrow(t).repartition(5), "v", out,
+        tie_cols=["id"], num_files=5,
+    )
+    files = sorted(out.glob("sorted-*.parquet"))
+    assert len(files) >= 3
+
+    def snap(f):
+        return (f.name, f.stat().st_mtime_ns)
+
+    # delta: odds near the low end (first file's range) + beyond-max
+    delta = pa.table(
+        {
+            "v": pa.array([1, 3, 5, 2001, 2003], pa.int64()),
+            "id": pa.array([9001, 9002, 9003, 9004, 9005], pa.int64()),
+        }
+    )
+    untouched_before = [snap(f) for f in files[1:-1]]
+    r = merge_sorted(out, ray.data.from_arrow(delta), "v", tie_cols=["id"])
+    assert r["rows_added"] == 5 and r["files_touched"] == 2
+
+    # middle files untouched byte-for-byte
+    assert [snap(f) for f in sorted(out.glob("sorted-*.parquet"))[1:-1]] \
+        == untouched_before
+
+    # global order across files still holds, all rows present
+    seen = []
+    prev_hi = None
+    for f in sorted(out.glob("sorted-*.parquet")):
+        col = pads.dataset(str(f)).to_table()["v"].to_pylist()
+        assert col == sorted(col)
+        if prev_hi is not None:
+            assert col[0] >= prev_hi
+        prev_hi = col[-1]
+        seen += col
+    assert sorted(seen) == sorted(vals + [1, 3, 5, 2001, 2003])
+    assert seen == sorted(seen)
