@@ -1429,6 +1429,158 @@ def _q_kg_squares(sf_dir: str):
     )
 
 
+def _q_kg_outdeg_hist(sf_dir: str):
+    """Per-predicate out-degree histogram (pred, out_deg, n_subjects) —
+    the fan-out profile that separates functional predicates (mass at
+    1) from hub-forming ones; two count shuffles over int partials."""
+    import polars as pl
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+
+    edges = kg.stage(sf_dir, "edges")
+    SEP = "\x00"
+    PART = pa.schema([("sp", pa.string()), ("n", pa.int64())])
+    OUT = pa.schema(
+        [
+            ("pred", pa.string()),
+            ("out_deg", pa.int64()),
+            ("n_subjects", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t.select(["subj_id", "pred"]))
+            .group_by(["subj_id", "pred"])
+            .agg(pl.len().cast(pl.Int64).alias("n"))
+            .select(
+                sp=pl.col("subj_id") + pl.lit(SEP) + pl.col("pred"),
+                n=pl.col("n"),
+            )
+            .to_arrow()
+            .cast(PART)
+        )
+
+    def _merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by("sp")
+            .agg(pl.col("n").sum())
+            .with_columns(
+                pred=pl.col("sp").str.split(SEP).list.get(1),
+            )
+            .group_by(["pred", "n"])
+            .agg(pl.len().cast(pl.Int64).alias("n_subjects"))
+            .rename({"n": "out_deg"})
+            .select(["pred", "out_deg", "n_subjects"])
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    def _hist_merge(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return OUT.empty_table()
+        return (
+            pl.from_arrow(t)
+            .group_by(["pred", "out_deg"])
+            .agg(pl.col("n_subjects").sum())
+            .select(["pred", "out_deg", "n_subjects"])
+            .to_arrow()
+            .cast(OUT)
+        )
+
+    per_sp = bucket_group_apply(
+        edges.map_batches(
+            _partial, batch_format="pyarrow", zero_copy_batch=True
+        ),
+        "sp",
+        _merge,
+    )
+    return bucket_group_apply(per_sp, "pred", _hist_merge, num_buckets=8)
+
+
+def _q_conv_yield_corr(sf_dir: str):
+    """Does conversation LENGTH predict extraction YIELD? Exact-integer
+    Pearson moments between per-conv turn count and triple count —
+    `relational.group_corr_parts` reused with a constant group over
+    conv-level aggregates (operator reuse across grain levels)."""
+    import polars as pl
+    import pyarrow as pa
+
+    from joint_entity_and_relation_extraction_ray.functions.shuffle import (
+        bucket_group_apply,
+    )
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.sources.transcripts import (
+        read_transcripts,
+    )
+    from joint_entity_and_relation_extraction_ray.stages.relational import (
+        group_corr_parts,
+    )
+
+    PART = pa.schema(
+        [("conv_id", pa.string()), ("kind", pa.int32()), ("n", pa.int64())]
+    )
+
+    def _cnt(kind: int):
+        def _f(t: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(t.select(["conv_id"]))
+                .group_by("conv_id")
+                .agg(pl.len().cast(pl.Int64).alias("n"))
+                .with_columns(kind=pl.lit(kind, dtype=pl.Int32))
+                .select(["conv_id", "kind", "n"])
+                .to_arrow()
+                .cast(PART)
+            )
+
+        return _f
+
+    corpus = kg.corpus_for_sf_dir(sf_dir)
+    turns = read_transcripts(str(corpus / "transcripts")).map_batches(
+        _cnt(0), batch_format="pyarrow", zero_copy_batch=True
+    )
+    triples = kg.triples_of(kg.extract_for_sf_dir(sf_dir)).map_batches(
+        _cnt(1), batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    XY = pa.schema(
+        [("g", pa.string()), ("x", pa.int64()), ("y", pa.int64())]
+    )
+
+    def _xy(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return XY.empty_table()
+        df = (
+            pl.from_arrow(t)
+            .group_by(["conv_id", "kind"])
+            .agg(pl.col("n").sum())
+            .pivot(on="kind", index="conv_id", values="n")
+        )
+        if "0" not in df.columns:
+            return XY.empty_table()
+        if "1" not in df.columns:
+            df = df.with_columns(pl.lit(None, dtype=pl.Int64).alias("1"))
+        return (
+            df.select(
+                g=pl.lit("all"),
+                x=pl.col("0"),
+                y=pl.col("1").fill_null(0),
+            )
+            .to_arrow()
+            .cast(XY)
+        )
+
+    xy = bucket_group_apply(turns.union(triples), "conv_id", _xy)
+    return group_corr_parts(xy, by="g", x_col="x", y_col="y")
+
+
 def _q_kg_triad_census(sf_dir: str):
     """Reduced directed-triad census (mutual-containing / cyclic /
     transitive closed triangles) — `stages/graph.triad_census`."""
@@ -3130,6 +3282,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_dyad_census": _q_kg_dyad_census,
         "kg_triad_census": _q_kg_triad_census,
         "kg_squares": _q_kg_squares,
+        "kg_outdeg_hist": _q_kg_outdeg_hist,
+        "conv_yield_corr": _q_conv_yield_corr,
         "q8_market_share": co.q_q8_market_share,
         "split_leakage": co.q_split_leakage,
         "q11_important_parts": co.q_q11_important_parts,
@@ -4666,6 +4820,68 @@ def oracle_sql() -> dict[str, str]:
                 SELECT s.dst, r.lbl FROM reach r JOIN sym s ON s.src = r.node
             )
             SELECT node, min(lbl) AS component FROM reach GROUP BY node
+        """,
+        # per-pred out-degree count-of-counts over kg edges
+        # (__ray_entry__ _q_kg_outdeg_hist)
+        "kg_outdeg_hist": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            e AS (
+                SELECT s.entity_id AS subj_id, t.pred, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY 1, 2, 3
+            ),
+            od AS (
+                SELECT subj_id, pred, CAST(count(*) AS BIGINT) AS out_deg
+                FROM e GROUP BY 1, 2
+            )
+            SELECT pred, out_deg,
+                   CAST(count(*) AS BIGINT) AS n_subjects
+            FROM od GROUP BY 1, 2
+        """,
+        # length-vs-yield exact Pearson moments at conversation grain
+        # (__ray_entry__ _q_conv_yield_corr; convs with no triples y=0)
+        "conv_yield_corr": f"""
+            WITH tc AS (
+                SELECT conv_id, CAST(count(*) AS BIGINT) AS x
+                FROM read_parquet('{g}/transcripts/*.parquet')
+                GROUP BY 1
+            ),
+            yc AS (
+                SELECT conv_id, CAST(count(*) AS BIGINT) AS y
+                FROM read_parquet('{g}/golden_triples/*.parquet')
+                GROUP BY 1
+            ),
+            xy AS (
+                SELECT tc.x, coalesce(yc.y, 0) AS y
+                FROM tc LEFT JOIN yc USING (conv_id)
+            )
+            SELECT 'all' AS g,
+                   CAST(count(*) AS BIGINT) AS n,
+                   CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+                       AS corr_num,
+                   CAST(count(*) * sum(x * x) - sum(x) * sum(x) AS BIGINT)
+                       AS corr_den_x,
+                   CAST(count(*) * sum(y * y) - sum(y) * sum(y) AS BIGINT)
+                       AS corr_den_y
+            FROM xy
         """,
         # exact 4-cycle count: diagonal-pair identity over the same
         # common-neighbor pairs (__ray_entry__ _q_kg_squares)
