@@ -598,13 +598,15 @@ def _q_kg_triangles(sf_dir: str):
 
 
 def _q_kg_pagerank(sf_dir: str):
-    """Iterative PageRank over the materialized edges (rows-only: float
-    ranks are sum-order-dependent, no SQL oracle; exactness vs a dense
-    numpy oracle is pinned in tests/test_graph.py)."""
+    """Iterative PageRank over the materialized edges in EXACT int64
+    fixed-point (ranks in parts-per-10¹²): integer sums are reduction-
+    order-independent, so the result is bit-reproducible and the DuckDB
+    recursive-CTE oracle mirrors every floor division term-for-term —
+    the float path stays numpy-oracle-pinned in tests/test_graph.py."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
 
-    return pagerank(kg.stage(sf_dir, "edges"), iters=10)
+    return pagerank(kg.stage(sf_dir, "edges"), iters=10, fixed_point=True)
 
 
 def _q_conv_kg_profile(sf_dir: str):
@@ -883,19 +885,26 @@ def _q_kg_asof(sf_dir: str):
 
 def _q_kg_pagerank_weighted(sf_dir: str):
     """Weighted PageRank: rank splits over out-edges proportionally to
-    the KG assertion multiplicity (edge `weight`) — rows-only; dense
-    numpy oracle in tests/test_graph.py."""
+    the KG assertion multiplicity (edge `weight`) — int64 fixed-point
+    (contribution = rank·w // Σw), bit-reproducible, with a DuckDB
+    recursive-CTE oracle; float path numpy-pinned in tests/test_graph."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
 
-    return pagerank(kg.stage(sf_dir, "edges"), iters=10, weight_col="weight")
+    return pagerank(
+        kg.stage(sf_dir, "edges"),
+        iters=10,
+        weight_col="weight",
+        fixed_point=True,
+    )
 
 
 def _q_kg_ppr(sf_dir: str):
     """Personalized PageRank from the deterministic seed (min node id) —
-    the "entities related to X" serving query (rows-only: float ranks
-    are sum-order-dependent; exactness vs a dense numpy oracle is pinned
-    in tests/test_graph.py)."""
+    the "entities related to X" serving query, in int64 fixed-point
+    (all teleport mass restarts on the seed; every floor division
+    mirrored by the recursive-CTE oracle); float path numpy-pinned in
+    tests/test_graph.py."""
     import pyarrow as pa
     import pyarrow.compute as _pc
 
@@ -919,7 +928,7 @@ def _q_kg_ppr(sf_dir: str):
 
     mins = edges.map_batches(_block_min, batch_format="pyarrow").take_all()
     seed = min(r["m"] for r in mins)
-    return pagerank(edges, iters=10, seeds=[seed])
+    return pagerank(edges, iters=10, seeds=[seed], fixed_point=True)
 
 
 def _q_kg_hits(sf_dir: str):
@@ -3383,6 +3392,96 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT start, walk, step, node FROM wk ORDER BY 1, 2, 3
         """  # shared by kg_walks and kg_skipgrams
+
+    def _pr_sql(*, weighted: bool = False, ppr: bool = False) -> str:
+        """Fixed-point PageRank mirror of `stages/graph.pagerank(
+        fixed_point=True)`: ranks are int64 parts-per-10¹², every floor
+        division appears in the same order as the engine's, integer sums
+        are reduction-order-independent — bit-exact on any engine."""
+        scale = 10**12
+        if weighted:
+            w_col = ", COUNT(*) AS w"
+            od = "SELECT src, SUM(w) AS d FROM ed GROUP BY src"
+            ed2 = """SELECT src, dst, w, 0 AS z FROM ed
+                     UNION ALL SELECT m, m, 0, 1 FROM nds"""
+            contrib = "(p.rank * e2.w) // od.d"
+        else:
+            w_col = ""
+            od = "SELECT src, COUNT(*) AS d FROM ed GROUP BY src"
+            ed2 = """SELECT src, dst, 0 AS z FROM ed
+                     UNION ALL SELECT m, m, 1 FROM nds"""
+            contrib = "p.rank // od.d"
+        # The recursive working table is scanned exactly ONCE per
+        # iteration: self zero-edges in ed2 carry the node universe and
+        # (via dm) the dangling mass, and the dangling total reaches
+        # every group as a window over the grouped result. (A second
+        # reference to `pr` silently reads wrong rows in DuckDB 1.0 once
+        # the working table outgrows toy size, and a bare UNION inside a
+        # WITH RECURSIVE body does NOT dedup — hence the explicit
+        # DISTINCT in nds.)
+        if ppr:
+            upd = f"""(85 * SUM(x.c)) // 100
+                     + CASE WHEN x.node = (SELECT MIN(m) FROM nds)
+                            THEN (15 * {scale}
+                                  + 85 * (SUM(SUM(x.dm)) OVER ())) // 100
+                            ELSE 0 END"""
+        else:
+            upd = f"""(85 * SUM(x.c)
+                       + 85 * (SUM(SUM(x.dm)) OVER () // nn.cnt)
+                       + 15 * ({scale} // nn.cnt)) // 100"""
+        return f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            ed AS MATERIALIZED (
+                SELECT s.entity_id AS src, o.entity_id AS dst{w_col}
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY s.entity_id, t.pred, o.entity_id
+            ),
+            nds AS MATERIALIZED (
+                SELECT DISTINCT m FROM (
+                    SELECT src AS m FROM ed UNION ALL SELECT dst FROM ed)
+            ),
+            nn AS MATERIALIZED (SELECT COUNT(*) AS cnt FROM nds),
+            od AS MATERIALIZED ({od}),
+            ed2 AS MATERIALIZED ({ed2}),
+            pr(iter, node, rank) AS (
+                SELECT 0, m, {scale} // nn.cnt FROM nds, nn
+                UNION ALL
+                SELECT MIN(x.iter) + 1, x.node, {upd}
+                FROM (
+                    SELECT p.iter, e2.dst AS node,
+                           CASE WHEN e2.z = 1 THEN 0
+                                ELSE {contrib} END AS c,
+                           CASE WHEN e2.z = 1 AND od.d IS NULL
+                                THEN p.rank ELSE 0 END AS dm
+                    FROM pr p
+                    JOIN ed2 e2 ON e2.src = p.node
+                    LEFT JOIN od ON od.src = p.node
+                ) x, nn
+                WHERE x.iter < 10
+                GROUP BY x.node, nn.cnt
+            )
+            SELECT node, CAST(rank AS BIGINT) AS rank
+            FROM pr WHERE iter = 10
+        """
+
     out = {
         # The pipeline's emitted span/triple sets must equal the closed-form
         # goldens of the seeded grammar (P/R contract, BASELINE.json:14).
@@ -5143,14 +5242,14 @@ def oracle_sql() -> dict[str, str]:
                 JOIN und e2 ON e2.a = e1.b
                 JOIN und e3 ON e3.a = e1.a AND e3.b = e2.b
             )
-            SELECT 0.25 AS q,
+            SELECT CAST(0.25 AS DOUBLE) AS q,
                    CAST(quantile_disc(close_us, 0.25) AS BIGINT) AS value
             FROM tri
             UNION ALL
-            SELECT 0.5, CAST(quantile_disc(close_us, 0.5) AS BIGINT)
+            SELECT CAST(0.5 AS DOUBLE), CAST(quantile_disc(close_us, 0.5) AS BIGINT)
             FROM tri
             UNION ALL
-            SELECT 0.75, CAST(quantile_disc(close_us, 0.75) AS BIGINT)
+            SELECT CAST(0.75 AS DOUBLE), CAST(quantile_disc(close_us, 0.75) AS BIGINT)
             FROM tri
         """,
         # typed property path: rpq pairs with min/max-typed endpoints
@@ -8509,4 +8608,9 @@ def oracle_sql() -> dict[str, str]:
     }
     # incremental-fold invariant: same answer as the full recompute
     out["kg_validity_incremental"] = out["kg_validity"]
+    # fixed-point PageRank family (int64 parts-per-10¹² — bit-exact
+    # mirrors of stages/graph.pagerank(fixed_point=True); see _pr_sql)
+    out["kg_pagerank"] = _pr_sql()
+    out["kg_pagerank_weighted"] = _pr_sql(weighted=True)
+    out["kg_ppr"] = _pr_sql(ppr=True)
     return out

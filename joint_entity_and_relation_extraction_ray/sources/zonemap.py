@@ -221,18 +221,24 @@ _HASH_KEY_1 = "0123456789123456"  # pandas' documented default key
 _HASH_KEY_2 = "6543210987654321"
 
 
-def _bloom_positions(values, m: int):
+def _bloom_positions(values, m: int, k: int = _BLOOM_K):
     """k deterministic bit positions per value via double hashing
     (h1 + i·h2 mod m) — vectorized `pandas.util.hash_array` with two
     fixed keys, the same cross-process-stable hash family as
-    `schema.stable_bucket`. Returns an (n, k) int64 array."""
+    `schema.stable_bucket`. Returns an (n, k) int64 array.
+
+    ``k`` defaults to the persisted-index constant ``_BLOOM_K`` — the
+    zone-map Bloom files on disk were built with it, and a probe MUST
+    use the builder's k or risk false negatives; callers that own both
+    sides of the filter (e.g. ``curation.decontaminate_bloom``) may pass
+    the FP-optimal ``k = round(bits_per_key·ln 2)`` instead."""
     import numpy as np
     import pandas as pd
 
     arr = np.asarray(values, dtype=object)
     h1 = pd.util.hash_array(arr, hash_key=_HASH_KEY_1, categorize=False)
     h2 = pd.util.hash_array(arr, hash_key=_HASH_KEY_2, categorize=False)
-    i = np.arange(_BLOOM_K, dtype=np.uint64)
+    i = np.arange(int(k), dtype=np.uint64)
     return ((h1[:, None] + i[None, :] * h2[:, None]) % np.uint64(m)).astype(
         np.int64
     )

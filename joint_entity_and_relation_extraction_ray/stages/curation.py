@@ -1473,7 +1473,11 @@ def bpe_encode(
 
 
 def _bloom_bits_ref(
-    bench: ray.data.Dataset, n: int, *, bits_per_gram: int = 16
+    bench: ray.data.Dataset,
+    n: int,
+    *,
+    bits_per_gram: int = 16,
+    k: int | None = None,
 ):
     """Bloom filter of the benchmark's word-n-gram set, built
     distributed: each block folds its grams into an m-bit partial
@@ -1511,13 +1515,16 @@ def _bloom_bits_ref(
     n_est = max(1, sum(r["n"] for r in cnt_rows))
     m = max(64, ((n_est * bits_per_gram + 63) // 64) * 64)
 
-    def _fold(t: pa.Table) -> pa.Table:
+    if k is None:
+        k = max(1, int(round(bits_per_gram * float(np.log(2)))))
+
+    def _fold(t: pa.Table, k=k) -> pa.Table:
         grams = sorted(
             {s for x in t["text"].to_pylist() for s in textstats.word_shingles(x, n)}
         )
         bits = np.zeros(m // 8, dtype=np.uint8)
         if grams:
-            pos = _bloom_positions(grams, m).ravel()
+            pos = _bloom_positions(grams, m, k).ravel()
             np.bitwise_or.at(bits, pos >> 3, 1 << (pos & 7).astype(np.uint8))
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
@@ -1527,7 +1534,7 @@ def _bloom_bits_ref(
     ).iter_batches(batch_format="pyarrow"):
         for chunk in b["bits"].to_pylist():
             merged |= np.frombuffer(chunk, dtype=np.uint8)
-    return ray.put((merged, m))
+    return ray.put((merged, m, k))
 
 
 class _BloomContaminationScan:
@@ -1539,7 +1546,7 @@ class _BloomContaminationScan:
     def __init__(self, bloom_ref, n: int):
         import numpy as np  # noqa: F401 (actor env)
 
-        self._bits, self._m = ray.get(bloom_ref)
+        self._bits, self._m, self._k = ray.get(bloom_ref)
         self._n = n
 
     def __call__(self, t: pa.Table) -> pa.Table:
@@ -1556,7 +1563,7 @@ class _BloomContaminationScan:
             grams = sorted(set(textstats.word_shingles(x, self._n)))
             if not grams:
                 continue
-            pos = _bloom_positions(grams, m)  # (g, k)
+            pos = _bloom_positions(grams, m, self._k)  # (g, k)
             hit = np.all(
                 bits[pos >> 3] & (1 << (pos & 7).astype(np.uint8)) != 0,
                 axis=1,
@@ -1584,10 +1591,12 @@ def decontaminate_bloom(
     """`decontaminate`'s unguarded scale path: the benchmark gram set
     becomes a Bloom filter (built distributed, OR-merged, broadcast
     once), so benchmark sides far beyond MAX_BENCH_GRAMS fit in plasma.
-    Output is a SUPERSET of the exact scan's (false positives over-flag
-    at ~0.05% per gram at 16 bits/gram; never under-flag) — rows-only
-    by construction, with the superset + FP-rate contract pinned in
-    pytest against the exact operator."""
+    Output is a SUPERSET of the exact scan's (never under-flags; false
+    positives over-flag at ~(1−e^(−k·n/m))^k per gram, ≈0.046% at the
+    default 16 bits/gram with the derived FP-optimal
+    k = round(bits_per_gram·ln 2) = 11) — rows-only by construction,
+    with the superset + FP-rate contract pinned in pytest against the
+    exact operator."""
     ref = _bloom_bits_ref(bench, n, bits_per_gram=bits_per_gram)
     return docs.map_batches(
         _BloomContaminationScan,

@@ -495,8 +495,24 @@ def pagerank(
     weight_col: str | None = None,
     checkpoint_dir: str | None = None,
     checkpoint_every: int = 5,
+    fixed_point: bool = False,
+    scale: int = 10**12,
 ) -> ray.data.Dataset:
     """PageRank over the materialized KG edge table → (node, rank).
+
+    ``fixed_point=True`` switches every rank to EXACT int64 arithmetic in
+    units of 1/``scale`` (parts-per-10¹²  by default): init =
+    ``scale // n``, per-edge contribution ``rank·w // Σw`` (integer floor
+    division), update ``(d·Σc + d·(d_mass//n) + (100−d)·(scale//n)) // 100``
+    with ``d = round(damping·100)``. Integer sums are order-independent,
+    so the result is bit-reproducible across block layouts, engines and
+    runs — which is what makes the driver's string-sensitive value hash
+    and a DuckDB recursive-CTE oracle (``oracle_sql()['kg_pagerank']``)
+    exactly reproducible, something the float path can never guarantee
+    (float Σ depends on reduction order). Ranking quality is unaffected:
+    quantization error per update is < n/scale of total mass. The float
+    path (default) remains the numpy-oracle-pinned reference
+    implementation; both share the identical dataflow below.
 
     ``checkpoint_dir`` enables WITHIN-STAGE resume (state/checkpoint.py
     iterative checkpoints): every ``checkpoint_every`` iterations the
@@ -534,6 +550,13 @@ def pagerank(
     from ..functions.joins import join_auto
     from ..functions.shuffle import bucket_group_apply
 
+    if fixed_point:
+        d_num, d_den = int(round(damping * 100)), 100
+        if abs(damping - d_num / d_den) > 1e-12:
+            raise ValueError(
+                "fixed_point pagerank needs damping at 0.01 granularity"
+            )
+
     ends = edges.map_batches(
         lambda t: pa.table(
             {
@@ -562,18 +585,21 @@ def pagerank(
             pa.table(
                 {
                     "node": pa.array([], pa.string()),
-                    "rank": pa.array([], pa.float64()),
+                    "rank": pa.array(
+                        [], pa.int64() if fixed_point else pa.float64()
+                    ),
                 }
             )
         )
 
+    deg_dtype = pl.Int64 if fixed_point else pl.Float64
     if weight_col is None:
         deg = bucket_group_apply(
             edges.select_columns(["subj_id"]),
             "subj_id",
-            lambda t: pl.from_arrow(t)
+            lambda t, dt=deg_dtype: pl.from_arrow(t)
             .group_by("subj_id")
-            .agg(pl.len().cast(pl.Float64).alias("out_deg"))
+            .agg(pl.len().cast(dt).alias("out_deg"))
             .to_arrow(),
             num_buckets=num_buckets,
         )
@@ -581,9 +607,9 @@ def pagerank(
         deg = bucket_group_apply(
             edges.select_columns(["subj_id", weight_col]),
             "subj_id",
-            lambda t, w=weight_col: pl.from_arrow(t)
+            lambda t, w=weight_col, dt=deg_dtype: pl.from_arrow(t)
             .group_by("subj_id")
-            .agg(pl.col(w).cast(pl.Float64).sum().alias("out_deg"))
+            .agg(pl.col(w).cast(dt).sum().alias("out_deg"))
             .to_arrow(),
             num_buckets=num_buckets,
         )
@@ -600,7 +626,9 @@ def pagerank(
             "out_deg": t["out_deg"],
         }
         if w is not None:
-            cols["w"] = pc.cast(t[w], pa.float64())
+            cols["w"] = pc.cast(
+                t[w], pa.int64() if fixed_point else pa.float64()
+            )
         return pa.table(cols)
 
     e = (
@@ -639,9 +667,11 @@ def pagerank(
         zero_copy_batch=True,
     ).materialize()
 
+    init_rank = (scale // n) if fixed_point else (1.0 / n)
+    rank_type = pa.int64() if fixed_point else pa.float64()
     ranks = nodes.map_batches(
         lambda t: t.append_column(
-            "rank", pa.array([1.0 / n] * len(t), pa.float64())
+            "rank", pa.array([init_rank] * len(t), rank_type)
         ),
         batch_format="pyarrow",
     ).materialize()
@@ -650,15 +680,14 @@ def pagerank(
     if checkpoint_dir is not None:
         from ..state import checkpoint as ckpt
 
-        ck_fp = ckpt.fingerprint(
-            "pagerank",
-            {
-                "damping": damping,
-                "seeds": seeds,
-                "weight_col": weight_col,
-            },
-            [],
-        )
+        ck_params = {
+            "damping": damping,
+            "seeds": seeds,
+            "weight_col": weight_col,
+        }
+        if fixed_point:  # float-mode fingerprints stay unchanged
+            ck_params["fixed_point_scale"] = scale
+        ck_fp = ckpt.fingerprint("pagerank", ck_params, [])
         got = ckpt.latest_iteration(checkpoint_dir, "pagerank", ck_fp)
         if got is not None:
             start_iter, snap = got
@@ -670,6 +699,8 @@ def pagerank(
             if dangling.count()
             else 0.0
         ) or 0.0
+        if fixed_point:
+            d_mass = int(d_mass)
         def _contrib(t: pa.Table, w=weight_col) -> pa.Table:
             num = (
                 t["rank"]
@@ -685,7 +716,69 @@ def pagerank(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        if seeds is None:
+        if fixed_point and seeds is None:
+            # t_num/d_den is the per-node teleport share; the whole
+            # update is integer floor arithmetic, mirrored term-for-term
+            # by the DuckDB recursive-CTE oracle (__ray_entry__).
+            t_num = d_num * (d_mass // n) + (d_den - d_num) * (scale // n)
+
+            def _sum(t: pa.Table, t_num=t_num) -> pa.Table:
+                df = pl.from_arrow(t)
+                out = df.group_by("node").agg(
+                    ((pl.col("c").sum() * d_num + t_num) // d_den).alias(
+                        "rank"
+                    )
+                )
+                return out.to_arrow()
+
+            def _fill(t: pa.Table, base=t_num // d_den) -> pa.Table:
+                return pa.table(
+                    {
+                        "node": t["node"],
+                        "rank": pc.coalesce(
+                            t["rank"], pa.scalar(base, pa.int64())
+                        ),
+                    }
+                )
+
+        elif fixed_point:
+            seed_base = ((d_den - d_num) * scale + d_num * d_mass) // (
+                d_den * len(seeds)
+            )
+
+            def _sum(t: pa.Table, seed_base=seed_base) -> pa.Table:
+                df = pl.from_arrow(t)
+                out = df.group_by("node").agg(
+                    ((pl.col("c").sum() * d_num) // d_den).alias("rank")
+                )
+                return out.with_columns(
+                    (
+                        pl.col("rank")
+                        + pl.when(pl.col("node").is_in(seeds))
+                        .then(pl.lit(seed_base, dtype=pl.Int64))
+                        .otherwise(pl.lit(0, dtype=pl.Int64))
+                    ).alias("rank")
+                ).to_arrow()
+
+            def _fill(t: pa.Table, seed_base=seed_base) -> pa.Table:
+                node = t["node"].combine_chunks()
+                fallback = pc.if_else(
+                    pc.is_in(
+                        node, value_set=pa.array(seeds, node.type)
+                    ),
+                    pa.scalar(seed_base, pa.int64()),
+                    pa.scalar(0, pa.int64()),
+                )
+                return pa.table(
+                    {
+                        "node": node,
+                        "rank": pc.coalesce(
+                            t["rank"].combine_chunks(), fallback
+                        ),
+                    }
+                )
+
+        elif seeds is None:
             base = (1.0 - damping) / n + damping * d_mass / n
 
             def _sum(t: pa.Table, base=base) -> pa.Table:

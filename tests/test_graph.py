@@ -485,6 +485,94 @@ def test_weighted_pagerank_matches_dense_numpy(ray_session):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
+def test_fixed_point_pagerank_bit_exact_vs_int_reference(ray_session):
+    """fixed_point=True: every rank equals the brute-force int64
+    simulation EXACTLY (no tolerance) in all three modes — uniform,
+    weighted, personalized — and tracks the float ranks to quantization
+    error. This is the bit-reproducibility contract the DuckDB
+    recursive-CTE oracles (kg_pagerank / kg_pagerank_weighted / kg_ppr)
+    rely on."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import pagerank
+
+    rng = np.random.default_rng(11)
+    n_nodes, n_edges = 40, 160
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    subj = np.where(subj == 7, 8, subj)  # node 7 dangling
+    w = rng.integers(1, 9, n_edges)
+    names = np.array([f"n{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {
+                "subj_id": pa.array(names[subj]),
+                "obj_id": pa.array(names[obj]),
+                "weight": pa.array(w, pa.int64()),
+            }
+        )
+    ).repartition(5)
+
+    SCALE, iters = 10**12, 10
+    el = list(zip(names[subj], names[obj], (int(x) for x in w)))
+    nodes = sorted({s for s, _, _ in el} | {d for _, d, _ in el})
+    n = len(nodes)
+
+    def _sim(weighted: bool, seeds=None):
+        outd: dict = defaultdict(int)
+        for s, _, ww in el:
+            outd[s] += ww if weighted else 1
+        rank = {v: SCALE // n for v in nodes}
+        for _ in range(iters):
+            dmass = sum(rank[v] for v in nodes if outd[v] == 0)
+            sums: dict = defaultdict(int)
+            for s, d, ww in el:
+                num = rank[s] * ww if weighted else rank[s]
+                sums[d] += num // outd[s]
+            if seeds is None:
+                rank = {
+                    v: (
+                        85 * sums[v]
+                        + 85 * (dmass // n)
+                        + 15 * (SCALE // n)
+                    )
+                    // 100
+                    for v in nodes
+                }
+            else:
+                sb = (15 * SCALE + 85 * dmass) // (100 * len(seeds))
+                rank = {
+                    v: (85 * sums[v]) // 100 + (sb if v in seeds else 0)
+                    for v in nodes
+                }
+        return rank
+
+    for kwargs, weighted, seeds in [
+        ({}, False, None),
+        ({"weight_col": "weight"}, True, None),
+        ({"seeds": [nodes[0]]}, False, [nodes[0]]),
+    ]:
+        got = {
+            r["node"]: r["rank"]
+            for r in pagerank(
+                edges, iters=iters, num_buckets=8, fixed_point=True, **kwargs
+            ).take_all()
+        }
+        want = _sim(weighted, seeds)
+        assert got == want, kwargs
+        # quantization: fixed-point tracks the float path within n/SCALE
+        fl = {
+            r["node"]: r["rank"]
+            for r in pagerank(edges, iters=iters, num_buckets=8, **kwargs).take_all()
+        }
+        for v in nodes:
+            assert abs(got[v] / SCALE - fl[v]) < 1e-6, (v, kwargs)
+
+
 def test_pagerank_iterative_checkpoint_resume(ray_session, tmp_path):
     import json
 
