@@ -369,8 +369,10 @@ def _q_kg_negatives(sf_dir: str):
 
 def _q_kg_labelprop(sf_dir: str):
     """Deterministic synchronous label-propagation communities
-    (stages/graph.py label_propagation). Rows-only: iterative mode
-    fixpoints have no SQL form — the two-clique pytest is the contract."""
+    (stages/graph.py label_propagation) — exact (node, label) strings,
+    oracle-backed: the recursive-CTE oracle replays the same
+    vote/argmax rounds under the engine's 10-round cap (post-fixpoint
+    rounds are no-ops, so early exit ≡ cap)."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import (
         label_propagation,
@@ -391,9 +393,11 @@ def _q_kg_jaccard(sf_dir: str):
 
 
 def _q_kg_kcore(sf_dir: str):
-    """2-core of the KG (iterative peel; stages/graph.py kcore). Rows-only:
-    a deletion fixpoint has no monotone recursive SQL form — the pytest
-    brute-force peel is the correctness contract."""
+    """2-core of the KG (iterative peel; stages/graph.py kcore) — exact
+    integers, oracle-backed: the recursive CTE carries the surviving
+    edge set each round (deletion fixpoint under the engine's iteration
+    cap; post-fixpoint rounds re-emit the same set, so cap ≡ early
+    exit) and reads off per-node core degrees at the cap."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import kcore
 
@@ -932,14 +936,15 @@ def _q_kg_ppr(sf_dir: str):
 
 
 def _q_kg_hits(sf_dir: str):
-    """HITS hubs & authorities over the KG edges (rows-only: iterative
-    float scores with L2 normalization have no SQL form; exactness vs a
-    dense numpy power-iteration oracle is pinned in tests/test_graph.py).
-    """
+    """HITS hubs & authorities over the KG edges in EXACT int64
+    fixed-point (scores in parts-per-10¹², normalization by the
+    ceil(T/scale) divisor) — bit-reproducible, mirrored term-for-term
+    by a DuckDB recursive-CTE oracle; the float L2 path stays
+    numpy-oracle-pinned in tests/test_graph.py."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import hits
 
-    return hits(kg.stage(sf_dir, "edges"), iters=8)
+    return hits(kg.stage(sf_dir, "edges"), iters=8, fixed_point=True)
 
 
 def _q_kg_hyperball(sf_dir: str):
@@ -3480,6 +3485,106 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT node, CAST(rank AS BIGINT) AS rank
             FROM pr WHERE iter = 10
+        """
+
+    def _hits_sql(iters: int = 8) -> str:
+        """Fixed-point HITS mirror of `stages/graph.hits(fixed_point=
+        True)`: scores are int64 parts-per-10¹², each double-step
+        (auth = normalize(Eᵀ·hub); hub = normalize(E·auth)) normalizes by
+        the ceil(T/scale) divisor. The recursion carries only the hub
+        vector and scans it ONCE per iteration (nested derived tables —
+        see _pr_sql on DuckDB's multi-reference hazard); the final auth
+        vector is recomputed outside the recursion from hub@(iters-1),
+        which is exactly how the engine's last iteration produced it."""
+        scale = 10**12
+        norm = (
+            f"((SUM(SUM(y.h)) OVER () + {scale} - 1) // {scale})"
+        )
+        return f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            ed AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS src, o.entity_id AS dst
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            nds AS MATERIALIZED (
+                SELECT DISTINCT m FROM (
+                    SELECT src AS m FROM ed UNION ALL SELECT dst FROM ed)
+            ),
+            e2a AS MATERIALIZED (
+                SELECT src, dst, 0 AS z FROM ed
+                UNION ALL SELECT m, m, 1 FROM nds
+            ),
+            hb(iter, node, hub) AS (
+                SELECT 0, m, {scale} FROM nds
+                UNION ALL
+                SELECT MIN(y.it) + 1, y.node,
+                       CASE WHEN SUM(SUM(y.h)) OVER () = 0 THEN 0
+                            ELSE SUM(y.h) // {norm} END
+                FROM (
+                    SELECT a.it, e2b.src AS node,
+                           CASE WHEN e2b.z = 1 THEN 0 ELSE a.auth END AS h
+                    FROM (
+                        SELECT ar.it, ar.node,
+                               CASE WHEN SUM(ar.rawsum) OVER () = 0 THEN 0
+                                    ELSE ar.rawsum
+                                         // ((SUM(ar.rawsum) OVER ()
+                                              + {scale} - 1) // {scale})
+                               END AS auth
+                        FROM (
+                            SELECT x.it, x.node, SUM(x.c) AS rawsum
+                            FROM (
+                                SELECT p.iter AS it, e2a.dst AS node,
+                                       CASE WHEN e2a.z = 1 THEN 0
+                                            ELSE p.hub END AS c
+                                FROM hb p JOIN e2a ON e2a.src = p.node
+                            ) x
+                            GROUP BY x.it, x.node
+                        ) ar
+                    ) a
+                    JOIN e2a e2b ON e2b.dst = a.node
+                ) y
+                WHERE y.it < {iters}
+                GROUP BY y.node
+            ),
+            araw AS (
+                SELECT e2a.dst AS node,
+                       SUM(CASE WHEN e2a.z = 1 THEN 0 ELSE p.hub END)
+                           AS rawsum
+                FROM hb p JOIN e2a ON e2a.src = p.node
+                WHERE p.iter = {iters} - 1
+                GROUP BY e2a.dst
+            ),
+            afin AS (
+                SELECT node,
+                       CASE WHEN (SELECT SUM(rawsum) FROM araw) = 0 THEN 0
+                            ELSE rawsum
+                                 // (((SELECT SUM(rawsum) FROM araw)
+                                      + {scale} - 1) // {scale})
+                       END AS authority
+                FROM araw
+            )
+            SELECT h.node, CAST(h.hub AS BIGINT) AS hub,
+                   CAST(a.authority AS BIGINT) AS authority
+            FROM hb h JOIN afin a ON a.node = h.node
+            WHERE h.iter = {iters}
         """
 
     out = {
@@ -8613,4 +8718,83 @@ def oracle_sql() -> dict[str, str]:
     out["kg_pagerank"] = _pr_sql()
     out["kg_pagerank_weighted"] = _pr_sql(weighted=True)
     out["kg_ppr"] = _pr_sql(ppr=True)
+    out["kg_hits"] = _hits_sql()
+    # iterative fixpoints with exact integer/string state: the recursion
+    # carries the FULL state each round under an iteration cap matching
+    # the engine's (extra rounds past the fixpoint are no-ops, so
+    # cap-iteration state == engine's early-exit state).
+    sym_prelude = f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            ep AS MATERIALIZED (
+                SELECT s.entity_id AS s, o.entity_id AS o
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+                FROM ep WHERE s <> o
+            ),
+            sym AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und
+            ),
+    """
+    out["kg_labelprop"] = (
+        sym_prelude
+        + """
+            lb(iter, node, label) AS (
+                SELECT 0, src, src FROM (SELECT DISTINCT src FROM sym)
+                UNION ALL
+                SELECT w.it + 1, w.node, w.label FROM (
+                    SELECT g.it, g.node, g.label,
+                           ROW_NUMBER() OVER (PARTITION BY g.it, g.node
+                                              ORDER BY g.n DESC, g.label
+                           ) AS rn
+                    FROM (
+                        SELECT p.iter AS it, s.dst AS node, p.label,
+                               COUNT(*) AS n
+                        FROM lb p JOIN sym s ON s.src = p.node
+                        GROUP BY p.iter, s.dst, p.label
+                    ) g
+                ) w WHERE w.rn = 1 AND w.it < 10
+            )
+            SELECT node, label FROM lb WHERE iter = 10
+        """
+    )
+    out["kg_kcore"] = (
+        sym_prelude
+        + """
+            ks(iter, src, dst) AS (
+                SELECT 0, src, dst FROM sym
+                UNION ALL
+                SELECT w.it + 1, w.src, w.dst FROM (
+                    SELECT p.iter AS it, p.src, p.dst,
+                           COUNT(*) OVER (PARTITION BY p.iter, p.src)
+                               AS dsrc,
+                           COUNT(*) OVER (PARTITION BY p.iter, p.dst)
+                               AS ddst
+                    FROM ks p
+                ) w WHERE w.it < 50 AND w.dsrc >= 2 AND w.ddst >= 2
+            )
+            SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
+            FROM ks WHERE iter = 50 GROUP BY src
+        """
+    )
     return out

@@ -869,6 +869,8 @@ def hits(
     *,
     iters: int = 10,
     num_buckets: int = 32,
+    fixed_point: bool = False,
+    scale: int = 10**12,
 ) -> ray.data.Dataset:
     """HITS hubs & authorities over the directed KG edge table →
     (node, hub, authority). The complementary centrality to PageRank for
@@ -883,7 +885,19 @@ def hits(
     Σx² reduces through the same decomposable sum (a scalar reaches the
     driver, never the vectors). Scores are float64, deterministic up to
     float-sum ordering; verified against a dense numpy power-iteration
-    oracle in tests."""
+    oracle in tests.
+
+    ``fixed_point=True`` switches to EXACT int64 arithmetic (scores in
+    1/``scale`` units): init hub = ``scale``, propagation is a plain
+    integer sum, and normalization divides by ``D = ceil(T/scale)``
+    (T = Σ raw scores) — an L1-style rescale chosen so no intermediate
+    exceeds int64 (raw ≤ E·scale) and the whole iteration is mirrorable
+    term-for-term by the DuckDB recursive-CTE oracle
+    (``oracle_sql()['kg_hits']``). Integer sums are reduction-order-
+    independent → bit-reproducible across engines and block layouts;
+    the D-divisor rounds slightly differently from true v·scale/T but
+    identically on both sides, and relative score ordering matches the
+    float path to quantization error."""
     import math
 
     import polars as pl
@@ -924,30 +938,35 @@ def hits(
         lambda t: pa.table({"node": pc.unique(t["node"].combine_chunks())}),
         num_buckets=num_buckets,
     ).materialize()
+    score_t = pa.int64() if fixed_point else pa.float64()
     if nodes.count() == 0:
         return ray.data.from_arrow(
             pa.table(
                 {
                     "node": pa.array([], pa.string()),
-                    "hub": pa.array([], pa.float64()),
-                    "authority": pa.array([], pa.float64()),
+                    "hub": pa.array([], score_t),
+                    "authority": pa.array([], score_t),
                 }
             )
         )
 
     def _ones(col: str):
+        one = scale if fixed_point else 1.0
+
         def _f(t: pa.Table) -> pa.Table:
             return pa.table(
                 {
                     "node": t["node"],
-                    col: pa.array([1.0] * len(t), pa.float64()),
+                    col: pa.array([one] * len(t), score_t),
                 }
             )
 
         return _f
 
     def _propagate(scores, score_col, from_col, to_col, out_col):
-        """out(v) = Σ_{(from,to)∈E, to=v} score(from), then L2-normalize."""
+        """out(v) = Σ_{(from,to)∈E, to=v} score(from), then normalize
+        (L2 on the float path; exact ``// ceil(T/scale)`` rescale on the
+        fixed-point path)."""
         summed = bucket_group_apply(
             join_auto(
                 e, scores, on=(from_col,), right_on=("node",)
@@ -966,20 +985,38 @@ def hits(
             num_buckets=num_buckets,
         )
         # every node keeps a row (zero for no in-contributions)
+        zero = pa.scalar(0, pa.int64()) if fixed_point else pa.scalar(
+            0.0, pa.float64()
+        )
         full = join_auto(
             nodes, summed, join_type="left_outer", on=("node",)
         ).map_batches(
             lambda t: pa.table(
                 {
                     "node": t["node"],
-                    out_col: pc.coalesce(
-                        t[out_col], pa.scalar(0.0, pa.float64())
-                    ),
+                    out_col: pc.coalesce(t[out_col], zero),
                 }
             ),
             batch_format="pyarrow",
             zero_copy_batch=True,
         ).materialize()
+        if fixed_point:
+            total = int(full.sum(out_col) or 0)
+            if total == 0:
+                return full
+            div = (total + scale - 1) // scale
+            return full.map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        out_col: pc.divide(
+                            t[out_col], pa.scalar(div, pa.int64())
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).materialize()
         norm = math.sqrt(
             full.map_batches(
                 lambda t: pa.table(
@@ -2257,9 +2294,11 @@ def kcore(
     neighbor combiner → bucket merge) and one survivor semi-join on BOTH
     endpoints (``relational.membership_join``: survivor set broadcasts
     under the guard, co-bucketed above it). The edge set only ever
-    shrinks; each round's work is one scan of the current edges. No SQL
-    oracle (a deletion fixpoint has no monotone recursive form) — the
-    pytest brute-force peel is the contract."""
+    shrinks; each round's work is one scan of the current edges. The
+    driver oracle is a recursive CTE that carries the surviving edge set
+    per round under the same iteration cap (post-fixpoint rounds re-emit
+    the set unchanged, so cap ≡ early exit); the pytest brute-force peel
+    pins arbitrary graphs."""
     import polars as pl
 
     from ..functions.shuffle import bucket_group_apply
@@ -2420,8 +2459,11 @@ def label_propagation(
     frequent label among its neighbors (ties → smallest label; seeds =
     own id), so the result is DETERMINISTIC — no random visit order, the
     classic LPA nondeterminism — at the cost of possible 2-cycles, which
-    ``max_iters`` caps (rows-only contract: iterative mode fixpoints
-    have no SQL form; the pytest two-clique oracle is the contract).
+    ``max_iters`` caps. Fully deterministic (string argmax with total
+    tie order), so the driver oracle replays the identical vote/argmax
+    rounds as a recursive CTE capped at ``max_iters`` (post-fixpoint
+    rounds are no-ops ≡ the early exit below); the pytest two-clique
+    oracle pins the semantics.
 
     Per round: one ``join_auto`` of the reused symmetrized edge set
     against the label table (only (node, label) pairs move) and one

@@ -573,6 +573,57 @@ def test_fixed_point_pagerank_bit_exact_vs_int_reference(ray_session):
             assert abs(got[v] / SCALE - fl[v]) < 1e-6, (v, kwargs)
 
 
+def test_fixed_point_hits_bit_exact_vs_int_reference(ray_session):
+    """hits(fixed_point=True): hub/authority equal the brute-force int64
+    double-step simulation EXACTLY — the contract behind the kg_hits
+    recursive-CTE oracle."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import hits
+
+    rng = np.random.default_rng(23)
+    n_nodes, n_edges = 30, 120
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"n{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"subj_id": pa.array(names[subj]), "obj_id": pa.array(names[obj])}
+        )
+    ).repartition(4)
+
+    SCALE, iters = 10**12, 6
+    el = sorted({(s, o) for s, o in zip(names[subj], names[obj])})
+    nodes = sorted({s for s, _ in el} | {d for _, d in el})
+    hub = {v: SCALE for v in nodes}
+    auth = {v: 0 for v in nodes}
+    for _ in range(iters):
+        araw: dict = defaultdict(int)
+        for s, d in el:
+            araw[d] += hub[s]
+        T = sum(araw.values())
+        D = (T + SCALE - 1) // SCALE if T else 1
+        auth = {v: (araw[v] // D if T else 0) for v in nodes}
+        hraw: dict = defaultdict(int)
+        for s, d in el:
+            hraw[s] += auth[d]
+        T2 = sum(hraw.values())
+        D2 = (T2 + SCALE - 1) // SCALE if T2 else 1
+        hub = {v: (hraw[v] // D2 if T2 else 0) for v in nodes}
+
+    got = {
+        r["node"]: (r["hub"], r["authority"])
+        for r in hits(
+            edges, iters=iters, num_buckets=8, fixed_point=True
+        ).take_all()
+    }
+    assert got == {v: (hub[v], auth[v]) for v in nodes}
+
+
 def test_pagerank_iterative_checkpoint_resume(ray_session, tmp_path):
     import json
 
