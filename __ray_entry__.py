@@ -1651,9 +1651,11 @@ def _q_kg_mst(sf_dir: str):
 def _q_kg_ktruss(sf_dir: str):
     """Maximal 3-truss of the undirected KG (every edge in ≥1 triangle
     of the subgraph) — iterative support peel on the degree-ordered
-    wedge machinery, `stages/graph.ktruss`. NO SQL oracle (iterative
-    fixpoint); rows-only driver check, pytest pins it against an
-    in-process peeling reference on random graphs and the sf0.001 KG."""
+    wedge machinery, `stages/graph.ktruss` — exact string edges,
+    oracle-backed: the recursive CTE carries the surviving edge set and
+    recomputes per-edge triangle support via a symmetric self-join each
+    round under the engine's 30-round cap; pytest additionally pins an
+    in-process peeling reference on random graphs."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import ktruss
 
@@ -3419,11 +3421,11 @@ def oracle_sql() -> dict[str, str]:
         # The recursive working table is scanned exactly ONCE per
         # iteration: self zero-edges in ed2 carry the node universe and
         # (via dm) the dangling mass, and the dangling total reaches
-        # every group as a window over the grouped result. (A second
-        # reference to `pr` silently reads wrong rows in DuckDB 1.0 once
-        # the working table outgrows toy size, and a bare UNION inside a
-        # WITH RECURSIVE body does NOT dedup — hence the explicit
-        # DISTINCT in nds.)
+        # every group as a window over the grouped result. DuckDB 1.0
+        # quirk: a bare UNION in a non-recursive CTE INSIDE a WITH
+        # RECURSIVE body does NOT dedup — hence the explicit DISTINCT
+        # in nds (a duplicated node universe silently corrupts every
+        # iteration's mass).
         if ppr:
             upd = f"""(85 * SUM(x.c)) // 100
                      + CASE WHEN x.node = (SELECT MIN(m) FROM nds)
@@ -8795,6 +8797,34 @@ def oracle_sql() -> dict[str, str]:
             )
             SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS deg
             FROM ks WHERE iter = 50 GROUP BY src
+        """
+    )
+    # 3-truss: support peel — each round keeps edges in ≥1 triangle OF
+    # THE CURRENT SUBGRAPH (support via the symmetric self-join on the
+    # carried edge set), capped at the engine's 30 rounds.
+    out["kg_ktruss"] = (
+        sym_prelude
+        + """
+            kt(iter, a, b) AS (
+                SELECT 0, a, b FROM und
+                UNION ALL
+                SELECT x.it + 1, x.a, x.b
+                FROM (
+                    SELECT p.iter AS it, p.a, p.b, s1.dst AS c
+                    FROM kt p
+                    JOIN (SELECT iter, a AS src, b AS dst FROM kt
+                          UNION ALL SELECT iter, b, a FROM kt) s1
+                      ON s1.iter = p.iter AND s1.src = p.a
+                    JOIN (SELECT iter, a AS src, b AS dst FROM kt
+                          UNION ALL SELECT iter, b, a FROM kt) s2
+                      ON s2.iter = p.iter AND s2.src = p.b
+                     AND s2.dst = s1.dst
+                ) x
+                WHERE x.it < 30
+                GROUP BY x.it, x.a, x.b
+                HAVING COUNT(*) >= 1
+            )
+            SELECT a, b FROM kt WHERE iter = 30
         """
     )
     return out
