@@ -948,9 +948,11 @@ def _q_kg_hits(sf_dir: str):
 
 
 def _q_kg_hyperball(sf_dir: str):
-    """HyperBall 4-hop reachability-ball estimates per node (rows-only:
-    HLL estimates have no SQL form; accuracy vs an exact per-node BFS
-    oracle is pinned in tests/test_graph.py)."""
+    """HyperBall 4-hop reachability-ball estimates per node — md5-60
+    registers and the exact-integer Z⁻¹ estimator are recomputed
+    IDENTICALLY by the DuckDB oracle (approximate algorithm, exact
+    oracle); accuracy vs an exact per-node BFS oracle is additionally
+    pinned in tests/test_graph.py."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import (
         hyperball,
@@ -961,9 +963,10 @@ def _q_kg_hyperball(sf_dir: str):
 
 def _q_kg_neighborhood(sf_dir: str):
     """Neighborhood function N(t) for t=0..6 over the KG — the
-    distance-distribution / effective-diameter summary (rows-only: HLL
-    sums; monotonicity + accuracy vs exact BFS pinned in
-    tests/test_graph.py)."""
+    distance-distribution / effective-diameter summary; the md5-60
+    HyperBall registers and per-node integer estimates are recomputed
+    exactly by the DuckDB oracle; monotonicity + accuracy vs exact BFS
+    pinned in tests/test_graph.py."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import (
         neighborhood_function,
@@ -973,9 +976,11 @@ def _q_kg_neighborhood(sf_dir: str):
 
 
 def _q_kg_harmonic(sf_dir: str):
-    """HyperBall truncated harmonic centrality over in-balls (rows-only:
-    HLL-delta estimates have no SQL form; accuracy vs the exact
-    truncated harmonic centrality is pinned in tests/test_graph.py)."""
+    """HyperBall truncated harmonic centrality over in-balls — exact
+    oracle-backed: the DuckDB oracle rebuilds the md5-60 registers,
+    per-hop integer estimates and the left-associated 1/t delta sum
+    bit-identically; accuracy vs the exact truncated harmonic
+    centrality is pinned in tests/test_graph.py."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import (
         harmonic_centrality_est,
@@ -1705,9 +1710,9 @@ def _q_kg_betweenness(sf_dir: str):
 
 def _q_kg_eff_diameter(sf_dir: str):
     """Effective diameter (90th-percentile pair distance) read off the
-    HyperBall neighborhood function — `stages/graph.effective_diameter`
-    (rows-only: HLL estimates; the HLL machinery's exactness contract
-    is pinned in test_sketch / test_graph hyperball tests)."""
+    HyperBall neighborhood function — `stages/graph.effective_diameter`;
+    oracle-backed via the md5-60 HyperBall mirror (integer threshold
+    readout recomputed in SQL)."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import (
         effective_diameter,
@@ -3588,6 +3593,167 @@ def oracle_sql() -> dict[str, str]:
             FROM hb h JOIN afin a ON a.node = h.node
             WHERE h.iter = {iters}
         """
+
+    def _hyperball_sql(kind: str, hops: int, p: int = 10) -> str:
+        """md5-60 HyperBall mirror of `stages/graph._hyperball_iter` +
+        `_hll_counts`: DuckDB recomputes the IDENTICAL registers
+        (md5-60 → top-p index, suffix-rank via exact bin-length), keeps
+        Z⁻¹ as the exact integer S = Σ 2^(R−reg), and reads the same
+        floor(NUM/S + 0.5) (or m·ln(m/zeros) linear-counting branch —
+        same libm as the engine's math.log). Ball membership is bounded-
+        hop reachability, so no register-carrying recursion is needed:
+        B_t(v)'s registers are a GROUP BY MAX over members' singletons.
+        kind: 'ball' (per-node est, forward), 'nf' (Σ per hop, forward),
+        'harmonic' (telescoped in-ball deltas, reverse), 'effdiam'
+        (90th-pct readout of nf)."""
+        from joint_entity_and_relation_extraction_ray.stages.graph import (
+            _hll_estimate_num,
+        )
+
+        m = 1 << p
+        q = 60 - p
+        R = q + 1
+        num = repr(_hll_estimate_num(p))
+        mask = (1 << q) - 1
+        step = (
+            "e.dst AS s, e.src AS d" if kind == "harmonic"
+            else "e.src AS s, e.dst AS d"
+        )
+        est_expr = f"""
+                CASE WHEN {num} / s <= {2.5 * m} AND zeros > 0
+                     THEN {m} * ln({float(m)} / zeros)
+                     ELSE {num} / s END
+        """
+        core = f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT mm.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') mm
+                JOIN best b
+                  ON lower(mm.surface) = b.alias
+                 AND mm.ent_type = b.ent_type
+            ),
+            ed AS MATERIALIZED (
+                SELECT DISTINCT {step}
+                FROM (
+                    SELECT s.entity_id AS src, o.entity_id AS dst
+                    FROM read_parquet('{g}/golden_triples/*.parquet') t
+                    JOIN lm s ON t.subj_mention_id = s.mention_id
+                    JOIN lm o ON t.obj_mention_id = o.mention_id
+                ) e
+            ),
+            nds AS MATERIALIZED (
+                SELECT DISTINCT n FROM (
+                    SELECT s AS n FROM ed UNION ALL SELECT d FROM ed)
+            ),
+            reach(v, w, dd) AS (
+                SELECT n, n, 0 FROM nds
+                UNION
+                SELECT r.v, e.d, r.dd + 1
+                FROM reach r JOIN ed e ON e.s = r.w
+                WHERE r.dd < {hops}
+            ),
+            ball AS MATERIALIZED (
+                SELECT v, w, MIN(dd) AS dmin FROM reach GROUP BY v, w
+            ),
+            hh AS MATERIALIZED (
+                SELECT w,
+                       ('0x' || substr(md5(w), 1, 15))::BIGINT AS h
+                FROM (SELECT DISTINCT w FROM ball)
+            ),
+            sing AS MATERIALIZED (
+                SELECT b.v, b.dmin, hh.h >> {q} AS idx,
+                       CASE WHEN (hh.h & {mask}) = 0 THEN {R}
+                            ELSE {R} - length(bin(hh.h & {mask}))
+                       END AS rnk
+                FROM ball b JOIN hh ON hh.w = b.w
+            ),
+        """
+        if kind == "ball":
+            return core + f"""
+            regs AS (
+                SELECT v, idx, MAX(rnk) AS reg FROM sing
+                GROUP BY v, idx
+            ),
+            agg AS (
+                SELECT v,
+                       SUM(1::BIGINT << ({R} - reg))
+                         + ({m} - COUNT(*)) * (1::BIGINT << {R}) AS s,
+                       {m} - COUNT(*) AS zeros
+                FROM regs GROUP BY v
+            )
+            SELECT v AS node,
+                   CAST(floor(({est_expr}) + 0.5) AS BIGINT) AS reach_est
+            FROM agg
+            """
+        nf_core = f"""
+            hop_series AS (SELECT unnest(range({hops} + 1)) AS t),
+            regs AS (
+                SELECT hs.t, si.v, si.idx, MAX(si.rnk) AS reg
+                FROM hop_series hs JOIN sing si ON si.dmin <= hs.t
+                GROUP BY hs.t, si.v, si.idx
+            ),
+            agg AS (
+                SELECT t, v,
+                       SUM(1::BIGINT << ({R} - reg))
+                         + ({m} - COUNT(*)) * (1::BIGINT << {R}) AS s,
+                       {m} - COUNT(*) AS zeros
+                FROM regs GROUP BY t, v
+            ),
+            pernode AS (
+                SELECT t, v,
+                       CAST(floor(({est_expr}) + 0.5) AS BIGINT) AS c
+                FROM agg
+            ),
+        """
+        if kind == "nf":
+            return core + nf_core + """
+            nf AS (SELECT t, SUM(c) AS nf_est FROM pernode GROUP BY t)
+            SELECT CAST(t AS BIGINT) AS hop,
+                   CAST(nf_est AS BIGINT) AS nf_est
+            FROM nf
+            """
+        if kind == "effdiam":
+            return core + nf_core + """
+            nf AS (SELECT t, SUM(c) AS nf_est FROM pernode GROUP BY t),
+            mx AS (SELECT nf_est AS nf_last FROM nf
+                   WHERE t = (SELECT MAX(t) FROM nf)),
+            hit AS (
+                SELECT MIN(t) AS eff FROM nf, mx
+                WHERE nf.nf_est * 10 >= 9 * mx.nf_last
+            )
+            SELECT CAST(h.eff AS BIGINT) AS eff_diameter,
+                   CAST((SELECT nf_est FROM nf WHERE t = h.eff) AS BIGINT)
+                       AS nf_at_diameter,
+                   CAST(m2.nf_last AS BIGINT) AS nf_max
+            FROM hit h, mx m2
+            """
+        # harmonic: telescoped per-node deltas over in-balls, weights
+        # 1/t, additions left-assoc exactly like the engine's acc loop
+        pivots = ", ".join(
+            f"MAX(CASE WHEN t = {t} THEN c END) AS c{t}"
+            for t in range(hops + 1)
+        )
+        terms = " + ".join(
+            f"greatest(c{t} - c{t - 1}, 0) / {float(t)!r}"
+            for t in range(1, hops + 1)
+        )
+        return core + nf_core + f"""
+            wide AS (
+                SELECT v, {pivots} FROM pernode GROUP BY v
+            )
+            SELECT v AS node, ({terms}) AS harmonic FROM wide
+            """
 
     out = {
         # The pipeline's emitted span/triple sets must equal the closed-form
@@ -8827,4 +8993,10 @@ def oracle_sql() -> dict[str, str]:
             SELECT a, b FROM kt WHERE iter = 30
         """
     )
+    # md5-60 HyperBall family: registers + estimates recomputed exactly
+    # in SQL (see _hyperball_sql) — approximate ALGORITHMS, exact ORACLES
+    out["kg_hyperball"] = _hyperball_sql("ball", hops=4)
+    out["kg_neighborhood"] = _hyperball_sql("nf", hops=6)
+    out["kg_harmonic"] = _hyperball_sql("harmonic", hops=4)
+    out["kg_eff_diameter"] = _hyperball_sql("effdiam", hops=6)
     return out

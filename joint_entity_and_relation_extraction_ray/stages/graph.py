@@ -1135,25 +1135,34 @@ def _hyperball_iter(
     )
 
     def _init(t: pa.Table) -> pa.Table:
-        # a singleton sketch is one register set: fully vectorized via
-        # the same hash/rank math as hll_add, no per-node Python loop
-        from ..schema import stable_hash64
+        # a singleton sketch is one register set. The register hash is
+        # the SQL-mirrorable md5-60 (top p bits → register index,
+        # (60-p)-bit suffix → rank), the same cross-engine hash family
+        # as random_walks' step rule — so the driver oracle recomputes
+        # IDENTICAL registers in DuckDB and the estimates are exact
+        # mirrors, not approximations of approximations.
+        import hashlib
 
+        q = 60 - p
         nodes = pc.unique(t["node"].combine_chunks())
         vals = nodes.to_pylist()
         if not vals:
             return pa.schema(
                 [("node", pa.string()), ("sk", pa.binary())]
             ).empty_table()
-        h = stable_hash64(np.asarray(vals, dtype=object)).astype(np.uint64)
-        idx = (h >> np.uint64(64 - p)).astype(np.int64)
-        w = h & np.uint64((1 << (64 - p)) - 1)
-        rank = np.where(
-            w == 0,
-            64 - p + 1,
-            (64 - p)
-            - np.floor(np.log2(np.maximum(w, 1).astype(np.float64))),
-        ).astype(np.uint8)
+        h = np.array(
+            [
+                int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
+                for v in vals
+            ],
+            dtype=np.uint64,
+        )
+        idx = (h >> np.uint64(q)).astype(np.int64)
+        w = h & np.uint64((1 << q) - 1)
+        # exact floor_log2 + 1 via frexp's exponent (w < 2^52 is
+        # float64-exact, so no log2 rounding hazard at powers of two)
+        blen = np.frexp(w.astype(np.float64))[1]
+        rank = np.where(w == 0, q + 1, q + 1 - blen).astype(np.uint8)
         mat = np.zeros((len(vals), m), np.uint8)
         mat[np.arange(len(vals)), idx] = rank
         return pa.table(
@@ -1211,13 +1220,29 @@ def _hyperball_iter(
         yield h, cur
 
 
+def _hll_estimate_num(p: int) -> float:
+    """The constant alpha_m·m²·2^(61-p) of the md5-60 HyperBall
+    estimator, computed ONCE here and embedded verbatim (repr) into the
+    DuckDB oracle SQL — the same double on both sides makes the whole
+    estimate a single correctly-rounded division, bit-identical across
+    engines."""
+    m = 1 << p
+    alpha = 0.7213 / (1 + 1.079 / m)
+    return alpha * m * m * float(1 << (60 - p + 1))
+
+
 def _hll_counts(
     sketches: ray.data.Dataset | None, p: int, col: str = "reach_est"
 ) -> ray.data.Dataset:
-    """(node, sk) HLL registers → (node, <col>) cardinality estimates."""
-    import numpy as np
+    """(node, sk) md5-60 HLL registers → (node, <col>) cardinality
+    estimates, bit-reproducibly: Z⁻¹ is kept as the EXACT integer
+    S = Σ 2^(R−reg) (R = 61−p; max m·2^R < 2^62), the raw estimate is
+    one double division NUM/S, linear counting uses libm log (the same
+    library DuckDB's ln calls), and the int readout is floor(est+0.5)
+    on both sides. No float sum ever depends on reduction order."""
+    import math
 
-    from ..functions import sketch as hll
+    import numpy as np
 
     if sketches is None:
         return ray.data.from_arrow(
@@ -1228,14 +1253,30 @@ def _hll_counts(
                 }
             )
         )
+    m = 1 << p
+    R = 60 - p + 1
+    num_const = _hll_estimate_num(p)
 
     def _count(t: pa.Table) -> pa.Table:
-        ests = [
-            hll.hll_count(np.frombuffer(b, np.uint8), p=p)
-            for b in t["sk"].to_pylist()
-        ]
+        blobs = t["sk"].to_pylist()
+        if not blobs:
+            return pa.table(
+                {"node": t["node"], col: pa.array([], pa.int64())}
+            )
+        regs = np.frombuffer(b"".join(blobs), np.uint8).reshape(
+            len(blobs), m
+        ).astype(np.int64)
+        s = np.left_shift(np.int64(1), R - regs).sum(axis=1)
+        zeros = (regs == 0).sum(axis=1)
+        est = num_const / s.astype(np.float64)
+        lin = np.flatnonzero((est <= 2.5 * m) & (zeros > 0))
+        for i in lin:
+            # math.log (libm) rather than np.log (SIMD variant): DuckDB
+            # ln calls the same libm, so the branch stays bit-identical
+            est[i] = m * math.log(m / int(zeros[i]))
+        out = np.floor(est + 0.5).astype(np.int64)
         return pa.table(
-            {"node": t["node"], col: pa.array(ests, pa.int64())}
+            {"node": t["node"], col: pa.array(out, pa.int64())}
         )
 
     return sketches.map_batches(
