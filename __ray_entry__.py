@@ -356,9 +356,11 @@ def _q_mention_contexts(sf_dir: str):
 
 def _q_kg_negatives(sf_dir: str):
     """Corrupt-tail training negatives for link prediction
-    (stages/graph.py negative_samples). Rows-only: hash-chosen corrupted
-    objects have no SQL mirror — the contract pytest pins determinism,
-    layout-independence and never-a-true-edge."""
+    (stages/graph.py negative_samples) — oracle-backed: the corrupted
+    object is drawn by md5-60 over the rank-ordered entity universe, so
+    the DuckDB oracle replays the identical draws; the contract pytest
+    additionally pins determinism, layout-independence and
+    never-a-true-edge."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import (
         negative_samples,
@@ -1969,8 +1971,10 @@ def _q_kg_conv_hist(sf_dir: str):
 def _q_kg_bowtie(sf_dir: str):
     """Broder bow-tie structure of the KG (core/in/out/other node
     counts) — `stages/graph.bowtie_decomposition` (SCC + multi-source
-    reachability reuse). Rows-only: SCC has no monotone recursive SQL
-    form; the closed-form pytest is the contract."""
+    reachability reuse) — oracle-backed: the DuckDB oracle rebuilds the
+    SCC labels via mutual reachability (the kg_scc oracle core), picks
+    the same largest/min-id core, and replays the ≤30-hop multi-source
+    BFS; the closed-form pytest additionally pins arbitrary graphs."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import (
         bowtie_decomposition,
@@ -8999,4 +9003,158 @@ def oracle_sql() -> dict[str, str]:
     out["kg_neighborhood"] = _hyperball_sql("nf", hops=6)
     out["kg_harmonic"] = _hyperball_sql("harmonic", hops=4)
     out["kg_eff_diameter"] = _hyperball_sql("effdiam", hops=6)
+    # Broder bow-tie: SCC via mutual reachability (the kg_scc oracle
+    # core), core = largest SCC (ties → min id), IN/OUT = ≤30-hop
+    # multi-source BFS from the core set (the engine's max_iters cap).
+    out["kg_bowtie"] = f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges0 AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS src, o.entity_id AS dst
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            nodes AS MATERIALIZED (
+                SELECT DISTINCT n FROM (
+                    SELECT src AS n FROM edges0
+                    UNION ALL SELECT dst FROM edges0)
+            ),
+            e AS MATERIALIZED (
+                SELECT src, dst FROM edges0 WHERE src <> dst
+            ),
+            reach(src, dst) AS (
+                SELECT src, dst FROM e
+                UNION
+                SELECT r.src, e.dst FROM reach r JOIN e ON e.src = r.dst
+            ),
+            mutual AS MATERIALIZED (
+                SELECT a.src AS v, a.dst AS u
+                FROM reach a JOIN reach b
+                  ON a.src = b.dst AND a.dst = b.src
+            ),
+            scc AS MATERIALIZED (
+                SELECT n.n AS node,
+                       CASE WHEN min(m.u) IS NULL OR n.n < min(m.u)
+                            THEN n.n ELSE min(m.u) END AS scc_id
+                FROM nodes n LEFT JOIN mutual m ON m.v = n.n
+                GROUP BY n.n
+            ),
+            sizes AS (
+                SELECT scc_id, COUNT(*) AS n FROM scc GROUP BY scc_id
+            ),
+            core_id AS (
+                SELECT MIN(scc_id) AS cid FROM sizes
+                WHERE n = (SELECT MAX(n) FROM sizes)
+            ),
+            core AS MATERIALIZED (
+                SELECT node FROM scc WHERE scc_id = (SELECT cid FROM core_id)
+            ),
+            fwd(w, d) AS (
+                SELECT node, 0 FROM core
+                UNION
+                SELECT e.dst, f.d + 1 FROM fwd f JOIN e ON e.src = f.w
+                WHERE f.d < 30
+            ),
+            bwd(w, d) AS (
+                SELECT node, 0 FROM core
+                UNION
+                SELECT e.src, f.d + 1 FROM bwd f JOIN e ON e.dst = f.w
+                WHERE f.d < 30
+            ),
+            n_core AS (SELECT COUNT(*) AS c FROM core),
+            n_out AS (
+                SELECT COUNT(DISTINCT w) AS c FROM fwd
+                WHERE w NOT IN (SELECT node FROM core)
+            ),
+            n_in AS (
+                SELECT COUNT(DISTINCT w) AS c FROM bwd
+                WHERE w NOT IN (SELECT node FROM core)
+            ),
+            n_tot AS (SELECT COUNT(*) AS c FROM scc)
+            SELECT cls, CAST(n_nodes AS BIGINT) AS n_nodes FROM (
+                SELECT 'core' AS cls, (SELECT c FROM n_core) AS n_nodes
+                UNION ALL
+                SELECT 'in', (SELECT c FROM n_in)
+                UNION ALL
+                SELECT 'out', (SELECT c FROM n_out)
+                UNION ALL
+                SELECT 'other', (SELECT c FROM n_tot)
+                                - (SELECT c FROM n_core)
+                                - (SELECT c FROM n_in)
+                                - (SELECT c FROM n_out)
+            )
+        """
+    # corrupt-tail negatives: md5-60 draw over the rank-ordered entity
+    # universe, self-corruptions and true edges removed, distinct —
+    # replays stages/graph.negative_samples(k=2, seed=13) exactly
+    out["kg_negatives"] = f"""
+            WITH best AS (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            pos AS MATERIALIZED (
+                SELECT DISTINCT s.entity_id AS subj_id, t.pred,
+                                o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            uni AS MATERIALIZED (
+                SELECT n, ROW_NUMBER() OVER (ORDER BY n) - 1 AS r
+                FROM (
+                    SELECT DISTINCT n FROM (
+                        SELECT subj_id AS n FROM pos
+                        UNION ALL SELECT obj_id FROM pos)
+                )
+            ),
+            nc AS (SELECT COUNT(*) AS c FROM uni),
+            cand AS (
+                SELECT p.subj_id, p.pred, u.n AS obj_id
+                FROM pos p
+                CROSS JOIN (SELECT unnest(range(2)) AS i) ii
+                CROSS JOIN nc
+                JOIN uni u
+                  ON u.r = ('0x' || substr(md5(
+                               p.subj_id || chr(31) || '13' || chr(31)
+                               || CAST(ii.i AS VARCHAR) || chr(31)
+                               || p.pred || p.obj_id), 1, 15))::BIGINT
+                           % nc.c
+                WHERE u.n <> p.subj_id
+            )
+            SELECT DISTINCT c.subj_id, c.pred, c.obj_id
+            FROM cand c
+            WHERE NOT EXISTS (
+                SELECT 1 FROM pos p2
+                WHERE p2.subj_id = c.subj_id AND p2.pred = c.pred
+                  AND p2.obj_id = c.obj_id)
+        """
     return out

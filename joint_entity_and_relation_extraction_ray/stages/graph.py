@@ -2919,8 +2919,9 @@ def negative_samples(
     """KG-embedding training negatives: for every distinct positive
     (subj, pred, obj) edge, up to ``k`` corrupted-object triples
     ``(subj_id, pred, neg_obj_id)`` — objects drawn DETERMINISTICALLY
-    from the entity universe by stable hash (layout-independent,
-    engine-reproducible; no RNG state anywhere), then true edges and
+    from the sorted entity universe by the SQL-mirrorable md5-60 hash
+    (layout-independent, engine-reproducible, replayed exactly by the
+    driver's DuckDB oracle; no RNG state anywhere), then true edges and
     self-corruptions are removed by one composite-key anti-join
     (``relational.membership_join``), so a sample can yield < k
     negatives but never a false one. The standard corrupt-tail
@@ -2990,6 +2991,7 @@ def negative_samples(
     uni_ref = ray.put(universe) if ray.is_initialized() else universe
 
     def _candidates(t: pa.Table) -> pa.Table:
+        import hashlib
         import numpy as np
 
         uni = ray.get(uni_ref) if isinstance(uni_ref, ray.ObjectRef) else uni_ref
@@ -3010,7 +3012,17 @@ def negative_samples(
                 np.char.add(s.astype(str), f"\x1f{seed}\x1f{i}\x1f"),
                 np.char.add(p.astype(str), o.astype(str)),
             )
-            idx = stable_hash64(key).astype(np.uint64) % np.uint64(len(uni))
+            # md5-60 (the SQL-mirrorable hash family of random_walks /
+            # the HyperBall registers) so the driver oracle replays the
+            # identical draws; a vectorized 64-bit hash is the drop-in
+            # at 10¹²-edge scale if oracle parity is not needed
+            idx = np.array(
+                [
+                    int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
+                    for x in key
+                ],
+                dtype=np.uint64,
+            ) % np.uint64(len(uni))
             cand = uni[idx.astype(np.int64)]
             keep = cand != s  # self-corruption out immediately
             subs.append(s[keep])
@@ -5621,7 +5633,8 @@ def bowtie_decomposition(
     whole core — per round one (src)-keyed `join_auto` against the
     frontier and a `membership_join` anti-filter against the visited
     set, exactly the bfs_distances dataflow lifted to a seed SET.
-    Rows-only by design (SCC has no monotone recursive SQL form); the
+    Oracle-backed: the driver's DuckDB oracle rebuilds SCC labels by
+    mutual reachability and replays the capped multi-source BFS; the
     pytest pins a closed-form bow-tie."""
     import polars as pl
 
