@@ -3075,16 +3075,16 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_pred_roles": _q_kg_pred_roles,
         "kg_pred_rules": _q_kg_pred_rules,
         "kg_triangles": _q_kg_triangles,
-        "kg_pagerank": _q_kg_pagerank,  # rows-only (iterative float ranks)
+        "kg_pagerank": _q_kg_pagerank,  # oracle-exact (fixed-point int64)
         "kg_asof": _q_kg_asof,
         "kg_entity_page": _q_kg_entity_page,
         "conv_kg_profile": _q_conv_kg_profile,
-        "kg_pagerank_weighted": _q_kg_pagerank_weighted,  # rows-only
-        "kg_ppr": _q_kg_ppr,  # rows-only (personalized restart, float ranks)
-        "kg_hits": _q_kg_hits,  # rows-only (iterative L2-normalized scores)
-        "kg_hyperball": _q_kg_hyperball,  # rows-only (HLL ball estimates)
-        "kg_harmonic": _q_kg_harmonic,  # rows-only (HLL-delta centrality)
-        "kg_neighborhood": _q_kg_neighborhood,  # rows-only (HLL N(t) sums)
+        "kg_pagerank_weighted": _q_kg_pagerank_weighted,  # oracle-exact
+        "kg_ppr": _q_kg_ppr,  # oracle-exact (fixed-point int64)
+        "kg_hits": _q_kg_hits,  # oracle-exact (fixed-point, ceil-div norm)
+        "kg_hyperball": _q_kg_hyperball,  # oracle-exact (md5-60 registers)
+        "kg_harmonic": _q_kg_harmonic,  # oracle-exact (md5-60 registers)
+        "kg_neighborhood": _q_kg_neighborhood,  # oracle-exact (md5-60 registers)
         "kg_components": _q_kg_components,
         "kg_comention": _q_kg_comention,
         "conv_stats": _q_conv_stats,
@@ -3110,10 +3110,10 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "conv_response_time": _q_conv_response_time,
         "kg_nodes": _q_kg_nodes,
         "kg_latest_assertion": _q_kg_latest_assertion,
-        "kg_kcore": _q_kg_kcore,  # rows-only (deletion fixpoint, no SQL form)
+        "kg_kcore": _q_kg_kcore,  # oracle-exact (state-carry recursion)
         "kg_jaccard": _q_kg_jaccard,
-        "kg_labelprop": _q_kg_labelprop,  # rows-only (iterative mode fixpoint)
-        "kg_negatives": _q_kg_negatives,  # rows-only (hash-chosen corruption)
+        "kg_labelprop": _q_kg_labelprop,  # oracle-exact (capped vote recursion)
+        "kg_negatives": _q_kg_negatives,  # oracle-exact (md5-60 draws)
         "mention_contexts": _q_mention_contexts,
         "kg_pred_signatures": _q_kg_pred_signatures,
         "kg_report": _q_kg_report,
@@ -3291,7 +3291,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_validity_incremental": _q_kg_validity_incremental,
         "kg_volatility": _q_kg_volatility,
         "kg_conv_hist": _q_kg_conv_hist,
-        "kg_bowtie": _q_kg_bowtie,  # rows-only (SCC fixpoint, no SQL form)
+        "kg_bowtie": _q_kg_bowtie,  # oracle-exact (mutual-reach SCC)
         "kg_richclub": _q_kg_richclub,
         "kg_triadic_closure": _q_kg_triadic_closure,
         "kg_reciprocity_lag": _q_kg_reciprocity_lag,
@@ -3316,7 +3316,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q21_waiting_suppliers": co.q_q21_waiting_suppliers,
         "kg_lift": _q_kg_lift,
         "collocations": co.q_collocations,
-        "kg_eff_diameter": _q_kg_eff_diameter,  # rows-only (HLL estimates)
+        "kg_eff_diameter": _q_kg_eff_diameter,  # oracle-exact (md5-60 nf)
         "kg_betweenness": _q_kg_betweenness,  # rows-only (sampled, float δ)
     }
 
@@ -9156,5 +9156,42 @@ def oracle_sql() -> dict[str, str]:
                 SELECT 1 FROM pos p2
                 WHERE p2.subj_id = c.subj_id AND p2.pred = c.pred
                   AND p2.obj_id = c.obj_id)
+        """
+    # TF-IDF top-5: score = tf · ln(n_docs/df). ln is deterministic here
+    # — DuckDB's ln, polars' .log() and CPython's math.log all call the
+    # same libm on this platform (bitwise-verified over the full (tf,df)
+    # range in round 4), and ties break on the term string.
+    out["tfidf"] = """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS tf
+                FROM tok GROUP BY 1, 2
+            ),
+            dfx AS (
+                SELECT term, COUNT(DISTINCT doc_id) AS df
+                FROM tok GROUP BY 1
+            ),
+            nd AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM documents),
+            scored AS (
+                SELECT t.doc_id, t.term, t.tf, d.df,
+                       t.tf * ln((SELECT n FROM nd) / d.df) AS score
+                FROM tf t JOIN dfx d USING (term)
+            ),
+            top AS (
+                SELECT doc_id,
+                       ROW_NUMBER() OVER (PARTITION BY doc_id
+                                          ORDER BY score DESC, term)
+                           AS rank,
+                       term, tf, df, score
+                FROM scored
+            )
+            SELECT doc_id, CAST(rank AS BIGINT) AS rank, term,
+                   CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
+                   score
+            FROM top WHERE rank <= 5
         """
     return out

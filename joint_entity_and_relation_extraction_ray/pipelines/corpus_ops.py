@@ -1983,9 +1983,10 @@ def q_event_share(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_tfidf(sf_dir: str) -> ray.data.Dataset:
-    """Per-doc top-5 TF-IDF terms (rows-only: ln has no exact SQL
-    mirror; ranking verified vs a numpy reference in pytest) — see
-    `stages/curation.tfidf_top_terms`."""
+    """Per-doc top-5 TF-IDF terms — oracle-backed: DuckDB's ln, polars'
+    .log() and libm agree bitwise on this platform, so the float scores
+    hash-exact; ranking additionally verified vs a numpy reference in
+    pytest — see `stages/curation.tfidf_top_terms`."""
     from ..stages.curation import tfidf_top_terms
 
     return tfidf_top_terms(read_documents(sf_dir), k=5)
