@@ -3167,7 +3167,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "sessionize": co.q_sessionize,
         "event_trends": co.q_event_trends,
         "events_daily": co.q_events_daily,
-        "events_daily_approx": co.q_events_daily_approx,  # rows-only (HLL)
+        "events_daily_approx": co.q_events_daily_approx,  # oracle-exact (md5-60 HLL)
         "events_json": co.q_events_json,
         "sample_hash": co.q_sample_hash,
         "sample_random": co.q_sample_random,  # rows-only (Ray-seeded sampler)
@@ -9193,5 +9193,54 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                    score
             FROM top WHERE rank <= 5
+        """
+    # HLL daily rollup: md5-60 registers over CAST(user_id AS VARCHAR)
+    # per (event_type, day), exact-integer S, one NUM/S division —
+    # replays functions/sketch.py (p=12) bit-for-bit.
+    from joint_entity_and_relation_extraction_ray.functions.sketch import (
+        hll_estimate_num,
+    )
+
+    _n12 = repr(hll_estimate_num(12))
+    out["events_daily_approx"] = f"""
+            WITH du AS (
+                SELECT DISTINCT event_type, CAST(ts AS DATE) AS day,
+                                user_id
+                FROM events
+            ),
+            sing AS (
+                SELECT event_type, day,
+                       ('0x' || substr(md5(CAST(user_id AS VARCHAR)),
+                                       1, 15))::BIGINT AS h
+                FROM du
+            ),
+            regs AS (
+                SELECT event_type, day, h >> 48 AS idx,
+                       MAX(CASE WHEN (h & 281474976710655) = 0 THEN 49
+                                ELSE 49 - length(bin(h & 281474976710655))
+                           END) AS reg
+                FROM sing GROUP BY 1, 2, 3
+            ),
+            agg AS (
+                SELECT event_type, day,
+                       SUM(1::BIGINT << (49 - reg))
+                         + (4096 - COUNT(*)) * (1::BIGINT << 49) AS s,
+                       4096 - COUNT(*) AS zeros
+                FROM regs GROUP BY 1, 2
+            ),
+            base AS (
+                SELECT event_type, CAST(ts AS DATE) AS day,
+                       COUNT(*) AS n_events,
+                       MIN(value) AS min_value, MAX(value) AS max_value
+                FROM events GROUP BY 1, 2
+            )
+            SELECT b.event_type, b.day, b.n_events,
+                   CAST(floor((CASE WHEN {_n12} / a.s <= 10240.0
+                                     AND a.zeros > 0
+                                    THEN 4096 * ln(4096.0 / a.zeros)
+                                    ELSE {_n12} / a.s END) + 0.5)
+                        AS BIGINT) AS n_users_approx,
+                   b.min_value, b.max_value
+            FROM base b JOIN agg a USING (event_type, day)
         """
     return out

@@ -9,22 +9,29 @@ payload per (group, block) is ``2^p`` bytes instead of that block's raw
 rows: the difference between shipping 10^12 user ids and shipping 4 KB
 per group per block at 100 TB.
 
-Pure numpy; precision p=12 → 4096 registers, standard error ≈ 1.6%.
-Hash = the engine's stable 64-bit hash (schema.stable_hash64), so sketches
-are deterministic across runs and nodes. The (64-p)-bit rank suffix fits
-float64's 53-bit exact-integer range for p ≥ 11, so the log2-based rank is
-exact (asserted at import for the default p).
+Pure numpy + hashlib; precision p=12 → 4096 registers, standard error
+≈ 1.6%. Hash = md5-60 of the value's canonical string form (the engine's
+SQL-mirrorable hash family, same as random_walks' step rule and the
+HyperBall registers in stages/graph.py) — so a DuckDB oracle recomputes
+IDENTICAL registers from ``md5(CAST(x AS VARCHAR))`` and the estimates
+are exact mirrors. The estimator keeps Z⁻¹ as the exact integer
+S = Σ 2^(R−reg) (R = 61−p), making the raw estimate ONE
+correctly-rounded double division — no float sum depends on reduction
+order, so results are bit-reproducible across engines and block layouts.
+(A vectorized 64-bit hash is the drop-in replacement if oracle parity is
+ever traded away for ingest throughput.)
 """
 
 from __future__ import annotations
 
-import numpy as np
+import hashlib
+import math
 
-from ..schema import stable_hash64
+import numpy as np
 
 DEFAULT_P = 12
 
-assert 64 - DEFAULT_P <= 53, "rank suffix must stay float64-exact"
+assert 60 - DEFAULT_P <= 52, "rank suffix must stay float64-exact"
 
 
 def _alpha(m: int) -> float:
@@ -37,24 +44,44 @@ def _alpha(m: int) -> float:
     return 0.7213 / (1 + 1.079 / m)
 
 
+def hll_estimate_num(p: int) -> float:
+    """alpha_m·m²·2^(61−p): the estimator's numerator, computed once and
+    embedded verbatim (repr) in oracle SQL so both engines divide the
+    same double by the same integer S."""
+    m = 1 << p
+    return _alpha(m) * m * m * float(1 << (60 - p + 1))
+
+
 def hll_empty(p: int = DEFAULT_P) -> np.ndarray:
     return np.zeros(1 << p, dtype=np.uint8)
 
 
 def hll_add(registers: np.ndarray, values, p: int = DEFAULT_P) -> np.ndarray:
-    """Fold ``values`` (any dtype; hashed with stable_hash64) into the
-    register array IN PLACE and return it."""
+    """Fold ``values`` into the register array IN PLACE and return it.
+
+    Values hash as md5-60 of their canonical string form (non-string
+    arrays go through numpy ``astype(str)`` — '123' for ints, shortest
+    round-trip repr for floats, both matching DuckDB's
+    ``CAST(x AS VARCHAR)``): top p bits → register index, (60−p)-bit
+    suffix → rank via the exact frexp bit-length (no log2 rounding
+    hazard)."""
     if len(values) == 0:
         return registers
-    h = stable_hash64(np.asarray(values)).astype(np.uint64)
-    idx = (h >> np.uint64(64 - p)).astype(np.int64)
-    w = h & np.uint64((1 << (64 - p)) - 1)
-    # rank = leading-zero count of the (64-p)-bit suffix + 1
-    rank = np.where(
-        w == 0,
-        64 - p + 1,
-        (64 - p) - np.floor(np.log2(np.maximum(w, 1).astype(np.float64))),
-    ).astype(np.uint8)
+    arr = np.asarray(values)
+    if arr.dtype.kind not in ("U", "O"):
+        arr = arr.astype(str)
+    q = 60 - p
+    h = np.array(
+        [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in arr
+        ],
+        dtype=np.uint64,
+    )
+    idx = (h >> np.uint64(q)).astype(np.int64)
+    w = h & np.uint64((1 << q) - 1)
+    blen = np.frexp(w.astype(np.float64))[1]
+    rank = np.where(w == 0, q + 1, q + 1 - blen).astype(np.uint8)
     np.maximum.at(registers, idx, rank)
     return registers
 
@@ -64,13 +91,19 @@ def hll_merge(a: np.ndarray, b: np.ndarray) -> np.ndarray:
 
 
 def hll_count(registers: np.ndarray, p: int = DEFAULT_P) -> int:
-    """Cardinality estimate with the standard small-range correction."""
+    """Cardinality estimate with the standard small-range correction —
+    bit-reproducibly: S = Σ 2^(R−reg) is an exact int (≤ m·2^R < 2^62),
+    the raw estimate is one double division NUM/S, linear counting uses
+    libm log (what DuckDB's ln calls too), readout floor(est+0.5)."""
     m = 1 << p
-    est = _alpha(m) * m * m / np.sum(np.exp2(-registers.astype(np.float64)))
+    R = 60 - p + 1
+    regs = registers.astype(np.int64)
+    s = int(np.left_shift(np.int64(1), R - regs).sum())
+    est = hll_estimate_num(p) / s
     zeros = int(np.count_nonzero(registers == 0))
     if est <= 2.5 * m and zeros:
-        est = m * np.log(m / zeros)  # linear counting
-    return int(round(est))
+        est = m * math.log(m / zeros)  # linear counting
+    return int(math.floor(est + 0.5))
 
 
 def hll_serialize(registers: np.ndarray) -> bytes:

@@ -519,8 +519,11 @@ def q_events_daily(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_events_daily_approx(sf_dir: str) -> ray.data.Dataset:
-    """HLL-sketched daily rollup (rows-only: n_users is a ±1.6% estimate;
-    accuracy bounds are pytest-asserted vs the exact rollup)."""
+    """HLL-sketched daily rollup — oracle-backed: the md5-60 registers
+    and exact-integer estimator (functions/sketch.py) are replayed
+    bit-for-bit by the DuckDB oracle; n_users_approx stays a ±1.6%
+    ESTIMATE of the true distinct count (accuracy pytest-asserted vs
+    the exact rollup), but the estimate itself is hash-exact."""
     from ..stages import events
 
     return events.daily_rollup_approx(

@@ -1221,14 +1221,12 @@ def _hyperball_iter(
 
 
 def _hll_estimate_num(p: int) -> float:
-    """The constant alpha_m·m²·2^(61-p) of the md5-60 HyperBall
-    estimator, computed ONCE here and embedded verbatim (repr) into the
-    DuckDB oracle SQL — the same double on both sides makes the whole
-    estimate a single correctly-rounded division, bit-identical across
-    engines."""
-    m = 1 << p
-    alpha = 0.7213 / (1 + 1.079 / m)
-    return alpha * m * m * float(1 << (60 - p + 1))
+    """alpha_m·m²·2^(61−p) — re-exported from functions/sketch.py (the
+    one definition both the HyperBall stages and the G5 HLL aggregate
+    embed verbatim into their oracle SQL)."""
+    from ..functions.sketch import hll_estimate_num
+
+    return hll_estimate_num(p)
 
 
 def _hll_counts(
