@@ -394,6 +394,19 @@ def _q_kg_jaccard(sf_dir: str):
     return jaccard_similarity(kg.stage(sf_dir, "edges"), min_common=2)
 
 
+def _q_kg_adamic_adar(sf_dir: str):
+    """Adamic–Adar + Resource-Allocation link prediction in exact int64
+    fixed-point (stages/graph.adamic_adar): per shared neighbor z the
+    weights floor(1e12/ln(deg_z)) and 1e12//deg_z are integers, pair
+    scores are integer sums — oracle hash-exact."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        adamic_adar,
+    )
+
+    return adamic_adar(kg.stage(sf_dir, "edges"), min_common=2)
+
+
 def _q_kg_kcore(sf_dir: str):
     """2-core of the KG (iterative peel; stages/graph.py kcore) — exact
     integers, oracle-backed: the recursive CTE carries the surviving
@@ -3112,6 +3125,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_latest_assertion": _q_kg_latest_assertion,
         "kg_kcore": _q_kg_kcore,  # oracle-exact (state-carry recursion)
         "kg_jaccard": _q_kg_jaccard,
+        "kg_adamic_adar": _q_kg_adamic_adar,  # oracle-exact (fixed-point AA/RA)
         "kg_labelprop": _q_kg_labelprop,  # oracle-exact (capped vote recursion)
         "kg_negatives": _q_kg_negatives,  # oracle-exact (md5-60 draws)
         "mention_contexts": _q_mention_contexts,
@@ -3129,6 +3143,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_eval_by_pred": _q_kg_eval_by_pred,
         # training-data corpus ops over the driver's own tables
         "doc_stats": co.q_doc_stats,
+        "doc_entropy": co.q_doc_entropy,  # oracle-exact (fixed-point entropy)
         "token_counts": co.q_token_counts,
         "quality_filter": co.q_quality_filter,
         "lang_id": co.q_lang_id,
@@ -5098,6 +5113,60 @@ def oracle_sql() -> dict[str, str]:
             FROM pairs p
             JOIN deg du ON p.u = du.node
             JOIN deg dv ON p.v = dv.node
+        """,
+        # Adamic–Adar + Resource-Allocation in int64 fixed-point
+        # (graph.py adamic_adar): per shared neighbor z the weights
+        # floor(1e12/ln(deg_z)) and 1e12//deg_z are exact integers from
+        # an integer degree; pair scores are order-independent int sums
+        "kg_adamic_adar": f"""
+            WITH best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            edges AS MATERIALIZED (
+                SELECT s.entity_id AS subj_id, o.entity_id AS obj_id
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+            ),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(subj_id, obj_id) AS a,
+                                greatest(subj_id, obj_id) AS b
+                FROM edges WHERE subj_id <> obj_id
+            ),
+            sym AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und
+            ),
+            w AS MATERIALIZED (
+                SELECT dst, count(*) AS deg,
+                       CAST(floor(1000000000000.0
+                                  / ln(CAST(count(*) AS DOUBLE)))
+                            AS BIGINT) AS aa_w,
+                       1000000000000 // count(*) AS ra_w
+                FROM sym GROUP BY dst HAVING count(*) >= 2
+            )
+            SELECT x.src AS u, y.src AS v,
+                   CAST(count(*) AS BIGINT) AS n_common,
+                   CAST(sum(w.aa_w) AS BIGINT) AS aa_e12,
+                   CAST(sum(w.ra_w) AS BIGINT) AS ra_e12
+            FROM sym x
+            JOIN sym y ON x.dst = y.dst AND x.src < y.src
+            JOIN w ON w.dst = x.dst
+            GROUP BY 1, 2 HAVING count(*) >= 2
         """,
         "kg_comention": f"""
             WITH best AS MATERIALIZED (
@@ -9193,6 +9262,38 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                    score
             FROM top WHERE rank <= 5
+        """
+    # Per-doc token entropy (functions/textstats.token_entropy):
+    # ent_sum_e9 = Σ floor(c·log2(c)·1e9) is an order-independent int
+    # sum; entropy_bits is one fixed-order float expression over ints
+    out["doc_entropy"] = """
+            WITH tok AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS term
+                FROM documents
+            ),
+            tf AS (
+                SELECT doc_id, term, COUNT(*) AS c FROM tok GROUP BY 1, 2
+            ),
+            e AS (
+                SELECT doc_id, c,
+                       CAST(floor(CAST(c AS DOUBLE)
+                                  * log2(CAST(c AS DOUBLE))
+                                  * 1000000000.0) AS BIGINT) AS e9
+                FROM tf
+            ),
+            agg AS (
+                SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_distinct,
+                       SUM(e9) AS ent_sum_e9
+                FROM e GROUP BY 1
+            )
+            SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+                   CAST(n_distinct AS BIGINT) AS n_distinct,
+                   CAST(ent_sum_e9 AS BIGINT) AS ent_sum_e9,
+                   log2(CAST(n_tokens AS DOUBLE))
+                     - ent_sum_e9 / (1000000000.0 * n_tokens)
+                       AS entropy_bits
+            FROM agg
         """
     # HLL daily rollup: md5-60 registers over CAST(user_id AS VARCHAR)
     # per (event_type, day), exact-integer S, one NUM/S division —

@@ -63,6 +63,59 @@ def doc_stats(batch: pa.Table) -> pa.Table:
     return out.to_arrow()
 
 
+def token_entropy(batch: pa.Table) -> pa.Table:
+    """(doc_id, text) → per-doc token Shannon entropy, EXACTLY:
+    ``(doc_id, n_tokens, n_distinct, ent_sum_e9, entropy_bits)`` with
+    H = log2(n) − (Σ c·log2 c)/n computed so every term is
+    deterministic — ``ent_sum_e9 = Σ floor(c·log2(c)·1e9)`` is an
+    integer sum (order-independent; log2 per INTEGER count via
+    math.log2, the same libm DuckDB's log2 calls), and ``entropy_bits``
+    is one fixed-order float expression over (n, ent_sum_e9). The
+    burstiness/diversity quality signal (low entropy = repetitive
+    boilerplate) with a hash-exact SQL oracle. Token-less docs emit no
+    row."""
+    import math
+
+    df = pl.from_arrow(batch.select(["doc_id", "text"]))
+    tf = (
+        df.select(
+            pl.col("doc_id"),
+            pl.col("text").str.extract_all(_TOKEN_RE).alias("term"),
+        )
+        .explode("term")
+        .drop_nulls("term")
+        .group_by(["doc_id", "term"])
+        .agg(pl.len().cast(pl.Int64).alias("c"))
+    )
+    c = tf["c"].to_numpy()
+    # exact per-count weights: math.log2 over the few DISTINCT counts
+    u, inv = np.unique(c, return_inverse=True)
+    l2 = np.array([math.log2(int(x)) for x in u], np.float64)[inv]
+    e = np.floor(c.astype(np.float64) * l2 * 1e9).astype(np.int64)
+    agg = (
+        tf.with_columns(pl.Series("e", e))
+        .group_by("doc_id")
+        .agg(
+            pl.col("c").sum().alias("n_tokens"),
+            pl.len().cast(pl.Int64).alias("n_distinct"),
+            pl.col("e").sum().alias("ent_sum_e9"),
+        )
+    )
+    n = agg["n_tokens"].to_numpy()
+    s = agg["ent_sum_e9"].to_numpy()
+    ul, invl = np.unique(n, return_inverse=True)
+    log2n = np.array([math.log2(int(x)) for x in ul], np.float64)[invl]
+    bits = log2n - s.astype(np.float64) / (1e9 * n.astype(np.float64))
+    return (
+        agg.with_columns(pl.Series("entropy_bits", bits))
+        .select(
+            ["doc_id", "n_tokens", "n_distinct", "ent_sum_e9",
+             "entropy_bits"]
+        )
+        .to_arrow()
+    )
+
+
 def lang_id(batch: pa.Table) -> pa.Table:
     """(doc_id, text) → (doc_id, pred_lang) via marker-token argmax."""
     df = pl.from_arrow(batch.select(["doc_id", "text"]))

@@ -58,6 +58,15 @@ def q_doc_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_doc_entropy(sf_dir: str) -> ray.data.Dataset:
+    """Per-doc token Shannon entropy (hash-exact fixed-point ent_sum_e9
+    + one deterministic float expression) — see
+    `functions/textstats.token_entropy`."""
+    return read_documents(sf_dir).map_batches(
+        textstats.token_entropy, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def q_lang_id(sf_dir: str) -> ray.data.Dataset:
     return read_documents(sf_dir).map_batches(
         textstats.lang_id, batch_format="pyarrow", zero_copy_batch=True

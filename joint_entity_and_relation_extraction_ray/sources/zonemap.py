@@ -37,12 +37,20 @@ def _zonemap_path(base_dir: str | Path, col: str) -> Path:
 
 def _data_files(base_dir: str | Path) -> list[str]:
     base = Path(base_dir)
+    # Roll forward any crash-interrupted partition swap FIRST — a bare
+    # skip of hidden .part=k.tmp-*/.trash-* dirs would silently return
+    # partial data when the hidden copy is the only one (ADVICE r3);
+    # recovery instead completes the swap or raises loudly.
+    from ..state.checkpoint import recover_partition_swaps
+
+    recover_partition_swaps(base)
     return sorted(
         str(f)
         for f in base.rglob("*.parquet")
         if not f.name.startswith(ZONEMAP_PREFIX)
-        # skip hidden dirs: a crashed compaction's .part=k.tmp-*/.trash-*
-        # hold a full COPY of a partition — indexing them double-counts
+        # skip hidden dirs: recovery above has already deleted any that
+        # duplicate a live partition; anything left hidden is staging
+        # from a CONCURRENT writer and must not be double-counted
         and not any(
             part.startswith(".") for part in f.relative_to(base).parts
         )

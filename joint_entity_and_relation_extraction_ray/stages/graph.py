@@ -1957,6 +1957,104 @@ def common_neighbor_counts(
     return bucket_group_apply(per_hop, "u", _merge, num_buckets=8)
 
 
+def adamic_adar(
+    edges: ray.data.Dataset,
+    *,
+    min_common: int = 2,
+    scale: int = 10**12,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Adamic–Adar + Resource-Allocation link prediction in EXACT int64
+    fixed-point: for every unordered pair (u, v) sharing ≥ ``min_common``
+    undirected neighbors, rows ``(u, v, n_common, aa_e12, ra_e12)``
+    where each shared neighbor z contributes
+    ``floor(scale / ln(deg_z))`` (AA — Adamic & Adar, Soc. Networks
+    2003) and ``scale // deg_z`` (RA — Zhou et al., EPJ B 2009). The
+    per-z weight is one correctly-rounded libm op on an INTEGER degree
+    and each pair's score is an integer SUM — reduction-order-
+    independent, so the driver's DuckDB oracle (whose ``ln`` calls the
+    same libm) reproduces every score bit-exactly.
+
+    Same wedge-at-the-shared-neighbor dataflow as
+    :func:`common_neighbor_counts`; the hop's bucket group holds ALL of
+    z's distinct neighbors, so deg_z — and both weights — are known AT
+    WEDGE GENERATION with no degree join, and one pair-bucketed
+    integer-sum merge finishes. Hub cost is C(deg, 2) per hop, the
+    output's own lower bound (degree-capping is the documented
+    mitigation, as in common_neighbor_counts)."""
+    import polars as pl
+
+    from ..functions.shuffle import bucket_group_apply
+
+    def _sym(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["subj_id", "obj_id"]))
+        und = df.filter(pl.col("subj_id") != pl.col("obj_id")).select(
+            a=pl.min_horizontal("subj_id", "obj_id"),
+            b=pl.max_horizontal("subj_id", "obj_id"),
+        ).unique()
+        return (
+            pl.concat(
+                [
+                    und.select(src=pl.col("a"), dst=pl.col("b")),
+                    und.select(src=pl.col("b"), dst=pl.col("a")),
+                ]
+            )
+            .to_arrow()
+        )
+
+    sym = edges.map_batches(
+        _sym, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _wedges(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t).unique()
+        deg = df.group_by("dst").agg(pl.len().cast(pl.Int64).alias("deg"))
+        # polars .log() is bitwise libm ln on this platform (verified in
+        # the tfidf oracle work) — floor + int cast makes the weight an
+        # exact integer either way
+        # deg=1 hops make no wedge (and ln(1)=0 would blow up the AA
+        # weight) — drop them before computing weights
+        w = deg.filter(pl.col("deg") >= 2).with_columns(
+            (pl.lit(float(scale)) / pl.col("deg").cast(pl.Float64).log())
+            .floor()
+            .cast(pl.Int64)
+            .alias("aa_w"),
+            (pl.lit(scale, dtype=pl.Int64) // pl.col("deg")).alias("ra_w"),
+        )
+        j = (
+            df.join(df, on="dst", how="inner")
+            .filter(pl.col("src") < pl.col("src_right"))
+            .join(w, on="dst")
+        )
+        return (
+            j.group_by(["src", "src_right"])
+            .agg(
+                pl.len().cast(pl.Int64).alias("n"),
+                pl.col("aa_w").sum().alias("aa"),
+                pl.col("ra_w").sum().alias("ra"),
+            )
+            .rename({"src": "u", "src_right": "v"})
+            .to_arrow()
+        )
+
+    per_hop = bucket_group_apply(sym, "dst", _wedges, num_buckets=num_buckets)
+
+    def _merge(t: pa.Table) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by(["u", "v"])
+            .agg(
+                pl.col("n").sum().alias("n_common"),
+                pl.col("aa").sum().alias("aa_e12"),
+                pl.col("ra").sum().alias("ra_e12"),
+            )
+            .filter(pl.col("n_common") >= min_common)
+            .to_arrow()
+        )
+
+    return bucket_group_apply(per_hop, "u", _merge, num_buckets=8)
+
+
 def node_clustering(
     edges: ray.data.Dataset, *, num_buckets: int = 32
 ) -> ray.data.Dataset:
@@ -5040,11 +5138,39 @@ def betweenness_centrality(
     return out.sort(["betweenness", "node"], descending=[True, False])
 
 
+_DS_BOUNDS_CACHE: "weakref.WeakKeyDictionary" = None  # lazy-inited
+
+
+def _bounds_cached(ds: ray.data.Dataset, kind: str, compute):
+    """Per-Dataset-object memo for the tiny bounds reductions (ADVICE
+    r3: belief_snapshot/snapshot_diff/closure_rollup re-scan for
+    defaults the caller's sibling op just computed). Weak keys — the
+    cache dies with the Dataset; unhashable/unweakrefable objects just
+    skip the memo."""
+    global _DS_BOUNDS_CACHE
+    import weakref
+
+    if _DS_BOUNDS_CACHE is None:
+        _DS_BOUNDS_CACHE = weakref.WeakKeyDictionary()
+    try:
+        slot = _DS_BOUNDS_CACHE.setdefault(ds, {})
+    except TypeError:
+        return compute(ds)
+    if kind not in slot:
+        slot[kind] = compute(ds)
+    return slot[kind]
+
+
 def _ts_minmax_us(ds: ray.data.Dataset) -> tuple[int, int]:
     """Tiny driver reduction: (min, max) of the ``ts`` column in epoch
-    microseconds — one int pair per block moves, nothing else. Raises
-    ValueError on an all-null/empty stream (a cutoff over no data has
-    no meaning; callers pass explicit cutoffs for empty inputs)."""
+    microseconds — one int pair per block moves, nothing else; memoized
+    per Dataset object (`_bounds_cached`). Raises ValueError on an
+    all-null/empty stream (a cutoff over no data has no meaning;
+    callers pass explicit cutoffs for empty inputs)."""
+    return _bounds_cached(ds, "ts", _ts_minmax_us_compute)
+
+
+def _ts_minmax_us_compute(ds: ray.data.Dataset) -> tuple[int, int]:
     mm = ds.map_batches(
         lambda t: pa.table(
             {
@@ -5069,7 +5195,12 @@ def _ts_minmax_us(ds: ray.data.Dataset) -> tuple[int, int]:
 def _pred_bounds(ds: ray.data.Dataset) -> tuple[str, str]:
     """Tiny driver reduction: (min, max) predicate of an edge stream —
     the parameter-free defaults regular_path_pairs / closure_rollup
-    document. Same ValueError contract as :func:`_ts_minmax_us`."""
+    document; memoized per Dataset object (`_bounds_cached`). Same
+    ValueError contract as :func:`_ts_minmax_us`."""
+    return _bounds_cached(ds, "pred", _pred_bounds_compute)
+
+
+def _pred_bounds_compute(ds: ray.data.Dataset) -> tuple[str, str]:
     mm = ds.map_batches(
         lambda t: pa.table(
             {
@@ -5311,6 +5442,10 @@ def belief_snapshot(
     vectorized filter over the streamed intervals — no extra shuffle
     beyond the one validity_intervals already does."""
     if at_us is None:
+        # the cutoff scan + the timeline both read the stream: pin it
+        # once so the second pass reads blocks, not recomputed upstream
+        # (ADVICE r3); callers passing explicit cutoffs stay streaming
+        rewritten = rewritten.materialize()
         lo, hi = _ts_minmax_us(rewritten)
         at_us = (lo + hi) // 2
 
@@ -5358,6 +5493,8 @@ def snapshot_diff(
     from ..functions.shuffle import bucket_group_apply
 
     if t1_us is None or t2_us is None:
+        # same pin-once discipline as belief_snapshot (ADVICE r3)
+        rewritten = rewritten.materialize()
         lo, hi = _ts_minmax_us(rewritten)
         t1_us = t1_us if t1_us is not None else lo + (hi - lo) // 4
         t2_us = t2_us if t2_us is not None else lo + 3 * (hi - lo) // 4

@@ -385,6 +385,87 @@ def latest_iteration(
     return int(m["iter"]), path
 
 
+def _swap_partition(base: Path, k: int, tmp: Path) -> None:
+    """Crash-safe ``part=<k>`` directory swap: ``tmp`` (fully written)
+    replaces the live partition via a journaled two-rename. POSIX has no
+    atomic directory exchange, so a crash CAN land between the renames —
+    the ``.part=<k>.swap.json`` intent marker (written after ``tmp`` is
+    complete, removed after the swap commits) lets
+    :func:`recover_partition_swaps` roll any interrupted swap forward,
+    and readers fail loudly instead of silently seeing a missing
+    partition (ADVICE r3)."""
+    import uuid
+
+    part_dir = base / f"part={k}"
+    trash = base / f".part={k}.trash-{uuid.uuid4().hex[:8]}"
+    marker = base / f".part={k}.swap.json"
+    marker.write_text(
+        json.dumps(
+            {"part": part_dir.name, "tmp": tmp.name, "trash": trash.name}
+        )
+    )
+    if part_dir.exists():
+        os.rename(part_dir, trash)
+    os.rename(tmp, part_dir)
+    shutil.rmtree(trash, ignore_errors=True)
+    marker.unlink()
+
+
+def recover_partition_swaps(base_dir: str | Path) -> list[str]:
+    """Complete any partition swap a crash interrupted and clean (or
+    refuse to guess about) leftover ``.part=*.tmp-*`` / ``.trash-*``
+    directories. Called by compact/upsert before planning and by the
+    zone-map reader before listing data files; returns the names of
+    markers it resolved.
+
+    Rules: with a marker present, ``tmp`` was complete before the marker
+    was written, so a missing live partition rolls FORWARD to tmp (or
+    back to trash if tmp is already gone); with no marker, debris beside
+    a live partition is a committed swap's leftovers (safe to drop), but
+    debris where the live partition is MISSING means the only copy sits
+    in a hidden directory — raise instead of silently scanning partial
+    data."""
+    base = Path(base_dir)
+    resolved: list[str] = []
+    for marker in sorted(base.glob(".part=*.swap.json")):
+        info = json.loads(marker.read_text())
+        part = base / info["part"]
+        tmp = base / info["tmp"]
+        trash = base / info["trash"]
+        if not part.exists():
+            if tmp.exists():
+                os.rename(tmp, part)
+            elif trash.exists():
+                os.rename(trash, part)
+            else:
+                raise RuntimeError(
+                    f"unrecoverable partition swap journal {marker}: "
+                    f"{info['part']} missing and neither {info['tmp']} "
+                    f"nor {info['trash']} survives"
+                )
+        if trash.exists():
+            shutil.rmtree(trash, ignore_errors=True)
+        if tmp.exists():
+            shutil.rmtree(tmp, ignore_errors=True)
+        marker.unlink()
+        resolved.append(marker.name)
+    for orphan in sorted(base.glob(".part=*.tmp-*")) + sorted(
+        base.glob(".part=*.trash-*")
+    ):
+        live = base / orphan.name.lstrip(".").split(".tmp-")[0].split(
+            ".trash-"
+        )[0]
+        if live.exists():
+            shutil.rmtree(orphan, ignore_errors=True)
+        else:
+            raise RuntimeError(
+                f"{orphan} holds the only copy of {live.name} (no swap "
+                "journal remains) — refusing to scan partial data; "
+                "restore the directory manually"
+            )
+    return resolved
+
+
 def upsert_partitioned(
     base_dir: str | Path,
     updates: ray.data.Dataset,
@@ -423,6 +504,8 @@ def upsert_partitioned(
     from ..schema import stable_bucket
 
     base = Path(base_dir)
+    if base.exists():
+        recover_partition_swaps(base)
     staging = base.parent / f".{base.name}.upsert-{uuid.uuid4().hex[:8]}"
 
     def _stamp(t: "pa.Table") -> "pa.Table":
@@ -469,12 +552,7 @@ def upsert_partitioned(
         tmp = base / f".part={k}.tmp-{uuid.uuid4().hex[:8]}"
         tmp.mkdir(parents=True)
         merged.write_parquet(tmp / "data.parquet")
-        trash = base / f".part={k}.trash-{uuid.uuid4().hex[:8]}"
-        if part_dir.exists():
-            os.rename(part_dir, trash)
-        os.rename(tmp, part_dir)
-        if trash.exists():
-            shutil.rmtree(trash, ignore_errors=True)
+        _swap_partition(base, k, tmp)
         return merged.height
 
     base.mkdir(parents=True, exist_ok=True)
@@ -605,8 +683,13 @@ def compact_partitioned(
     - partitions with fewer than ``min_files`` files are never touched
       (their directories stay byte-identical — no gratuitous churn, and
       a second compaction pass is a no-op);
-    - the swap is atomic per partition (tmp build → trash-rename →
-      rename), the same crash discipline as `upsert_partitioned`;
+    - the swap is journaled per partition (tmp build → intent marker →
+      trash-rename → rename → cleanup; `_swap_partition`): POSIX has no
+      atomic directory exchange, so a crash between the renames is
+      POSSIBLE — but `recover_partition_swaps` (run here and by the
+      zone-map reader before any listing) rolls it forward from the
+      marker, and unmarked debris beside a MISSING partition raises
+      instead of silently scanning partial data;
     - one Ray task per partition — compaction parallelism scales with
       partition count, and a failed run leaves every partition either
       old or new, never mixed.
@@ -623,6 +706,8 @@ def compact_partitioned(
     )
 
     base = Path(base_dir)
+    if base.exists():
+        recover_partition_swaps(base)
     todo = []
     for pdir in sorted(base.glob("part=*")):
         if not pdir.is_dir():
@@ -654,10 +739,7 @@ def compact_partitioned(
             pq.write_table(
                 tbl.slice(i * step, step), tmp / f"compacted-{i:05d}.parquet"
             )
-        trash = base / f".part={k}.trash-{uuid.uuid4().hex[:8]}"
-        os.rename(part_dir, trash)
-        os.rename(tmp, part_dir)
-        shutil.rmtree(trash, ignore_errors=True)
+        _swap_partition(base, k, tmp)
         return tbl.num_rows, n_out
 
     results = ray.get([_compact.remote(k) for k, _ in todo])
@@ -681,6 +763,55 @@ def compact_partitioned(
             ("parts_compacted", "files_before", "files_after", "rows")}
 
 
+def _sortkey_f64(arr) -> "object":
+    """Sort column → float64 numpy for RANGE BALANCING (timestamps via
+    epoch-µs int64 — Arrow has no direct timestamp→float cast). Only
+    balance rides on the float projection: it is monotone, so rounding
+    can merge adjacent ranges, never reorder or split equal keys."""
+    import pyarrow as pa
+    import pyarrow.compute as pc
+
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        arr = arr.cast(pa.timestamp("us")).cast(pa.int64())
+    # safe=False: int64 beyond ±2^53 rounds instead of raising — fine
+    # here, the float projection is balance-only (see docstring)
+    return pc.cast(arr, pa.float64(), safe=False).to_numpy(
+        zero_copy_only=False
+    )
+
+
+def _sortkey_np(arr):
+    """Sort column → numpy in its EXACT routing space: int64 for
+    integer/timestamp keys (epoch µs), float64 otherwise."""
+    import pyarrow as pa
+
+    t = arr.type
+    if pa.types.is_timestamp(t):
+        return (
+            arr.cast(pa.timestamp("us"))
+            .cast(pa.int64())
+            .to_numpy(zero_copy_only=False)
+        )
+    if pa.types.is_integer(t):
+        return arr.cast(pa.int64()).to_numpy(zero_copy_only=False)
+    return arr.cast(pa.float64()).to_numpy(zero_copy_only=False)
+
+
+def _bound_py(c, i: int):
+    """Typed manifest bound: timestamps → epoch-µs int64, ints stay
+    ints, floats stay floats — json-native at full precision, so
+    `merge_sorted` routes without ever parsing strings or rounding
+    int64 keys through float64 (ADVICE r3)."""
+    import pyarrow as pa
+
+    if pa.types.is_timestamp(c.type):
+        return (
+            c.cast(pa.timestamp("us")).cast(pa.int64())[i].as_py()
+        )
+    return c[i].as_py()
+
+
 def write_sorted(
     ds: "ray.data.Dataset",
     col: str,
@@ -698,10 +829,14 @@ def write_sorted(
     from per-block quantile candidates (balance only, never
     correctness — equal values always share a range), rows move once.
 
-    Writes ``_sorted_manifest.json`` with per-file (rows, lo, hi);
-    returns ``{"files": n, "rows": n}``. Ties within ``col`` are
-    ordered by ``tie_cols`` (optional — omit for nondeterministic tie
-    order within a file, the usual sink contract)."""
+    Writes ``_sorted_manifest.json`` with per-file (rows, lo, hi) —
+    lo/hi are stored TYPED (ints and floats json-native at full
+    precision, timestamps as epoch-µs int64), so `merge_sorted` routes
+    int64/timestamp keys in integer space with no 2^53 float rounding
+    anywhere near a range boundary. Returns ``{"files": n, "rows":
+    n}``. Ties within ``col`` are ordered by ``tie_cols`` (optional —
+    omit for nondeterministic tie order within a file, the usual sink
+    contract)."""
     import numpy as np
     import pyarrow as pa
     import pyarrow.parquet as pq
@@ -712,7 +847,11 @@ def write_sorted(
     out.mkdir(parents=True, exist_ok=True)
 
     def _cand(t: "pa.Table") -> "pa.Table":
-        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        # float64 is only BALANCE here: equal keys collapse to equal
+        # floats, so rounding can merge ranges but never split or
+        # reorder them (timestamps route through epoch-µs int64 first —
+        # a direct timestamp→float cast raises in Arrow)
+        v = _sortkey_f64(t[col])
         if not len(v):
             return pa.table({"c": pa.array([], pa.float64())})
         qs = np.quantile(v, np.linspace(0.0, 1.0, 33))
@@ -732,7 +871,7 @@ def write_sorted(
     # _split_refs treats a STRING key as a precomputed bucket column and
     # uses it verbatim (a callable key gets HASHED — wrong for ranges)
     def _stamp(t: "pa.Table") -> "pa.Table":
-        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        v = _sortkey_f64(t[col])
         return t.append_column(
             "_range",
             pa.array(np.searchsorted(bnd, v, side="right"), pa.int64()),
@@ -760,9 +899,7 @@ def write_sorted(
         path = out / f"sorted-{b:05d}.parquet"
         pq.write_table(tbl, path)
         c = tbl[col]
-        lo = c[0].as_py()
-        hi = c[-1].as_py()
-        return (b, tbl.num_rows, str(lo), str(hi))
+        return (b, tbl.num_rows, _bound_py(c, 0), _bound_py(c, -1))
 
     infos = [
         r
@@ -817,11 +954,25 @@ def merge_sorted(
     if not files:
         raise ValueError(f"{mpath} lists no files")
     # routing boundaries: file k takes values in (hi_{k-1}, hi_k];
-    # the last file is open-ended
-    his = np.asarray([float(f["hi"]) for f in files[:-1]], dtype=np.float64)
+    # the last file is open-ended. Bounds are stored typed (ints /
+    # epoch-µs / floats); integer keys route in int64 space — no 2^53
+    # float rounding can shift a boundary. Legacy manifests with
+    # string bounds fall back to float parsing.
+    raw_his = [f["hi"] for f in files[:-1]]
+    if any(isinstance(h, str) for h in raw_his):
+        his = np.asarray([float(h) for h in raw_his], dtype=np.float64)
+        int_space = False
+    elif raw_his and all(isinstance(h, int) for h in raw_his):
+        his = np.asarray(raw_his, dtype=np.int64)
+        int_space = True
+    else:
+        his = np.asarray(raw_his, dtype=np.float64)
+        int_space = False
 
     def _route(t: "pa.Table") -> "pa.Table":
-        v = t[col].cast(pa.float64()).to_numpy(zero_copy_only=False)
+        v = _sortkey_np(t[col])
+        if not int_space:
+            v = v.astype(np.float64)
         return t.append_column(
             "_file",
             pa.array(np.searchsorted(his, v, side="left"), pa.int64()),
@@ -854,8 +1005,8 @@ def merge_sorted(
         pq.write_table(merged, tmp)
         os.replace(tmp, path)
         c = merged[col]
-        return (idx, add.num_rows, merged.num_rows, str(c[0].as_py()),
-                str(c[-1].as_py()))
+        return (idx, add.num_rows, merged.num_rows, _bound_py(c, 0),
+                _bound_py(c, -1))
 
     results = [
         r

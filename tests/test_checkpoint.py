@@ -939,3 +939,199 @@ def test_merge_sorted_touches_only_overlapping_files(ray_session, tmp_path):
         seen += col
     assert sorted(seen) == sorted(vals + [1, 3, 5, 2001, 2003])
     assert seen == sorted(seen)
+
+
+def test_partition_swap_journal_rolls_forward(ray_session, tmp_path):
+    """A crash between the two swap renames leaves the partition's only
+    copy in a hidden dir plus the intent marker — recovery (run by
+    readers and by compact/upsert) must roll FORWARD to the new data,
+    not silently skip it (ADVICE r3 medium)."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        _data_files,
+    )
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        recover_partition_swaps,
+    )
+
+    base = tmp_path / "t"
+    base.mkdir()
+    old = pa.table({"k": pa.array([1], pa.int64())})
+    new = pa.table({"k": pa.array([2, 3], pa.int64())})
+    # crash state: part=0 renamed to trash, tmp not yet renamed in
+    (base / ".part=0.trash-x").mkdir()
+    pq.write_table(old, base / ".part=0.trash-x" / "a.parquet")
+    (base / ".part=0.tmp-y").mkdir()
+    pq.write_table(new, base / ".part=0.tmp-y" / "compacted-00000.parquet")
+    (base / ".part=0.swap.json").write_text(
+        json.dumps(
+            {
+                "part": "part=0",
+                "tmp": ".part=0.tmp-y",
+                "trash": ".part=0.trash-x",
+            }
+        )
+    )
+
+    files = _data_files(base)  # reader path triggers recovery
+    assert files == [str(base / "part=0" / "compacted-00000.parquet")]
+    got = pads.dataset(str(base / "part=0")).to_table()["k"].to_pylist()
+    assert sorted(got) == [2, 3]  # the NEW data won
+    assert not list(base.glob(".part=*"))  # journal + debris gone
+    assert recover_partition_swaps(base) == []  # idempotent
+
+
+def test_partition_swap_rolls_back_when_tmp_lost(ray_session, tmp_path):
+    """If the tmp build vanished too, recovery restores the trash copy —
+    the partition is never left missing."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        recover_partition_swaps,
+    )
+
+    base = tmp_path / "t"
+    base.mkdir()
+    old = pa.table({"k": pa.array([7], pa.int64())})
+    (base / ".part=3.trash-x").mkdir()
+    pq.write_table(old, base / ".part=3.trash-x" / "a.parquet")
+    (base / ".part=3.swap.json").write_text(
+        json.dumps(
+            {
+                "part": "part=3",
+                "tmp": ".part=3.tmp-y",
+                "trash": ".part=3.trash-x",
+            }
+        )
+    )
+    assert recover_partition_swaps(base) == [".part=3.swap.json"]
+    got = pads.dataset(str(base / "part=3")).to_table()["k"].to_pylist()
+    assert got == [7]
+
+
+def test_unmarked_orphan_with_missing_partition_raises(
+    ray_session, tmp_path
+):
+    """Debris holding the ONLY copy of a partition with no journal left
+    must raise loudly — silently scanning partial data is the failure
+    mode the journal exists to prevent."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        _data_files,
+    )
+
+    base = tmp_path / "t"
+    (base / ".part=5.trash-z").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"k": pa.array([1], pa.int64())}),
+        base / ".part=5.trash-z" / "a.parquet",
+    )
+    with pytest.raises(RuntimeError, match="only copy"):
+        _data_files(base)
+
+
+def test_write_sorted_timestamp_column(ray_session, tmp_path):
+    """write_sorted/merge_sorted accept timestamp sort keys (epoch-µs
+    int64 under the hood; a direct timestamp→float cast raises in
+    Arrow — ADVICE r3) and keep the global order across a merge."""
+    import datetime as dt
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        merge_sorted,
+        write_sorted,
+    )
+
+    base = dt.datetime(2026, 1, 1)
+    ts = [base + dt.timedelta(minutes=7 * i % 997) for i in range(400)]
+    ds = ray.data.from_arrow(
+        pa.table(
+            {
+                "ts": pa.array(ts, pa.timestamp("us")),
+                "id": pa.array(range(400), pa.int64()),
+            }
+        )
+    ).repartition(5)
+    out = tmp_path / "sorted"
+    r = write_sorted(ds, "ts", out, tie_cols=["id"], num_files=4)
+    assert r["rows"] == 400
+
+    delta = pa.table(
+        {
+            "ts": pa.array(
+                [base + dt.timedelta(minutes=m) for m in (1, 500, 996)],
+                pa.timestamp("us"),
+            ),
+            "id": pa.array([1000, 1001, 1002], pa.int64()),
+        }
+    )
+    m = merge_sorted(out, ray.data.from_arrow(delta), "ts", tie_cols=["id"])
+    assert m["rows_added"] == 3
+    seen = []
+    for f in sorted(out.glob("sorted-*.parquet")):
+        col = pads.dataset(str(f)).to_table()["ts"].to_pylist()
+        assert col == sorted(col)
+        if seen:
+            assert col[0] >= seen[-1]
+        seen += col
+    assert len(seen) == 403 and seen == sorted(seen)
+
+
+def test_merge_sorted_int64_keys_beyond_float_precision(
+    ray_session, tmp_path
+):
+    """int64 sort keys ≥ 2^53: manifest bounds are typed ints and
+    routing happens in int64 space, so adjacent huge keys that collapse
+    to the SAME float64 still route to the correct range file."""
+    import json
+
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        merge_sorted,
+        write_sorted,
+    )
+
+    big = 1 << 53  # float64 ulp here is 2: big+1 rounds to big
+    vals = [big + i for i in range(0, 64, 2)]
+    ds = ray.data.from_arrow(
+        pa.table({"v": pa.array(vals, pa.int64())})
+    ).repartition(4)
+    out = tmp_path / "sorted"
+    write_sorted(ds, "v", out, num_files=4)
+    manifest = json.loads((out / "_sorted_manifest.json").read_text())
+    assert all(isinstance(f["hi"], int) for f in manifest["files"])
+
+    # delta keys straddle recorded boundaries by ±1 — float routing
+    # would collapse hi and hi+1 and misroute
+    his = [f["hi"] for f in manifest["files"][:-1]]
+    delta_vals = [h + 1 for h in his] + [his[0]]
+    delta = ray.data.from_arrow(
+        pa.table({"v": pa.array(delta_vals, pa.int64())})
+    )
+    merge_sorted(out, delta, "v")
+    seen = []
+    for f in sorted(out.glob("sorted-*.parquet")):
+        col = pads.dataset(str(f)).to_table()["v"].to_pylist()
+        assert col == sorted(col)
+        if seen:
+            assert col[0] >= seen[-1]
+        seen += col
+    assert seen == sorted(vals + delta_vals)

@@ -1159,3 +1159,42 @@ def test_minhash_blocking_stats_closed_form(ray_session, tmp_path):
         row["precision_ppm"]
         == 3 * 1_000_000 // row["n_candidate_pairs"]
     )
+
+
+def test_token_entropy_exact_and_interpretable(ray_session):
+    """token_entropy: fixed-point ent_sum_e9 equals the brute-force int
+    reference exactly; entropy_bits is 0 for a one-token-type doc and
+    log2(k) for k equally-frequent types (up to the 1e-9 quantization)."""
+    import math
+
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.functions.textstats import (
+        token_entropy,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array([1, 2, 3], pa.int64()),
+            "text": [
+                "spam spam spam spam",          # H = 0
+                "a b c d a b c d",              # 4 types, equal → H = 2
+                "x x y z",                      # mixed
+            ],
+        }
+    )
+    out = {
+        r["doc_id"]: r
+        for r in ray.data.from_arrow(docs)
+        .map_batches(token_entropy, batch_format="pyarrow")
+        .take_all()
+    }
+    assert out[1]["entropy_bits"] == 0.0
+    assert abs(out[2]["entropy_bits"] - 2.0) < 1e-8
+    # brute-force fixed-point reference for doc 3: counts {x:2, y:1, z:1}
+    s = int(math.floor(2.0 * math.log2(2.0) * 1e9))  # c=1 terms add 0
+    assert out[3]["ent_sum_e9"] == s
+    assert out[3]["n_tokens"] == 4 and out[3]["n_distinct"] == 3
+    want = math.log2(4.0) - s / (1e9 * 4.0)
+    assert out[3]["entropy_bits"] == want

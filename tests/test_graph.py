@@ -2676,3 +2676,59 @@ def test_kg_squares_closed_forms(ray_session):
     k4 = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")]
     assert run(k4) == 3
     assert run(k4 + [("b", "a"), ("a", "b")]) == 3  # dups/direction ignored
+
+
+def test_adamic_adar_exact_vs_bruteforce(ray_session):
+    """adamic_adar: AA/RA fixed-point scores equal the brute-force int
+    reference exactly (the oracle-parity contract), common-neighbor
+    counts match kg_jaccard's machinery."""
+    import math
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        adamic_adar,
+    )
+
+    rng = np.random.default_rng(31)
+    n_nodes, n_edges = 25, 90
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"n{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"subj_id": pa.array(names[subj]), "obj_id": pa.array(names[obj])}
+        )
+    ).repartition(4)
+
+    SCALE = 10**12
+    und = {
+        (min(s, o), max(s, o))
+        for s, o in zip(names[subj], names[obj])
+        if s != o
+    }
+    adj: dict = defaultdict(set)
+    for a, b in und:
+        adj[a].add(b)
+        adj[b].add(a)
+    want = {}
+    nodes = sorted(adj)
+    for i, u in enumerate(nodes):
+        for v in nodes[i + 1:]:
+            cn = adj[u] & adj[v]
+            if len(cn) >= 2:
+                aa = sum(
+                    int(math.floor(float(SCALE) / math.log(len(adj[z]))))
+                    for z in cn
+                )
+                ra = sum(SCALE // len(adj[z]) for z in cn)
+                want[(u, v)] = (len(cn), aa, ra)
+
+    got = {
+        (r["u"], r["v"]): (r["n_common"], r["aa_e12"], r["ra_e12"])
+        for r in adamic_adar(edges, min_common=2, num_buckets=8).take_all()
+    }
+    assert got == want
