@@ -394,6 +394,18 @@ def _q_kg_jaccard(sf_dir: str):
     return jaccard_similarity(kg.stage(sf_dir, "edges"), min_common=2)
 
 
+def _q_kg_katz(sf_dir: str):
+    """Truncated Katz centrality in exact integers (stages/graph.py
+    katz_centrality): length-k walk counts attenuated by per-term
+    right-shifts (α = 1/4) — int sums only, oracle hash-exact."""
+    from joint_entity_and_relation_extraction_ray.pipelines import kg
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        katz_centrality,
+    )
+
+    return katz_centrality(kg.stage(sf_dir, "edges"), hops=6)
+
+
 def _q_kg_adamic_adar(sf_dir: str):
     """Adamic–Adar + Resource-Allocation link prediction in exact int64
     fixed-point (stages/graph.adamic_adar): per shared neighbor z the
@@ -3126,6 +3138,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_kcore": _q_kg_kcore,  # oracle-exact (state-carry recursion)
         "kg_jaccard": _q_kg_jaccard,
         "kg_adamic_adar": _q_kg_adamic_adar,  # oracle-exact (fixed-point AA/RA)
+        "kg_katz": _q_kg_katz,  # oracle-exact (integer walk counts)
         "kg_labelprop": _q_kg_labelprop,  # oracle-exact (capped vote recursion)
         "kg_negatives": _q_kg_negatives,  # oracle-exact (md5-60 draws)
         "mention_contexts": _q_mention_contexts,
@@ -9262,6 +9275,58 @@ def oracle_sql() -> dict[str, str]:
                    CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df,
                    score
             FROM top WHERE rank <= 5
+        """
+    # Truncated Katz centrality: integer walk counts with per-term
+    # right-shift attenuation (graph.py katz_centrality) — the same
+    # single-reference recursion scaffolding as _pr_sql, no division
+    out["kg_katz"] = f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id
+                FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY alias, ent_type
+                               ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')
+                ) WHERE rn = 1
+            ),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type
+            ),
+            ed AS MATERIALIZED (
+                SELECT s.entity_id AS src, o.entity_id AS dst
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY s.entity_id, t.pred, o.entity_id
+            ),
+            nds AS MATERIALIZED (
+                SELECT DISTINCT m FROM (
+                    SELECT src AS m FROM ed UNION ALL SELECT dst FROM ed)
+            ),
+            ed2 AS MATERIALIZED (
+                SELECT src, dst, 0 AS z FROM ed
+                UNION ALL SELECT m, m, 1 FROM nds
+            ),
+            wk(iter, node, w) AS (
+                SELECT 0, m, 1 FROM nds
+                UNION ALL
+                SELECT MIN(x.it) + 1, x.node, SUM(x.c)
+                FROM (
+                    SELECT p.iter AS it, e2.dst AS node,
+                           CASE WHEN e2.z = 1 THEN 0 ELSE p.w END AS c
+                    FROM wk p JOIN ed2 e2 ON e2.src = p.node
+                ) x
+                WHERE x.it < 6
+                GROUP BY x.node
+            )
+            SELECT node,
+                   CAST(SUM(w >> (2 * iter)) AS BIGINT) AS katz_q
+            FROM wk WHERE iter >= 1 GROUP BY node
         """
     # Per-doc token entropy (functions/textstats.token_entropy):
     # ent_sum_e9 = Σ floor(c·log2(c)·1e9) is an order-independent int

@@ -864,6 +864,133 @@ def pagerank(
     return ranks
 
 
+def katz_centrality(
+    edges: ray.data.Dataset,
+    *,
+    hops: int = 6,
+    alpha_shift: int = 2,
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """Truncated Katz centrality in EXACT integers — rows ``(node,
+    katz_q)`` with ``katz_q = Σ_{k=1..hops} walks_k(v) >> (alpha_shift·k)``
+    where ``walks_k(v)`` is the int64 count of length-k directed walks
+    ENDING at v (Katz 1953; attenuation α = 2^-alpha_shift applied as a
+    per-term right shift, so every term is an integer and the sum is
+    reduction-order-independent → bit-reproducible, DuckDB-oracle-exact
+    with no float anywhere). The walk-based influence measure that,
+    unlike PageRank, needs no out-degree division — each iteration is
+    ONE join + ONE bucket sum of int64 walk counts over the same
+    skeleton as :func:`pagerank`.
+
+    Overflow bound (documented, not checked): walks_k ≤ Δ_in^k, so
+    int64 holds through hops=6 for max in-degree ≤ ~860; KGs beyond
+    that want a larger ``alpha_shift`` applied IN-LOOP (shift the
+    carried vector each round) — the truncated-sum shape is unchanged."""
+    import polars as pl
+
+    from ..functions.joins import join_auto
+    from ..functions.shuffle import bucket_group_apply
+
+    e = edges.map_batches(
+        lambda t: pa.table({"src": t["subj_id"], "dst": t["obj_id"]}),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    ).materialize()
+    nodes = bucket_group_apply(
+        e.map_batches(
+            lambda t: pa.table(
+                {
+                    "node": pa.concat_arrays(
+                        [
+                            t["src"].combine_chunks(),
+                            t["dst"].combine_chunks(),
+                        ]
+                    )
+                }
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        ),
+        "node",
+        lambda t: pa.table({"node": pc.unique(t["node"].combine_chunks())}),
+        num_buckets=num_buckets,
+    ).materialize()
+    if nodes.count() == 0:
+        return ray.data.from_arrow(
+            pa.table(
+                {
+                    "node": pa.array([], pa.string()),
+                    "katz_q": pa.array([], pa.int64()),
+                }
+            )
+        )
+
+    walks = nodes.map_batches(
+        lambda t: t.append_column(
+            "w", pa.array([1] * len(t), pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+    acc = nodes.map_batches(
+        lambda t: t.append_column(
+            "katz_q", pa.array([0] * len(t), pa.int64())
+        ),
+        batch_format="pyarrow",
+    ).materialize()
+
+    for k in range(1, hops + 1):
+        contrib = join_auto(e, walks, on=("src",), right_on=("node",)).map_batches(
+            lambda t: pa.table({"node": t["dst"], "w": t["w"]}),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+        def _sum(t: pa.Table) -> pa.Table:
+            return (
+                pl.from_arrow(t)
+                .group_by("node")
+                .agg(pl.col("w").sum())
+                .to_arrow()
+            )
+
+        summed = bucket_group_apply(
+            contrib, "node", _sum, num_buckets=num_buckets
+        )
+        walks = (
+            join_auto(nodes, summed, join_type="left_outer", on=("node",))
+            .map_batches(
+                lambda t: pa.table(
+                    {
+                        "node": t["node"],
+                        "w": pc.coalesce(
+                            t["w"], pa.scalar(0, pa.int64())
+                        ),
+                    }
+                ),
+                batch_format="pyarrow",
+                zero_copy_batch=True,
+            )
+            .materialize()
+        )
+        shift = alpha_shift * k
+
+        def _acc(t: pa.Table, shift=shift) -> pa.Table:
+            return pa.table(
+                {
+                    "node": t["node"],
+                    "katz_q": pc.add(
+                        t["katz_q"],
+                        pc.shift_right(t["w"], pa.scalar(shift, pa.int64())),
+                    ),
+                }
+            )
+
+        acc = join_auto(acc, walks, on=("node",)).map_batches(
+            _acc, batch_format="pyarrow", zero_copy_batch=True
+        ).materialize()
+    return acc
+
+
 def hits(
     edges: ray.data.Dataset,
     *,

@@ -2732,3 +2732,45 @@ def test_adamic_adar_exact_vs_bruteforce(ray_session):
         for r in adamic_adar(edges, min_common=2, num_buckets=8).take_all()
     }
     assert got == want
+
+
+def test_katz_centrality_exact_vs_bruteforce(ray_session):
+    """katz_centrality: integer walk counts with per-term shifts equal
+    the dense brute-force reference exactly."""
+    from collections import defaultdict
+
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        katz_centrality,
+    )
+
+    rng = np.random.default_rng(41)
+    n_nodes, n_edges = 20, 70
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"n{i:02d}" for i in range(n_nodes)])
+    el = list(zip(names[subj], names[obj]))  # multi-edges COUNT
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"subj_id": pa.array(names[subj]), "obj_id": pa.array(names[obj])}
+        )
+    ).repartition(4)
+
+    nodes = sorted({s for s, _ in el} | {d for _, d in el})
+    w = {v: 1 for v in nodes}
+    katz = {v: 0 for v in nodes}
+    for k in range(1, 7):
+        nxt: dict = defaultdict(int)
+        for s, d in el:
+            nxt[d] += w[s]
+        w = {v: nxt[v] for v in nodes}
+        for v in nodes:
+            katz[v] += w[v] >> (2 * k)
+    got = {
+        r["node"]: r["katz_q"]
+        for r in katz_centrality(edges, hops=6, num_buckets=8).take_all()
+    }
+    assert got == katz
