@@ -3331,7 +3331,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_closure_quantiles": _q_kg_closure_quantiles,
         "kg_pred_anomalies": _q_kg_pred_anomalies,
         "conv_first_assertion": _q_conv_first_assertion,
-        "decontaminate_bloom": co.q_decontaminate_bloom,  # rows-only (bloom FP over-flags)
+        "decontaminate_bloom": co.q_decontaminate_bloom,  # oracle-exact (md5 bloom replay)
         "kg_dyad_census": _q_kg_dyad_census,
         "kg_triad_census": _q_kg_triad_census,
         "kg_squares": _q_kg_squares,
@@ -8967,6 +8967,10 @@ def oracle_sql() -> dict[str, str]:
     }
     # incremental-fold invariant: same answer as the full recompute
     out["kg_validity_incremental"] = out["kg_validity"]
+    from joint_entity_and_relation_extraction_ray.functions.sketch import (
+        hll_estimate_num,
+    )
+
     # fixed-point PageRank family (int64 parts-per-10¹² — bit-exact
     # mirrors of stages/graph.pagerank(fixed_point=True); see _pr_sql)
     out["kg_pagerank"] = _pr_sql()
@@ -9276,6 +9280,78 @@ def oracle_sql() -> dict[str, str]:
                    score
             FROM top WHERE rank <= 5
         """
+    # Bloom decontamination, replayed EXACTLY (false positives and all):
+    # m derives from the md5-60 HLL estimate of the bench gram count
+    # (layout-independent by construction), bit positions are md5
+    # double-hash ((h1%m) + i·(h2%m)) % m with k=11, and a corpus gram
+    # "hits" iff all k positions are set — curation.decontaminate_bloom
+    out["decontaminate_bloom"] = f"""
+            WITH toks AS (
+                SELECT doc_id,
+                       CASE WHEN trim(text) = '' THEN CAST([] AS VARCHAR[])
+                            ELSE regexp_split_to_array(trim(text), '\\s+')
+                       END AS t
+                FROM documents),
+            grams AS (
+                SELECT doc_id,
+                       unnest(list_distinct(list_transform(
+                           range(1, len(t) - 6),
+                           i -> t[i]   || ' ' || t[i+1] || ' ' || t[i+2]
+                             || ' ' || t[i+3] || ' ' || t[i+4] || ' ' || t[i+5]
+                             || ' ' || t[i+6] || ' ' || t[i+7]))) AS g
+                FROM toks WHERE len(t) >= 8),
+            bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 20 = 0),
+            sing AS (
+                SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h
+                FROM bench),
+            regs AS (
+                SELECT h >> 48 AS idx,
+                       MAX(CASE WHEN (h & 281474976710655) = 0 THEN 49
+                                ELSE 49 - length(bin(h & 281474976710655))
+                           END) AS reg
+                FROM sing GROUP BY 1),
+            agg AS (
+                SELECT SUM(1::BIGINT << (49 - reg))
+                         + (4096 - COUNT(*)) * (1::BIGINT << 49) AS s,
+                       4096 - COUNT(*) AS zeros
+                FROM regs),
+            nest AS (
+                SELECT GREATEST(1, CAST(floor(
+                           (CASE WHEN {repr(hll_estimate_num(12))} / s
+                                      <= 10240.0 AND zeros > 0
+                                 THEN 4096 * ln(4096.0 / zeros)
+                                 ELSE {repr(hll_estimate_num(12))} / s
+                            END) + 0.5) AS BIGINT)) AS n_est
+                FROM agg),
+            mm AS (
+                SELECT GREATEST(64, ((n_est * 16 + 63) // 64) * 64) AS m
+                FROM nest),
+            ks AS (SELECT unnest(range(11)) AS i),
+            bh AS (
+                SELECT ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+                       ('0x' || substr(md5(g), 16, 15))::BIGINT | 1 AS h2
+                FROM bench),
+            bpos AS (
+                SELECT DISTINCT
+                       ((bh.h1 % mm.m) + ks.i * (bh.h2 % mm.m)) % mm.m AS p
+                FROM bh, ks, mm),
+            corpus AS (
+                SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 20 <> 0),
+            ch AS (
+                SELECT doc_id, g,
+                       ('0x' || substr(md5(g), 1, 15))::BIGINT AS h1,
+                       ('0x' || substr(md5(g), 16, 15))::BIGINT | 1 AS h2
+                FROM corpus),
+            hits AS (
+                SELECT ch.doc_id, ch.g
+                FROM ch, ks, mm
+                WHERE ((ch.h1 % mm.m) + ks.i * (ch.h2 % mm.m)) % mm.m
+                      IN (SELECT p FROM bpos)
+                GROUP BY ch.doc_id, ch.g
+                HAVING COUNT(*) = 11)
+            SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_hit_grams
+            FROM hits GROUP BY 1
+        """
     # Truncated Katz centrality: integer walk counts with per-term
     # right-shift attenuation (graph.py katz_centrality) — the same
     # single-reference recursion scaffolding as _pr_sql, no division
@@ -9363,10 +9439,6 @@ def oracle_sql() -> dict[str, str]:
     # HLL daily rollup: md5-60 registers over CAST(user_id AS VARCHAR)
     # per (event_type, day), exact-integer S, one NUM/S division —
     # replays functions/sketch.py (p=12) bit-for-bit.
-    from joint_entity_and_relation_extraction_ray.functions.sketch import (
-        hll_estimate_num,
-    )
-
     _n12 = repr(hll_estimate_num(12))
     out["events_daily_approx"] = f"""
             WITH du AS (

@@ -4667,9 +4667,11 @@ def q_dedup_blocking_stats(sf_dir: str) -> ray.data.Dataset:
 
 def q_decontaminate_bloom(sf_dir: str) -> ray.data.Dataset:
     """Unguarded Bloom-filter decontamination over the same
-    benchmark/corpus split as q_decontaminate — rows-only (FP can
-    over-flag; the superset contract vs the exact scan is
-    pytest-pinned). See `stages/curation.decontaminate_bloom`."""
+    benchmark/corpus split as q_decontaminate — oracle-backed: the HLL
+    sizing, md5 double-hash positions and every bloom decision (false
+    positives included) are replayed exactly by the DuckDB oracle; the
+    superset contract vs the exact scan stays pytest-pinned. See
+    `stages/curation.decontaminate_bloom`."""
     from ..stages.curation import decontaminate_bloom
 
     def _mod_filter(is_bench: bool):

@@ -1472,6 +1472,27 @@ def bpe_encode(
 # ---------------------------------------------------------------------------
 
 
+def _bloom_positions_md5(values, m: int, k: int):
+    """k bit positions per value via md5 double hashing — the
+    SQL-mirrorable sibling of zonemap's pandas-hash `_bloom_positions`:
+    h1 = md5 hex[0:15], h2 = md5 hex[15:30] | 1 (both 60-bit int64),
+    position_i = ((h1 % m) + i·(h2 % m)) % m. DuckDB computes the same
+    positions from the same md5 call, so the oracle replays every bloom
+    decision (false positives included). Returns an (n, k) int64
+    array."""
+    import hashlib
+
+    import numpy as np
+
+    hexes = [hashlib.md5(str(v).encode()).hexdigest() for v in values]
+    h1 = np.array([int(h[:15], 16) for h in hexes], np.int64) % np.int64(m)
+    h2 = np.array(
+        [int(h[15:30], 16) | 1 for h in hexes], np.int64
+    ) % np.int64(m)
+    i = np.arange(int(k), dtype=np.int64)
+    return (h1[:, None] + i[None, :] * h2[:, None]) % np.int64(m)
+
+
 def _bloom_bits_ref(
     bench: ray.data.Dataset,
     n: int,
@@ -1489,30 +1510,48 @@ def _bloom_bits_ref(
     leaves plasma."""
     import numpy as np
 
-    from ..sources.zonemap import _bloom_positions
+    from ..functions.sketch import hll_add, hll_count, hll_empty
 
-    # distinct-gram estimate: per-block distinct counts (upper bound)
-    cnt_rows = bench.map_batches(
+    # distinct-gram estimate via the md5-60 HLL: LAYOUT-INDEPENDENT
+    # (registers are order/block-split invariant, unlike the old
+    # per-block distinct-count upper bound), so m — and with it every
+    # downstream bloom decision incl. false positives — is a pure
+    # function of the data. That is what lets the driver's DuckDB
+    # oracle replay this operator exactly.
+    sk_rows = bench.map_batches(
         lambda t: pa.table(
             {
-                "n": pa.array(
+                "sk": pa.array(
                     [
-                        len(
-                            {
-                                s
-                                for x in t["text"].to_pylist()
-                                for s in textstats.word_shingles(x, n)
-                            }
-                        )
+                        hll_add(
+                            hll_empty(),
+                            np.asarray(
+                                sorted(
+                                    {
+                                        s
+                                        for x in t["text"].to_pylist()
+                                        for s in textstats.word_shingles(
+                                            x, n
+                                        )
+                                    }
+                                ),
+                                dtype=object,
+                            ),
+                        ).tobytes()
                     ],
-                    pa.int64(),
+                    pa.binary(),
                 )
             }
         ),
         batch_format="pyarrow",
         zero_copy_batch=True,
-    ).take_all()  # one row per block — tiny by construction
-    n_est = max(1, sum(r["n"] for r in cnt_rows))
+    ).take_all()  # one 4 KB sketch per block — tiny by construction
+    merged_sk = hll_empty()
+    for r in sk_rows:
+        merged_sk = np.maximum(
+            merged_sk, np.frombuffer(r["sk"], np.uint8)
+        )
+    n_est = max(1, hll_count(merged_sk))
     m = max(64, ((n_est * bits_per_gram + 63) // 64) * 64)
 
     if k is None:
@@ -1524,7 +1563,7 @@ def _bloom_bits_ref(
         )
         bits = np.zeros(m // 8, dtype=np.uint8)
         if grams:
-            pos = _bloom_positions(grams, m, k).ravel()
+            pos = _bloom_positions_md5(grams, m, k).ravel()
             np.bitwise_or.at(bits, pos >> 3, 1 << (pos & 7).astype(np.uint8))
         return pa.table({"bits": pa.array([bits.tobytes()], pa.binary())})
 
@@ -1552,7 +1591,6 @@ class _BloomContaminationScan:
     def __call__(self, t: pa.Table) -> pa.Table:
         import numpy as np
 
-        from ..sources.zonemap import _bloom_positions
 
         ids = t["doc_id"].to_pylist()
         texts = t["text"].to_pylist()
@@ -1563,7 +1601,7 @@ class _BloomContaminationScan:
             grams = sorted(set(textstats.word_shingles(x, self._n)))
             if not grams:
                 continue
-            pos = _bloom_positions(grams, m, self._k)  # (g, k)
+            pos = _bloom_positions_md5(grams, m, self._k)  # (g, k)
             hit = np.all(
                 bits[pos >> 3] & (1 << (pos & 7).astype(np.uint8)) != 0,
                 axis=1,
@@ -1594,9 +1632,11 @@ def decontaminate_bloom(
     Output is a SUPERSET of the exact scan's (never under-flags; false
     positives over-flag at ~(1−e^(−k·n/m))^k per gram, ≈0.046% at the
     default 16 bits/gram with the derived FP-optimal
-    k = round(bits_per_gram·ln 2) = 11) — rows-only by construction,
-    with the superset + FP-rate contract pinned in pytest against the
-    exact operator."""
+    k = round(bits_per_gram·ln 2) = 11) — and since r4 it is ALSO
+    oracle-exact: m comes from the layout-independent md5-60 HLL gram
+    estimate and positions from md5 double hashing, so the DuckDB
+    oracle replays every decision, FPs included; the superset + FP-rate
+    contract stays pinned in pytest against the exact operator."""
     ref = _bloom_bits_ref(bench, n, bits_per_gram=bits_per_gram)
     return docs.map_batches(
         _BloomContaminationScan,
