@@ -1724,15 +1724,18 @@ def _q_kg_embeddedness(sf_dir: str):
 def _q_kg_betweenness(sf_dir: str):
     """Sampled Brandes betweenness centrality (8 deterministic pivots,
     ≤6 hops) over the undirected simple KG —
-    `stages/graph.betweenness_centrality`; rows-only (float δ sums,
-    sampled); exactness with all-nodes sources is pinned against an
-    in-process Brandes oracle in test_graph."""
+    `stages/graph.betweenness_centrality(fixed_point=True)`: δ carried
+    as int64 micro-units with floor(σ_v·(scale+δ_w)/σ_w) contributions,
+    so the sampled estimate is bit-reproducible and the level-unrolled
+    DuckDB oracle replays it exactly; float-path exactness with
+    all-nodes sources stays pinned against an in-process Brandes oracle
+    in test_graph."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import (
         betweenness_centrality,
     )
 
-    return betweenness_centrality(kg.stage(sf_dir, "edges"))
+    return betweenness_centrality(kg.stage(sf_dir, "edges"), fixed_point=True)
 
 
 def _q_kg_eff_diameter(sf_dir: str):
@@ -3345,7 +3348,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "kg_lift": _q_kg_lift,
         "collocations": co.q_collocations,
         "kg_eff_diameter": _q_kg_eff_diameter,  # oracle-exact (md5-60 nf)
-        "kg_betweenness": _q_kg_betweenness,  # rows-only (sampled, float δ)
+        "kg_betweenness": _q_kg_betweenness,  # oracle-exact (fixed-point δ)
     }
 
 
@@ -9280,6 +9283,91 @@ def oracle_sql() -> dict[str, str]:
                    score
             FROM top WHERE rank <= 5
         """
+    # Sampled Brandes betweenness in int64 micro-units: forward pass =
+    # bounded-hop walk counting (σ = walks at min dist); backward pass
+    # UNROLLED per level (≤6) with the engine's exact integer floors
+    # floor(σ_v·(scale+δ_w)/σ_w); one true division at the very end.
+    def _betweenness_sql(
+        scale: int = 10**6, hops: int = 6, n_sources: int = 8
+    ) -> str:
+        head = f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (PARTITION BY alias, ent_type
+                                              ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')) WHERE rn = 1),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type),
+            ep AS MATERIALIZED (
+                SELECT s.entity_id AS s, o.entity_id AS o
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id),
+            und AS MATERIALIZED (
+                SELECT DISTINCT least(s, o) AS a, greatest(s, o) AS b
+                FROM ep WHERE s <> o),
+            sym AS MATERIALIZED (
+                SELECT a AS src, b AS dst FROM und
+                UNION ALL SELECT b, a FROM und),
+            srcs AS MATERIALIZED (
+                SELECT src FROM (SELECT DISTINCT src FROM sym)
+                ORDER BY src LIMIT {n_sources}),
+            walks(it, s, v, n) AS (
+                SELECT 0, src, src, 1::BIGINT FROM srcs
+                UNION ALL
+                SELECT x.it + 1, x.s, x.v, SUM(x.n)
+                FROM (
+                    SELECT p.it AS it, p.s, e.dst AS v, p.n
+                    FROM walks p JOIN sym e ON e.src = p.v
+                ) x
+                WHERE x.it < {hops}
+                GROUP BY x.it, x.s, x.v
+            ),
+            lvl AS MATERIALIZED (
+                SELECT s, v, MIN(it) AS dist FROM walks GROUP BY s, v),
+            sig AS MATERIALIZED (
+                SELECT w.s, w.v, l.dist, SUM(w.n) AS sigma
+                FROM walks w
+                JOIN lvl l ON l.s = w.s AND l.v = w.v AND w.it = l.dist
+                GROUP BY 1, 2, 3),
+            d{hops} AS (SELECT s, v, sigma, 0::BIGINT AS delta
+                        FROM sig WHERE dist = {hops})"""
+        parts = [head]
+        for d in range(hops - 1, 0, -1):
+            parts.append(f""",
+            c{d} AS (
+                SELECT gq.s, gq.v,
+                       SUM((gq.sigma * ({scale} + w.delta)) // w.sigma)
+                           AS dsum
+                FROM sig gq
+                JOIN sym e ON e.src = gq.v
+                JOIN d{d + 1} w ON w.s = gq.s AND w.v = e.dst
+                WHERE gq.dist = {d}
+                GROUP BY 1, 2),
+            d{d} AS (
+                SELECT gq.s, gq.v, gq.sigma, COALESCE(c.dsum, 0) AS delta
+                FROM sig gq LEFT JOIN c{d} c ON c.s = gq.s AND c.v = gq.v
+                WHERE gq.dist = {d})""")
+        unions = "\n                UNION ALL\n".join(
+            f"                SELECT s, v, dsum FROM c{d}"
+            for d in range(1, hops)
+        )
+        parts.append(f""",
+            allc AS (
+{unions})
+            SELECT v AS node,
+                   CAST(SUM(dsum) AS DOUBLE) / {float(scale)!r}
+                       AS betweenness
+            FROM allc GROUP BY v
+        """)
+        return "".join(parts)
+
+    out["kg_betweenness"] = _betweenness_sql()
     # Bloom decontamination, replayed EXACTLY (false positives and all):
     # m derives from the md5-60 HLL estimate of the bench gram count
     # (layout-independent by construction), bit positions are md5

@@ -4950,6 +4950,8 @@ def betweenness_centrality(
     n_sources: int = 8,
     max_hops: int = 6,
     num_buckets: int = 16,
+    fixed_point: bool = False,
+    scale: int = 10**6,
 ) -> ray.data.Dataset:
     """Sampled BRANDES betweenness centrality over the undirected
     SIMPLE graph underlying the KG → ``(node, betweenness:float64)``
@@ -4979,7 +4981,18 @@ def betweenness_centrality(
     Partitioning assumption: one (source, node) level's rows fit a
     reducer after bucketing — frontier size is ≤ n_sources · |V|, and
     n_sources bounds the whole state, which is what makes sampled
-    Brandes tractable where exact all-sources is not."""
+    Brandes tractable where exact all-sources is not.
+
+    ``fixed_point=True`` carries δ as int64 in 1/``scale`` units with
+    per-edge contributions ``floor(σ_v·(scale + δ_w) / σ_w)`` —
+    integer sums are reduction-order-independent, so the sampled
+    betweenness becomes bit-reproducible and the driver's DuckDB oracle
+    (level-unrolled, same floors) replays it exactly; the reported
+    ``betweenness`` is the single division Σδ_fp/scale. Quantization
+    error per contribution is < 1/scale; overflow bound (documented):
+    σ_v·(scale + δ_w) must fit int64, i.e. σ·pairs·scale ≲ 9·10¹⁸ —
+    the default scale=10⁶ leaves six orders of headroom at sf-test
+    sizes and the knob trades precision for range at larger graphs."""
     import polars as pl
 
     from ..functions.joins import join_auto
@@ -5106,12 +5119,13 @@ def betweenness_centrality(
     if len(levels) == 1:
         return ray.data.from_arrow(OUT.empty_table())
 
+    delta_t = pa.int64() if fixed_point else pa.float64()
     delta_schema = pa.schema(
         [
             ("key", pa.string()),
             ("s", pa.string()),
             ("v", pa.string()),
-            ("delta", pa.float64()),
+            ("delta", delta_t),
         ]
     )
 
@@ -5136,9 +5150,10 @@ def betweenness_centrality(
     for d in range(len(levels) - 1, 0, -1):
         lvl_w = levels[d]
         if delta_ds is None:
+            zero0 = 0 if fixed_point else 0.0
             w_full = lvl_w.map_batches(
-                lambda t: t.append_column(
-                    "delta", pa.array([0.0] * t.num_rows, pa.float64())
+                lambda t, z=zero0, dt=delta_t: t.append_column(
+                    "delta", pa.array([z] * t.num_rows, dt)
                 ),
                 batch_format="pyarrow",
                 zero_copy_batch=True,
@@ -5163,7 +5178,9 @@ def betweenness_centrality(
                         "s": t["s"],
                         "v": t["v"],
                         "sigma": t["sigma"],
-                        "delta": pc.fill_null(t["delta"], 0.0),
+                        "delta": pc.fill_null(
+                            t["delta"], 0 if fixed_point else 0.0
+                        ),
                     }
                 ),
                 batch_format="pyarrow",
@@ -5199,21 +5216,49 @@ def betweenness_centrality(
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
-        contrib = join_auto(preds, prev, on=("pkey",)).map_batches(
-            lambda t: pa.table(
-                {
-                    "key": t["pkey"],
-                    "s": t["ps"],
-                    "v": t["pv"],
-                    "delta": pc.divide(
-                        pc.multiply(
-                            pc.cast(t["sigma_v"], pa.float64()),
-                            pc.add(t["delta_w"], 1.0),
+        if fixed_point:
+
+            def _contrib_fn(t: pa.Table) -> pa.Table:
+                # floor(σ_v·(scale + δ_w) / σ_w) — pure int64, exactly
+                # what the level-unrolled oracle computes
+                return pa.table(
+                    {
+                        "key": t["pkey"],
+                        "s": t["ps"],
+                        "v": t["pv"],
+                        "delta": pc.divide(
+                            pc.multiply(
+                                t["sigma_v"],
+                                pc.add(
+                                    t["delta_w"],
+                                    pa.scalar(scale, pa.int64()),
+                                ),
+                            ),
+                            t["sigma_w"],
                         ),
-                        pc.cast(t["sigma_w"], pa.float64()),
-                    ),
-                }
-            ),
+                    }
+                )
+
+        else:
+
+            def _contrib_fn(t: pa.Table) -> pa.Table:
+                return pa.table(
+                    {
+                        "key": t["pkey"],
+                        "s": t["ps"],
+                        "v": t["pv"],
+                        "delta": pc.divide(
+                            pc.multiply(
+                                pc.cast(t["sigma_v"], pa.float64()),
+                                pc.add(t["delta_w"], 1.0),
+                            ),
+                            pc.cast(t["sigma_w"], pa.float64()),
+                        ),
+                    }
+                )
+
+        contrib = join_auto(preds, prev, on=("pkey",)).map_batches(
+            _contrib_fn,
             batch_format="pyarrow",
             zero_copy_batch=True,
         )
@@ -5237,14 +5282,28 @@ def betweenness_centrality(
     def _bc_merge(t: pa.Table) -> pa.Table:
         if not t.num_rows:
             return OUT.empty_table()
-        return (
+        g = (
             pl.from_arrow(t.select(["v", "delta"]))
             .group_by("v")
             .agg(pl.col("delta").sum().alias("betweenness"))
             .rename({"v": "node"})
-            .to_arrow()
-            .cast(OUT)
         )
+        if fixed_point:
+            # ONE division per node after the int sum — via pyarrow,
+            # which divides correctly-rounded; polars' `/ const` takes
+            # the multiply-by-reciprocal shortcut and lands 1 ulp off
+            # DuckDB's true division
+            t2 = g.to_arrow()
+            return pa.table(
+                {
+                    "node": t2["node"],
+                    "betweenness": pc.divide(
+                        pc.cast(t2["betweenness"], pa.float64()),
+                        pa.scalar(float(scale), pa.float64()),
+                    ),
+                }
+            ).cast(OUT)
+        return g.to_arrow().cast(OUT)
 
     out = bucket_group_apply(
         allp.map_batches(

@@ -2774,3 +2774,41 @@ def test_katz_centrality_exact_vs_bruteforce(ray_session):
         for r in katz_centrality(edges, hops=6, num_buckets=8).take_all()
     }
     assert got == katz
+
+
+def test_fixed_point_betweenness_tracks_float(ray_session):
+    """betweenness_centrality(fixed_point=True): same node set as the
+    float path, values within per-contribution quantization (1/scale ×
+    path count), and total mass close."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.graph import (
+        betweenness_centrality,
+    )
+
+    rng = np.random.default_rng(51)
+    n_nodes, n_edges = 24, 70
+    subj = rng.integers(0, n_nodes, n_edges)
+    obj = rng.integers(0, n_nodes, n_edges)
+    names = np.array([f"n{i:02d}" for i in range(n_nodes)])
+    edges = ray.data.from_arrow(
+        pa.table(
+            {"subj_id": pa.array(names[subj]), "obj_id": pa.array(names[obj])}
+        )
+    ).repartition(4)
+
+    fl = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(edges, n_sources=6).take_all()
+    }
+    fp = {
+        r["node"]: r["betweenness"]
+        for r in betweenness_centrality(
+            edges, n_sources=6, fixed_point=True
+        ).take_all()
+    }
+    assert set(fl) == set(fp)
+    for v in fl:
+        assert abs(fl[v] - fp[v]) < 1e-3, v
