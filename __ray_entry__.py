@@ -3191,7 +3191,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "embed_cov_stats": co.q_embed_cov_stats,
         # rows-only: float centroid sums are reduction-order-dependent;
         # cluster-recovery contract is pytest-pinned
-        "embed_kmeans": co.q_embed_kmeans,
+        "embed_kmeans": co.q_embed_kmeans,  # oracle-exact (rational centroids)
         "multimodal_features": co.q_multimodal_features,
         "multimodal_resize": co.q_multimodal_resize,
         "multimodal_frames": co.q_multimodal_frames,
@@ -9368,6 +9368,70 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     out["kg_betweenness"] = _betweenness_sql()
+
+    # Exact-arithmetic Lloyd's k-means (similarity.kmeans_fixed_
+    # assignments): rational (Σ, n) centroids, cross-multiplied HUGEINT
+    # nearest-centroid compares, md5-60 seeding; rounds unrolled.
+    def _kmeans_sql(k: int = 4, iters: int = 3, quant: int = 10**6) -> str:
+        parts = [f"""
+            WITH eq AS MATERIALIZED (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS dim,
+                       CAST(floor(unnest(embedding) * {float(quant)!r}
+                                  + 0.5) AS BIGINT) AS x
+                FROM embeddings),
+            sd AS MATERIALIZED (
+                SELECT vec_id, rn - 1 AS cl FROM (
+                    SELECT vec_id,
+                           ROW_NUMBER() OVER (
+                               ORDER BY ('0x' || substr(
+                                   md5(CAST(vec_id AS VARCHAR)),
+                                   1, 15))::BIGINT) AS rn
+                    FROM (SELECT DISTINCT vec_id FROM embeddings))
+                WHERE rn <= {k}),
+            s0 AS (SELECT sd.cl, e.dim, e.x AS s
+                   FROM sd JOIN eq e USING (vec_id)),
+            n0 AS (SELECT cl, 1::BIGINT AS n FROM sd)"""]
+        for t in range(1, iters + 2):
+            p = t - 1
+            parts.append(f""",
+            d{t} AS MATERIALIZED (
+                SELECT e.vec_id, s.cl, n.n,
+                       SUM(CAST(n.n * e.x - s.s AS HUGEINT)
+                           * (n.n * e.x - s.s)) AS dist
+                FROM eq e
+                JOIN s{p} s ON s.dim = e.dim
+                JOIN n{p} n ON n.cl = s.cl
+                GROUP BY 1, 2, 3),
+            a{t} AS MATERIALIZED (
+                SELECT d1.vec_id, MIN(d1.cl) AS cl
+                FROM d{t} d1
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM d{t} d2
+                    WHERE d2.vec_id = d1.vec_id AND (
+                        d2.dist * d1.n * d1.n < d1.dist * d2.n * d2.n
+                        OR (d2.dist * d1.n * d1.n
+                            = d1.dist * d2.n * d2.n
+                            AND d2.cl < d1.cl)))
+                GROUP BY 1)""")
+            if t <= iters:
+                parts.append(f""",
+            nn{t} AS (SELECT cl, COUNT(*) AS n FROM a{t} GROUP BY 1),
+            ss{t} AS (SELECT a.cl, e.dim, SUM(e.x) AS s
+                      FROM a{t} a JOIN eq e USING (vec_id)
+                      GROUP BY 1, 2),
+            n{t} AS (SELECT p.cl, COALESCE(x.n, p.n) AS n
+                     FROM n{p} p LEFT JOIN nn{t} x USING (cl)),
+            s{t} AS (SELECT p.cl, p.dim, COALESCE(y.s, p.s) AS s
+                     FROM s{p} p LEFT JOIN ss{t} y
+                       ON y.cl = p.cl AND y.dim = p.dim)""")
+        parts.append(f"""
+            SELECT vec_id, CAST(cl AS BIGINT) AS cluster
+            FROM a{iters + 1}
+        """)
+        return "".join(parts)
+
+    out["embed_kmeans"] = _kmeans_sql()
     # Bloom decontamination, replayed EXACTLY (false positives and all):
     # m derives from the md5-60 HLL estimate of the bench gram count
     # (layout-independent by construction), bit positions are md5

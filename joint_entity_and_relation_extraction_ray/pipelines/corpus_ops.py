@@ -361,12 +361,16 @@ def q_embed_probe_assign(sf_dir: str) -> ray.data.Dataset:
 
 def q_embed_kmeans(sf_dir: str) -> ray.data.Dataset:
     """Distributed Lloyd's k-means assignments (k=4, 3 rounds, broadcast
-    centroids, per-block partial sums — the corpus never shuffles).
-    Rows-only: centroid floats are reduction-order-dependent in the last
-    ulps; cluster-recovery quality is pytest-pinned
-    (tests/test_corpus_ops.py)."""
-    _, assigns = similarity.kmeans(read_embeddings(sf_dir), k=4, iters=3)
-    return assigns
+    state, per-block integer partials — the corpus never shuffles) in
+    EXACT arithmetic: rational (Σ, n) centroids, cross-multiplied
+    integer nearest-centroid compares, md5-60 seeding — oracle-backed
+    (the DuckDB oracle unrolls the same rounds in HUGEINT); the float
+    path's cluster-recovery quality stays pytest-pinned
+    (tests/test_corpus_ops.py). See
+    `stages/similarity.kmeans_fixed_assignments`."""
+    return similarity.kmeans_fixed_assignments(
+        read_embeddings(sf_dir), k=4, iters=3
+    )
 
 
 # --- multimodal (stubbed decode, real plumbing) ----------------------------

@@ -498,6 +498,177 @@ def fixed_probe_assign(
     )
 
 
+def kmeans_fixed_assignments(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 4,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    quant: int = 10**6,
+) -> ray.data.Dataset:
+    """Lloyd's k-means assignments in EXACT arithmetic — the
+    bit-reproducible sibling of :func:`kmeans`, with the same broadcast
+    dataflow (centroid state ships via ``ray.put`` each round, blocks
+    emit k tiny integer partials, the corpus never shuffles) but no
+    float anywhere that a reduction order could perturb:
+
+    - coordinates quantize once to int64 (``floor(x·quant + 0.5)``,
+      mirroring SQL ``floor``);
+    - a centroid is the exact RATIONAL (Σ coords, count) — never
+      divided; nearest-centroid comparisons cross-multiply
+      ``D_j·n_l² <> D_l·n_j²`` in Python big ints (ties → smaller
+      cluster id), so no quotient is ever rounded;
+    - seeding is the k smallest md5-60(vec_id) (SQL-mirrorable, unlike
+      the float path's pandas-hash seeding);
+    - empty clusters carry their previous (Σ, n) state.
+
+    The driver oracle unrolls the same ``iters`` rounds in HUGEINT SQL
+    and matches hash-exactly. Costs one Python-int argmin per (vector,
+    cluster) per round — the float path remains the raw-throughput
+    mode; this is the verification-grade variant, the same trade the
+    fixed-point PageRank family makes. Returns ``(vec_id, cluster)``."""
+    import hashlib
+
+    def _quant(t: pa.Table) -> np.ndarray:
+        m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+        return np.floor(m * quant + 0.5).astype(np.int64)
+
+    def _seed_partial(t: pa.Table) -> pa.Table:
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = np.array(
+            [
+                int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                for v in ids
+            ],
+            dtype=np.int64,
+        )
+        top = np.argsort(h, kind="stable")[:k]
+        mq = _quant(t)
+        return pa.table(
+            {
+                "h": pa.array(h[top], pa.int64()),
+                "xq": pa.array(
+                    mq[top].tolist(), pa.list_(pa.int64())
+                ),
+            }
+        )
+
+    seeds = (
+        emb.select_columns([id_col, "embedding"])
+        .map_batches(
+            _seed_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()
+    )  # ≤ k × blocks small rows — documented tiny collect
+    seeds = seeds.sort_values("h").head(k)
+    s_mat = np.array(list(seeds["xq"]), dtype=object)  # k × d python ints
+    n_vec = [1] * len(s_mat)
+
+    def _argmin_int(mq: np.ndarray, s_mat, n_vec) -> np.ndarray:
+        """Exact nearest rational centroid per row: D_j = ||n_j·x−s_j||²
+        compared cross-multiplied — Python big ints end to end."""
+        obj = mq.astype(object)
+        kk = len(n_vec)
+        ds = []
+        for j in range(kk):
+            diff = obj * n_vec[j] - s_mat[j][None, :]
+            ds.append((diff * diff).sum(axis=1))
+        best = np.zeros(len(obj), dtype=np.int64)
+        bestD = ds[0]
+        bestN2 = n_vec[0] * n_vec[0]
+        for j in range(1, kk):
+            n2 = n_vec[j] * n_vec[j]
+            better = ds[j] * bestN2 < bestD * n2
+            bestD = np.where(better, ds[j], bestD)
+            bestN2 = np.where(better, n2, bestN2)
+            best = np.where(better, j, best)
+        return best
+
+    for _ in range(iters):
+        ref = (
+            ray.put((s_mat, n_vec))
+            if ray.is_initialized()
+            else (s_mat, n_vec)
+        )
+
+        def _partial(t: pa.Table, _ref=ref) -> pa.Table:
+            sm, nv = (
+                ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            )
+            mq = _quant(t)
+            if mq.size == 0:
+                return pa.table(
+                    {
+                        "cluster": pa.array([], pa.int64()),
+                        "n": pa.array([], pa.int64()),
+                        "isum": pa.array([], pa.list_(pa.int64())),
+                    }
+                )
+            a = _argmin_int(mq, sm, nv)
+            kk, d = len(nv), mq.shape[1]
+            counts = np.bincount(a, minlength=kk).astype(np.int64)
+            sums = np.zeros((kk, d), np.int64)
+            np.add.at(sums, a, mq)
+            return pa.table(
+                {
+                    "cluster": pa.array(np.arange(kk, dtype=np.int64)),
+                    "n": pa.array(counts),
+                    "isum": pa.array(sums.tolist(), pa.list_(pa.int64())),
+                }
+            )
+
+        parts = (
+            emb.select_columns(["embedding"])
+            .map_batches(
+                _partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .to_pandas()
+        )  # k × blocks tiny rows, pure ints — fold order irrelevant
+        new_s = [s_mat[j] for j in range(len(n_vec))]
+        new_n = list(n_vec)
+        for cl, grp in parts.groupby("cluster"):
+            n = int(grp["n"].sum())
+            if n:
+                tot = np.zeros_like(s_mat[int(cl)], dtype=object)
+                for v in grp["isum"]:
+                    tot = tot + np.asarray(v, dtype=object)
+                new_s[int(cl)] = tot
+                new_n[int(cl)] = n
+        s_mat = np.array(new_s, dtype=object)
+        n_vec = new_n
+
+    final_ref = (
+        ray.put((s_mat, n_vec)) if ray.is_initialized() else (s_mat, n_vec)
+    )
+
+    def _assign(t: pa.Table) -> pa.Table:
+        sm, nv = (
+            ray.get(final_ref)
+            if isinstance(final_ref, ray.ObjectRef)
+            else final_ref
+        )
+        mq = _quant(t)
+        if mq.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "cluster": pa.array([], pa.int64()),
+                }
+            )
+        return pa.table(
+            {
+                "vec_id": t[id_col].cast(pa.int64()),
+                "cluster": pa.array(
+                    _argmin_int(mq, sm, nv), pa.int64()
+                ),
+            }
+        )
+
+    return emb.select_columns([id_col, "embedding"]).map_batches(
+        _assign, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
 def kmeans(
     emb: ray.data.Dataset,
     *,

@@ -1198,3 +1198,87 @@ def test_token_entropy_exact_and_interpretable(ray_session):
     assert out[3]["n_tokens"] == 4 and out[3]["n_distinct"] == 3
     want = math.log2(4.0) - s / (1e9 * 4.0)
     assert out[3]["entropy_bits"] == want
+
+
+def test_kmeans_fixed_assignments_recover_blobs(ray_session):
+    """kmeans_fixed_assignments: exact-arithmetic Lloyd's recovers
+    planted separated blobs (same contract as the float path) and is
+    layout-independent (same labels after repartition)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.similarity import (
+        kmeans_fixed_assignments,
+    )
+
+    rng = np.random.default_rng(7)
+    centers = np.array([[5.0, 0, 0, 0], [-5.0, 0, 0, 0], [0, 8.0, 0, 0]])
+    rows, labels = [], []
+    for i in range(90):
+        c = i % 3
+        rows.append(centers[c] + rng.normal(0, 0.1, 4))
+        labels.append(c)
+    t = pa.table(
+        {
+            "vec_id": pa.array(range(90), pa.int64()),
+            "embedding": pa.array(
+                [list(map(float, r)) for r in rows], pa.list_(pa.float64())
+            ),
+        }
+    )
+    a1 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_fixed_assignments(
+            ray.data.from_arrow(t), k=3, iters=4
+        ).take_all()
+    }
+    a2 = {
+        r["vec_id"]: r["cluster"]
+        for r in kmeans_fixed_assignments(
+            ray.data.from_arrow(t).repartition(7), k=3, iters=4
+        ).take_all()
+    }
+    assert a1 == a2  # block-layout independence
+    # the REAL contract is bit-exactness: replay the algorithm in pure
+    # Python (quantize → md5-60 seeds → rational Lloyd's with
+    # cross-multiplied compares) and demand identical labels
+    import hashlib
+    import math
+
+    Q = 10**6
+    xq = {
+        i: [int(math.floor(v * Q + 0.5)) for v in rows[i]]
+        for i in range(90)
+    }
+    seeds = sorted(
+        range(90),
+        key=lambda i: int(hashlib.md5(str(i).encode()).hexdigest()[:15], 16),
+    )[:3]
+    s = [list(xq[i]) for i in seeds]
+    n = [1, 1, 1]
+
+    def _assign_all():
+        out = {}
+        for i in range(90):
+            best, bD, bN2 = 0, None, None
+            for j in range(3):
+                D = sum(
+                    (n[j] * xi - sj) ** 2 for xi, sj in zip(xq[i], s[j])
+                )
+                if bD is None or D * bN2 < bD * n[j] * n[j]:
+                    best, bD, bN2 = j, D, n[j] * n[j]
+            out[i] = best
+        return out
+
+    for _ in range(4):
+        a = _assign_all()
+        for j in range(3):
+            mem = [i for i in a if a[i] == j]
+            if mem:
+                s[j] = [
+                    sum(xq[i][d] for i in mem) for d in range(4)
+                ]
+                n[j] = len(mem)
+    want = _assign_all()
+    assert a1 == want
