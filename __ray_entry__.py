@@ -3203,7 +3203,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "sample_hash": co.q_sample_hash,
         "sample_random": co.q_sample_random,  # rows-only (Ray-seeded sampler)
         "sample_stratified": co.q_sample_stratified,
-        "pack_sequences": co.q_pack_sequences,  # rows-only (greedy FFD)
+        "pack_sequences": co.q_pack_sequences,  # oracle-exact (FFD replayed)
         "asof_join": co.q_asof_join,
         "group_topk": co.q_group_topk,
         "dedup_blocking_stats": co.q_dedup_blocking_stats,  # rows-only (perm-dependent candidates)
@@ -9432,6 +9432,77 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     out["embed_kmeans"] = _kmeans_sql()
+    # FFD sequence packing SIMULATED: items ranked per md5-60 bucket
+    # (n_tokens desc, id asc); one recursive step per rank carries the
+    # open-bin rooms and emits the chosen bin — the greedy loop replayed
+    # move-for-move (stages/packing.pack_sequences, budget=512, 16
+    # buckets; over-budget docs close their bin with room -1).
+    out["pack_sequences"] = """
+            WITH RECURSIVE items AS MATERIALIZED (
+                SELECT doc_id, n_tokens,
+                       ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),
+                                       1, 15))::BIGINT % 16 AS bucket,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY ('0x' || substr(
+                               md5(CAST(doc_id AS VARCHAR)),
+                               1, 15))::BIGINT % 16
+                           ORDER BY n_tokens DESC, doc_id) AS rk
+                FROM (
+                    SELECT doc_id,
+                           CAST(len(regexp_extract_all(text, '\\S+'))
+                                AS BIGINT) AS n_tokens
+                    FROM documents)
+            ),
+            ffd(it, bucket, kind, bin, room, doc_id, n_tokens) AS (
+                SELECT 0, bucket, -1, CAST(NULL AS BIGINT),
+                       CAST(NULL AS BIGINT), CAST(NULL AS BIGINT),
+                       CAST(NULL AS BIGINT)
+                FROM (SELECT DISTINCT bucket FROM items)
+                UNION ALL
+                (
+                SELECT p.it + 1, p.bucket, 0, p.bin,
+                       p.room - CASE WHEN p.bin = (
+                           SELECT MIN(b.bin) FROM ffd b
+                           WHERE b.kind = 0 AND b.bucket = p.bucket
+                             AND b.room >= i.n_tokens)
+                           THEN i.n_tokens ELSE 0 END,
+                       NULL, NULL
+                FROM ffd p
+                JOIN items i ON i.bucket = p.bucket AND i.rk = p.it + 1
+                WHERE p.kind = 0
+                UNION ALL
+                SELECT p0.it + 1, i.bucket, 0,
+                       COALESCE((SELECT MAX(b.bin) + 1 FROM ffd b
+                                 WHERE b.kind = 0
+                                   AND b.bucket = i.bucket), 0),
+                       CASE WHEN i.n_tokens <= 512
+                            THEN 512 - i.n_tokens ELSE -1 END,
+                       NULL, NULL
+                FROM (SELECT DISTINCT it, bucket FROM ffd) p0
+                JOIN items i ON i.bucket = p0.bucket AND i.rk = p0.it + 1
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM ffd b
+                    WHERE b.kind = 0 AND b.bucket = i.bucket
+                      AND b.room >= i.n_tokens)
+                UNION ALL
+                SELECT p0.it + 1, i.bucket, 1,
+                       COALESCE(
+                           (SELECT MIN(b.bin) FROM ffd b
+                            WHERE b.kind = 0 AND b.bucket = i.bucket
+                              AND b.room >= i.n_tokens),
+                           COALESCE((SELECT MAX(b.bin) + 1 FROM ffd b
+                                     WHERE b.kind = 0
+                                       AND b.bucket = i.bucket), 0)),
+                       NULL, i.doc_id, i.n_tokens
+                FROM (SELECT DISTINCT it, bucket FROM ffd) p0
+                JOIN items i ON i.bucket = p0.bucket AND i.rk = p0.it + 1
+                )
+            )
+            SELECT doc_id, n_tokens,
+                   CAST(bucket AS VARCHAR) || ':'
+                     || CAST(bin AS VARCHAR) AS shard_id
+            FROM ffd WHERE kind = 1
+        """
     # Bloom decontamination, replayed EXACTLY (false positives and all):
     # m derives from the md5-60 HLL estimate of the bench gram count
     # (layout-independent by construction), bit positions are md5

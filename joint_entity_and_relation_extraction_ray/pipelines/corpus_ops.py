@@ -861,9 +861,11 @@ def q_sample_random(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_pack_sequences(sf_dir: str) -> ray.data.Dataset:
-    """Token-budget sequence packing of the document corpus (rows-only:
-    the FFD greedy assignment has no SQL analogue; invariants pinned in
-    tests/test_corpus_ops.py)."""
+    """Token-budget sequence packing of the document corpus —
+    oracle-backed: the recursive-CTE oracle SIMULATES the deterministic
+    FFD loop (md5-60 buckets, (n_tokens desc, id asc) order, first-
+    open-bin rule) move-for-move; invariants additionally pinned in
+    tests/test_corpus_ops.py."""
     import polars as pl
 
     from ..stages.packing import pack_sequences

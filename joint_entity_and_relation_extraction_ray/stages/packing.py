@@ -8,8 +8,9 @@ runs AND block layouts), each bucket packs its docs first-fit-decreasing
 (n_tokens desc, id asc) order, and shard ids are ``{bucket}:{bin}`` so
 buckets never coordinate. The invariants (each doc exactly once; every
 multi-doc shard within budget; byte-identical assignment on rerun) are
-pinned in tests; no SQL oracle exists for the greedy assignment, so the
-driver query is rows-only.
+pinned in tests; since r4 the DuckDB oracle SIMULATES the greedy loop
+(items ranked per bucket, one recursive-CTE step per rank carrying the
+open-bin state), so the driver query is hash-exact.
 """
 
 from __future__ import annotations
@@ -19,7 +20,6 @@ import pyarrow as pa
 import ray.data
 
 from ..functions.shuffle import bucket_group_apply
-from ..schema import stable_bucket
 
 PACKED = pa.schema(
     [
@@ -42,11 +42,26 @@ def pack_sequences(
     token sums ≤ ``budget`` (a doc longer than the budget gets a shard
     of its own). One bucket shuffle; the per-bucket FFD loop is
     O(docs × open_bins) python over ints only — text never moves.
+    Deterministic end to end (md5-60 bucketing, (n_tokens desc, id asc)
+    order, first-open-bin rule), so the driver oracle replays the exact
+    assignment step-by-step in a recursive CTE.
     """
 
     def _with_bucket(t: pa.Table) -> pa.Table:
-        b = stable_bucket(
-            t[id_col].to_numpy(zero_copy_only=False), num_buckets
+        # md5-60 bucketing (not the pandas-hash stable_bucket): the
+        # bucket id is part of the OUTPUT (shard_id = bucket:bin), so it
+        # must be a hash the DuckDB oracle can recompute — that plus the
+        # deterministic FFD below is what makes the whole assignment
+        # oracle-replayable
+        import hashlib
+
+        b = np.array(
+            [
+                int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+                % num_buckets
+                for v in t[id_col].to_numpy(zero_copy_only=False)
+            ],
+            dtype=np.int32,
         )
         import pyarrow.compute as pc
 
