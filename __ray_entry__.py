@@ -3073,8 +3073,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "pattern_stats": co.q_pattern_stats,
         "order_grouping_sets": co.q_order_grouping_sets,
         "order_count_distribution": co.q_order_count_distribution,
-        "bpe_merges": co.q_bpe_merges,
-        "bpe_encode": co.q_bpe_encode,
+        "bpe_merges": co.q_bpe_merges,  # oracle-exact (merge loop simulated)
+        "bpe_encode": co.q_bpe_encode,  # oracle-exact (encode loop simulated)
         "event_journeys": co.q_event_journeys,
         "attribution": co.q_attribution,
         "event_rules": co.q_event_rules,
@@ -9432,6 +9432,162 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     out["embed_kmeans"] = _kmeans_sql()
+
+    # BPE fit SIMULATED (curation._bpe_learn, Sennrich-style): one
+    # recursive step per merge round carries the tokenized vocabulary;
+    # the best pair is argmax(count desc, pair lex asc); left-to-right
+    # non-overlapping replacement is the run-parity rule (overlap chains
+    # exist only when left == right, and the Python loop merges the
+    # even offsets of each run).
+    def _bpe_fit_sql(num_merges: int) -> str:
+        return f"""
+            WITH RECURSIVE wf AS MATERIALIZED (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS n FROM (
+                    SELECT unnest(regexp_extract_all(text, '\\S+')) AS word
+                    FROM documents)
+                GROUP BY word),
+            init AS MATERIALIZED (
+                SELECT word,
+                       unnest(range(1, len(string_split(word, '')) + 2))
+                           AS pos,
+                       unnest(list_append(string_split(word, ''), '</w>'))
+                           AS sym
+                FROM wf),
+            st(it, kind, word, pos, sym, cnt) AS (
+                SELECT 0, 0, word, pos, sym, CAST(NULL AS BIGINT)
+                FROM init
+                UNION ALL
+                (
+                WITH cur AS (SELECT * FROM st),
+                bp AS (
+                    SELECT s1.it, s1.sym AS a, s2.sym AS b, SUM(f.n) AS cnt
+                    FROM cur s1
+                    JOIN cur s2 ON s2.word = s1.word
+                               AND s2.pos = s1.pos + 1 AND s2.kind = 0
+                    JOIN wf f ON f.word = s1.word
+                    WHERE s1.kind = 0 AND s1.it < {num_merges}
+                    GROUP BY 1, 2, 3
+                    ORDER BY cnt DESC, a, b
+                    LIMIT 1),
+                mt AS (
+                    SELECT s1.word, s1.pos
+                    FROM cur s1
+                    JOIN cur s2 ON s2.word = s1.word
+                               AND s2.pos = s1.pos + 1 AND s2.kind = 0
+                    CROSS JOIN bp
+                    WHERE s1.kind = 0 AND s1.sym = bp.a
+                      AND s2.sym = bp.b),
+                runs AS (
+                    SELECT word, pos,
+                           pos - ROW_NUMBER() OVER (PARTITION BY word
+                                                    ORDER BY pos) AS grp
+                    FROM mt),
+                merged AS (
+                    SELECT word, pos FROM (
+                        SELECT word, pos,
+                               pos - MIN(pos) OVER (PARTITION BY word,
+                                                    grp) AS off
+                        FROM runs)
+                    WHERE off % 2 = 0),
+                newtok AS (
+                    SELECT c.word, c.pos AS oldpos,
+                           CASE WHEN m.pos IS NOT NULL
+                                THEN c.sym || bp.b ELSE c.sym END AS sym
+                    FROM cur c
+                    CROSS JOIN bp
+                    LEFT JOIN merged m ON m.word = c.word
+                                      AND m.pos = c.pos
+                    WHERE c.kind = 0
+                      AND NOT EXISTS (SELECT 1 FROM merged x
+                                      WHERE x.word = c.word
+                                        AND x.pos = c.pos - 1))
+                SELECT bp.it + 1, 0, n.word,
+                       ROW_NUMBER() OVER (PARTITION BY n.word
+                                          ORDER BY n.oldpos),
+                       n.sym, NULL
+                FROM newtok n CROSS JOIN bp
+                UNION ALL
+                SELECT bp.it + 1, 1, bp.a, NULL, bp.b, bp.cnt FROM bp
+                )
+            )"""
+
+    out["bpe_merges"] = (
+        _bpe_fit_sql(24)
+        + """
+            SELECT CAST(it - 1 AS BIGINT) AS rank, word AS "left",
+                   sym AS "right", cnt AS pair_count
+            FROM st WHERE kind = 1
+        """
+    )
+    # BPE encode SIMULATED: a second recursion re-tokenizes the
+    # vocabulary against the learned table — each round every word
+    # applies its lowest-rank (then leftmost) applicable merge, until
+    # no word has one; per-doc subword counts come from the word
+    # multiset join.
+    out["bpe_encode"] = (
+        _bpe_fit_sql(24)
+        + """,
+            mg AS MATERIALIZED (
+                SELECT CAST(it - 1 AS BIGINT) AS rank, word AS a,
+                       sym AS b
+                FROM st WHERE kind = 1),
+            enc(it, word, pos, sym) AS (
+                SELECT 0, word, pos, sym FROM init
+                UNION ALL
+                (
+                WITH cur AS (SELECT * FROM enc),
+                cand AS (
+                    SELECT s1.word, s1.pos, m.rank
+                    FROM cur s1
+                    JOIN cur s2 ON s2.word = s1.word
+                               AND s2.pos = s1.pos + 1
+                    JOIN mg m ON m.a = s1.sym AND m.b = s2.sym),
+                pick AS (
+                    SELECT word, pos FROM (
+                        SELECT word, pos,
+                               ROW_NUMBER() OVER (PARTITION BY word
+                                                  ORDER BY rank, pos)
+                                   AS rn
+                        FROM cand) WHERE rn = 1),
+                nxt AS (
+                    SELECT c.word, c.pos AS oldpos,
+                           CASE WHEN p.pos IS NOT NULL
+                                THEN c.sym ||
+                                     (SELECT s2.sym FROM cur s2
+                                      WHERE s2.word = c.word
+                                        AND s2.pos = c.pos + 1)
+                                ELSE c.sym END AS sym
+                    FROM cur c
+                    LEFT JOIN pick p ON p.word = c.word
+                                    AND p.pos = c.pos
+                    WHERE NOT EXISTS (SELECT 1 FROM pick x
+                                      WHERE x.word = c.word
+                                        AND x.pos = c.pos - 1))
+                SELECT (SELECT MAX(it) FROM cur) + 1, n.word,
+                       ROW_NUMBER() OVER (PARTITION BY n.word
+                                          ORDER BY n.oldpos),
+                       n.sym
+                FROM nxt n
+                WHERE EXISTS (SELECT 1 FROM cand)
+                )
+            ),
+            fin AS (
+                SELECT word, CAST(COUNT(*) AS BIGINT) AS n_sub
+                FROM enc WHERE it = (SELECT MAX(it) FROM enc)
+                GROUP BY word),
+            docw AS (
+                SELECT doc_id,
+                       unnest(regexp_extract_all(text, '\\S+')) AS word
+                FROM documents)
+            SELECT d.doc_id,
+                   CAST(COALESCE(SUM(f.n_sub), 0) AS BIGINT)
+                       AS n_subwords
+            FROM (SELECT doc_id FROM documents) d
+            LEFT JOIN docw w ON w.doc_id = d.doc_id
+            LEFT JOIN fin f ON f.word = w.word
+            GROUP BY d.doc_id
+        """
+    )
     # FFD sequence packing SIMULATED: items ranked per md5-60 bucket
     # (n_tokens desc, id asc); one recursive step per rank carries the
     # open-bin rooms and emits the chosen bin — the greedy loop replayed

@@ -653,9 +653,12 @@ BPE_NUM_MERGES = 24
 def q_bpe_merges(sf_dir: str) -> ray.data.Dataset:
     """Learn a BPE merge table from the corpus (rank, left, right,
     pair_count). Distributed exact word-frequency pass → merge learning
-    on the collapsed vocabulary (`stages/curation.bpe_fit`). Iterative —
-    no SQL mirror; pinned by closed-form Sennrich-example and
-    determinism tests."""
+    on the collapsed vocabulary (`stages/curation.bpe_fit`) —
+    oracle-backed: the recursive-CTE oracle SIMULATES the Sennrich loop
+    round-by-round (argmax pair with (count desc, lex asc) ties;
+    left-to-right non-overlapping replacement via the run-parity rule);
+    also pinned by closed-form Sennrich-example and determinism
+    tests."""
     from ..stages.curation import bpe_fit
 
     return bpe_fit(read_documents(sf_dir), num_merges=BPE_NUM_MERGES)
@@ -665,7 +668,9 @@ def q_bpe_encode(sf_dir: str) -> ray.data.Dataset:
     """Fit BPE on the corpus, then tokenize the corpus with the learned
     merges → per-doc subword counts (doc_id, n_subwords). Merge table
     broadcasts once; corpus streams through a memoizing actor pool
-    (`stages/curation.bpe_encode`)."""
+    (`stages/curation.bpe_encode`). Oracle-backed: a second recursion
+    re-tokenizes the vocabulary (lowest-rank-then-leftmost merge per
+    word per round) and joins the word multiset."""
     from ..stages.curation import bpe_encode, bpe_fit
 
     docs = read_documents(sf_dir)
