@@ -1668,10 +1668,11 @@ def _q_kg_sssp(sf_dir: str):
 def _q_kg_mst(sf_dir: str):
     """Minimum spanning forest of the undirected weighted KG (edge cost
     = assertion weight, ties broken by the (cost, u|v) total order) —
-    distributed Borůvka in `stages/graph.minimum_spanning_forest`.
-    NO SQL oracle (MST is inherently iterative); the driver records a
-    rows-only check and pytest pins the forest against an in-process
-    union-find Kruskal under the identical edge order."""
+    distributed Borůvka in `stages/graph.minimum_spanning_forest`,
+    oracle-backed: the recursive-CTE oracle SIMULATES Kruskal over the
+    same strict total order (one step per edge rank carrying component
+    labels), whose forest is provably identical to Borůvka's; pytest
+    pins the same equivalence in-process."""
     from joint_entity_and_relation_extraction_ray.pipelines import kg
     from joint_entity_and_relation_extraction_ray.stages.graph import (
         minimum_spanning_forest,
@@ -3084,7 +3085,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "session_overlap": co.q_session_overlap,
         "kg_scc": _q_kg_scc,
         "kg_sssp": _q_kg_sssp,
-        "kg_mst": _q_kg_mst,
+        "kg_mst": _q_kg_mst,  # oracle-exact (Kruskal replayed)
         "kg_ktruss": _q_kg_ktruss,
         "kg_walks": _q_kg_walks,
         "kg_conflicts": _q_kg_conflicts,
@@ -9368,6 +9369,71 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     out["kg_betweenness"] = _betweenness_sql()
+    # Minimum spanning forest: Kruskal SIMULATED over the strict total
+    # order (cost, u|v) — one recursive step per edge rank carrying the
+    # component labels; under a strict total order Kruskal's forest is
+    # unique and equals the engine's Borůvka (the pytest already pins
+    # exactly this equivalence in-process).
+    out["kg_mst"] = f"""
+            WITH RECURSIVE best AS MATERIALIZED (
+                SELECT alias, ent_type, entity_id FROM (
+                    SELECT alias, ent_type, entity_id,
+                           ROW_NUMBER() OVER (PARTITION BY alias, ent_type
+                                              ORDER BY prior DESC, entity_id
+                           ) AS rn
+                    FROM read_parquet('{g}/aliases.parquet')) WHERE rn = 1),
+            lm AS MATERIALIZED (
+                SELECT m.mention_id, b.entity_id
+                FROM read_parquet('{g}/golden_mentions/*.parquet') m
+                JOIN best b
+                  ON lower(m.surface) = b.alias AND m.ent_type = b.ent_type),
+            ed AS MATERIALIZED (
+                SELECT s.entity_id AS src, o.entity_id AS dst,
+                       COUNT(*) AS w
+                FROM read_parquet('{g}/golden_triples/*.parquet') t
+                JOIN lm s ON t.subj_mention_id = s.mention_id
+                JOIN lm o ON t.obj_mention_id = o.mention_id
+                GROUP BY s.entity_id, t.pred, o.entity_id),
+            re AS MATERIALIZED (
+                SELECT a, b, w,
+                       ROW_NUMBER() OVER (ORDER BY w, a || '|' || b) AS r
+                FROM (SELECT least(src, dst) AS a, greatest(src, dst) AS b,
+                             w
+                      FROM ed WHERE src <> dst)),
+            nds AS MATERIALIZED (
+                SELECT DISTINCT n FROM (
+                    SELECT a AS n FROM re UNION ALL SELECT b FROM re)),
+            ks(r, kind, node, comp, a, b, w) AS (
+                SELECT 0, 0, n, n, CAST(NULL AS VARCHAR),
+                       CAST(NULL AS VARCHAR), CAST(NULL AS BIGINT)
+                FROM nds
+                UNION ALL
+                (
+                WITH cur AS (SELECT * FROM ks),
+                er AS (SELECT e.a, e.b, e.w FROM re e
+                       WHERE e.r = (SELECT MAX(r) FROM cur) + 1),
+                cab AS (
+                    SELECT er.a, er.b, er.w,
+                           (SELECT comp FROM cur
+                            WHERE kind = 0 AND node = er.a) AS ca,
+                           (SELECT comp FROM cur
+                            WHERE kind = 0 AND node = er.b) AS cb
+                    FROM er)
+                SELECT (SELECT MAX(r) FROM cur) + 1, 0, c.node,
+                       CASE WHEN cab.ca <> cab.cb
+                             AND c.comp IN (cab.ca, cab.cb)
+                            THEN least(cab.ca, cab.cb) ELSE c.comp END,
+                       NULL, NULL, NULL
+                FROM cur c CROSS JOIN cab WHERE c.kind = 0
+                UNION ALL
+                SELECT (SELECT MAX(r) FROM cur) + 1, 1, NULL, NULL,
+                       cab.a, cab.b, cab.w
+                FROM cab WHERE cab.ca <> cab.cb
+                )
+            )
+            SELECT a AS u, b AS v, CAST(w AS BIGINT) AS cost
+            FROM ks WHERE kind = 1
+        """
 
     # Exact-arithmetic Lloyd's k-means (similarity.kmeans_fixed_
     # assignments): rational (Σ, n) centroids, cross-multiplied HUGEINT
