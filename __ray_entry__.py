@@ -3190,8 +3190,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "retrieval_fusion": co.q_retrieval_fusion,
         "embed_probe_assign": co.q_embed_probe_assign,
         "embed_cov_stats": co.q_embed_cov_stats,
-        # rows-only: float centroid sums are reduction-order-dependent;
-        # cluster-recovery contract is pytest-pinned
+        # exact-rational Lloyd's (r4): integer centroid state, HUGEINT
+        # oracle; float-path cluster recovery stays pytest-pinned
         "embed_kmeans": co.q_embed_kmeans,  # oracle-exact (rational centroids)
         "multimodal_features": co.q_multimodal_features,
         "multimodal_resize": co.q_multimodal_resize,

@@ -24,10 +24,11 @@ ever traded away for ingest throughput.)
 
 from __future__ import annotations
 
-import hashlib
 import math
 
 import numpy as np
+
+from ..schema import md5_60
 
 DEFAULT_P = 12
 
@@ -71,13 +72,7 @@ def hll_add(registers: np.ndarray, values, p: int = DEFAULT_P) -> np.ndarray:
     if arr.dtype.kind not in ("U", "O"):
         arr = arr.astype(str)
     q = 60 - p
-    h = np.array(
-        [
-            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-            for v in arr
-        ],
-        dtype=np.uint64,
-    )
+    h = md5_60(arr).astype(np.uint64)
     idx = (h >> np.uint64(q)).astype(np.int64)
     w = h & np.uint64((1 << q) - 1)
     blen = np.frexp(w.astype(np.float64))[1]

@@ -151,6 +151,29 @@ def stable_bucket(values, num_buckets: int):
     return (h % np.uint64(num_buckets)).astype("int32")
 
 
+def md5_60(values):
+    """The engine's SQL-mirrorable value hash: int64 of the first 15 hex
+    chars (60 bits) of md5 of each value's canonical string form —
+    DuckDB recomputes it as ``('0x' || substr(md5(CAST(x AS VARCHAR)),
+    1, 15))::BIGINT``, which is what makes every md5-60-seeded operator
+    (HyperBall registers, G5 HLL, corrupt-tail negatives, FFD buckets,
+    k-means seeding, random walks) oracle-replayable. ONE definition on
+    purpose: the byte-identity with the SQL mirror is a correctness
+    contract, and inline copies drift (review r4). Returns an int64
+    numpy array."""
+    import hashlib
+
+    import numpy as np
+
+    return np.array(
+        [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in np.asarray(values, dtype=object)
+        ],
+        dtype=np.int64,
+    )
+
+
 def stable_hash64(values):
     """Vectorized stable 64-bit hash of a string array → int64 numpy.
 

@@ -37,10 +37,13 @@ def _zonemap_path(base_dir: str | Path, col: str) -> Path:
 
 def _data_files(base_dir: str | Path) -> list[str]:
     base = Path(base_dir)
-    # Roll forward any crash-interrupted partition swap FIRST — a bare
-    # skip of hidden .part=k.tmp-*/.trash-* dirs would silently return
-    # partial data when the hidden copy is the only one (ADVICE r3);
-    # recovery instead completes the swap or raises loudly.
+    # Roll forward any MARKED crash-interrupted partition swap FIRST —
+    # a bare skip of hidden .part=k.tmp-*/.trash-* dirs would silently
+    # return partial data when the hidden copy is the only one (ADVICE
+    # r3). Readers never clean UNMARKED debris (clean_orphans stays
+    # False): an unmarked .tmp-* may be a CONCURRENT writer's
+    # in-progress build — only the single-writer compact/upsert path
+    # cleans those (review r4).
     from ..state.checkpoint import recover_partition_swaps
 
     recover_partition_swaps(base)
@@ -48,9 +51,9 @@ def _data_files(base_dir: str | Path) -> list[str]:
         str(f)
         for f in base.rglob("*.parquet")
         if not f.name.startswith(ZONEMAP_PREFIX)
-        # skip hidden dirs: recovery above has already deleted any that
-        # duplicate a live partition; anything left hidden is staging
-        # from a CONCURRENT writer and must not be double-counted
+        # skip hidden dirs: marked swaps were resolved above; anything
+        # left hidden is either concurrent staging or writer-side
+        # debris, and must not be double-counted
         and not any(
             part.startswith(".") for part in f.relative_to(base).parts
         )

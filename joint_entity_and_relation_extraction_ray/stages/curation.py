@@ -1478,7 +1478,9 @@ def _bloom_positions_md5(values, m: int, k: int):
     h1 = md5 hex[0:15], h2 = md5 hex[15:30] | 1 (both 60-bit int64),
     position_i = ((h1 % m) + i·(h2 % m)) % m. DuckDB computes the same
     positions from the same md5 call, so the oracle replays every bloom
-    decision (false positives included). Returns an (n, k) int64
+    decision (false positives included). h1 is schema.md5_60's slice;
+    the second 60-bit slice needs the full digest, hence the one local
+    md5 call instead of two md5_60 passes. Returns an (n, k) int64
     array."""
     import hashlib
 

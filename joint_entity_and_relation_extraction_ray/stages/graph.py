@@ -1268,7 +1268,7 @@ def _hyperball_iter(
         # as random_walks' step rule — so the driver oracle recomputes
         # IDENTICAL registers in DuckDB and the estimates are exact
         # mirrors, not approximations of approximations.
-        import hashlib
+        from ..schema import md5_60
 
         q = 60 - p
         nodes = pc.unique(t["node"].combine_chunks())
@@ -1277,13 +1277,7 @@ def _hyperball_iter(
             return pa.schema(
                 [("node", pa.string()), ("sk", pa.binary())]
             ).empty_table()
-        h = np.array(
-            [
-                int(hashlib.md5(v.encode()).hexdigest()[:15], 16)
-                for v in vals
-            ],
-            dtype=np.uint64,
-        )
+        h = md5_60(vals).astype(np.uint64)
         idx = (h >> np.uint64(q)).astype(np.int64)
         w = h & np.uint64((1 << q) - 1)
         # exact floor_log2 + 1 via frexp's exponent (w < 2^52 is
@@ -3235,17 +3229,13 @@ def negative_samples(
                 np.char.add(s.astype(str), f"\x1f{seed}\x1f{i}\x1f"),
                 np.char.add(p.astype(str), o.astype(str)),
             )
-            # md5-60 (the SQL-mirrorable hash family of random_walks /
-            # the HyperBall registers) so the driver oracle replays the
-            # identical draws; a vectorized 64-bit hash is the drop-in
-            # at 10¹²-edge scale if oracle parity is not needed
-            idx = np.array(
-                [
-                    int(hashlib.md5(x.encode()).hexdigest()[:15], 16)
-                    for x in key
-                ],
-                dtype=np.uint64,
-            ) % np.uint64(len(uni))
+            # md5-60 (schema.md5_60, the SQL-mirrorable hash family) so
+            # the driver oracle replays the identical draws; a
+            # vectorized 64-bit hash is the drop-in at 10¹²-edge scale
+            # if oracle parity is not needed
+            from ..schema import md5_60
+
+            idx = md5_60(key).astype(np.uint64) % np.uint64(len(uni))
             cand = uni[idx.astype(np.int64)]
             keep = cand != s  # self-corruption out immediately
             subs.append(s[keep])

@@ -48,21 +48,17 @@ def pack_sequences(
     """
 
     def _with_bucket(t: pa.Table) -> pa.Table:
-        # md5-60 bucketing (not the pandas-hash stable_bucket): the
-        # bucket id is part of the OUTPUT (shard_id = bucket:bin), so it
-        # must be a hash the DuckDB oracle can recompute — that plus the
-        # deterministic FFD below is what makes the whole assignment
-        # oracle-replayable
-        import hashlib
+        # md5-60 bucketing (schema.md5_60, not the pandas-hash
+        # stable_bucket): the bucket id is part of the OUTPUT (shard_id
+        # = bucket:bin), so it must be a hash the DuckDB oracle can
+        # recompute — that plus the deterministic FFD below is what
+        # makes the whole assignment oracle-replayable
+        from ..schema import md5_60
 
-        b = np.array(
-            [
-                int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-                % num_buckets
-                for v in t[id_col].to_numpy(zero_copy_only=False)
-            ],
-            dtype=np.int32,
-        )
+        b = (
+            md5_60(t[id_col].to_numpy(zero_copy_only=False))
+            % num_buckets
+        ).astype(np.int32)
         import pyarrow.compute as pc
 
         return pa.table(

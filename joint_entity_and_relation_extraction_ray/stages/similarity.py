@@ -527,21 +527,20 @@ def kmeans_fixed_assignments(
     cluster) per round — the float path remains the raw-throughput
     mode; this is the verification-grade variant, the same trade the
     fixed-point PageRank family makes. Returns ``(vec_id, cluster)``."""
-    import hashlib
+    # pin once: the seed pass, each Lloyd round and the final assign all
+    # re-read the corpus — without this the lazy upstream pipeline would
+    # re-execute iters+2 times (review r4)
+    emb = emb.materialize()
 
     def _quant(t: pa.Table) -> np.ndarray:
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
         return np.floor(m * quant + 0.5).astype(np.int64)
 
     def _seed_partial(t: pa.Table) -> pa.Table:
+        from ..schema import md5_60
+
         ids = t[id_col].to_numpy(zero_copy_only=False)
-        h = np.array(
-            [
-                int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
-                for v in ids
-            ],
-            dtype=np.int64,
-        )
+        h = md5_60(ids)
         top = np.argsort(h, kind="stable")[:k]
         mq = _quant(t)
         return pa.table(

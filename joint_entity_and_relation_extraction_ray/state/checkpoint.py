@@ -399,11 +399,15 @@ def _swap_partition(base: Path, k: int, tmp: Path) -> None:
     part_dir = base / f"part={k}"
     trash = base / f".part={k}.trash-{uuid.uuid4().hex[:8]}"
     marker = base / f".part={k}.swap.json"
-    marker.write_text(
+    # marker lands atomically (tmp write + replace): a torn marker would
+    # otherwise crash every future recovery attempt (review r4)
+    marker_tmp = base / f".part={k}.swap.json.wip-{uuid.uuid4().hex[:8]}"
+    marker_tmp.write_text(
         json.dumps(
             {"part": part_dir.name, "tmp": tmp.name, "trash": trash.name}
         )
     )
+    os.replace(marker_tmp, marker)
     if part_dir.exists():
         os.rename(part_dir, trash)
     os.rename(tmp, part_dir)
@@ -411,58 +415,88 @@ def _swap_partition(base: Path, k: int, tmp: Path) -> None:
     marker.unlink()
 
 
-def recover_partition_swaps(base_dir: str | Path) -> list[str]:
-    """Complete any partition swap a crash interrupted and clean (or
-    refuse to guess about) leftover ``.part=*.tmp-*`` / ``.trash-*``
-    directories. Called by compact/upsert before planning and by the
-    zone-map reader before listing data files; returns the names of
-    markers it resolved.
+def recover_partition_swaps(
+    base_dir: str | Path, *, clean_orphans: bool = False
+) -> list[str]:
+    """Complete any partition swap a crash interrupted; returns the
+    names of markers it resolved.
 
-    Rules: with a marker present, ``tmp`` was complete before the marker
-    was written, so a missing live partition rolls FORWARD to tmp (or
-    back to trash if tmp is already gone); with no marker, debris beside
-    a live partition is a committed swap's leftovers (safe to drop), but
-    debris where the live partition is MISSING means the only copy sits
-    in a hidden directory — raise instead of silently scanning partial
-    data."""
+    Two caller classes (review r4):
+
+    - READERS (the zone-map lister) call with ``clean_orphans=False``:
+      they only roll forward MARKED swaps — never touch unmarked hidden
+      dirs, which may be a CONCURRENT writer's in-progress staging. All
+      renames/unlinks tolerate losing a race to another recoverer (the
+      other side converged the state first).
+    - WRITERS (compact/upsert, documented single-writer per table) call
+      with ``clean_orphans=True`` and additionally clean unmarked
+      debris: a ``.tmp-*`` with no marker is an UNCOMMITTED build (the
+      marker is written only after tmp completes) and is safely
+      dropped whether or not the live partition exists; a ``.trash-*``
+      with no marker beside a LIVE partition is a committed swap's
+      leftover (dropped); a ``.trash-*`` with no marker and NO live
+      partition cannot arise from this protocol (trash exists only
+      while the marker does) — raise rather than guess.
+
+    Marker rules: the marker is written atomically AFTER tmp completes,
+    so a missing live partition rolls FORWARD to tmp (or back to trash
+    if tmp is already gone). An unparseable marker (torn write despite
+    os.replace — e.g. power loss reordering) is resolved best-effort by
+    globbing the partition's tmp/trash dirs."""
     base = Path(base_dir)
     resolved: list[str] = []
     for marker in sorted(base.glob(".part=*.swap.json")):
-        info = json.loads(marker.read_text())
-        part = base / info["part"]
-        tmp = base / info["tmp"]
-        trash = base / info["trash"]
-        if not part.exists():
-            if tmp.exists():
-                os.rename(tmp, part)
-            elif trash.exists():
-                os.rename(trash, part)
+        try:
+            text = marker.read_text()
+        except FileNotFoundError:  # lost the race to another recoverer
+            continue
+        pname = marker.name[1:].rsplit(".swap.json", 1)[0]
+        try:
+            info = json.loads(text)
+            part = base / info["part"]
+            tmps = [base / info["tmp"]]
+            trashes = [base / info["trash"]]
+        except (ValueError, KeyError):
+            part = base / pname
+            tmps = sorted(base.glob(f".{pname}.tmp-*"))
+            trashes = sorted(base.glob(f".{pname}.trash-*"))
+        try:
+            if not part.exists():
+                src = next(
+                    (d for d in tmps if d.exists()),
+                    next((d for d in trashes if d.exists()), None),
+                )
+                if src is None:
+                    raise RuntimeError(
+                        f"unrecoverable partition swap journal {marker}:"
+                        f" {part.name} missing and neither its tmp nor "
+                        "trash survives"
+                    )
+                os.rename(src, part)
+        except FileNotFoundError:
+            pass  # concurrent recoverer moved it first
+        for d in tmps + trashes:
+            if d.exists():
+                shutil.rmtree(d, ignore_errors=True)
+        try:
+            marker.unlink()
+        except FileNotFoundError:
+            pass
+        resolved.append(marker.name)
+    if clean_orphans:
+        for orphan in sorted(base.glob(".part=*.tmp-*")):
+            # marker-less tmp = uncommitted build — never the only copy
+            shutil.rmtree(orphan, ignore_errors=True)
+        for orphan in sorted(base.glob(".part=*.trash-*")):
+            live = base / orphan.name.lstrip(".").split(".trash-")[0]
+            if live.exists():
+                shutil.rmtree(orphan, ignore_errors=True)
             else:
                 raise RuntimeError(
-                    f"unrecoverable partition swap journal {marker}: "
-                    f"{info['part']} missing and neither {info['tmp']} "
-                    f"nor {info['trash']} survives"
+                    f"{orphan} holds the only copy of {live.name} (no "
+                    "swap journal remains) — refusing to guess; restore "
+                    "the directory manually"
                 )
-        if trash.exists():
-            shutil.rmtree(trash, ignore_errors=True)
-        if tmp.exists():
-            shutil.rmtree(tmp, ignore_errors=True)
-        marker.unlink()
-        resolved.append(marker.name)
-    for orphan in sorted(base.glob(".part=*.tmp-*")) + sorted(
-        base.glob(".part=*.trash-*")
-    ):
-        live = base / orphan.name.lstrip(".").split(".tmp-")[0].split(
-            ".trash-"
-        )[0]
-        if live.exists():
-            shutil.rmtree(orphan, ignore_errors=True)
-        else:
-            raise RuntimeError(
-                f"{orphan} holds the only copy of {live.name} (no swap "
-                "journal remains) — refusing to scan partial data; "
-                "restore the directory manually"
-            )
     return resolved
 
 
@@ -505,7 +539,7 @@ def upsert_partitioned(
 
     base = Path(base_dir)
     if base.exists():
-        recover_partition_swaps(base)
+        recover_partition_swaps(base, clean_orphans=True)
     staging = base.parent / f".{base.name}.upsert-{uuid.uuid4().hex[:8]}"
 
     def _stamp(t: "pa.Table") -> "pa.Table":
@@ -707,7 +741,7 @@ def compact_partitioned(
 
     base = Path(base_dir)
     if base.exists():
-        recover_partition_swaps(base)
+        recover_partition_swaps(base, clean_orphans=True)
     todo = []
     for pdir in sorted(base.glob("part=*")):
         if not pdir.is_dir():

@@ -1018,18 +1018,20 @@ def test_partition_swap_rolls_back_when_tmp_lost(ray_session, tmp_path):
     assert got == [7]
 
 
-def test_unmarked_orphan_with_missing_partition_raises(
+def test_unmarked_trash_with_missing_partition_raises_for_writers(
     ray_session, tmp_path
 ):
-    """Debris holding the ONLY copy of a partition with no journal left
-    must raise loudly — silently scanning partial data is the failure
-    mode the journal exists to prevent."""
+    """WRITER-side recovery: unmarked .trash-* holding the ONLY copy of
+    a partition must raise loudly (it cannot arise from the swap
+    protocol); unmarked .tmp-* is an uncommitted build and is silently
+    dropped — a benign mid-build crash must NOT brick the table
+    (review r4)."""
     import pyarrow as pa
     import pyarrow.parquet as pq
     import pytest
 
-    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
-        _data_files,
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        recover_partition_swaps,
     )
 
     base = tmp_path / "t"
@@ -1039,7 +1041,40 @@ def test_unmarked_orphan_with_missing_partition_raises(
         base / ".part=5.trash-z" / "a.parquet",
     )
     with pytest.raises(RuntimeError, match="only copy"):
-        _data_files(base)
+        recover_partition_swaps(base, clean_orphans=True)
+
+    base2 = tmp_path / "t2"
+    (base2 / ".part=7.tmp-w").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"k": pa.array([2], pa.int64())}),
+        base2 / ".part=7.tmp-w" / "a.parquet",
+    )
+    assert recover_partition_swaps(base2, clean_orphans=True) == []
+    assert not list(base2.glob(".part=*"))  # uncommitted build dropped
+
+
+def test_reader_recovery_leaves_concurrent_staging_alone(
+    ray_session, tmp_path
+):
+    """READER-side recovery (the zone-map lister) must not delete an
+    unmarked .tmp-* — it may be a CONCURRENT writer's in-progress
+    build (review r4); it still skips the hidden dir in its listing."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        _data_files,
+    )
+
+    base = tmp_path / "t"
+    (base / "part=0").mkdir(parents=True)
+    (base / ".part=0.tmp-inflight").mkdir(parents=True)
+    t = pa.table({"k": pa.array([1], pa.int64())})
+    pq.write_table(t, base / "part=0" / "a.parquet")
+    pq.write_table(t, base / ".part=0.tmp-inflight" / "b.parquet")
+    files = _data_files(base)
+    assert files == [str(base / "part=0" / "a.parquet")]
+    assert (base / ".part=0.tmp-inflight" / "b.parquet").exists()
 
 
 def test_write_sorted_timestamp_column(ray_session, tmp_path):
@@ -1135,3 +1170,29 @@ def test_merge_sorted_int64_keys_beyond_float_precision(
             assert col[0] >= seen[-1]
         seen += col
     assert seen == sorted(vals + delta_vals)
+
+
+def test_torn_swap_marker_recovers_best_effort(ray_session, tmp_path):
+    """An unparseable (torn) swap marker must not brick recovery: the
+    partition name comes from the marker FILENAME and the tmp/trash
+    dirs from a glob — roll forward still happens (review r4)."""
+    import pyarrow as pa
+    import pyarrow.dataset as pads
+    import pyarrow.parquet as pq
+
+    from joint_entity_and_relation_extraction_ray.state.checkpoint import (
+        recover_partition_swaps,
+    )
+
+    base = tmp_path / "t"
+    base.mkdir()
+    (base / ".part=2.tmp-q").mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([9], pa.int64())}),
+        base / ".part=2.tmp-q" / "a.parquet",
+    )
+    (base / ".part=2.swap.json").write_text('{"part": "par')  # torn
+    assert recover_partition_swaps(base) == [".part=2.swap.json"]
+    got = pads.dataset(str(base / "part=2")).to_table()["k"].to_pylist()
+    assert got == [9]
+    assert not list(base.glob(".part=*"))
