@@ -3161,6 +3161,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         # training-data corpus ops over the driver's own tables
         "doc_stats": co.q_doc_stats,
         "doc_entropy": co.q_doc_entropy,  # oracle-exact (fixed-point entropy)
+        "token_dispersion": co.q_token_dispersion,  # oracle-exact (integer stats)
         "token_counts": co.q_token_counts,
         "quality_filter": co.q_quality_filter,
         "lang_id": co.q_lang_id,
@@ -9848,6 +9849,23 @@ def oracle_sql() -> dict[str, str]:
             SELECT node,
                    CAST(SUM(w >> (2 * iter)) AS BIGINT) AS katz_q
             FROM wk WHERE iter >= 1 GROUP BY node
+        """
+    # Per-term burstiness sufficient statistics (exact integers) —
+    # curation.token_dispersion
+    out["token_dispersion"] = """
+            WITH tf AS (
+                SELECT doc_id, token, COUNT(*) AS c FROM (
+                    SELECT doc_id,
+                           unnest(regexp_extract_all(text, '\\S+'))
+                               AS token
+                    FROM documents)
+                GROUP BY 1, 2
+            )
+            SELECT token,
+                   CAST(SUM(c) AS BIGINT) AS n_occurrences,
+                   CAST(COUNT(*) AS BIGINT) AS n_docs,
+                   CAST(SUM(c * c) AS BIGINT) AS sum_c2
+            FROM tf GROUP BY token HAVING SUM(c) >= 10
         """
     # Per-doc token entropy (functions/textstats.token_entropy):
     # ent_sum_e9 = Σ floor(c·log2(c)·1e9) is an order-independent int

@@ -58,6 +58,14 @@ def q_doc_stats(sf_dir: str) -> ray.data.Dataset:
     )
 
 
+def q_token_dispersion(sf_dir: str) -> ray.data.Dataset:
+    """Per-term burstiness sufficient statistics (exact integers) — see
+    `stages/curation.token_dispersion`."""
+    from ..stages.curation import token_dispersion
+
+    return token_dispersion(read_documents(sf_dir), min_occ=10)
+
+
 def q_doc_entropy(sf_dir: str) -> ray.data.Dataset:
     """Per-doc token Shannon entropy (hash-exact fixed-point ent_sum_e9
     + one deterministic float expression) — see

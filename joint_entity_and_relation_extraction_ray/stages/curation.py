@@ -1647,3 +1647,74 @@ def decontaminate_bloom(
         zero_copy_batch=True,
         concurrency=concurrency or default_pool_size(),
     )
+
+
+def token_dispersion(
+    docs: ray.data.Dataset, *, min_occ: int = 10, num_buckets: int = 32
+) -> ray.data.Dataset:
+    """Per-term BURSTINESS sufficient statistics — rows ``(token,
+    n_occurrences, n_docs, sum_c2)`` with ``sum_c2 = Σ_docs c_doc²``,
+    for terms with ``n_occurrences ≥ min_occ``. Variance-to-mean (Fano
+    factor) and DP-style dispersion are consumer arithmetic over these
+    EXACT integers: a term that appears 100× in one doc and a term that
+    appears once in 100 docs have the same n_occurrences but wildly
+    different sum_c2 — the classic topical-vs-function-word signal a
+    curation pipeline uses alongside tf-idf.
+
+    Same combiner → one-bucket-merge shape as ``token_counts``: a doc is
+    one row, so per-(doc, term) counts are block-local and the three
+    per-term partial sums (Σc, #docs, Σc²) merge exactly; one row per
+    (block, distinct term) moves, never the corpus."""
+    import polars as pl
+
+    sch = pa.schema(
+        [
+            ("token", pa.string()),
+            ("n_occurrences", pa.int64()),
+            ("n_docs", pa.int64()),
+            ("sum_c2", pa.int64()),
+        ]
+    )
+
+    def _partial(t: pa.Table) -> pa.Table:
+        df = pl.from_arrow(t.select(["doc_id", "text"]))
+        tf = (
+            df.select(
+                pl.col("doc_id"),
+                pl.col("text").str.extract_all(r"\S+").alias("token"),
+            )
+            .explode("token")
+            .drop_nulls("token")
+            .group_by(["doc_id", "token"])
+            .agg(pl.len().cast(pl.Int64).alias("c"))
+        )
+        return (
+            tf.group_by("token")
+            .agg(
+                pl.col("c").sum().alias("n_occurrences"),
+                pl.len().cast(pl.Int64).alias("n_docs"),
+                (pl.col("c") * pl.col("c")).sum().alias("sum_c2"),
+            )
+            .to_arrow()
+            .cast(sch)
+        )
+
+    partials = docs.map_batches(
+        _partial, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+    def _merge(t: pa.Table, mo=min_occ) -> pa.Table:
+        return (
+            pl.from_arrow(t)
+            .group_by("token")
+            .agg(
+                pl.col("n_occurrences").sum(),
+                pl.col("n_docs").sum(),
+                pl.col("sum_c2").sum(),
+            )
+            .filter(pl.col("n_occurrences") >= mo)
+            .to_arrow()
+            .cast(sch)
+        )
+
+    return bucket_group_apply(partials, "token", _merge, num_buckets=num_buckets)

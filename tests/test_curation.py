@@ -562,3 +562,32 @@ def test_decontaminate_bloom_superset_of_exact(ray_session, tmp_path):
         assert bloom[k] >= v
     assert exact == bloom  # no FP expected at this scale
     assert 1 in exact and 2 not in exact
+
+
+def test_token_dispersion_exact_and_bursty_signal(ray_session):
+    """token_dispersion: exact integer sufficient statistics, and the
+    burstiness signal behaves (one-doc spam term has higher sum_c2 than
+    an evenly-spread term with the same total count)."""
+    import pyarrow as pa
+    import ray.data
+
+    from joint_entity_and_relation_extraction_ray.stages.curation import (
+        token_dispersion,
+    )
+
+    docs = pa.table(
+        {
+            "doc_id": pa.array(range(10), pa.int64()),
+            "text": ["spread " + ("spam " * (10 if i == 0 else 0))
+                     for i in range(10)],
+        }
+    )
+    out = {
+        r["token"]: (r["n_occurrences"], r["n_docs"], r["sum_c2"])
+        for r in token_dispersion(
+            ray.data.from_arrow(docs).repartition(3), min_occ=10
+        ).take_all()
+    }
+    assert out["spread"] == (10, 10, 10)   # 1 per doc: sum_c2 = 10
+    assert out["spam"] == (10, 1, 100)     # all in one doc: sum_c2 = 100
+    assert out["spam"][2] > out["spread"][2]
