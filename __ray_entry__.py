@@ -3185,8 +3185,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "dedup_embedding": co.q_dedup_embedding,
         "dedup_embedding_lsh": co.q_dedup_embedding_lsh,  # rows-only (approx)
         "ann_topk": co.q_ann_topk,
-        "ann_topk_ivf": co.q_ann_topk_ivf,
-        "ann_recall": co.q_ann_recall,  # rows-only (IVF probe set)  # rows-only (approx)
+        "ann_topk_ivf": co.q_ann_topk_ivf,  # oracle-exact (md5 sample, cosine replay)
+        "ann_recall": co.q_ann_recall,  # oracle-exact (exact ∩ ivf counts)
         "knn_label": co.q_knn_label,
         "retrieval_fusion": co.q_retrieval_fusion,
         "embed_probe_assign": co.q_embed_probe_assign,
@@ -9435,6 +9435,104 @@ def oracle_sql() -> dict[str, str]:
             SELECT a AS u, b AS v, CAST(w AS BIGINT) AS cost
             FROM ks WHERE kind = 1
         """
+
+    # IVF ANN + its recall monitor: the md5-60 sample/seed ordering
+    # makes centroids, bucket layout and probe sets SQL-computable;
+    # float cosine ranking recomputes via list_cosine_similarity with
+    # integer-only outputs (the ann_topk precedent — stable ranks, nid
+    # tie-breaks, no float column ever hashed).
+    _ivf_core = """
+            q AS MATERIALIZED (
+                SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+                FROM embeddings WHERE vec_id < 10),
+            nt AS (SELECT COUNT(*) AS n FROM embeddings),
+            md AS (SELECT GREATEST(1, n // 128) AS m FROM nt),
+            samp AS MATERIALIZED (
+                SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                FROM embeddings, md
+                WHERE ('0x' || substr(md5(CAST(vec_id AS VARCHAR)),
+                                      1, 15))::BIGINT % md.m = 0),
+            cent AS MATERIALIZED (
+                SELECT e, rn - 1 AS cid FROM (
+                    SELECT e,
+                           ROW_NUMBER() OVER (
+                               ORDER BY ('0x' || substr(
+                                   md5('13:' || CAST(vec_id AS VARCHAR)),
+                                   1, 15))::BIGINT) AS rn
+                    FROM samp)
+                WHERE rn <= 16),
+            assign AS MATERIALIZED (
+                SELECT vec_id, cid FROM (
+                    SELECT v.vec_id, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY v.vec_id
+                               ORDER BY list_cosine_similarity(
+                                   CAST(v.embedding AS DOUBLE[]),
+                                   c.e) DESC, c.cid) AS rn
+                    FROM embeddings v CROSS JOIN cent c)
+                WHERE rn = 1),
+            probe AS MATERIALIZED (
+                SELECT qid, cid FROM (
+                    SELECT q.qid, c.cid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(q.qe, c.e)
+                                        DESC, c.cid) AS rn
+                    FROM q CROSS JOIN cent c)
+                WHERE rn <= 4),
+            ivf AS MATERIALIZED (
+                SELECT qid AS query_id, nid AS neighbor_id, rank FROM (
+                    SELECT s.qid, s.nid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY s.qid
+                               ORDER BY s.c DESC, s.nid) AS rank
+                    FROM (
+                        SELECT q.qid, v.vec_id AS nid,
+                               list_cosine_similarity(
+                                   q.qe, CAST(v.embedding AS DOUBLE[]))
+                                   AS c
+                        FROM q
+                        JOIN probe p ON p.qid = q.qid
+                        JOIN assign a ON a.cid = p.cid
+                        JOIN embeddings v ON v.vec_id = a.vec_id
+                        WHERE v.vec_id <> q.qid) s)
+                WHERE rank <= 5)
+    """
+    out["ann_topk_ivf"] = (
+        "WITH"
+        + _ivf_core
+        + """
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM ivf
+        """
+    )
+    out["ann_recall"] = (
+        "WITH"
+        + _ivf_core
+        + """,
+            exact AS (
+                SELECT qid AS query_id, nid AS neighbor_id FROM (
+                    SELECT q.qid, e.vec_id AS nid,
+                           ROW_NUMBER() OVER (
+                               PARTITION BY q.qid
+                               ORDER BY list_cosine_similarity(
+                                   q.qe, CAST(e.embedding AS DOUBLE[]))
+                                        DESC, e.vec_id) AS rank
+                    FROM q JOIN embeddings e ON e.vec_id <> q.qid)
+                WHERE rank <= 5),
+            hits AS (
+                SELECT e.query_id, COUNT(*) AS n_hits
+                FROM exact e JOIN ivf i
+                  ON i.query_id = e.query_id
+                 AND i.neighbor_id = e.neighbor_id
+                GROUP BY 1)
+            SELECT e.query_id,
+                   CAST(COALESCE(h.n_hits, 0) AS BIGINT) AS n_hits,
+                   CAST(COUNT(*) AS BIGINT) AS k
+            FROM exact e LEFT JOIN hits h USING (query_id)
+            GROUP BY e.query_id, h.n_hits
+        """
+    )
 
     # Exact-arithmetic Lloyd's k-means (similarity.kmeans_fixed_
     # assignments): rational (Σ, n) centroids, cross-multiplied HUGEINT

@@ -298,9 +298,10 @@ def q_ann_topk(sf_dir: str) -> ray.data.Dataset:
 
 def q_ann_recall(sf_dir: str) -> ray.data.Dataset:
     """Index-quality monitor: per-query recall@k of the IVF index vs the
-    exact top-k, as pure integers (n_hits, k) — rows-only (the IVF probe
-    set has no SQL form); the nprobe=n_centroids ≡ exact invariant is
-    pinned in pytest."""
+    exact top-k, as pure integers (n_hits, k) — oracle-backed since r4
+    (the IVF probe set IS SQL-computable now that sampling/seeding is
+    md5-60); the nprobe=n_centroids ≡ exact invariant stays pinned in
+    pytest."""
     return similarity.ann_recall(
         read_embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K
     )
@@ -324,7 +325,10 @@ def q_knn_label(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_ann_topk_ivf(sf_dir: str) -> ray.data.Dataset:
-    """IVF-probed approximate ANN (rows-only by construction)."""
+    """IVF-probed approximate ANN — oracle-backed since r4: the md5-60
+    sample/seed ordering makes centroids, buckets and probe sets
+    SQL-computable, and the integer-only (query, neighbor, rank) output
+    hashes exactly under stable cosine ranking (ann_topk precedent)."""
     return similarity.ann_topk_ivf(
         read_embeddings(sf_dir), _query_vectors(sf_dir), k=ANN_K
     )

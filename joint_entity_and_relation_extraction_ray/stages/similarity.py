@@ -240,7 +240,14 @@ def ann_topk_ivf(
     mod = max(1, n_total // max(1, target))
 
     def _strat(t: pa.Table) -> pa.Table:
-        b = stable_bucket(t["vec_id"].to_numpy(zero_copy_only=False), mod)
+        # md5-60 stratification (was the pandas-hash stable_bucket):
+        # the sample — and through it the centroid set, the bucket
+        # layout and every probe decision — becomes a pure function of
+        # the data that the DuckDB oracle recomputes (r4; the hash
+        # family of schema.md5_60)
+        from ..schema import md5_60
+
+        b = md5_60(t["vec_id"].to_numpy(zero_copy_only=False)) % mod
         return t.filter(pa.array(b == 0))
 
     sample = emb.map_batches(
@@ -248,9 +255,18 @@ def ann_topk_ivf(
     ).take_all()
     if not sample:  # degenerate tiny corpus: fall back to the head
         sample = emb.limit(target).take_all()
-    rng = np.random.default_rng(seed)
+    # deterministic seeded selection: order the sample by
+    # md5-60(f"{seed}:{vec_id}") and take the first n_centroids — the
+    # same unbiased-permutation effect the old np.random draw gave,
+    # minus the RNG the oracle cannot replay
+    from ..schema import md5_60
+
+    samp_ids = np.array([r["vec_id"] for r in sample], dtype=np.int64)
+    order = np.argsort(
+        md5_60([f"{seed}:{v}" for v in samp_ids]), kind="stable"
+    )
     cand = np.array([r["embedding"] for r in sample], dtype=np.float64)
-    sel = rng.permutation(len(cand))[: min(n_centroids, len(cand))]
+    sel = order[: min(n_centroids, len(cand))]
     centroids = _norm_rows(cand[sel])
     cref = ray.put(centroids) if ray.is_initialized() else centroids
 
