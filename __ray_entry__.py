@@ -3183,7 +3183,7 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "dedup_simhash": co.q_dedup_simhash,
         "dedup_simhash_near": co.q_dedup_simhash_near,
         "dedup_embedding": co.q_dedup_embedding,
-        "dedup_embedding_lsh": co.q_dedup_embedding_lsh,  # rows-only (approx)
+        "dedup_embedding_lsh": co.q_dedup_embedding_lsh,  # oracle-exact (int ±1 planes)
         "ann_topk": co.q_ann_topk,
         "ann_topk_ivf": co.q_ann_topk_ivf,  # oracle-exact (md5 sample, cosine replay)
         "ann_recall": co.q_ann_recall,  # oracle-exact (exact ∩ ivf counts)
@@ -9436,6 +9436,57 @@ def oracle_sql() -> dict[str, str]:
             FROM ks WHERE kind = 1
         """
 
+    # Hyperplane-LSH near-dup: md5-derived ±1 planes over int64-
+    # quantized coords make every signature bit the sign of an INTEGER
+    # dot, and the cosine verification is the cross-multiplied integer
+    # rule (threshold 0.45 = 9/20) — candidate set AND verification
+    # replayed exactly (dedup.embedding_dup_pairs_lsh, r4).
+    out["dedup_embedding_lsh"] = """
+            WITH eq AS MATERIALIZED (
+                SELECT vec_id,
+                       unnest(range(1, len(embedding) + 1)) AS dim,
+                       CAST(floor(unnest(embedding) * 1000.0 + 0.5)
+                            AS BIGINT) AS x
+                FROM embeddings),
+            pl AS MATERIALIZED (
+                SELECT c.col, d.dim,
+                       CASE WHEN ('0x' || substr(md5(
+                                '11:' || CAST(c.col AS VARCHAR) || ':'
+                                      || CAST(d.dim - 1 AS VARCHAR)),
+                                1, 15))::BIGINT % 2 = 0
+                            THEN 1 ELSE -1 END AS s
+                FROM (SELECT unnest(range(192)) AS col) c
+                CROSS JOIN (SELECT DISTINCT dim FROM eq) d),
+            sig AS MATERIALIZED (
+                SELECT e.vec_id, p.col,
+                       CASE WHEN SUM(e.x * p.s) > 0 THEN 1 ELSE 0 END
+                           AS bit
+                FROM eq e JOIN pl p ON p.dim = e.dim
+                GROUP BY 1, 2),
+            keys AS MATERIALIZED (
+                SELECT vec_id,
+                       SUM(bit << (col % 6)) + ((col // 6) << 6)
+                           AS bucket
+                FROM sig GROUP BY vec_id, col // 6),
+            cand AS MATERIALIZED (
+                SELECT DISTINCT a.vec_id AS va, b.vec_id AS vb
+                FROM keys a JOIN keys b
+                  ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+            n2 AS MATERIALIZED (
+                SELECT vec_id, SUM(x * x) AS n2 FROM eq GROUP BY 1),
+            dots AS (
+                SELECT c.va, c.vb, SUM(ea.x * eb.x) AS dot
+                FROM cand c
+                JOIN eq ea ON ea.vec_id = c.va
+                JOIN eq eb ON eb.vec_id = c.vb AND eb.dim = ea.dim
+                GROUP BY 1, 2)
+            SELECT d.va AS vec_a, d.vb AS vec_b
+            FROM dots d
+            JOIN n2 a ON a.vec_id = d.va
+            JOIN n2 b ON b.vec_id = d.vb
+            WHERE a.n2 > 0 AND b.n2 > 0 AND d.dot >= 0
+              AND 400 * d.dot * d.dot >= 81 * a.n2 * b.n2
+        """
     # IVF ANN + its recall monitor: the md5-60 sample/seed ordering
     # makes centroids, bucket layout and probe sets SQL-computable;
     # float cosine ranking recomputes via list_cosine_similarity with

@@ -271,8 +271,11 @@ def q_dedup_embedding(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_dedup_embedding_lsh(sf_dir: str) -> ray.data.Dataset:
-    """Approximate hyperplane-LSH variant (rows-only: can miss cross-bucket
-    pairs by construction)."""
+    """Approximate hyperplane-LSH variant — still approximate (cross-
+    bucket pairs can be missed by construction) but oracle-backed since
+    r4: md5-derived ±1 planes over int64-quantized coords plus the
+    cross-multiplied integer cosine rule make the candidate set and the
+    verification bit-reproducible."""
     return dedup.embedding_dup_pairs_lsh(
         read_embeddings(sf_dir), threshold=COSINE_DUP_THRESHOLD
     )

@@ -965,7 +965,24 @@ def embedding_dup_pairs_lsh(
     Recall = 1 − (1 − p^b)^L with p = 1 − θ/π: defaults (b=6, L=32) give
     ≈0.92 at cos 0.45 and ≈0.999 at cos 0.8; raise ``n_planes`` at high
     thresholds to prune harder.
+
+    EXACT end to end since r4: hyperplanes are md5-derived ±1 sign
+    vectors (the embed_rp construction — signed random projection is
+    the classic SimHash hyperplane family), coordinates quantize once to
+    int64 (``floor(x·1000 + 0.5)``), so every signature bit is the sign
+    of an INTEGER dot product, and the cosine verification is the
+    cross-multiplied integer rule ``den²·dot² ≥ num²·‖a‖²‖b‖²`` (with
+    threshold as an exact fraction) — no float anywhere a reduction
+    order or a boundary ulp could flip, which is what makes the driver
+    oracle replay the candidate set AND the verification exactly.
     """
+    from fractions import Fraction
+
+    from ..schema import md5_60
+
+    QUANT = 1000
+    frac = Fraction(str(threshold))
+    t_num, t_den = frac.numerator, frac.denominator
 
     def _sig(t: pa.Table) -> pa.Table:
         q = np.array(t["embedding"].to_pylist(), dtype=np.float64)
@@ -978,9 +995,20 @@ def embedding_dup_pairs_lsh(
                 }
             )
         dim = q.shape[1]
-        rng = np.random.default_rng(seed)
-        planes = rng.standard_normal((dim, n_planes * n_tables))
-        bits = (q @ planes) > 0  # (n, b*L)
+        cols = n_planes * n_tables
+        signs = 1 - 2 * (
+            md5_60(
+                [
+                    f"{seed}:{c}:{d}"
+                    for d in range(dim)
+                    for c in range(cols)
+                ]
+            )
+            % 2
+        )
+        planes = signs.reshape(dim, cols).astype(np.int64)
+        qi = np.floor(q * QUANT + 0.5).astype(np.int64)
+        bits = (qi @ planes) > 0  # (n, b*L) — integer dot, exact sign
         bits = bits.reshape(nrows, n_tables, n_planes)
         keys = (bits * (1 << np.arange(n_planes))).sum(axis=2)  # (n, L)
         keys = keys + (np.arange(n_tables) << n_planes)[None, :]
@@ -1033,13 +1061,13 @@ def embedding_dup_pairs_lsh(
 
     def _ser(t: pa.Table, side: str) -> pa.Table:
         m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
-        nr = np.linalg.norm(m, axis=1, keepdims=True)
-        nr[nr == 0] = 1.0
-        m = m / nr
+        mi = np.floor(m * QUANT + 0.5).astype(np.int64)
         return pa.table(
             {
                 f"vec_{side}": t["vec_id"],
-                f"e_{side}": pa.array([row.tobytes() for row in m], pa.binary()),
+                f"e_{side}": pa.array(
+                    [row.tobytes() for row in mi], pa.binary()
+                ),
             }
         )
 
@@ -1057,12 +1085,21 @@ def embedding_dup_pairs_lsh(
             return pa.table(
                 {"vec_a": pa.array([], pa.int64()), "vec_b": pa.array([], pa.int64())}
             )
-        ea = np.frombuffer(b"".join(t["e_a"].to_pylist()), dtype=np.float64)
-        eb = np.frombuffer(b"".join(t["e_b"].to_pylist()), dtype=np.float64)
+        ea = np.frombuffer(b"".join(t["e_a"].to_pylist()), dtype=np.int64)
+        eb = np.frombuffer(b"".join(t["e_b"].to_pylist()), dtype=np.int64)
         ea = ea.reshape(len(t), -1)
         eb = eb.reshape(len(t), -1)
-        cos = np.einsum("ij,ij->i", ea, eb)
-        keep = pa.array(cos >= threshold)
+        # cos ≥ num/den ⟺ dot ≥ 0 ∧ den²·dot² ≥ num²·‖a‖²‖b‖² — all
+        # int64 at QUANT=1000 (dot ≤ 64·530² ≈ 1.8e7; den²·dot² ≲ 1.3e17)
+        dot = np.einsum("ij,ij->i", ea, eb)
+        na = np.einsum("ij,ij->i", ea, ea)
+        nb = np.einsum("ij,ij->i", eb, eb)
+        keep = pa.array(
+            (na > 0)
+            & (nb > 0)
+            & (dot >= 0)
+            & (t_den * t_den * dot * dot >= t_num * t_num * na * nb)
+        )
         out = t.filter(keep)
         return pa.table({"vec_a": out["vec_a"], "vec_b": out["vec_b"]})
 
