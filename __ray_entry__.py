@@ -1723,8 +1723,9 @@ def _q_kg_embeddedness(sf_dir: str):
 
 
 def _q_kg_betweenness(sf_dir: str):
-    """Sampled Brandes betweenness centrality (8 deterministic pivots,
-    ≤6 hops) over the undirected simple KG —
+    """Sampled Brandes betweenness centrality (8 deterministic pivots
+    picked in md5-60 order — unbiased where id prefixes correlate with
+    entity types, review r4; ≤6 hops) over the undirected simple KG —
     `stages/graph.betweenness_centrality(fixed_point=True)`: δ carried
     as int64 micro-units with floor(σ_v·(scale+δ_w)/σ_w) contributions,
     so the sampled estimate is bit-reproducible and the level-unrolled
@@ -9318,7 +9319,10 @@ def oracle_sql() -> dict[str, str]:
                 UNION ALL SELECT b, a FROM und),
             srcs AS MATERIALIZED (
                 SELECT src FROM (SELECT DISTINCT src FROM sym)
-                ORDER BY src LIMIT {n_sources}),
+                ORDER BY ('0x' || substr(md5(CAST(src AS VARCHAR)), 1, 15))
+                             ::BIGINT,
+                         src
+                LIMIT {n_sources}),
             walks(it, s, v, n) AS (
                 SELECT 0, src, src, 1::BIGINT FROM srcs
                 UNION ALL

@@ -182,16 +182,84 @@ def _bench_once(sf_dir: str, num_cpus: int) -> dict:
         ray.shutdown()
 
 
+def _corpus_bench_once(sf_dir: str, num_cpus: int) -> dict:
+    """Corpus-op scaling leg (VERDICT r4 #7): MinHash+LSH near-dup pairs
+    over the deterministic synthetic DOCUMENT corpus
+    (`synth.ensure_doc_corpus` — distinct web-corpus-shaped texts with a
+    ~10% near-dup rate). Conversation-level docs from the transcript
+    templates were tried first and rejected: the template grammar makes
+    conversations massively self-similar, LSH buckets degenerate, and
+    the bench measures the pathological-skew cap instead of the op's
+    scaling. Same fresh-session / best-of-N protocol as the KG job so
+    --scaling reports a second efficiency number. ``sf_dir`` is ignored;
+    corpus size comes from $KGRAY_SCALING_DOCS (default 400k docs)."""
+    import ray
+
+    from joint_entity_and_relation_extraction_ray.sources.synth import (
+        ensure_doc_corpus,
+    )
+
+    n_docs_want = int(os.environ.get("KGRAY_SCALING_DOCS", "400000"))
+    ray.init(
+        address="local",
+        num_cpus=num_cpus,
+        include_dashboard=False,
+        ignore_reinit_error=True,
+        runtime_env={"env_vars": {"POLARS_MAX_THREADS": "1"}},
+        object_store_memory=_object_store_bytes(),
+    )
+    docs_dir = ensure_doc_corpus(n_docs_want)
+
+    @ray.remote
+    def _warm():
+        import polars  # noqa: F401
+        import pyarrow  # noqa: F401
+
+        return 0
+
+    ray.get([_warm.remote() for _ in range(num_cpus * 3)])
+    try:
+        from joint_entity_and_relation_extraction_ray.stages.dedup import (
+            minhash_dedup_pairs,
+        )
+
+        docs = ray.data.read_parquet(str(docs_dir)).materialize()
+        n_docs = docs.count()
+
+        n_runs = int(os.environ.get("KGRAY_BENCH_RUNS", "1"))
+        best = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            n_pairs = minhash_dedup_pairs(docs, threshold=0.5).count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        return {
+            "metric": "minhash near-dup pairs over synthetic doc corpus",
+            "value": round(best, 3),
+            "unit": "sec",
+            "docs": n_docs,
+            "pairs": n_pairs,
+            "docs_per_sec": round(n_docs / best, 1),
+            "sf": f"docs-{n_docs}",
+            "num_cpus": num_cpus,
+            "host_memcpy_gbps": _host_memcpy_gbps(),
+            "host_load1": round(os.getloadavg()[0], 1),
+        }
+    finally:
+        ray.shutdown()
+
+
 def _host_memcpy_gbps() -> float:
     t0 = time.perf_counter()
     bytearray(bytes(200_000_000))
     return round(0.2 / (time.perf_counter() - t0), 2)
 
 
-def _run_subprocess(sf_dir: str, num_cpus: int) -> dict:
+def _run_subprocess(sf_dir: str, num_cpus: int, mode: str = "kg") -> dict:
     env = dict(os.environ)
     env["GRAFT_SF_DIR"] = sf_dir
     env["RAY_GRAFT_CPUS"] = str(num_cpus)
+    env["KGRAY_BENCH_MODE"] = mode
     # --scaling already takes best-of-2 at the SUBPROCESS level; a second
     # best-of-2 inside each subprocess would double wall time for nothing
     env["KGRAY_BENCH_RUNS"] = "1"
@@ -246,6 +314,22 @@ def main() -> None:
         ex_lo = r_lo["turns"] / (r_lo["queries"]["extract"] + r_lo["queries"]["link"])
         ex_hi = r_hi["turns"] / (r_hi["queries"]["extract"] + r_hi["queries"]["link"])
         eff_extract = round((ex_hi / ex_lo) / (hi / lo), 3)
+        # second scaling subject (VERDICT r4 #7): the shuffle-heavy
+        # corpus op — MinHash near-dup over conv-level docs at sf1
+        c_dir = os.environ.get(
+            "GRAFT_SCALING_CORPUS_SF_DIR", "/root/testdata/sf1"
+        )
+        c_lo = max(
+            (_run_subprocess(c_dir, lo, mode="corpus") for _ in range(2)),
+            key=lambda r: r["docs_per_sec"],
+        )
+        c_hi = max(
+            (_run_subprocess(c_dir, hi, mode="corpus") for _ in range(2)),
+            key=lambda r: r["docs_per_sec"],
+        )
+        eff_dedup = round(
+            (c_hi["docs_per_sec"] / c_lo["docs_per_sec"]) / (hi / lo), 3
+        )
         print(
             json.dumps(
                 {
@@ -260,6 +344,10 @@ def main() -> None:
                         "extract_turns_per_sec@8cpu": round(ex_lo, 1),
                         "extract_turns_per_sec@32cpu": round(ex_hi, 1),
                         "extract_scaling_efficiency": eff_extract,
+                        "dedup_docs_per_sec@8cpu": c_lo["docs_per_sec"],
+                        "dedup_docs_per_sec@32cpu": c_hi["docs_per_sec"],
+                        "dedup_scaling_efficiency": eff_dedup,
+                        "dedup_sf": c_hi["sf"],
                         "stages@8cpu": r_lo["queries"],
                         "stages@32cpu": r_hi["queries"],
                     },
@@ -270,6 +358,9 @@ def main() -> None:
         )
         return
 
+    if os.environ.get("KGRAY_BENCH_MODE") == "corpus":
+        print(json.dumps(_corpus_bench_once(sf_dir, num_cpus)))
+        return
     print(json.dumps(_bench_once(sf_dir, num_cpus)))
 
 

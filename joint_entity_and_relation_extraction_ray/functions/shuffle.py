@@ -21,9 +21,12 @@ Partitioning assumptions (documented per the brief):
   content: conv-keyed data is bounded per conv; aggregations pre-combine
   per block so hot keys arrive ≤ once per block);
 - the driver holds O(blocks × buckets) object refs — bound block count
-  upstream (``override_num_blocks``) on huge inputs; a multi-node
-  deployment would swap in Ray Data's push-based shuffle behind the same
-  function signatures.
+  upstream (``override_num_blocks``) on huge inputs; for inputs past
+  the object store (or multi-node with shared storage) flip
+  ``exchange="parquet"`` / ``KGRAY_EXCHANGE=parquet`` — the
+  parquet-staged exchange (VERDICT r4 #8) streams the same shuffle
+  through partitioned files with O(buckets) driver refs,
+  equivalence-tested against this path.
 
 Hot-key note: a combiner applied in ``map_batches`` BEFORE the shuffle
 (reduce per key per block) caps any key's fan-in at the block count —
@@ -135,9 +138,33 @@ def bucket_group_apply(
     fn: Callable[[pa.Table], pa.Table],
     *,
     num_buckets: int = 64,
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """One-shuffle grouped apply: all rows of a key land in one bucket;
-    ``fn(bucket_table)`` runs vectorized per bucket."""
+    ``fn(bucket_table)`` runs vectorized per bucket.
+
+    ``exchange`` picks the shuffle medium (default ``$KGRAY_EXCHANGE``,
+    else ``"refs"``):
+
+    - ``"refs"`` — the in-memory split→reduce over object-store refs
+      (fastest single-node; the driver holds O(blocks × buckets) refs,
+      the documented single-node trade).
+    - ``"parquet"`` — parquet-staged exchange (the `upsert_partitioned`
+      medium, VERDICT r4 #8): the input STREAMS through a bucket-
+      stamping ``write_parquet(partition_cols=…)`` (no driver refs, no
+      full materialization in the object store), then one Ray task per
+      bucket reads its directory and applies ``fn``. Survives inputs
+      larger than the object store, resumes inspectable, and is the
+      multi-node swap path — same signature, equivalence-tested."""
+    import os
+
+    exchange = exchange or os.environ.get("KGRAY_EXCHANGE") or "refs"
+    if exchange == "parquet":
+        return _bucket_group_apply_parquet(
+            ds, key, fn, num_buckets=num_buckets
+        )
+    if exchange != "refs":
+        raise ValueError(f"unknown exchange medium: {exchange!r}")
     ds = ds.materialize()  # no-op for already-materialized inputs
     if ds.schema() is None:
         # fully-empty input (Ray reports no schema): the grouped apply
@@ -163,6 +190,65 @@ def bucket_group_apply(
         for p in range(num_buckets)
     ]
     return _dataset_from_reduce_pairs(pairs)
+
+
+def _bucket_group_apply_parquet(
+    ds: ray.data.Dataset,
+    key: str,
+    fn: Callable[[pa.Table], pa.Table],
+    *,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Parquet-staged grouped apply (see :func:`bucket_group_apply`,
+    ``exchange="parquet"``): bucket-stamp → hive-partitioned staging
+    write → one apply task per bucket directory. The staging dir lives
+    under ``$KGRAY_EXCHANGE_DIR`` (default ``/tmp/kgray_exchange``) —
+    on a cluster, point it at shared storage and any node can run any
+    bucket's apply task."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    root = Path(os.environ.get("KGRAY_EXCHANGE_DIR", "/tmp/kgray_exchange"))
+    staging = root / f"bga-{uuid.uuid4().hex[:12]}"
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        b = stable_bucket(
+            _keys_to_numpy(t[key].combine_chunks()), num_buckets
+        )
+        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+    ds.map_batches(
+        _stamp, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(str(staging), partition_cols=[BUCKET_COL])
+
+    import pyarrow.dataset as pads
+
+    staged = sorted(staging.rglob("*.parquet"))
+    if not staged:
+        # nothing staged (fully-empty input): same contract as the refs
+        # path's empty-input guard — hand back the (empty) input
+        shutil.rmtree(staging, ignore_errors=True)
+        return ds
+    # file schema excludes the hive partition column — exactly the
+    # pre-stamp row schema, for rebuilding typed empty buckets
+    schema = pads.dataset(str(staged[0])).schema
+
+    @ray.remote(num_returns=2)
+    def _apply(k: int):
+        d = staging / f"{BUCKET_COL}={k}"
+        if d.exists():
+            tbl = pads.dataset(str(d)).to_table()
+        else:
+            tbl = schema.empty_table()
+        out = fn(tbl)
+        return out.num_rows, out
+
+    pairs = [_apply.remote(k) for k in range(num_buckets)]
+    out = _dataset_from_reduce_pairs(pairs)  # barrier: all applies done
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
 
 
 def _dataset_from_reduce_pairs(pairs) -> ray.data.Dataset:

@@ -60,15 +60,23 @@ def hll_empty(p: int = DEFAULT_P) -> np.ndarray:
 def hll_add(registers: np.ndarray, values, p: int = DEFAULT_P) -> np.ndarray:
     """Fold ``values`` into the register array IN PLACE and return it.
 
-    Values hash as md5-60 of their canonical string form (non-string
-    arrays go through numpy ``astype(str)`` — '123' for ints, shortest
-    round-trip repr for floats, both matching DuckDB's
-    ``CAST(x AS VARCHAR)``): top p bits → register index, (60−p)-bit
-    suffix → rank via the exact frexp bit-length (no log2 rounding
-    hazard)."""
+    Values hash as md5-60 of their canonical string form. The
+    documented contract is STRING / INT inputs only: numpy's float (and
+    bool/datetime) string formatting is NOT guaranteed to match
+    DuckDB's ``CAST(x AS VARCHAR)`` across magnitudes (scientific-
+    notation cutoffs, 'True' vs 'true'), so those dtypes raise rather
+    than silently breaking oracle parity (ADVICE r4). Top p bits →
+    register index, (60−p)-bit suffix → rank via the exact frexp
+    bit-length (no log2 rounding hazard)."""
     if len(values) == 0:
         return registers
     arr = np.asarray(values)
+    if arr.dtype.kind in ("f", "c", "b", "M", "m"):
+        raise TypeError(
+            "hll_add takes string/int values only: the "
+            f"{arr.dtype} string form has no cross-engine md5 parity "
+            "guarantee (cast to a canonical string yourself first)"
+        )
     if arr.dtype.kind not in ("U", "O"):
         arr = arr.astype(str)
     q = 60 - p

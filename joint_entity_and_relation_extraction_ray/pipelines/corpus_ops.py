@@ -9,13 +9,12 @@ SQL-expressible) `oracle_sql()` carries the DuckDB equivalent.
 
 from __future__ import annotations
 
-import hashlib
-
 import pyarrow as pa
 import pyarrow.compute as pc
 import ray.data
 
 from ..functions import textstats
+from ..schema import md5_60, md5_hex
 from ..stages import dedup, multimodal, similarity
 
 N_ANN_QUERIES = 10
@@ -710,23 +709,39 @@ def q_token_bpe(sf_dir: str) -> ray.data.Dataset:
 # --- sampling (O3) ---------------------------------------------------------
 
 
+def _md5_prefix2(col) -> pa.Array:
+    """Vectorized 2-hex-char md5(doc_id) prefix — the shared primitive
+    of every hash sampler / split rule (same digests as the old per-row
+    hashlib listcomps, C-speed via schema.md5_hex — ADVICE r4)."""
+    return pc.utf8_slice_codeunits(md5_hex(col), 0, 2)
+
+
+def _split_labels(col) -> pa.Array:
+    """Vectorized deterministic split rule: md5 prefix < 'e6' → train,
+    < 'f3' → val, else test (pure VARCHAR ordering, SQL-mirrored)."""
+    pfx = _md5_prefix2(col)
+    return pc.if_else(
+        pc.less(pfx, pa.scalar("e6")),
+        pa.scalar("train"),
+        pc.if_else(
+            pc.less(pfx, pa.scalar("f3")),
+            pa.scalar("val"),
+            pa.scalar("test"),
+        ),
+    )
+
+
 def hash_sample_block(t: pa.Table, threshold: str = "1a") -> pa.Table:
     """Per-block deterministic hash sampler: keep rows whose md5(doc_id)
     lowercase-hex 2-char prefix sorts below `threshold` (VARCHAR order).
 
-    Blocks where NOTHING samples are the critical path: `keep` must be a
-    typed int64 array — a plain empty list would infer a null-typed index
-    array and `array_take(int64, null)` has no Arrow kernel (the round-1/2
-    driver crash)."""
-    import hashlib
-
-    ids = t["doc_id"].to_pylist()
-    keep = [
-        i
-        for i, d in enumerate(ids)
-        if hashlib.md5(str(d).encode()).hexdigest()[:2] < threshold
-    ]
-    return t.select(["doc_id"]).take(pa.array(keep, type=pa.int64()))
+    Fully vectorized (digest via schema.md5_hex, compare + filter in
+    Arrow) — the old per-row hashlib listcomp was the one remaining
+    per-row Python on a corpus-sized path (review r4). An empty-sample
+    block falls out of `filter` as a typed empty table (the round-1/2
+    driver crash was an untyped empty take index)."""
+    keep = pc.less(_md5_prefix2(t["doc_id"]), pa.scalar(threshold))
+    return t.select(["doc_id"]).filter(keep)
 
 
 def q_sample_hash(sf_dir: str) -> ray.data.Dataset:
@@ -751,23 +766,14 @@ def q_sample_bottomk(sf_dir: str) -> ray.data.Dataset:
     and unlike a reservoir it has an exact SQL mirror). Distributed as
     `group_topk` ascending with a constant group: per-block bottom-k
     combiner → one single-bucket merge; ≤ blocks×k rows ever move."""
-    import hashlib
-
     from ..stages.relational import group_topk
 
     def _h(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
         return pa.table(
             {
                 "doc_id": t["doc_id"],
-                "h": pa.array(
-                    [
-                        hashlib.md5(str(d).encode()).hexdigest()
-                        for d in ids
-                    ],
-                    pa.string(),
-                ),
-                "g": pa.array([0] * len(ids), pa.int32()),
+                "h": md5_hex(t["doc_id"]),
+                "g": pa.array([0] * t.num_rows, pa.int32()),
             }
         )
 
@@ -791,27 +797,28 @@ def q_sample_weighted(sf_dir: str) -> ray.data.Dataset:
     Join Queries", EDBT 2023). Distributed exactly like sample_bottomk:
     per-block top-k combiner → one single-bucket merge; floats exist
     only inside the priority key, the output is (doc_id, weight) ints."""
-    import hashlib
+    import numpy as np
 
     from ..stages.relational import group_topk
 
     DENOM = float((1 << 60) + 1)
 
     def _prio(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        ws = t["n_chars"].to_pylist()
-        prios = []
-        for d, w in zip(ids, ws):
-            u = (
-                int(hashlib.md5(str(d).encode()).hexdigest()[:15], 16) + 1
-            ) / DENOM
-            prios.append(u ** (1.0 / max(w or 1, 1)))
+        # u = (md5-60 + 1)/DENOM vectorized; the +1 MUST happen in
+        # int64 BEFORE the float conversion (at 2^60 magnitudes
+        # fl(h)+1.0 ≠ fl(h+1)); exponent 1/max(w,1) with null→1 exactly
+        # as the old per-row `max(w or 1, 1)` (both ** paths call libm
+        # pow — bit-identical, oracle stays hash-exact)
+        u = (md5_60(t["doc_id"]) + 1).astype(np.float64) / DENOM
+        w = t["n_chars"].to_numpy(zero_copy_only=False).astype(np.float64)
+        w = np.maximum(np.nan_to_num(w, nan=1.0), 1.0)
+        prios = u ** (1.0 / w)
         return pa.table(
             {
                 "doc_id": t["doc_id"],
                 "weight": pc.cast(t["n_chars"], pa.int64()),
                 "prio": pa.array(prios, pa.float64()),
-                "g": pa.array([0] * len(ids), pa.int32()),
+                "g": pa.array([0] * t.num_rows, pa.int32()),
             }
         )
 
@@ -838,24 +845,13 @@ def q_split_leakage(sf_dir: str) -> ray.data.Dataset:
     Composition of two driver-green ops: the exact MinHash+LSH pair set
     and the deterministic md5 split rule, applied stateless to both
     pair sides (no join — the split of an id is a pure function)."""
-    import hashlib
-
     pairs = dedup.minhash_dedup_pairs(
         read_documents(sf_dir), threshold=JACCARD_THRESHOLD
     )
 
-    def _split_of(ids):
-        out = []
-        for d in ids:
-            x = hashlib.md5(str(d).encode()).hexdigest()[:2]
-            out.append("train" if x < "e6" else "val" if x < "f3" else "test")
-        return out
-
     def _tag(t: pa.Table) -> pa.Table:
-        a = t["doc_a"].to_pylist()
-        b = t["doc_b"].to_pylist()
-        sa = _split_of(a)
-        sb = _split_of(b)
+        sa = _split_labels(t["doc_a"]).to_pylist()
+        sb = _split_labels(t["doc_b"]).to_pylist()
         keep = [x != y for x, y in zip(sa, sb)]
         tt = pa.table(
             {
@@ -914,20 +910,14 @@ def q_sample_stratified(sf_dir: str) -> ray.data.Dataset:
     training pipeline uses to cap dominant classes. Composition of the
     hash-rank map and group_topk (per-block combiner pre-truncation →
     one bucket shuffle), reproducible across runs and engines."""
-    import hashlib
-
     from ..stages.relational import group_topk
 
     def _with_digest(t: pa.Table) -> pa.Table:
-        dig = [
-            hashlib.md5(str(i).encode()).hexdigest()
-            for i in t["doc_id"].to_pylist()
-        ]
         return pa.table(
             {
                 "lang": t["lang"],
                 "doc_id": t["doc_id"],
-                "digest": pa.array(dig, pa.string()),
+                "digest": md5_hex(t["doc_id"]),
             }
         )
 
@@ -2103,15 +2093,10 @@ def q_split_assign(sf_dir: str) -> ray.data.Dataset:
     rest test. Pure VARCHAR ordering on the lowercase digest (the
     sample_hash rule: no hex→int cast on either side), stateless per
     batch — reproducible across runs, engines and block layouts."""
-    import hashlib
 
     def _assign(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        h = [hashlib.md5(str(d).encode()).hexdigest()[:2] for d in ids]
-        split = ["train" if x < "e6" else "val" if x < "f3" else "test"
-                 for x in h]
         return pa.table(
-            {"doc_id": t["doc_id"], "split": pa.array(split, pa.string())}
+            {"doc_id": t["doc_id"], "split": _split_labels(t["doc_id"])}
         )
 
     return read_documents(sf_dir).map_batches(
@@ -2125,18 +2110,15 @@ def q_kfold_assign(sf_dir: str) -> ray.data.Dataset:
     2-hex-char prefix compared against the VARCHAR boundaries
     '33'/'66'/'9a'/'cd' (51-51-52-51-51 of the 256 prefixes), stateless
     per batch, reproducible across engines and block layouts."""
-    import hashlib
+    import numpy as np
 
     def _assign(t: pa.Table) -> pa.Table:
-        folds = []
-        for d in t["doc_id"].to_pylist():
-            h = hashlib.md5(str(d).encode()).hexdigest()[:2]
-            folds.append(
-                0 if h < "33" else
-                1 if h < "66" else
-                2 if h < "9a" else
-                3 if h < "cd" else 4
-            )
+        pfx = _md5_prefix2(t["doc_id"]).to_numpy(zero_copy_only=False)
+        folds = np.searchsorted(
+            np.array(["33", "66", "9a", "cd"], dtype=object),
+            pfx,
+            side="right",
+        ).astype(np.int64)
         return pa.table(
             {"doc_id": t["doc_id"], "fold": pa.array(folds, pa.int64())}
         )
@@ -2159,8 +2141,6 @@ def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
     corpus is materialized once and feeds both the pair generator and
     the survivor filter — at production scale that seam is a
     `state/checkpoint.py run_partitioned` stage boundary."""
-    import hashlib
-
     docs = read_documents(sf_dir)
 
     def _qf(t: pa.Table) -> pa.Table:
@@ -2183,14 +2163,8 @@ def q_curate_corpus(sf_dir: str) -> ray.data.Dataset:
     kept = dedup.dedup_apply(ok.select_columns(["doc_id"]), pairs)
 
     def _assign(t: pa.Table) -> pa.Table:
-        ids = t["doc_id"].to_pylist()
-        h = [hashlib.md5(str(d).encode()).hexdigest()[:2] for d in ids]
-        split = [
-            "train" if x < "e6" else "val" if x < "f3" else "test"
-            for x in h
-        ]
         return pa.table(
-            {"doc_id": t["doc_id"], "split": pa.array(split, pa.string())}
+            {"doc_id": t["doc_id"], "split": _split_labels(t["doc_id"])}
         )
 
     return kept.map_batches(

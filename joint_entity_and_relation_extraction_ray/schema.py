@@ -151,6 +151,78 @@ def stable_bucket(values, num_buckets: int):
     return (h % np.uint64(num_buckets)).astype("int32")
 
 
+_MD5_LOCAL = None
+
+
+def _md5_con():
+    """Per-thread cached in-process DuckDB connection for the
+    vectorized md5 paths (a DuckDB connection is not safe for
+    concurrent queries; Ray workers are separate processes, so this is
+    one tiny connection per worker)."""
+    global _MD5_LOCAL
+    import threading
+
+    if _MD5_LOCAL is None:
+        _MD5_LOCAL = threading.local()
+    con = getattr(_MD5_LOCAL, "con", None)
+    if con is None:
+        import duckdb
+
+        con = duckdb.connect()
+        # default, but the order-preserving scan IS the correctness
+        # contract here — pin it
+        con.execute("SET preserve_insertion_order = true")
+        # md5 projections don't parallelize (measured flat 1→32
+        # threads); one thread keeps Ray workers from oversubscribing
+        con.execute("SET threads = 1")
+        _MD5_LOCAL.con = con
+    return con
+
+
+def _md5_safe_arrow(values):
+    """Arrow array for which DuckDB ``md5(CAST(v AS VARCHAR))`` is
+    byte-identical to Python ``md5(str(v))`` — strings and (int64-range)
+    integers only, no nulls; anything else (floats, bools, None,
+    timestamps: all with engine-divergent string forms) returns None
+    and the caller falls back to the exact per-value hashlib loop."""
+    import numpy as np
+    import pyarrow as pa
+
+    if isinstance(values, pa.ChunkedArray):
+        a = values.combine_chunks()
+    elif isinstance(values, pa.Array):
+        a = values
+    else:
+        try:
+            a = pa.array(np.asarray(values))
+        except (pa.ArrowInvalid, pa.ArrowTypeError, ValueError, TypeError):
+            return None
+    t = a.type
+    ok = (
+        pa.types.is_string(t)
+        or pa.types.is_large_string(t)
+        or (pa.types.is_integer(t) and t.bit_width <= 64)
+    )
+    if not ok or a.null_count:
+        return None
+    return a
+
+
+def _md5_duckdb(a, expr: str):
+    """Run one md5 projection over an Arrow array, order-preserving."""
+    import pyarrow as pa
+
+    con = _md5_con()
+    tbl = pa.table({"v": a})
+    con.register("_md5_in", tbl)
+    try:
+        return con.execute(
+            f"SELECT {expr} AS h FROM _md5_in"
+        ).arrow()["h"].combine_chunks()
+    finally:
+        con.unregister("_md5_in")
+
+
 def md5_60(values):
     """The engine's SQL-mirrorable value hash: int64 of the first 15 hex
     chars (60 bits) of md5 of each value's canonical string form —
@@ -160,10 +232,21 @@ def md5_60(values):
     k-means seeding, random walks) oracle-replayable. ONE definition on
     purpose: the byte-identity with the SQL mirror is a correctness
     contract, and inline copies drift (review r4). Returns an int64
-    numpy array."""
-    import hashlib
+    numpy array.
 
+    Vectorized (ADVICE r4): string/int inputs run the EXACT mirror
+    expression through a per-worker in-process DuckDB — C-speed md5
+    over the whole Arrow column, digests byte-identical by
+    construction; other dtypes keep the per-value hashlib loop (their
+    ``str(v)`` form has no cross-engine guarantee anyway)."""
     import numpy as np
+
+    a = _md5_safe_arrow(values)
+    if a is not None:
+        return _md5_duckdb(
+            a, "('0x' || substr(md5(CAST(v AS VARCHAR)), 1, 15))::BIGINT"
+        ).to_numpy(zero_copy_only=False).astype(np.int64)
+    import hashlib
 
     return np.array(
         [
@@ -171,6 +254,31 @@ def md5_60(values):
             for v in np.asarray(values, dtype=object)
         ],
         dtype=np.int64,
+    )
+
+
+def md5_hex(values):
+    """Vectorized full lowercase-hex md5 digest of each value's
+    canonical string form (``hashlib.md5(str(v).encode()).hexdigest()``
+    semantics, DuckDB ``md5(CAST(v AS VARCHAR))`` mirror) — the shared
+    primitive behind the hash samplers / split rules (ADVICE r4:
+    replaces their per-row hashlib listcomps). Returns a pyarrow string
+    array aligned with the input."""
+    import pyarrow as pa
+
+    a = _md5_safe_arrow(values)
+    if a is not None:
+        return _md5_duckdb(a, "md5(CAST(v AS VARCHAR))")
+    import hashlib
+
+    import numpy as np
+
+    return pa.array(
+        [
+            hashlib.md5(str(v).encode()).hexdigest()
+            for v in np.asarray(values, dtype=object)
+        ],
+        pa.string(),
     )
 
 

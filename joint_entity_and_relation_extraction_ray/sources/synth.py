@@ -311,6 +311,7 @@ SF_CONVS = {
     "sf0.1": 55000,
     "sf1": 550000,
     "sf3": 1650000,
+    "sf10": 5500000,
 }
 _PARALLEL_GEN_MIN_CONVS = 100_000  # above this, shard-generate via Ray tasks
 _GEN_VERSION = 3  # bump to invalidate cached fixtures
@@ -409,3 +410,86 @@ def ensure_corpus(
 def corpus_for_sf_dir(sf_dir: str, seed: int = SEED) -> Path:
     """Map a driver testdata dir (…/sf0.01) to its synthetic corpus."""
     return ensure_corpus(Path(sf_dir).name, seed)
+
+
+def ensure_doc_corpus(
+    n_docs: int, seed: int = SEED, num_shards: int = 32
+) -> Path:
+    """Deterministic synthetic DOCUMENT corpus for the corpus-op scaling
+    bench: ``(doc_id:int64, text:string)`` parquet shards, distinct
+    40-word texts over a 30k-word vocabulary with a controlled ~10%
+    near-duplicate rate (copy of the previous doc with one word
+    mutated) — the web-corpus shape dedup ops see in production.
+
+    Why not conversation-level docs from the transcript corpus: the
+    transcript templates make conversations massively self-similar, so
+    MinHash LSH buckets degenerate (every doc collides with thousands)
+    and the bench measures the pathological-skew cap instead of the
+    op's scaling. Same atomic tmp-dir + rename protocol as
+    :func:`ensure_corpus`; Ray-parallel when the caller owns a session."""
+    final = FIXTURE_ROOT / f"docs-{n_docs}-seed{seed}-v{_GEN_VERSION}"
+    if (final / "_manifest.json").exists():
+        return final
+    final.parent.mkdir(parents=True, exist_ok=True)
+    tmp = final.with_suffix(f".tmp-{os.getpid()}")
+    if tmp.exists():
+        import shutil
+
+        shutil.rmtree(tmp)
+    tmp.mkdir(parents=True)
+    per_shard = (n_docs + num_shards - 1) // num_shards
+
+    def _write_shard(shard: int) -> int:
+        import numpy as np
+
+        rng = np.random.default_rng(seed * 1_000_003 + shard)
+        lo = shard * per_shard
+        hi = min(lo + per_shard, n_docs)
+        if hi <= lo:
+            return 0
+        words = rng.integers(0, 30_000, size=(hi - lo, 40))
+        texts = [" ".join(f"w{w}" for w in row) for row in words]
+        # ~10% near-dups: doc i copies doc i-1 with one word changed
+        for i in range(1, hi - lo):
+            if rng.random() < 0.10:
+                prev = texts[i - 1].split()
+                prev[int(rng.integers(0, 40))] = f"w{rng.integers(0, 30000)}"
+                texts[i] = " ".join(prev)
+        tbl = pa.table(
+            {
+                "doc_id": pa.array(range(lo, hi), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+        pq.write_table(tbl, tmp / f"part-{shard:03d}.parquet")
+        return hi - lo
+
+    use_ray = False
+    if n_docs >= 50_000:
+        try:
+            import ray
+
+            use_ray = ray.is_initialized()
+        except ImportError:
+            use_ray = False
+    if use_ray:
+        import ray
+
+        task = ray.remote(_write_shard)
+        rows = sum(ray.get([task.remote(s) for s in range(num_shards)]))
+    else:
+        rows = sum(_write_shard(s) for s in range(num_shards))
+    (tmp / "_manifest.json").write_text(
+        json.dumps({"n_docs": rows, "seed": seed,
+                    "num_shards": num_shards, "gen_version": _GEN_VERSION})
+    )
+    try:
+        tmp.rename(final)
+    except OSError:
+        import shutil
+
+        if (final / "_manifest.json").exists():
+            shutil.rmtree(tmp)
+        else:
+            raise
+    return final

@@ -1089,17 +1089,31 @@ def embedding_dup_pairs_lsh(
         eb = np.frombuffer(b"".join(t["e_b"].to_pylist()), dtype=np.int64)
         ea = ea.reshape(len(t), -1)
         eb = eb.reshape(len(t), -1)
-        # cos ≥ num/den ⟺ dot ≥ 0 ∧ den²·dot² ≥ num²·‖a‖²‖b‖² — all
-        # int64 at QUANT=1000 (dot ≤ 64·530² ≈ 1.8e7; den²·dot² ≲ 1.3e17)
+        # cos ≥ num/den ⟺ dot ≥ 0 ∧ den²·dot² ≥ num²·‖a‖²‖b‖² — int64
+        # at QUANT=1000 for the DEFAULT thresholds (dot ≤ 64·530² ≈
+        # 1.8e7; den²·dot² ≲ 1.3e17), but threshold is a public float
+        # knob and a fine-grained Fraction denominator (e.g. 0.405 →
+        # den=200 → 4e4·(1.8e7)² > 2⁶³) silently WRAPS int64 and flips
+        # verdicts — promote to Python big ints whenever the worst case
+        # of either side doesn't provably fit (ADVICE r4 medium)
         dot = np.einsum("ij,ij->i", ea, eb)
         na = np.einsum("ij,ij->i", ea, ea)
         nb = np.einsum("ij,ij->i", eb, eb)
-        keep = pa.array(
-            (na > 0)
-            & (nb > 0)
-            & (dot >= 0)
-            & (t_den * t_den * dot * dot >= t_num * t_num * na * nb)
+        lhs_max = t_den * t_den * int(np.abs(dot).max(initial=0)) ** 2
+        rhs_max = t_num * t_num * int(na.max(initial=0)) * int(
+            nb.max(initial=0)
         )
+        if max(lhs_max, rhs_max) < 2**63:
+            bound_ok = t_den * t_den * dot * dot >= t_num * t_num * na * nb
+        else:
+            do, nao, nbo = (
+                x.astype(object) for x in (dot, na, nb)
+            )  # elementwise Python-int arithmetic: exact, no wrap
+            bound_ok = (
+                (t_den * t_den * do * do >= t_num * t_num * nao * nbo)
+                .astype(bool)
+            )
+        keep = pa.array((na > 0) & (nb > 0) & (dot >= 0) & bound_ok)
         out = t.filter(keep)
         return pa.table({"vec_a": out["vec_a"], "vec_b": out["vec_b"]})
 

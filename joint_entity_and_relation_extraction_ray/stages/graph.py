@@ -3208,8 +3208,9 @@ def negative_samples(
     uni_ref = ray.put(universe) if ray.is_initialized() else universe
 
     def _candidates(t: pa.Table) -> pa.Table:
-        import hashlib
         import numpy as np
+
+        from ..schema import md5_60
 
         uni = ray.get(uni_ref) if isinstance(uni_ref, ray.ObjectRef) else uni_ref
         if not t.num_rows or not len(uni):
@@ -3233,8 +3234,6 @@ def negative_samples(
             # the driver oracle replays the identical draws; a
             # vectorized 64-bit hash is the drop-in at 10¹²-edge scale
             # if oracle parity is not needed
-            from ..schema import md5_60
-
             idx = md5_60(key).astype(np.uint64) % np.uint64(len(uni))
             cand = uni[idx.astype(np.int64)]
             keep = cand != s  # self-corruption out immediately
@@ -4947,10 +4946,12 @@ def betweenness_centrality(
     SIMPLE graph underlying the KG → ``(node, betweenness:float64)``
     (nonzero rows; sorted desc, node tiebreak). The standard
     "who brokers the graph" centrality, estimated from ``n_sources``
-    deterministic pivots (the lexicographically smallest node ids —
-    reproducible without an RNG) exactly as Brandes' sampling variant
-    prescribes; with every node as a source it IS exact Brandes
-    (pinned against an in-process oracle in pytest).
+    deterministic pivots (the smallest node ids in md5-60 order —
+    reproducible without an RNG, and unbiased where lexicographic id
+    order would correlate with entity-type prefixes) exactly as
+    Brandes' sampling variant prescribes; with every node as a source
+    it IS exact Brandes (pinned against an in-process oracle in
+    pytest).
 
     Distributed as two level-synchronous passes, all on `join_auto` +
     the house bucketed shuffle — never an all-pairs anything:
@@ -5017,17 +5018,32 @@ def betweenness_centrality(
         num_buckets=num_buckets,
     ).materialize()
 
-    # deterministic pivots: the n_sources lexicographically smallest ids
+    # deterministic, UNBIASED pivots: the n_sources smallest node ids
+    # in (md5-60, id) order — lexicographic id order can correlate with
+    # entity types when id prefixes encode them, biasing the sample
+    # (review r4); md5 order is still RNG-free, engine-reproducible,
+    # and SQL-replayable via the repo's md5-60 mirror
+    import numpy as np
+
+    from ..schema import md5_60
+
+    def _cand(t: pa.Table) -> pa.Table:
+        u = pl.from_arrow(t.select(["src"])).unique().to_arrow()
+        if not u.num_rows:
+            return u
+        src = u["src"].to_numpy(zero_copy_only=False)
+        keep = np.lexsort((src, md5_60(src)))[:n_sources]
+        return pa.table({"src": pa.array(src[keep], pa.string())})
+
     cand = sym.map_batches(
-        lambda t: pl.from_arrow(t.select(["src"]))
-        .unique()
-        .sort("src")
-        .head(n_sources)
-        .to_arrow(),
-        batch_format="pyarrow",
-        zero_copy_batch=True,
+        _cand, batch_format="pyarrow", zero_copy_batch=True
     ).take_all()  # <= n_sources rows per block — tiny by construction
-    sources = sorted({r["src"] for r in cand})[:n_sources]
+    ids = np.array(sorted({r["src"] for r in cand}), dtype=object)
+    sources = (
+        [str(s) for s in ids[np.lexsort((ids, md5_60(ids)))][:n_sources]]
+        if len(ids)
+        else []
+    )
     if not sources:
         return ray.data.from_arrow(OUT.empty_table())
 

@@ -393,7 +393,14 @@ def _swap_partition(base: Path, k: int, tmp: Path) -> None:
     complete, removed after the swap commits) lets
     :func:`recover_partition_swaps` roll any interrupted swap forward,
     and readers fail loudly instead of silently seeing a missing
-    partition (ADVICE r3)."""
+    partition (ADVICE r3).
+
+    A concurrent READER that lists during the instant between the two
+    renames may roll the swap forward itself (it sees the marker and a
+    missing partition); the second rename therefore tolerates losing
+    that race — if ``tmp`` is gone but ``part_dir`` exists, the reader
+    converged the exact state this function was about to create
+    (ADVICE r4 high)."""
     import uuid
 
     part_dir = base / f"part={k}"
@@ -410,9 +417,15 @@ def _swap_partition(base: Path, k: int, tmp: Path) -> None:
     os.replace(marker_tmp, marker)
     if part_dir.exists():
         os.rename(part_dir, trash)
-    os.rename(tmp, part_dir)
+    try:
+        os.rename(tmp, part_dir)
+    except OSError:
+        # a racing reader's roll-forward recovery moved tmp into place
+        # first (ADVICE r4 high) — converged if the partition is live
+        if not part_dir.exists():
+            raise
     shutil.rmtree(trash, ignore_errors=True)
-    marker.unlink()
+    marker.unlink(missing_ok=True)
 
 
 def recover_partition_swaps(
@@ -424,8 +437,13 @@ def recover_partition_swaps(
     Two caller classes (review r4):
 
     - READERS (the zone-map lister) call with ``clean_orphans=False``:
-      they only roll forward MARKED swaps — never touch unmarked hidden
-      dirs, which may be a CONCURRENT writer's in-progress staging. All
+      they only roll forward MARKED swaps whose live partition is
+      MISSING — a marker beside a LIVE partition is (from a reader's
+      view) indistinguishable from a healthy writer mid-swap, so the
+      reader must not touch its tmp/trash/marker at all: deleting the
+      staged tmp there destroys the writer's fully-built new data
+      (ADVICE r4 high). Readers also never touch unmarked hidden dirs,
+      which may be a CONCURRENT writer's in-progress staging. All
       renames/unlinks tolerate losing a race to another recoverer (the
       other side converged the state first).
     - WRITERS (compact/upsert, documented single-writer per table) call
@@ -460,28 +478,52 @@ def recover_partition_swaps(
             part = base / pname
             tmps = sorted(base.glob(f".{pname}.tmp-*"))
             trashes = sorted(base.glob(f".{pname}.trash-*"))
-        try:
-            if not part.exists():
-                src = next(
-                    (d for d in tmps if d.exists()),
-                    next((d for d in trashes if d.exists()), None),
-                )
-                if src is None:
-                    raise RuntimeError(
-                        f"unrecoverable partition swap journal {marker}:"
-                        f" {part.name} missing and neither its tmp nor "
-                        "trash survives"
-                    )
-                os.rename(src, part)
-        except FileNotFoundError:
-            pass  # concurrent recoverer moved it first
-        for d in tmps + trashes:
-            if d.exists():
+        if part.exists():
+            if not clean_orphans:
+                # READER: marker + live partition is exactly what a
+                # healthy writer mid-swap looks like — touching the
+                # staged tmp/trash/marker here would delete the
+                # writer's new data and strand its second rename
+                # (ADVICE r4 high). Leave ALL cleanup to the
+                # single-writer clean_orphans path.
+                continue
+            # WRITER (single-writer contract — no concurrent swap can
+            # be in flight): marker beside a live partition is a
+            # committed swap that crashed before cleanup.
+            for d in tmps + trashes:
                 shutil.rmtree(d, ignore_errors=True)
+            marker.unlink(missing_ok=True)
+            resolved.append(marker.name)
+            continue
+        # live partition MISSING: roll the swap forward (prefer the new
+        # tmp data; fall back to the trash copy if tmp vanished)
+        src = next(
+            (d for d in tmps if d.exists()),
+            next((d for d in trashes if d.exists()), None),
+        )
+        if src is None:
+            if part.exists():
+                # a racing writer/recoverer committed between our two
+                # checks — it owns the cleanup
+                continue
+            raise RuntimeError(
+                f"unrecoverable partition swap journal {marker}:"
+                f" {part.name} missing and neither its tmp nor "
+                "trash survives"
+            )
         try:
-            marker.unlink()
-        except FileNotFoundError:
-            pass
+            os.rename(src, part)
+        except OSError:
+            # lost the race: a concurrent recoverer/writer moved a copy
+            # into place first (src gone, or part now occupied)
+            if not part.exists():
+                raise
+        # we converged a crashed (or raced) swap ourselves — the
+        # marker's own debris is now committed-swap leftovers; a racing
+        # writer tolerates this cleanup (see _swap_partition)
+        for d in tmps + trashes:
+            shutil.rmtree(d, ignore_errors=True)
+        marker.unlink(missing_ok=True)
         resolved.append(marker.name)
     if clean_orphans:
         for orphan in sorted(base.glob(".part=*.tmp-*")):

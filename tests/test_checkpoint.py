@@ -1196,3 +1196,116 @@ def test_torn_swap_marker_recovers_best_effort(ray_session, tmp_path):
     got = pads.dataset(str(base / "part=2")).to_table()["k"].to_pylist()
     assert got == [9]
     assert not list(base.glob(".part=*"))
+
+
+def _swap_state(tmp_path):
+    """A table dir with live part=0 (old data) and a fully-built tmp
+    (new data), ready for _swap_partition to commit."""
+    import pyarrow.parquet as pq
+
+    base = tmp_path / "t"
+    (base / "part=0").mkdir(parents=True)
+    pq.write_table(
+        pa.table({"k": pa.array([1], pa.int64())}),
+        base / "part=0" / "a.parquet",
+    )
+    tmp = base / ".part=0.tmp-build"
+    tmp.mkdir()
+    pq.write_table(
+        pa.table({"k": pa.array([2, 3], pa.int64())}),
+        tmp / "compacted-00000.parquet",
+    )
+    return base, tmp
+
+
+def test_reader_interleaved_with_inflight_swap(
+    ray_session, tmp_path, monkeypatch
+):
+    """A READER listing at ANY instant of a healthy in-flight swap must
+    see exactly one live copy of the partition (old or new, never
+    missing) and must never destroy the writer's staged build — the
+    writer then completes and the new data wins (ADVICE r4 high: reader
+    recovery used to rmtree the in-flight tmp and strand the writer).
+
+    The writer runs in a thread with a pausing `os` proxy that stops at
+    the two dangerous instants: right after the intent marker lands
+    (marker + live part + tmp all visible) and right between the two
+    renames (part momentarily missing)."""
+    import os as _os
+    import threading
+
+    import pyarrow.dataset as pads
+
+    from joint_entity_and_relation_extraction_ray.sources.zonemap import (
+        _data_files,
+    )
+    from joint_entity_and_relation_extraction_ray.state import checkpoint
+
+    for pause_at in ("after_marker", "between_renames"):
+        base, tmp = _swap_state(tmp_path / pause_at)
+        in_gap, resume = threading.Event(), threading.Event()
+
+        class PausingOS:
+            """Proxies the checkpoint module's `os`, pausing the writer
+            once at the requested instant."""
+
+            def __init__(self):
+                self._renames = 0
+                self._paused = False
+
+            def __getattr__(self, name):
+                return getattr(_os, name)
+
+            def _pause(self):
+                if not self._paused:
+                    self._paused = True
+                    in_gap.set()
+                    assert resume.wait(10)
+
+            def replace(self, src, dst):
+                _os.replace(src, dst)
+                if pause_at == "after_marker":
+                    self._pause()
+
+            def rename(self, src, dst):
+                _os.rename(src, dst)
+                self._renames += 1
+                if pause_at == "between_renames" and self._renames == 1:
+                    self._pause()
+
+        monkeypatch.setattr(checkpoint, "os", PausingOS())
+        err: list[BaseException] = []
+
+        def writer():
+            try:
+                checkpoint._swap_partition(base, 0, tmp)
+            except BaseException as e:  # surfaced in the main thread
+                err.append(e)
+
+        th = threading.Thread(target=writer)
+        th.start()
+        assert in_gap.wait(10)
+        # reader interleaves INSIDE the gap: exactly one live copy,
+        # old or new — never a missing partition
+        files = _data_files(base)
+        assert len(files) == 1
+        got = sorted(
+            pads.dataset(str(base / "part=0")).to_table()["k"].to_pylist()
+        )
+        assert got in ([1], [2, 3]), got
+        if pause_at == "after_marker":
+            # the regression: reader must NOT have deleted the staged
+            # build or the writer's intent marker
+            assert got == [1]
+            assert (tmp / "compacted-00000.parquet").exists()
+            assert (base / ".part=0.swap.json").exists()
+        resume.set()
+        th.join(10)
+        assert not th.is_alive() and not err, err
+        # writer completed: new data live, zero debris
+        got = sorted(
+            pads.dataset(str(base / "part=0")).to_table()["k"].to_pylist()
+        )
+        assert got == [2, 3]
+        assert not list(base.glob(".part=*"))
+        monkeypatch.undo()

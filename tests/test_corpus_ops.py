@@ -1282,3 +1282,21 @@ def test_kmeans_fixed_assignments_recover_blobs(ray_session):
                 n[j] = len(mem)
     want = _assign_all()
     assert a1 == want
+
+
+def test_embedding_lsh_fine_threshold_no_int64_wrap(ray_session):
+    """A fine-grained threshold Fraction (0.405 → den=200) used to wrap
+    the int64 cross-multiplied cosine bound den²·dot² at the repo's own
+    documented magnitudes (dim 64, coords ~0.53) and reject IDENTICAL
+    vectors — the comparison must promote to exact big-int arithmetic
+    (ADVICE r4 medium)."""
+    v = [0.53] * 64
+    mat = np.array([v, v, [-x for x in v]])
+    ds = _emb_ds(mat)
+    got = _collect(
+        dedup.embedding_dup_pairs_lsh(ds, threshold=0.405, n_tables=64)
+    )
+    pairs = set(zip(got["vec_a"], got["vec_b"]))
+    assert (0, 1) in pairs  # identical vectors: cos = 1.0 ≥ 0.405
+    # opposite vectors (cos = −1) never pass
+    assert not any({a, b} == {0, 2} or {a, b} == {1, 2} for a, b in pairs)

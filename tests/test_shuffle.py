@@ -126,3 +126,96 @@ def test_empty_buckets_dropped_schema_uniform(ray_session):
         tuple(ray.get(r).schema.names) for r in cp.to_arrow_refs()
     }
     assert cschemas == {("k", "v")}
+
+
+def test_parquet_exchange_equivalence_primitive(ray_session, tmp_path,
+                                                monkeypatch):
+    """`exchange="parquet"` (the multi-node swap path, VERDICT r4 #8)
+    must produce exactly the refs-path result: same rows, same key
+    locality, typed empty buckets, staging dir cleaned up."""
+    monkeypatch.setenv("KGRAY_EXCHANGE_DIR", str(tmp_path))
+    seen = []
+
+    def _tag(t: pa.Table) -> pa.Table:
+        if t.num_rows:
+            seen.append(sorted(set(t["k"].to_pylist())))
+        return t
+
+    out = bucket_group_apply(
+        _docs(30), "k", _tag, num_buckets=8, exchange="parquet"
+    )
+    df = out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    ref = (
+        bucket_group_apply(_docs(30), "k", lambda t: t, num_buckets=8)
+        .to_pandas()
+        .sort_values(["k", "v"])
+        .reset_index(drop=True)
+    )
+    assert df.equals(ref)
+    assert not list(tmp_path.glob("bga-*"))  # staging cleaned
+
+
+def test_parquet_exchange_equivalence_ops(ray_session, tmp_path,
+                                          monkeypatch):
+    """Two real operators built on bucket_group_apply — MinHash near-dup
+    pairs and the events rollup — must return identical results under
+    KGRAY_EXCHANGE=parquet (the env flag a multi-node deployment flips
+    without touching call sites)."""
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages import dedup
+    from joint_entity_and_relation_extraction_ray.stages.events import (
+        sessionize,
+    )
+
+    rng = np.random.default_rng(7)
+    texts = []
+    for i in range(60):
+        base = " ".join(f"w{rng.integers(0, 40)}" for _ in range(30))
+        texts.append(base)
+        if i % 5 == 0:
+            texts.append(base + " w1")  # near-dup partner
+    docs = ray.data.from_arrow(
+        pa.table(
+            {
+                "doc_id": pa.array(range(len(texts)), pa.int64()),
+                "text": pa.array(texts, pa.string()),
+            }
+        )
+    ).repartition(4)
+
+    import datetime as dt
+
+    ev = ray.data.from_arrow(
+        pa.table(
+            {
+                "user_id": pa.array(
+                    [i % 7 for i in range(200)], pa.int64()
+                ),
+                "ts": pa.array(
+                    [
+                        dt.datetime(2026, 1, 1)
+                        + dt.timedelta(minutes=int(i * 13 % 997))
+                        for i in range(200)
+                    ],
+                    pa.timestamp("us"),
+                ),
+            }
+        )
+    ).repartition(3)
+
+    def _collect(ds):
+        df = ds.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    base_pairs = _collect(dedup.minhash_dedup_pairs(docs, threshold=0.5))
+    base_sess = _collect(sessionize(ev, num_buckets=8))
+
+    monkeypatch.setenv("KGRAY_EXCHANGE_DIR", str(tmp_path))
+    monkeypatch.setenv("KGRAY_EXCHANGE", "parquet")
+    pq_pairs = _collect(dedup.minhash_dedup_pairs(docs, threshold=0.5))
+    pq_sess = _collect(sessionize(ev, num_buckets=8))
+
+    assert base_pairs.equals(pq_pairs)
+    assert len(base_pairs) > 0
+    assert base_sess.equals(pq_sess)
