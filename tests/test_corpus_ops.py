@@ -941,6 +941,17 @@ def test_pq_recall_on_clustered_corpus(ray_session):
     assert len(rec) == 8
     assert rec["n_hits"].sum() / rec["k"].sum() >= 0.9
 
+    # the exact-integer variant (the oracle-backed driver path, r5)
+    # must clear the same bar on the clustered corpus
+    # quant=1e4: this fixture's coords reach ~±20 (vs the driver
+    # corpus's ~±0.6), and the LUT overflow guard fires at 1e6 — the
+    # quant knob trades precision for range, same as fixed-point δ
+    rec_x = similarity.pq_recall_exact(
+        emb, queries, k=5, m=16, ksub=32, iters=4, quant=10**4
+    ).to_pandas()
+    assert len(rec_x) == 8
+    assert rec_x["n_hits"].sum() / rec_x["k"].sum() >= 0.9
+
 
 def test_pq_encode_shape_and_determinism(ray_session):
     import numpy as np
