@@ -1311,3 +1311,38 @@ def test_embedding_lsh_fine_threshold_no_int64_wrap(ray_session):
     assert (0, 1) in pairs  # identical vectors: cos = 1.0 ≥ 0.405
     # opposite vectors (cos = −1) never pass
     assert not any({a, b} == {0, 2} or {a, b} == {1, 2} for a, b in pairs)
+
+
+def test_md5_vectorized_parity():
+    """schema.md5_60 / md5_hex (vectorized through in-process DuckDB,
+    ADVICE r4) must be byte-identical to the per-value hashlib form for
+    every supported dtype, and fall back to the exact hashlib loop for
+    dtypes DuckDB's VARCHAR cast could format differently."""
+    import hashlib
+
+    from joint_entity_and_relation_extraction_ray.schema import (
+        md5_60,
+        md5_hex,
+    )
+
+    cases = [
+        np.array([f"doc{i}" for i in range(500)]),          # U strings
+        np.array([f"x\x1fy{i}" for i in range(100)], dtype=object),
+        np.arange(-50, 50),                                  # ints
+        pa.array([f"s{i}" for i in range(100)]),             # arrow strings
+        [1.5, 2.25, None, "a", 10**30],                      # fallback path
+        np.array(["ünïcödé", "", "a b"]),                    # non-ascii
+    ]
+    for vals in cases:
+        as_obj = (
+            vals.to_pylist()
+            if isinstance(vals, pa.Array)
+            else np.asarray(vals, dtype=object)
+        )
+        exp60 = [
+            int(hashlib.md5(str(v).encode()).hexdigest()[:15], 16)
+            for v in as_obj
+        ]
+        exph = [hashlib.md5(str(v).encode()).hexdigest() for v in as_obj]
+        assert md5_60(vals).tolist() == exp60
+        assert md5_hex(vals).to_pylist() == exph
