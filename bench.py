@@ -192,14 +192,17 @@ def _corpus_bench_once(sf_dir: str, num_cpus: int) -> dict:
     the bench measures the pathological-skew cap instead of the op's
     scaling. Same fresh-session / best-of-N protocol as the KG job so
     --scaling reports a second efficiency number. ``sf_dir`` is ignored;
-    corpus size comes from $KGRAY_SCALING_DOCS (default 400k docs)."""
+    corpus size comes from $KGRAY_SCALING_DOCS (default 1.2M docs —
+    smaller corpora under-read the op: fixed session/shuffle-barrier
+    costs dominate the ~8 s 32-CPU wall and the measured efficiency
+    reflects overhead, not the op)."""
     import ray
 
     from joint_entity_and_relation_extraction_ray.sources.synth import (
         ensure_doc_corpus,
     )
 
-    n_docs_want = int(os.environ.get("KGRAY_SCALING_DOCS", "400000"))
+    n_docs_want = int(os.environ.get("KGRAY_SCALING_DOCS", "1200000"))
     ray.init(
         address="local",
         num_cpus=num_cpus,
