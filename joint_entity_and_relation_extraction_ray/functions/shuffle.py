@@ -251,6 +251,80 @@ def _bucket_group_apply_parquet(
     return out
 
 
+def _cobucket_apply_parquet(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    left_bucket,
+    right_bucket,
+    fn: Callable[[pa.Table, pa.Table], pa.Table],
+    *,
+    num_buckets: int,
+) -> ray.data.Dataset:
+    """Parquet-staged co-bucketed apply (see :func:`cobucket_apply`):
+    both sides stream through bucket-stamped hive-partitioned staging
+    writes, then one task per bucket reads its two directories and
+    applies ``fn``. Falls back to the refs path when either side stages
+    zero files (its row schema is unrecoverable from an empty dir)."""
+    import os
+    import shutil
+    import uuid
+    from pathlib import Path
+
+    import pyarrow.dataset as pads
+
+    root = Path(os.environ.get("KGRAY_EXCHANGE_DIR", "/tmp/kgray_exchange"))
+    staging = root / f"cba-{uuid.uuid4().hex[:12]}"
+
+    def _stamp(key_fn):
+        def _s(t: pa.Table) -> pa.Table:
+            if isinstance(key_fn, str):
+                # precomputed int bucket column in [0, num_buckets)
+                b = np.asarray(
+                    t[key_fn].to_numpy(zero_copy_only=False), dtype="int32"
+                )
+            else:
+                b = stable_bucket(_keys_to_numpy(key_fn(t)), num_buckets)
+            return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+
+        return _s
+
+    sides = {}
+    for name, ds, key_fn in (
+        ("left", left, left_bucket),
+        ("right", right, right_bucket),
+    ):
+        d = staging / name
+        ds.map_batches(
+            _stamp(key_fn), batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(str(d), partition_cols=[BUCKET_COL])
+        files = sorted(d.rglob("*.parquet"))
+        if not files:
+            shutil.rmtree(staging, ignore_errors=True)
+            return cobucket_apply(
+                left, right, left_bucket, right_bucket, fn,
+                num_buckets=num_buckets, exchange="refs",
+            )
+        sides[name] = pads.dataset(str(files[0])).schema
+
+    l_schema, r_schema = sides["left"], sides["right"]
+
+    @ray.remote(num_returns=2)
+    def _apply(k: int):
+        def _read(name, schema):
+            d = staging / name / f"{BUCKET_COL}={k}"
+            if d.exists():
+                return pads.dataset(str(d)).to_table()
+            return schema.empty_table()
+
+        out = fn(_read("left", l_schema), _read("right", r_schema))
+        return out.num_rows, out
+
+    pairs = [_apply.remote(k) for k in range(num_buckets)]
+    out = _dataset_from_reduce_pairs(pairs)  # barrier: all applies done
+    shutil.rmtree(staging, ignore_errors=True)
+    return out
+
+
 def _dataset_from_reduce_pairs(pairs) -> ray.data.Dataset:
     """Build the output Dataset from (num_rows_ref, table_ref) reduce
     results, DROPPING 0-row buckets (keeping one typed empty if all are).
@@ -280,11 +354,27 @@ def cobucket_apply(
     fn: Callable[[pa.Table, pa.Table], pa.Table],
     *,
     num_buckets: int = 64,
+    exchange: str | None = None,
 ) -> ray.data.Dataset:
     """Co-partitioned two-sided apply in ONE shuffle (the big–big join
     primitive): both datasets are bucketed on their join key with the same
     stable hash, and ``fn(left_rows, right_rows)`` runs per bucket with
-    all co-keyed rows local."""
+    all co-keyed rows local.
+
+    ``exchange`` works exactly as in :func:`bucket_group_apply`
+    (``"refs"`` in-memory default / ``"parquet"`` staged exchange,
+    resolved from ``$KGRAY_EXCHANGE``) — both shuffle primitives share
+    the multi-node swap path."""
+    import os
+
+    exchange = exchange or os.environ.get("KGRAY_EXCHANGE") or "refs"
+    if exchange == "parquet":
+        return _cobucket_apply_parquet(
+            left, right, left_bucket, right_bucket, fn,
+            num_buckets=num_buckets,
+        )
+    if exchange != "refs":
+        raise ValueError(f"unknown exchange medium: {exchange!r}")
     l_blocks, l_schema = _split_refs(left, left_bucket, num_buckets)
     r_blocks, r_schema = _split_refs(right, right_bucket, num_buckets)
     nl = len(l_blocks)

@@ -219,3 +219,51 @@ def test_parquet_exchange_equivalence_ops(ray_session, tmp_path,
     assert base_pairs.equals(pq_pairs)
     assert len(base_pairs) > 0
     assert base_sess.equals(pq_sess)
+
+
+def test_parquet_exchange_cobucket_equivalence(ray_session, tmp_path,
+                                               monkeypatch):
+    """cobucket_apply under exchange="parquet" must equal the refs path
+    (same join rows, typed empties, staging cleaned) — both shuffle
+    primitives share the multi-node swap path."""
+    monkeypatch.setenv("KGRAY_EXCHANGE_DIR", str(tmp_path))
+
+    def _join(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        return lt.join(rt, keys=["k"], join_type="inner")
+
+    right = _docs(3).map_batches(
+        lambda t: t.rename_columns(["k", "w"]),
+        batch_format="pyarrow",
+        zero_copy_batch=True,
+    )
+
+    def _run(exchange):
+        out = cobucket_apply(
+            _docs(12),
+            right,
+            lambda t: t["k"].combine_chunks(),
+            lambda t: t["k"].combine_chunks(),
+            _join,
+            num_buckets=8,
+            exchange=exchange,
+        )
+        df = out.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert _run("parquet").equals(_run(None))
+    assert not list(tmp_path.glob("cba-*"))  # staging cleaned
+
+    # all-empty left side falls back to the refs path (still correct)
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+    out = cobucket_apply(
+        empty,
+        right,
+        lambda t: t["k"].combine_chunks(),
+        lambda t: t["k"].combine_chunks(),
+        _join,
+        num_buckets=4,
+        exchange="parquet",
+    )
+    assert out.count() == 0
