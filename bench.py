@@ -318,16 +318,15 @@ def main() -> None:
         ex_hi = r_hi["turns"] / (r_hi["queries"]["extract"] + r_hi["queries"]["link"])
         eff_extract = round((ex_hi / ex_lo) / (hi / lo), 3)
         # second scaling subject (VERDICT r4 #7): the shuffle-heavy
-        # corpus op — MinHash near-dup over conv-level docs at sf1
-        c_dir = os.environ.get(
-            "GRAFT_SCALING_CORPUS_SF_DIR", "/root/testdata/sf1"
-        )
+        # corpus op — MinHash near-dup over the synthetic doc corpus
+        # (size from $KGRAY_SCALING_DOCS; sf_dir is unused by the
+        # corpus mode, pass the KG dir purely for report labeling)
         c_lo = max(
-            (_run_subprocess(c_dir, lo, mode="corpus") for _ in range(2)),
+            (_run_subprocess(sf_dir, lo, mode="corpus") for _ in range(2)),
             key=lambda r: r["docs_per_sec"],
         )
         c_hi = max(
-            (_run_subprocess(c_dir, hi, mode="corpus") for _ in range(2)),
+            (_run_subprocess(sf_dir, hi, mode="corpus") for _ in range(2)),
             key=lambda r: r["docs_per_sec"],
         )
         eff_dedup = round(

@@ -219,36 +219,44 @@ def _bucket_group_apply_parquet(
         )
         return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
 
-    ds.map_batches(
-        _stamp, batch_format="pyarrow", zero_copy_batch=True
-    ).write_parquet(str(staging), partition_cols=[BUCKET_COL])
+    try:
+        ds.map_batches(
+            _stamp, batch_format="pyarrow", zero_copy_batch=True
+        ).write_parquet(str(staging), partition_cols=[BUCKET_COL])
 
-    import pyarrow.dataset as pads
+        import pyarrow.dataset as pads
 
-    staged = sorted(staging.rglob("*.parquet"))
-    if not staged:
-        # nothing staged (fully-empty input): same contract as the refs
-        # path's empty-input guard — hand back the (empty) input
+        staged = sorted(staging.rglob("*.parquet"))
+        if not staged:
+            # nothing staged (0-row input, 0 files written): the row
+            # schema is unrecoverable from an empty dir, so fall back
+            # to the refs path — which still applies ``fn`` to typed
+            # empty buckets, keeping the two media equivalent
+            # (review r5: returning ``ds`` here diverged the output
+            # schema from the refs path)
+            return bucket_group_apply(
+                ds, key, fn, num_buckets=num_buckets, exchange="refs"
+            )
+        # file schema excludes the hive partition column — exactly the
+        # pre-stamp row schema, for rebuilding typed empty buckets
+        schema = pads.dataset(str(staged[0])).schema
+
+        @ray.remote(num_returns=2)
+        def _apply(k: int):
+            d = staging / f"{BUCKET_COL}={k}"
+            if d.exists():
+                tbl = pads.dataset(str(d)).to_table()
+            else:
+                tbl = schema.empty_table()
+            out = fn(tbl)
+            return out.num_rows, out
+
+        pairs = [_apply.remote(k) for k in range(num_buckets)]
+        return _dataset_from_reduce_pairs(pairs)  # barrier: applies done
+    finally:
+        # also on failure — repeated failing runs must not accumulate
+        # full copies of the shuffled input on disk (review r5)
         shutil.rmtree(staging, ignore_errors=True)
-        return ds
-    # file schema excludes the hive partition column — exactly the
-    # pre-stamp row schema, for rebuilding typed empty buckets
-    schema = pads.dataset(str(staged[0])).schema
-
-    @ray.remote(num_returns=2)
-    def _apply(k: int):
-        d = staging / f"{BUCKET_COL}={k}"
-        if d.exists():
-            tbl = pads.dataset(str(d)).to_table()
-        else:
-            tbl = schema.empty_table()
-        out = fn(tbl)
-        return out.num_rows, out
-
-    pairs = [_apply.remote(k) for k in range(num_buckets)]
-    out = _dataset_from_reduce_pairs(pairs)  # barrier: all applies done
-    shutil.rmtree(staging, ignore_errors=True)
-    return out
 
 
 def _cobucket_apply_parquet(
@@ -288,41 +296,43 @@ def _cobucket_apply_parquet(
 
         return _s
 
-    sides = {}
-    for name, ds, key_fn in (
-        ("left", left, left_bucket),
-        ("right", right, right_bucket),
-    ):
-        d = staging / name
-        ds.map_batches(
-            _stamp(key_fn), batch_format="pyarrow", zero_copy_batch=True
-        ).write_parquet(str(d), partition_cols=[BUCKET_COL])
-        files = sorted(d.rglob("*.parquet"))
-        if not files:
-            shutil.rmtree(staging, ignore_errors=True)
-            return cobucket_apply(
-                left, right, left_bucket, right_bucket, fn,
-                num_buckets=num_buckets, exchange="refs",
-            )
-        sides[name] = pads.dataset(str(files[0])).schema
+    try:
+        sides = {}
+        for name, ds, key_fn in (
+            ("left", left, left_bucket),
+            ("right", right, right_bucket),
+        ):
+            d = staging / name
+            ds.map_batches(
+                _stamp(key_fn), batch_format="pyarrow",
+                zero_copy_batch=True,
+            ).write_parquet(str(d), partition_cols=[BUCKET_COL])
+            files = sorted(d.rglob("*.parquet"))
+            if not files:
+                return cobucket_apply(
+                    left, right, left_bucket, right_bucket, fn,
+                    num_buckets=num_buckets, exchange="refs",
+                )
+            sides[name] = pads.dataset(str(files[0])).schema
 
-    l_schema, r_schema = sides["left"], sides["right"]
+        l_schema, r_schema = sides["left"], sides["right"]
 
-    @ray.remote(num_returns=2)
-    def _apply(k: int):
-        def _read(name, schema):
-            d = staging / name / f"{BUCKET_COL}={k}"
-            if d.exists():
-                return pads.dataset(str(d)).to_table()
-            return schema.empty_table()
+        @ray.remote(num_returns=2)
+        def _apply(k: int):
+            def _read(name, schema):
+                d = staging / name / f"{BUCKET_COL}={k}"
+                if d.exists():
+                    return pads.dataset(str(d)).to_table()
+                return schema.empty_table()
 
-        out = fn(_read("left", l_schema), _read("right", r_schema))
-        return out.num_rows, out
+            out = fn(_read("left", l_schema), _read("right", r_schema))
+            return out.num_rows, out
 
-    pairs = [_apply.remote(k) for k in range(num_buckets)]
-    out = _dataset_from_reduce_pairs(pairs)  # barrier: all applies done
-    shutil.rmtree(staging, ignore_errors=True)
-    return out
+        pairs = [_apply.remote(k) for k in range(num_buckets)]
+        return _dataset_from_reduce_pairs(pairs)  # barrier: applies done
+    finally:
+        # also on failure — no staged-input accumulation (review r5)
+        shutil.rmtree(staging, ignore_errors=True)
 
 
 def _dataset_from_reduce_pairs(pairs) -> ray.data.Dataset:

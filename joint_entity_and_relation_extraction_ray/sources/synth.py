@@ -427,7 +427,12 @@ def ensure_doc_corpus(
     and the bench measures the pathological-skew cap instead of the
     op's scaling. Same atomic tmp-dir + rename protocol as
     :func:`ensure_corpus`; Ray-parallel when the caller owns a session."""
-    final = FIXTURE_ROOT / f"docs-{n_docs}-seed{seed}-v{_GEN_VERSION}"
+    # num_shards is part of the cache key: the per-shard RNG streams
+    # make the CONTENT a function of the sharding (review r5)
+    final = (
+        FIXTURE_ROOT
+        / f"docs-{n_docs}x{num_shards}-seed{seed}-v{_GEN_VERSION}"
+    )
     if (final / "_manifest.json").exists():
         return final
     final.parent.mkdir(parents=True, exist_ok=True)

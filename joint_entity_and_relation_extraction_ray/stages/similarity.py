@@ -1506,7 +1506,11 @@ def pq_train_exact(
         .sort_values(["h", "vid"])
         .head(ksub)
     )
-    seed_mat = np.array(list(seeds["xq"]), dtype=object)  # ksub × d
+    seed_mat = np.array(list(seeds["xq"]), dtype=object)  # ≤ksub × d
+    # fewer distinct vectors than ksub: clamp (the float pq_train
+    # shape-derives the same way, and the SQL oracle's `rn <= ksub`
+    # seed CTE clamps identically — review r5)
+    ksub = min(ksub, len(seed_mat))
     d = seed_mat.shape[1]
     if d % m:
         raise ValueError(f"dim {d} not divisible by m={m}")
@@ -1634,6 +1638,23 @@ _TOPK_INT_SCHEMA = pa.schema(
 )
 
 
+def _topk_total_order(row: np.ndarray, ids: np.ndarray, kk: int) -> np.ndarray:
+    """Indices of the ``kk`` smallest entries under the TOTAL order
+    (score asc, id asc). A bare ``argpartition(row, kk-1)[:kk]`` picks
+    an ARBITRARY subset of entries tied at the boundary score, which
+    breaks the bit-reproducible / layout-independent contract of the
+    exact-integer top-k paths (review r5) — so partition only to find
+    the boundary value, then lexsort every candidate at-or-below it."""
+    n = len(row)
+    if kk >= n:
+        cand = np.arange(n)
+    else:
+        part = np.argpartition(row, kk - 1)
+        thresh = row[part[kk - 1]]
+        cand = np.flatnonzero(row <= thresh)
+    return cand[np.lexsort((ids[cand], row[cand]))][:kk]
+
+
 def _merge_topk_asc(t: pa.Table, k: int) -> pa.Table:
     """Per-query merge of partial integer-DISTANCE rows: k smallest
     (score asc, neighbor_id asc) → (query_id, neighbor_id, rank)."""
@@ -1681,6 +1702,7 @@ def pq_ann_topk_exact(
 
     qids = np.asarray(queries["vec_id"].to_pylist(), dtype=np.int64)
     qq = _quant_block(queries, quant)
+    ksub = len(s_mat[0])  # trainer clamps when |corpus| < ksub
     lut = np.empty((len(qids), m, ksub), dtype=np.int64)
     for s in range(m):
         qs = qq[:, s * dsub : (s + 1) * dsub].astype(object)
@@ -1708,12 +1730,7 @@ def pq_ann_topk_exact(
         kk_ = min(k + 1, s.shape[1])
         for qi in range(s.shape[0]):
             row = s[qi]
-            top = (
-                np.argpartition(row, kk_ - 1)[:kk_]
-                if kk_ < len(row)
-                else np.arange(len(row))
-            )
-            order = top[np.lexsort((ids[top], row[top]))]
+            order = _topk_total_order(row, ids, kk_)
             for ni in order:
                 if ids[ni] == q_ids[qi]:
                     continue
@@ -1758,20 +1775,22 @@ def l2_topk_int(
             return _TOPK_INT_SCHEMA.empty_table()
         ids = t["vec_id"].to_numpy(zero_copy_only=False).astype(np.int64)
         xq = _quant_block(t, quant)
-        # Σ(qx−x)²: |coord| ≲ quant; assert the documented bound holds
-        bound = 4 * float(quant) ** 2 * xq.shape[1]
-        assert bound < 2**62, "l2_topk_int: quant too large for int64"
+        # Σ(qx−x)² must fit int64 — bound from the ACTUAL quantized
+        # magnitudes (a quant-only bound misses |x| > 1 coordinate
+        # ranges and would let the einsum wrap silently — review r5)
+        mx = max(
+            int(np.abs(xq).max(initial=0)), int(np.abs(qm).max(initial=0))
+        )
+        assert 4 * mx * mx * xq.shape[1] < 2**63, (
+            "l2_topk_int: quantized coordinates too large for int64 "
+            "distances — lower `quant`"
+        )
         out_q, out_n, out_s = [], [], []
         kk_ = min(k + 1, xq.shape[0])
         for qi in range(qm.shape[0]):
             diff = xq - qm[qi][None, :]
             d2 = np.einsum("ij,ij->i", diff, diff)
-            top = (
-                np.argpartition(d2, kk_ - 1)[:kk_]
-                if kk_ < len(d2)
-                else np.arange(len(d2))
-            )
-            order = top[np.lexsort((ids[top], d2[top]))]
+            order = _topk_total_order(d2, ids, kk_)
             for ni in order:
                 if ids[ni] == q_ids[qi]:
                     continue

@@ -1346,3 +1346,69 @@ def test_md5_vectorized_parity():
         exph = [hashlib.md5(str(v).encode()).hexdigest() for v in as_obj]
         assert md5_60(vals).tolist() == exp60
         assert md5_hex(vals).to_pylist() == exph
+
+
+def test_exact_topk_tie_break_layout_independent(ray_session):
+    """Integer-score TIES at the top-k boundary (identical vectors →
+    identical PQ codes → exactly equal scores) must resolve by the
+    total order (score asc, neighbor_id asc) regardless of block
+    layout — a bare argpartition truncation picked arbitrary tied
+    members per block (review r5)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    # 30 IDENTICAL vectors + 4 distinct: every query's candidate list
+    # ties 29-deep at the boundary
+    base = [0.3] * 16
+    vecs = [base] * 30 + [[0.3 + 0.01 * j] * 16 for j in range(1, 5)]
+    ids = np.arange(len(vecs), dtype=np.int64)
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(ids),
+            "embedding": pa.array(
+                [list(map(float, v)) for v in vecs], pa.list_(pa.float32())
+            ),
+        }
+    )
+    queries = tbl.slice(0, 3)
+
+    def _run(nparts, fn):
+        emb = ray.data.from_arrow(tbl).repartition(nparts)
+        df = fn(emb).to_pandas()
+        return df.sort_values(["query_id", "rank"]).reset_index(drop=True)
+
+    for fn in (
+        lambda e: similarity.l2_topk_int(queries=queries, emb=e, k=5),
+        lambda e: similarity.pq_ann_topk_exact(
+            e, queries, k=5, m=4, ksub=8, iters=2
+        ),
+    ):
+        a, b = _run(3, fn), _run(9, fn)
+        assert a.equals(b), "tied top-k depends on block layout"
+    # l2 ground truth: tied distances resolve to the SMALLEST ids
+    out = _run(4, lambda e: similarity.l2_topk_int(queries=queries, emb=e, k=5))
+    q0 = out[out.query_id == 0]
+    assert list(q0.neighbor_id) == [1, 2, 3, 4, 5]  # ids 1..5, not arbitrary
+
+
+def test_pq_exact_small_corpus_clamps_ksub(ray_session):
+    """Corpus smaller than ksub must clamp instead of IndexError (the
+    float pq_train shape-derives the same way — review r5)."""
+    import numpy as np
+    import pyarrow as pa
+    import ray.data
+
+    rng = np.random.default_rng(5)
+    vecs = rng.normal(size=(10, 16)) * 0.3
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(np.arange(10, dtype=np.int64)),
+            "embedding": pa.array(vecs.tolist(), pa.list_(pa.float32())),
+        }
+    )
+    emb = ray.data.from_arrow(tbl).repartition(3)
+    out = similarity.pq_ann_topk_exact(
+        emb, tbl.slice(0, 2), k=3, m=4, ksub=16, iters=2
+    ).to_pandas()
+    assert len(out) == 6  # 2 queries x k=3, no crash

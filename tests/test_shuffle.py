@@ -267,3 +267,46 @@ def test_parquet_exchange_cobucket_equivalence(ray_session, tmp_path,
         exchange="parquet",
     )
     assert out.count() == 0
+
+
+def test_parquet_exchange_empty_input_applies_fn(ray_session, tmp_path,
+                                                 monkeypatch):
+    """A typed 0-row input under exchange="parquet" must still apply fn
+    (falling back to the refs path), matching the refs medium's output
+    SCHEMA — returning the input unchanged diverged the two media
+    (review r5)."""
+    monkeypatch.setenv("KGRAY_EXCHANGE_DIR", str(tmp_path))
+    empty = ray.data.from_arrow(
+        pa.table({"k": pa.array([], pa.string()), "v": pa.array([], pa.int64())})
+    )
+
+    def _proj(t: pa.Table) -> pa.Table:
+        return pa.table(
+            {"k": t["k"], "n": pa.array([1] * t.num_rows, pa.int64())}
+        )
+
+    out = bucket_group_apply(
+        empty, "k", _proj, num_buckets=4, exchange="parquet"
+    )
+    ref = bucket_group_apply(empty, "k", _proj, num_buckets=4)
+    assert out.count() == 0 == ref.count()
+    assert out.schema().names == ref.schema().names == ["k", "n"]
+
+
+def test_parquet_exchange_cleans_staging_on_failure(ray_session, tmp_path,
+                                                    monkeypatch):
+    """A failing per-bucket fn must not leak the staged shuffle input
+    under $KGRAY_EXCHANGE_DIR (review r5: repeated failing runs used to
+    accumulate full input copies until ENOSPC)."""
+    import pytest
+
+    monkeypatch.setenv("KGRAY_EXCHANGE_DIR", str(tmp_path))
+
+    def _boom(t: pa.Table) -> pa.Table:
+        raise RuntimeError("bucket fn failure")
+
+    with pytest.raises(Exception):
+        bucket_group_apply(
+            _docs(20), "k", _boom, num_buckets=4, exchange="parquet"
+        )
+    assert not list(tmp_path.glob("bga-*"))
