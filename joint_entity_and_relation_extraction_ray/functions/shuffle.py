@@ -46,6 +46,9 @@ import ray.data
 from ..schema import stable_bucket
 
 BUCKET_COL = "_bucket"
+# reserved hive-partition column of the parquet exchange media — distinct
+# from BUCKET_COL so pre-stamped user schemas round-trip unchanged
+XPART_COL = "_xpart"
 
 
 def _keys_to_numpy(keys) -> np.ndarray:
@@ -214,15 +217,25 @@ def _bucket_group_apply_parquet(
     staging = root / f"bga-{uuid.uuid4().hex[:12]}"
 
     def _stamp(t: pa.Table) -> pa.Table:
+        # partition on the RESERVED exchange column, never on the house
+        # BUCKET_COL: callers legitimately pre-stamp `_bucket` in their
+        # row schema, and the refs path hands fn those rows UNCHANGED —
+        # the staged medium must reproduce that exactly (review r5:
+        # appending a second `_bucket` broke every fused/canonical op
+        # under KGRAY_EXCHANGE=parquet)
+        if XPART_COL in t.column_names:
+            raise ValueError(
+                f"{XPART_COL!r} is reserved for the parquet exchange"
+            )
         b = stable_bucket(
             _keys_to_numpy(t[key].combine_chunks()), num_buckets
         )
-        return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+        return t.append_column(XPART_COL, pa.array(b, pa.int32()))
 
     try:
         ds.map_batches(
             _stamp, batch_format="pyarrow", zero_copy_batch=True
-        ).write_parquet(str(staging), partition_cols=[BUCKET_COL])
+        ).write_parquet(str(staging), partition_cols=[XPART_COL])
 
         import pyarrow.dataset as pads
 
@@ -243,7 +256,7 @@ def _bucket_group_apply_parquet(
 
         @ray.remote(num_returns=2)
         def _apply(k: int):
-            d = staging / f"{BUCKET_COL}={k}"
+            d = staging / f"{XPART_COL}={k}"
             if d.exists():
                 tbl = pads.dataset(str(d)).to_table()
             else:
@@ -285,6 +298,14 @@ def _cobucket_apply_parquet(
 
     def _stamp(key_fn):
         def _s(t: pa.Table) -> pa.Table:
+            # reserved exchange column (see _bucket_group_apply_parquet):
+            # the refs path hands fn the input rows UNCHANGED, including
+            # any caller-stamped `_bucket` — partition on XPART_COL so
+            # the staged files keep the exact row schema (review r5)
+            if XPART_COL in t.column_names:
+                raise ValueError(
+                    f"{XPART_COL!r} is reserved for the parquet exchange"
+                )
             if isinstance(key_fn, str):
                 # precomputed int bucket column in [0, num_buckets)
                 b = np.asarray(
@@ -292,7 +313,7 @@ def _cobucket_apply_parquet(
                 )
             else:
                 b = stable_bucket(_keys_to_numpy(key_fn(t)), num_buckets)
-            return t.append_column(BUCKET_COL, pa.array(b, pa.int32()))
+            return t.append_column(XPART_COL, pa.array(b, pa.int32()))
 
         return _s
 
@@ -306,7 +327,7 @@ def _cobucket_apply_parquet(
             ds.map_batches(
                 _stamp(key_fn), batch_format="pyarrow",
                 zero_copy_batch=True,
-            ).write_parquet(str(d), partition_cols=[BUCKET_COL])
+            ).write_parquet(str(d), partition_cols=[XPART_COL])
             files = sorted(d.rglob("*.parquet"))
             if not files:
                 return cobucket_apply(
@@ -320,7 +341,7 @@ def _cobucket_apply_parquet(
         @ray.remote(num_returns=2)
         def _apply(k: int):
             def _read(name, schema):
-                d = staging / name / f"{BUCKET_COL}={k}"
+                d = staging / name / f"{XPART_COL}={k}"
                 if d.exists():
                     return pads.dataset(str(d)).to_table()
                 return schema.empty_table()

@@ -310,3 +310,52 @@ def test_parquet_exchange_cleans_staging_on_failure(ray_session, tmp_path,
             _docs(20), "k", _boom, num_buckets=4, exchange="parquet"
         )
     assert not list(tmp_path.glob("bga-*"))
+
+
+def test_parquet_exchange_preserves_prestamped_bucket_schema(
+    ray_session, tmp_path, monkeypatch
+):
+    """Ops that PRE-STAMP the house `_bucket` column and pass its NAME
+    as the cobucket key (the fused KG path) must work identically under
+    the parquet medium: the staged exchange partitions on its own
+    reserved `_xpart` column so fn receives the exact refs-path row
+    schema, `_bucket` included (review r5: a second appended `_bucket`
+    broke every fused/canonical op under KGRAY_EXCHANGE=parquet)."""
+    monkeypatch.setenv("KGRAY_EXCHANGE_DIR", str(tmp_path))
+
+    def _mk(n):
+        t = _docs(n)
+        return t.map_batches(
+            lambda b: b.append_column(
+                "_bucket",
+                pa.array(
+                    [hash(x) % 4 if False else (len(x) + i) % 4
+                     for i, x in enumerate(b["k"].to_pylist())],
+                    pa.int32(),
+                ),
+            ),
+            batch_format="pyarrow",
+            zero_copy_batch=True,
+        )
+
+    def _fn(lt: pa.Table, rt: pa.Table) -> pa.Table:
+        # the fused-path convention: fn drops the pre-stamped column
+        # itself — it must therefore BE present
+        lt = lt.drop_columns(["_bucket"])
+        rt = rt.drop_columns(["_bucket"])
+        return pa.table(
+            {
+                "n_l": pa.array([lt.num_rows], pa.int64()),
+                "n_r": pa.array([rt.num_rows], pa.int64()),
+            }
+        )
+
+    def _run(exchange):
+        out = cobucket_apply(
+            _mk(20), _mk(12), "_bucket", "_bucket", _fn,
+            num_buckets=4, exchange=exchange,
+        )
+        df = out.to_pandas()
+        return df.sort_values(list(df.columns)).reset_index(drop=True)
+
+    assert _run("parquet").equals(_run(None))
