@@ -329,7 +329,7 @@ def test_parquet_exchange_preserves_prestamped_bucket_schema(
             lambda b: b.append_column(
                 "_bucket",
                 pa.array(
-                    [hash(x) % 4 if False else (len(x) + i) % 4
+                    [(len(x) + i) % 4
                      for i, x in enumerate(b["k"].to_pylist())],
                     pa.int32(),
                 ),
