@@ -195,6 +195,93 @@ def bucket_group_apply(
     return _dataset_from_reduce_pairs(pairs)
 
 
+def _exchange_staging(kind: str):
+    """Fresh staging dir under ``$KGRAY_EXCHANGE_DIR`` (default
+    ``/tmp/kgray_exchange``) — point it at shared storage on a cluster
+    so any node can run any bucket's apply task."""
+    import os
+    import uuid
+    from pathlib import Path
+
+    root = Path(os.environ.get("KGRAY_EXCHANGE_DIR", "/tmp/kgray_exchange"))
+    return root / f"{kind}-{uuid.uuid4().hex[:12]}"
+
+
+def _stage_partitioned(ds, key_fn, num_buckets: int, out_dir) -> "pa.Schema":
+    """Shared staging writer of both parquet exchange media (review r5:
+    the first version existed as two drifting copies): bucket-stamp the
+    RESERVED ``XPART_COL`` (never the house BUCKET_COL — callers
+    legitimately pre-stamp ``_bucket`` in their row schema, and the refs
+    path hands fn those rows UNCHANGED) and hive-write. Returns the
+    ROW schema fn must see per bucket; for a 0-row input (zero files
+    staged) the schema comes from the dataset plan instead — re-running
+    a 0-row plan is cheap and keeps the parquet path alive without
+    falling back to an object-store materialization of the OTHER,
+    possibly oversized side (review r5). ``key_fn``: a column NAME of a
+    precomputed int bucket column in [0, num_buckets), or a callable
+    key extractor whose values hash with the house stable_bucket."""
+    # 0-row sides still need a VISIBLE dir: _read_bucket treats a
+    # missing staging root as "unreachable from this node" and fails
+    # loudly rather than silently reading every bucket as empty
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    def _stamp(t: pa.Table) -> pa.Table:
+        if XPART_COL in t.column_names:
+            raise ValueError(
+                f"{XPART_COL!r} is reserved for the parquet exchange"
+            )
+        if not t.num_rows:
+            # Ray emits 0-row blocks as 0-COLUMN tables (see
+            # _split_refs) — t[key] would raise; a lone XPART column
+            # unifies with the stamped schema and writes no file
+            return pa.table({XPART_COL: pa.array([], pa.int32())})
+        if isinstance(key_fn, str):
+            # precomputed int bucket column in [0, num_buckets)
+            b = np.asarray(
+                t[key_fn].to_numpy(zero_copy_only=False), dtype="int32"
+            )
+        else:
+            b = stable_bucket(_keys_to_numpy(key_fn(t)), num_buckets)
+        return t.append_column(XPART_COL, pa.array(b, pa.int32()))
+
+    ds.map_batches(
+        _stamp, batch_format="pyarrow", zero_copy_batch=True
+    ).write_parquet(str(out_dir), partition_cols=[XPART_COL])
+
+    import pyarrow.dataset as pads
+
+    files = sorted(out_dir.rglob("*.parquet"))
+    if files:
+        # file schema excludes the hive partition column — exactly the
+        # pre-stamp row schema, for rebuilding typed empty buckets
+        return pads.dataset(str(files[0])).schema
+    s = ds.schema()  # 0-row side: re-runs a 0-row plan (cheap)
+    if s is None:
+        return None  # fully schema-less empty — caller falls back
+    return pa.schema(list(zip(s.names, s.types)))
+
+
+def _read_bucket(base, k: int, schema: "pa.Schema") -> pa.Table:
+    """One bucket's staged rows, or a TYPED empty. A missing partition
+    dir is only trustworthy as "bucket genuinely empty" if the staging
+    root itself is visible — otherwise (e.g. node-local
+    KGRAY_EXCHANGE_DIR on a multi-node cluster) every bucket would
+    silently read empty and the job would return wrong results instead
+    of failing (review r5)."""
+    import pyarrow.dataset as pads
+
+    d = base / f"{XPART_COL}={k}"
+    if d.exists():
+        return pads.dataset(str(d)).to_table()
+    if not base.exists():
+        raise RuntimeError(
+            f"parquet-exchange staging {base} is not visible from this "
+            "worker — on a multi-node cluster KGRAY_EXCHANGE_DIR must "
+            "point at shared storage"
+        )
+    return schema.empty_table()
+
+
 def _bucket_group_apply_parquet(
     ds: ray.data.Dataset,
     key: str,
@@ -204,64 +291,23 @@ def _bucket_group_apply_parquet(
 ) -> ray.data.Dataset:
     """Parquet-staged grouped apply (see :func:`bucket_group_apply`,
     ``exchange="parquet"``): bucket-stamp → hive-partitioned staging
-    write → one apply task per bucket directory. The staging dir lives
-    under ``$KGRAY_EXCHANGE_DIR`` (default ``/tmp/kgray_exchange``) —
-    on a cluster, point it at shared storage and any node can run any
-    bucket's apply task."""
-    import os
+    write → one apply task per bucket directory."""
     import shutil
-    import uuid
-    from pathlib import Path
 
-    root = Path(os.environ.get("KGRAY_EXCHANGE_DIR", "/tmp/kgray_exchange"))
-    staging = root / f"bga-{uuid.uuid4().hex[:12]}"
-
-    def _stamp(t: pa.Table) -> pa.Table:
-        # partition on the RESERVED exchange column, never on the house
-        # BUCKET_COL: callers legitimately pre-stamp `_bucket` in their
-        # row schema, and the refs path hands fn those rows UNCHANGED —
-        # the staged medium must reproduce that exactly (review r5:
-        # appending a second `_bucket` broke every fused/canonical op
-        # under KGRAY_EXCHANGE=parquet)
-        if XPART_COL in t.column_names:
-            raise ValueError(
-                f"{XPART_COL!r} is reserved for the parquet exchange"
-            )
-        b = stable_bucket(
-            _keys_to_numpy(t[key].combine_chunks()), num_buckets
-        )
-        return t.append_column(XPART_COL, pa.array(b, pa.int32()))
-
+    staging = _exchange_staging("bga")
     try:
-        ds.map_batches(
-            _stamp, batch_format="pyarrow", zero_copy_batch=True
-        ).write_parquet(str(staging), partition_cols=[XPART_COL])
-
-        import pyarrow.dataset as pads
-
-        staged = sorted(staging.rglob("*.parquet"))
-        if not staged:
-            # nothing staged (0-row input, 0 files written): the row
-            # schema is unrecoverable from an empty dir, so fall back
-            # to the refs path — which still applies ``fn`` to typed
-            # empty buckets, keeping the two media equivalent
-            # (review r5: returning ``ds`` here diverged the output
-            # schema from the refs path)
+        schema = _stage_partitioned(
+            ds, lambda t: t[key].combine_chunks(), num_buckets, staging
+        )
+        if schema is None:
+            # schema-less fully-empty input: same refs-path guard
             return bucket_group_apply(
                 ds, key, fn, num_buckets=num_buckets, exchange="refs"
             )
-        # file schema excludes the hive partition column — exactly the
-        # pre-stamp row schema, for rebuilding typed empty buckets
-        schema = pads.dataset(str(staged[0])).schema
 
         @ray.remote(num_returns=2)
         def _apply(k: int):
-            d = staging / f"{XPART_COL}={k}"
-            if d.exists():
-                tbl = pads.dataset(str(d)).to_table()
-            else:
-                tbl = schema.empty_table()
-            out = fn(tbl)
+            out = fn(_read_bucket(staging, k, schema))
             return out.num_rows, out
 
         pairs = [_apply.remote(k) for k in range(num_buckets)]
@@ -284,69 +330,35 @@ def _cobucket_apply_parquet(
     """Parquet-staged co-bucketed apply (see :func:`cobucket_apply`):
     both sides stream through bucket-stamped hive-partitioned staging
     writes, then one task per bucket reads its two directories and
-    applies ``fn``. Falls back to the refs path when either side stages
-    zero files (its row schema is unrecoverable from an empty dir)."""
-    import os
+    applies ``fn``. A 0-row side keeps the parquet path (typed empty
+    from its plan schema) — the other side may be the oversized input
+    the medium was chosen for (review r5)."""
     import shutil
-    import uuid
-    from pathlib import Path
 
-    import pyarrow.dataset as pads
-
-    root = Path(os.environ.get("KGRAY_EXCHANGE_DIR", "/tmp/kgray_exchange"))
-    staging = root / f"cba-{uuid.uuid4().hex[:12]}"
-
-    def _stamp(key_fn):
-        def _s(t: pa.Table) -> pa.Table:
-            # reserved exchange column (see _bucket_group_apply_parquet):
-            # the refs path hands fn the input rows UNCHANGED, including
-            # any caller-stamped `_bucket` — partition on XPART_COL so
-            # the staged files keep the exact row schema (review r5)
-            if XPART_COL in t.column_names:
-                raise ValueError(
-                    f"{XPART_COL!r} is reserved for the parquet exchange"
-                )
-            if isinstance(key_fn, str):
-                # precomputed int bucket column in [0, num_buckets)
-                b = np.asarray(
-                    t[key_fn].to_numpy(zero_copy_only=False), dtype="int32"
-                )
-            else:
-                b = stable_bucket(_keys_to_numpy(key_fn(t)), num_buckets)
-            return t.append_column(XPART_COL, pa.array(b, pa.int32()))
-
-        return _s
-
+    staging = _exchange_staging("cba")
     try:
-        sides = {}
+        schemas = {}
         for name, ds, key_fn in (
             ("left", left, left_bucket),
             ("right", right, right_bucket),
         ):
-            d = staging / name
-            ds.map_batches(
-                _stamp(key_fn), batch_format="pyarrow",
-                zero_copy_batch=True,
-            ).write_parquet(str(d), partition_cols=[XPART_COL])
-            files = sorted(d.rglob("*.parquet"))
-            if not files:
-                return cobucket_apply(
-                    left, right, left_bucket, right_bucket, fn,
-                    num_buckets=num_buckets, exchange="refs",
-                )
-            sides[name] = pads.dataset(str(files[0])).schema
-
-        l_schema, r_schema = sides["left"], sides["right"]
+            schemas[name] = _stage_partitioned(
+                ds, key_fn, num_buckets, staging / name
+            )
+        if schemas["left"] is None or schemas["right"] is None:
+            # a schema-less fully-empty side: refs guard
+            return cobucket_apply(
+                left, right, left_bucket, right_bucket, fn,
+                num_buckets=num_buckets, exchange="refs",
+            )
+        l_schema, r_schema = schemas["left"], schemas["right"]
 
         @ray.remote(num_returns=2)
         def _apply(k: int):
-            def _read(name, schema):
-                d = staging / name / f"{XPART_COL}={k}"
-                if d.exists():
-                    return pads.dataset(str(d)).to_table()
-                return schema.empty_table()
-
-            out = fn(_read("left", l_schema), _read("right", r_schema))
+            out = fn(
+                _read_bucket(staging / "left", k, l_schema),
+                _read_bucket(staging / "right", k, r_schema),
+            )
             return out.num_rows, out
 
         pairs = [_apply.remote(k) for k in range(num_buckets)]

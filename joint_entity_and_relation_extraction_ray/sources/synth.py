@@ -435,6 +435,15 @@ def ensure_doc_corpus(
     )
     if (final / "_manifest.json").exists():
         return final
+    # prune pre-r5 fixture dirs (old key format docs-<n>-seed…, no
+    # shard count): orphaned by the key change, never matched again —
+    # without this they sit in FIXTURE_ROOT forever (review r5)
+    import re as _re
+    import shutil as _shutil
+
+    for old in FIXTURE_ROOT.glob("docs-*-seed*"):
+        if _re.fullmatch(r"docs-\d+-seed\d+-v\d+", old.name):
+            _shutil.rmtree(old, ignore_errors=True)
     final.parent.mkdir(parents=True, exist_ok=True)
     tmp = final.with_suffix(f".tmp-{os.getpid()}")
     if tmp.exists():

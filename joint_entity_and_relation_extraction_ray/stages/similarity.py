@@ -1506,6 +1506,10 @@ def pq_train_exact(
         .sort_values(["h", "vid"])
         .head(ksub)
     )
+    if not len(seeds):
+        raise ValueError(
+            "pq_train_exact: empty embedding corpus — nothing to train"
+        )
     seed_mat = np.array(list(seeds["xq"]), dtype=object)  # ≤ksub × d
     # fewer distinct vectors than ksub: clamp (the float pq_train
     # shape-derives the same way, and the SQL oracle's `rn <= ksub`

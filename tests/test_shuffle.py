@@ -359,3 +359,28 @@ def test_parquet_exchange_preserves_prestamped_bucket_schema(
         return df.sort_values(list(df.columns)).reset_index(drop=True)
 
     assert _run("parquet").equals(_run(None))
+
+
+def test_parquet_exchange_schemaless_empty_blocks(ray_session, tmp_path,
+                                                  monkeypatch):
+    """Ray represents 0-row blocks as 0-COLUMN tables (the groupby-
+    aggregate artifact _split_refs defends against): the parquet stamp
+    must pass them through as an XPART-only empty instead of raising
+    KeyError on the missing key column (review r5)."""
+    import ray
+
+    monkeypatch.setenv("KGRAY_EXCHANGE_DIR", str(tmp_path))
+    data = pa.table(
+        {
+            "k": pa.array(["a", "b", "a", "c"], pa.string()),
+            "v": pa.array([1, 2, 3, 4], pa.int64()),
+        }
+    )
+    mixed = ray.data.from_arrow_refs(
+        [ray.put(data), ray.put(pa.table({}))]  # one schema-less empty
+    )
+    out = bucket_group_apply(
+        mixed, "k", lambda t: t, num_buckets=4, exchange="parquet"
+    )
+    df = out.to_pandas().sort_values(["k", "v"]).reset_index(drop=True)
+    assert list(df["v"]) == [1, 3, 2, 4]
