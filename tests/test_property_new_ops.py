@@ -520,3 +520,65 @@ def test_closure_rollup_property(ray_session, edges, nblocks):
         if dist:
             want.append((src, len(dist), max(dist.values())))
     assert got == sorted(want)
+
+
+@settings(max_examples=40, deadline=None)
+@given(
+    scores=st.lists(st.integers(0, 6), min_size=1, max_size=40),
+    kk=st.integers(1, 12),
+    seed=st.integers(0, 10**6),
+)
+def test_topk_total_order_matches_python_sort(scores, kk, seed):
+    """similarity._topk_total_order must return EXACTLY the kk smallest
+    indices under (score asc, id asc) — argpartition alone picked
+    arbitrary members of boundary ties (review r5). Heavy-tie score
+    range [0, 6] forces boundary ties in most examples."""
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.stages.similarity import (
+        _topk_total_order,
+    )
+
+    rng = np.random.default_rng(seed)
+    row = np.asarray(scores, dtype=np.int64)
+    ids = rng.permutation(len(row)).astype(np.int64)
+    got = _topk_total_order(row, ids, kk)
+    want = sorted(range(len(row)), key=lambda i: (row[i], ids[i]))[:kk]
+    assert list(got) == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    docs=st.lists(
+        st.lists(st.integers(0, 50), min_size=0, max_size=12),
+        min_size=1,
+        max_size=25,
+    ),
+)
+def test_minhash_chunked_equals_oneshot(docs):
+    """The perm-chunked + reduceat minhash (review r5 rewrite) must be
+    BIT-identical to the one-shot product-matrix form for any mix of
+    empty/non-empty docs in any position."""
+    import numpy as np
+
+    from joint_entity_and_relation_extraction_ray.functions import textstats
+
+    shingles = [[f"s{w}" for w in d] for d in docs]
+    got = textstats.minhash_signatures(shingles, num_perm=32, seed=7)
+    # one-shot reference
+    a, b = textstats._perm_params(32, 7)
+    flat = [s for d in shingles for s in d]
+    offs = [0]
+    for d in shingles:
+        offs.append(offs[-1] + len(d))
+    want = np.full((len(shingles), 32), np.iinfo(np.uint64).max,
+                   dtype=np.uint64)
+    if flat:
+        base = textstats.shingle_hashes(flat)
+        with np.errstate(over="ignore"):
+            prods = base[:, None] * a[None, :] + b[None, :]
+        for i in range(len(shingles)):
+            lo, hi = offs[i], offs[i + 1]
+            if hi > lo:
+                want[i] = prods[lo:hi].min(axis=0)
+    assert (got == want).all()
